@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// sbt snapshots the whole classpath (~300 Spark jars, 500+ MB) into
+// target/bg-jobs on EVERY `run`, making each forked run pay a cold copy +
+// cold jar reads (~7x slowdown observed on Verify/Bench). The classpath
+// here is immutable system jars — run from the originals instead.
+Compile / run / bgCopyClasspath := false
+Compile / runMain / bgCopyClasspath := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -8,8 +8,18 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup pass first: JVM classloading + whole-stage codegen for
+    // an operator is paid once per JVM and would otherwise be attributed to
+    // whichever query happens to touch it first (observed 5-15x inflation on
+    // cold queries). The timed pass then measures steady-state execution.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

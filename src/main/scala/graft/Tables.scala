@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver testdata tables (`/root/testdata/sf*`).
+  *
+  * All readers are pure `(spark, sfDir) => DataFrame` and normalize types so
+  * downstream operators and the DuckDB oracle agree:
+  *  - `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot represent
+  *    (µs-native). We read it as a long (`spark.sql.legacy.parquet.nanosAsLong`)
+  *    and floor-divide to µs — identical to DuckDB's `CAST(ts AS TIMESTAMP)`
+  *    ns→µs truncation for positive epochs.
+  */
+object Tables {
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events with `ts` converted ns→µs TimestampType. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    // Runtime-settable legacy conf; also set in Verify/Bench/test sessions.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+}

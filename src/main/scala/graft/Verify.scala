@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // testdata events.ts is parquet TIMESTAMP(NANOS): read as long, see Tables
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // µs timestamps on write so DuckDB reads what Spark computed
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.forex.{Dedup, ForexPipeline, Indicators, Ohlc, Resample}
+
+/** Driver-contract queries covering the reference pipeline (SURVEY §2),
+  * each with a DuckDB oracle over the same parquet tables.
+  *
+  * Oracle-parity rules (SURVEY §7.4/§7.5):
+  *  - events.ts is ns in parquet: Spark floor-divides to µs, DuckDB
+  *    `CAST(ts AS TIMESTAMP)` truncates ns→µs — identical for positive epochs;
+  *  - every aggregate/computed column is aliased to the same name on both
+  *    sides (driver sorts columns by name before hashing);
+  *  - every output has a total ORDER BY on both sides;
+  *  - float aggregates whose summation order is engine-dependent are rounded
+  *    identically on both sides.
+  */
+object ForexQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** DuckDB equivalent of the silver model (shared CTE text). */
+  private val silverSql: String =
+    """silver AS (
+      |  SELECT observed_at, open_price, high_price, low_price, close_price FROM (
+      |    SELECT CAST(ts AS TIMESTAMP) AS observed_at,
+      |           value AS open_price, value AS high_price,
+      |           value AS low_price, value AS close_price,
+      |           row_number() OVER (PARTITION BY CAST(ts AS TIMESTAMP)
+      |                              ORDER BY event_id DESC) AS rn
+      |    FROM events)
+      |  WHERE rn = 1)""".stripMargin
+
+  /** DuckDB bucket expression mirroring Resample.bucket's closed form. */
+  private def bucketSql(tsCol: String, tf: Resample.Timeframe): String = {
+    val u = s"(epoch_us($tsCol) + ${tf.shiftUs})"
+    s"make_timestamp($u - ($u % ${tf.widthUs}) - ${tf.shiftUs})"
+  }
+
+  private val fannedSql: String = {
+    val branches = Resample.timeframes.map { tf =>
+      s"""  SELECT '${tf.name}' AS timeframe, ${bucketSql("observed_at", tf)} AS candle_start,
+         |         observed_at, open_price, high_price, low_price, close_price FROM silver""".stripMargin
+    }
+    "fanned AS (\n" + branches.mkString("\n  UNION ALL\n") + ")"
+  }
+
+  /** DuckDB SMA mirroring Indicators.sma: exact DECIMAL frame sum → double
+    * → divide by frame count → round. Association-independent on both sides.
+    */
+  private def smaSql(n: Int): String = {
+    val frame = s"PARTITION BY timeframe ORDER BY candle_start ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW"
+    s"""round(CAST(sum(CAST(close_price AS DECIMAL(25,10))) OVER ($frame) AS DOUBLE)
+       |         / count(*) OVER ($frame), 6) AS sma_$n""".stripMargin
+  }
+
+  private val candlesSql: String =
+    """candles AS (
+      |  SELECT timeframe, candle_start,
+      |         arg_min(open_price, observed_at) AS open_price,
+      |         max(high_price)                  AS high_price,
+      |         min(low_price)                   AS low_price,
+      |         arg_max(close_price, observed_at) AS close_price,
+      |         count(*)                         AS ticks_5m_count
+      |  FROM fanned GROUP BY 1, 2)""".stripMargin
+
+  // ---------------------------------------------------------------- queries
+
+  /** Silver model: typed projection + keyed dedup (P1, D2, W1). */
+  val stgTicks: Q = (s, dir) =>
+    ForexPipeline.silverFrom(s, dir).orderBy(col("observed_at"))
+
+  val stgTicksSql: String =
+    s"""WITH $silverSql
+       |SELECT * FROM silver ORDER BY observed_at""".stripMargin
+
+  /** Flagship: full gold model — fan-out, OHLC, indicators, md5 id
+    * (T1–T6, A1–A5, W2–W4, §2.9).
+    */
+  val fctTimeframes: Q = (s, dir) =>
+    ForexPipeline.goldFrom(s, dir).orderBy(col("timeframe"), col("candle_start"))
+
+  val fctTimeframesSql: String =
+    s"""WITH $silverSql,
+       |$fannedSql,
+       |$candlesSql
+       |SELECT md5(timeframe || '|' || strftime(candle_start, '%Y-%m-%d %H:%M:%S')) AS unique_id,
+       |       timeframe, candle_start, open_price, high_price, low_price, close_price,
+       |       ticks_5m_count,
+       |       close_price - lag(close_price) OVER
+       |         (PARTITION BY timeframe ORDER BY candle_start) AS price_diff,
+       |       ${smaSql(20)},
+       |       ${smaSql(50)}
+       |FROM candles
+       |ORDER BY timeframe, candle_start""".stripMargin
+
+  /** Single-timeframe OHLC aggregate (A1–A5 in isolation). */
+  val ohlc1h: Q = (s, dir) => {
+    val fanned = Resample.fanout(ForexPipeline.silverFrom(s, dir),
+      Seq(Resample.byName("1h")))
+    Ohlc.candles(fanned).orderBy(col("candle_start"))
+  }
+
+  val ohlc1hSql: String =
+    s"""WITH $silverSql
+       |SELECT '1h' AS timeframe,
+       |       ${bucketSql("observed_at", Resample.byName("1h"))} AS candle_start,
+       |       arg_min(open_price, observed_at) AS open_price,
+       |       max(high_price)                  AS high_price,
+       |       min(low_price)                   AS low_price,
+       |       arg_max(close_price, observed_at) AS close_price,
+       |       count(*)                         AS ticks_5m_count
+       |FROM silver GROUP BY 1, 2 ORDER BY candle_start""".stripMargin
+
+  /** All 7 bucket expressions side-by-side (T2–T5 in isolation). */
+  val resampleBuckets: Q = (s, dir) => {
+    val silver = ForexPipeline.silverFrom(s, dir)
+    val cols = col("observed_at") +: Resample.timeframes.map(tf =>
+      Resample.bucket(col("observed_at"), tf).as(s"b_${tf.name}"))
+    silver.select(cols: _*).orderBy(col("observed_at"))
+  }
+
+  val resampleBucketsSql: String = {
+    val bucketCols = Resample.timeframes
+      .map(tf => s"${bucketSql("observed_at", tf)} AS b_${tf.name}")
+      .mkString(",\n       ")
+    s"""WITH $silverSql
+       |SELECT observed_at,
+       |       $bucketCols
+       |FROM silver ORDER BY observed_at""".stripMargin
+  }
+
+  /** Indicator stage in isolation over 1h candles (W2–W4). */
+  val indicators1h: Q = (s, dir) => {
+    val fanned = Resample.fanout(ForexPipeline.silverFrom(s, dir),
+      Seq(Resample.byName("1h")))
+    Indicators.enrich(Ohlc.candles(fanned)).orderBy(col("candle_start"))
+  }
+
+  val indicators1hSql: String =
+    s"""WITH $silverSql,
+       |candles AS (
+       |  SELECT '1h' AS timeframe,
+       |         ${bucketSql("observed_at", Resample.byName("1h"))} AS candle_start,
+       |         arg_min(open_price, observed_at) AS open_price,
+       |         max(high_price)                  AS high_price,
+       |         min(low_price)                   AS low_price,
+       |         arg_max(close_price, observed_at) AS close_price,
+       |         count(*)                         AS ticks_5m_count
+       |  FROM silver GROUP BY 1, 2)
+       |SELECT md5(timeframe || '|' || strftime(candle_start, '%Y-%m-%d %H:%M:%S')) AS unique_id,
+       |       timeframe, candle_start, open_price, high_price, low_price, close_price,
+       |       ticks_5m_count,
+       |       close_price - lag(close_price) OVER
+       |         (PARTITION BY timeframe ORDER BY candle_start) AS price_diff,
+       |       ${smaSql(20)},
+       |       ${smaSql(50)}
+       |FROM candles ORDER BY candle_start""".stripMargin
+
+  /** D1: exact whole-row dedup over raw events. */
+  val dedupExactRows: Q = (s, dir) =>
+    Dedup.exactRows(Tables.events(s, dir)
+        .select(col("event_id"), col("ts").as("observed_at"), col("user_id"),
+          col("event_type"), col("value"), col("props")))
+      .orderBy(col("event_id"))
+
+  val dedupExactRowsSql: String =
+    """SELECT DISTINCT event_id, CAST(ts AS TIMESTAMP) AS observed_at, user_id,
+      |       event_type, value, props
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** P3: high-watermark predicate — keep ticks newer than max(observed_at)−7d.
+    * The watermark scalar is computed driver-side (one-row agg collect), the
+    * filter then pushes down to the parquet scan (SURVEY §4 row 4).
+    */
+  val watermarkFilter: Q = (s, dir) => {
+    val silver = ForexPipeline.silverFrom(s, dir)
+    val wmRow = silver.agg(max(col("observed_at"))).first()
+    val wm = wmRow.getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(wm.getTime - 7L * 86400000L)
+    silver.filter(col("observed_at") > lit(cutoff)).orderBy(col("observed_at"))
+  }
+
+  val watermarkFilterSql: String =
+    s"""WITH $silverSql
+       |SELECT * FROM silver
+       |WHERE observed_at > (SELECT max(observed_at) - INTERVAL 7 DAY FROM silver)
+       |ORDER BY observed_at""".stripMargin
+
+  /** T6 shape check: fan-out multiplies rows by 7, tagged per timeframe. */
+  val unionFanout: Q = (s, dir) =>
+    Resample.fanout(ForexPipeline.silverFrom(s, dir))
+      .groupBy(col("timeframe"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("candle_start")).as("n_candles"))
+      .orderBy(col("timeframe"))
+
+  val unionFanoutSql: String =
+    s"""WITH $silverSql,
+       |$fannedSql
+       |SELECT timeframe, count(*) AS n_rows,
+       |       count(DISTINCT candle_start) AS n_candles
+       |FROM fanned GROUP BY 1 ORDER BY timeframe""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "stg_ticks" -> stgTicks,
+    "fct_timeframes" -> fctTimeframes,
+    "ohlc_1h" -> ohlc1h,
+    "resample_buckets" -> resampleBuckets,
+    "indicators_1h" -> indicators1h,
+    "dedup_exact_rows" -> dedupExactRows,
+    "watermark_filter" -> watermarkFilter,
+    "union_fanout" -> unionFanout)
+
+  val oracleSql: Map[String, String] = Map(
+    "stg_ticks" -> stgTicksSql,
+    "fct_timeframes" -> fctTimeframesSql,
+    "ohlc_1h" -> ohlc1hSql,
+    "resample_buckets" -> resampleBucketsSql,
+    "indicators_1h" -> indicators1hSql,
+    "dedup_exact_rows" -> dedupExactRowsSql,
+    "watermark_filter" -> watermarkFilterSql,
+    "union_fanout" -> unionFanoutSql)
+}
