@@ -1,0 +1,45 @@
+package graft.ingest
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bronze ingest — Spark equivalent of the reference extractor's
+  * validate/prepare/save path (scripts/extract_forex.py:112-199).
+  *
+  * The network fetch itself (extract_forex.py:34-109) is out of scope for a
+  * local engine (SURVEY §2.1 S1/S2): ingest starts from a raw tick DataFrame.
+  */
+object Ingest {
+
+  /** validate_and_prepare_data parity (extract_forex.py:112-141):
+    * exact-row dedup, time-sort, stamp symbol + extraction timestamp.
+    * `extractionTs` is injected, never wall-clock, for determinism.
+    */
+  def validateAndPrepare(
+      raw: DataFrame, symbol: String, extractionTs: Timestamp): DataFrame =
+    raw.dropDuplicates()
+      .orderBy(col("datetime"))
+      .withColumn("symbol", lit(symbol))
+      .withColumn("extraction_date", lit(extractionTs))
+
+  /** save_to_gcs_parquet layout parity (extract_forex.py:144-199): snappy
+    * parquet under hive partitions `year=YYYY/month=M` derived from the tick
+    * time, timestamps coerced to µs (the reference's ns→µs cast,
+    * extract_forex.py:173-179, is native in Spark; the writer option pins the
+    * parquet physical type so downstream readers agree).
+    */
+  def writeBronze(prepared: DataFrame, baseDir: String): Unit = {
+    val spark = prepared.sparkSession
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    prepared
+      .withColumn("year", year(col("datetime")))
+      .withColumn("month", month(col("datetime")))
+      .write
+      .mode("append")
+      .partitionBy("year", "month")
+      .option("compression", "snappy")
+      .parquet(baseDir)
+  }
+}

@@ -1,0 +1,39 @@
+package graft.ingest
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IngestSpec extends SparkSpec {
+
+  test("validateAndPrepare dedups, sorts, stamps; writeBronze lays out year=/month=") {
+    import spark.implicits._
+    val t0 = new Timestamp(1704067200000L) // 2024-01-01 00:00:00 UTC
+    val t1 = new Timestamp(1706745600000L) // 2024-02-01
+    val raw = Seq(
+      (t1, 1.1, 1.2, 1.0, 1.15),
+      (t0, 1.0, 1.1, 0.9, 1.05),
+      (t0, 1.0, 1.1, 0.9, 1.05) // exact dup
+    ).toDF("datetime", "open", "high", "low", "close")
+
+    val prepared = Ingest.validateAndPrepare(raw, "EUR/USD", new Timestamp(0L))
+    assert(prepared.count() === 2)
+    assert(prepared.select("symbol").distinct().first().getString(0) === "EUR/USD")
+
+    val dir = Files.createTempDirectory("graft_bronze").toString
+    Ingest.writeBronze(prepared, dir)
+    val dirs = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("year=")).toSet
+    assert(dirs === Set("year=2024"))
+    val months = new java.io.File(s"$dir/year=2024").listFiles().map(_.getName).toSet
+    assert(months === Set("month=1", "month=2"))
+
+    // hive partition discovery reconstructs the partition columns on read
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 2)
+    assert(back.select("year", "month").distinct().count() === 2)
+    assert(back.filter(col("month") === 1).count() === 1)
+  }
+}
