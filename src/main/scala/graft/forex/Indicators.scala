@@ -51,7 +51,7 @@ object Indicators {
   def sma(n: Int): Column = {
     val f = w.rowsBetween(-(n - 1), Window.currentRow)
     val sumDec = sum(col("close_price").cast(DecimalType(25, 10))).over(f)
-    round(sumDec.cast("double") / count(lit(1)).over(f), 6)
+    graft.Parity.pround(sumDec.cast("double") / count(lit(1)).over(f), 6)
   }
 
   def uniqueId: Column =

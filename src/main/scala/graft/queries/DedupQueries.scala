@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.DocDedup
+
+/** Dedup-family driver queries over `documents` with DuckDB oracles that
+  * reproduce every md5-derived signature bit-for-bit (SURVEY §7.4).
+  */
+object DedupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  import DocDedup.{BandSize, NumHashes}
+
+  /** CTEs: normed words exploded with positions, 3-gram shingles, minhash
+    * signatures — mirrors DocDedup.{explodedWords, shingles,
+    * minhashSignatures}.
+    */
+  private val sigsSql: String = {
+    val mhCols = (0 until NumHashes)
+      .map(j => s"min(md5('$j:' || shingle)) AS mh_$j").mkString(",\n         ")
+    s"""normed AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+       |  FROM documents),
+       |wordpos AS (
+       |  SELECT doc_id,
+       |         unnest(string_split(norm, ' ')) AS word,
+       |         unnest(range(1, len(string_split(norm, ' ')) + 1)) AS pos
+       |  FROM normed),
+       |sh0 AS (
+       |  SELECT doc_id,
+       |         word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win AS shingle,
+       |         (lead(word, 1) OVER win IS NOT NULL AND lead(word, 2) OVER win IS NOT NULL) AS complete
+       |  FROM wordpos WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+       |sh AS (SELECT doc_id, shingle FROM sh0 WHERE complete),
+       |sigs AS (
+       |  SELECT doc_id,
+       |         $mhCols
+       |  FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  private val bandsSql: String = {
+    val nBands = NumHashes / BandSize
+    val branches = (0 until nBands).map { b =>
+      val key = (0 until BandSize).map(i => s"mh_${b * BandSize + i}").mkString(" || '|' || ")
+      s"  SELECT doc_id, $b AS band_idx, md5($key) AS band_key FROM sigs"
+    }
+    "bands AS (\n" + branches.mkString("\n  UNION ALL\n") + ")"
+  }
+
+  private val pairsSql: String =
+    """cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+      |   AND a.doc_id < b.doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------- queries
+
+  val dedupExactDocs: Q = (s, dir) =>
+    DocDedup.exactDuplicates(Tables.documents(s, dir)).orderBy(col("fp"))
+
+  val dedupExactDocsSql: String =
+    """WITH normed AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      |  FROM documents)
+      |SELECT md5(norm) AS fp, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+      |FROM normed GROUP BY 1 ORDER BY fp""".stripMargin
+
+  val minhashSignatures: Q = (s, dir) =>
+    DocDedup.minhashSignatures(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  val minhashSignaturesSql: String =
+    s"""WITH $sigsSql
+       |SELECT * FROM sigs ORDER BY doc_id""".stripMargin
+
+  val lshCandidatePairs: Q = (s, dir) =>
+    DocDedup.lshCandidatePairs(Tables.documents(s, dir))
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+
+  val lshCandidatePairsSql: String =
+    s"""WITH $sigsSql,
+       |$bandsSql,
+       |$pairsSql
+       |SELECT doc_id_a, doc_id_b FROM cand ORDER BY doc_id_a, doc_id_b""".stripMargin
+
+  val neardupMinhash: Q = (s, dir) =>
+    DocDedup.estimatedJaccardPairs(Tables.documents(s, dir))
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+
+  val neardupMinhashSql: String = {
+    val eq = (0 until NumHashes)
+      .map(j => s"CASE WHEN sa.mh_$j = sb.mh_$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $sigsSql,
+       |$bandsSql,
+       |$pairsSql
+       |SELECT c.doc_id_a, c.doc_id_b,
+       |       floor((CAST($eq AS DOUBLE) / $NumHashes) * 1e6 + 0.5) / 1e6 AS est_jaccard
+       |FROM cand c
+       |JOIN sigs sa ON c.doc_id_a = sa.doc_id
+       |JOIN sigs sb ON c.doc_id_b = sb.doc_id
+       |ORDER BY doc_id_a, doc_id_b""".stripMargin
+  }
+
+  val ngramJaccard: Q = (s, dir) =>
+    DocDedup.exactJaccardPairs(Tables.documents(s, dir))
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+
+  val ngramJaccardSql: String =
+    s"""WITH $sigsSql,
+       |$bandsSql,
+       |$pairsSql,
+       |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shd GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_id_a, c.doc_id_b, count(*) AS n_common
+       |  FROM cand c
+       |  JOIN shd sa ON c.doc_id_a = sa.doc_id
+       |  JOIN shd sb ON c.doc_id_b = sb.doc_id AND sa.shingle = sb.shingle
+       |  GROUP BY 1, 2)
+       |SELECT c.doc_id_a, c.doc_id_b,
+       |       floor((CAST(coalesce(i.n_common, 0) AS DOUBLE)
+       |             / (za.n_shingles + zb.n_shingles - coalesce(i.n_common, 0))) * 1e6 + 0.5) / 1e6 AS jaccard
+       |FROM cand c
+       |LEFT JOIN inter i ON c.doc_id_a = i.doc_id_a AND c.doc_id_b = i.doc_id_b
+       |JOIN sizes za ON c.doc_id_a = za.doc_id
+       |JOIN sizes zb ON c.doc_id_b = zb.doc_id
+       |ORDER BY c.doc_id_a, c.doc_id_b""".stripMargin
+
+  val simhashSignatures: Q = (s, dir) =>
+    DocDedup.simhashSignatures(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  val simhashSignaturesSql: String = {
+    // portable hex→int: positional digit parse of the first 8 md5 chars
+    val powers = (0 until 8).map(i => 1L << (4 * (7 - i))) // 16^(7-i)
+    val powerList = powers.mkString("[", ", ", "]")
+    val bitCols = (0 until 32)
+      .map(b => s"sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS bit_$b")
+      .mkString(",\n         ")
+    val simExpr = (0 until 32)
+      .map(b => s"CASE WHEN bit_$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH normed AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+       |  FROM normed_src),
+       |wordpos AS (
+       |  SELECT doc_id, unnest(string_split(norm, ' ')) AS word FROM normed),
+       |toks AS (
+       |  SELECT doc_id,
+       |         list_sum(list_transform(range(1, 9),
+       |           i -> CAST(strpos('0123456789abcdef', substr(md5(word), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
+       |                * ($powerList)[i])) AS h
+       |  FROM wordpos),
+       |bits AS (
+       |  SELECT doc_id,
+       |         $bitCols
+       |  FROM toks GROUP BY doc_id)
+       |SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash32
+       |FROM bits ORDER BY doc_id""".stripMargin
+      .replace("FROM normed_src", "FROM documents")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact_docs" -> dedupExactDocs,
+    "minhash_signatures" -> minhashSignatures,
+    "lsh_candidate_pairs" -> lshCandidatePairs,
+    "neardup_minhash" -> neardupMinhash,
+    "ngram_jaccard" -> ngramJaccard,
+    "simhash_signatures" -> simhashSignatures)
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact_docs" -> dedupExactDocsSql,
+    "minhash_signatures" -> minhashSignaturesSql,
+    "lsh_candidate_pairs" -> lshCandidatePairsSql,
+    "neardup_minhash" -> neardupMinhashSql,
+    "ngram_jaccard" -> ngramJaccardSql,
+    "simhash_signatures" -> simhashSignaturesSql)
+}

@@ -53,8 +53,9 @@ object ForexQueries {
     */
   private def smaSql(n: Int): String = {
     val frame = s"PARTITION BY timeframe ORDER BY candle_start ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW"
-    s"""round(CAST(sum(CAST(close_price AS DECIMAL(25,10))) OVER ($frame) AS DOUBLE)
-       |         / count(*) OVER ($frame), 6) AS sma_$n""".stripMargin
+    val avg = s"""CAST(sum(CAST(close_price AS DECIMAL(25,10))) OVER ($frame) AS DOUBLE)
+       |         / count(*) OVER ($frame)""".stripMargin
+    graft.Parity.proundSql(avg, 6) + s" AS sma_$n"
   }
 
   private val candlesSql: String =

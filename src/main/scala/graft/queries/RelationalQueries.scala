@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** General relational coverage over the TPC-H-ish tables: multi-way joins
+  * with broadcast of small dimensions, grouped aggregation, top-k windows.
+  * The reference itself has no joins (SURVEY §2 "no joins at all"), but a
+  * complete engine — and the bench — needs them exercised and planned well.
+  *
+  * Float-sum parity: every SUM over doubles goes through exact DECIMAL and
+  * is cast back, so partial-aggregation order (Spark) vs radix-hash order
+  * (DuckDB) cannot change a single bit.
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Association-independent sum of a double expression: exact decimal
+    * accumulate, cast back to double.
+    */
+  private def sumExact(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(30, 10))).cast("double")
+
+  private def sumExactSql(e: String): String =
+    s"CAST(sum(CAST(($e) AS DECIMAL(30,10))) AS DOUBLE)"
+
+  /** TPC-H Q1-style pricing summary over lineitem. */
+  val q1Pricing: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        // each sum is exact in decimal; pround at the value's decimal grain
+        // absorbs DuckDB's int128→double double-rounding on huge sums
+        graft.Parity.pround(sumExact(col("l_quantity")), 2).as("sum_qty"),
+        graft.Parity.pround(sumExact(col("l_extendedprice")), 2).as("sum_base_price"),
+        graft.Parity.pround(sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        graft.Parity.pround(sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 6).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q1PricingSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |       ${graft.Parity.proundSql(sumExactSql("l_quantity"), 2)} AS sum_qty,
+       |       ${graft.Parity.proundSql(sumExactSql("l_extendedprice"), 2)} AS sum_base_price,
+       |       ${graft.Parity.proundSql(sumExactSql("l_extendedprice * (1.0 - l_discount)"), 4)} AS sum_disc_price,
+       |       ${graft.Parity.proundSql(sumExactSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)"), 6)} AS sum_charge,
+       |       count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Q3-style: revenue of a customer segment's orders — two joins, one
+    * broadcast-sized dimension (customer), grouped agg, deterministic top-10.
+    */
+  val q3TopOrders: Q = (s, dir) => {
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val orders = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(graft.Parity.pround(sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3TopOrdersSql: String =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       |       floor((${sumExactSql("l_extendedprice * (1.0 - l_discount)")}) * 1e4 + 0.5) / 1e4 AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |GROUP BY 1, 2, 3
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+
+  /** Q5-style: revenue by nation through a 5-way join chain; every
+    * dimension side is broadcast (region/nation/supplier/customer are tiny
+    * at any scale factor relative to the fact tables).
+    */
+  val q5NationRevenue: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val orders = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    val supp = Tables.supplier(s, dir)
+    val nation = Tables.nation(s, dir)
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(graft.Parity.pround(sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  val q5NationRevenueSql: String =
+    s"""SELECT n_name,
+       |       floor((${sumExactSql("l_extendedprice * (1.0 - l_discount)")}) * 1e4 + 0.5) / 1e4 AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Top-3 orders per customer by total price — per-group top-k via
+    * row_number (the QUALIFY rewrite, SURVEY §2.3 note).
+    */
+  val topOrdersPerCustomer: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  val topOrdersPerCustomerSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders)
+      |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q1_pricing" -> q1Pricing,
+    "q3_top_orders" -> q3TopOrders,
+    "q5_nation_revenue" -> q5NationRevenue,
+    "topk_orders_per_customer" -> topOrdersPerCustomer)
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing" -> q1PricingSql,
+    "q3_top_orders" -> q3TopOrdersSql,
+    "q5_nation_revenue" -> q5NationRevenueSql,
+    "topk_orders_per_customer" -> topOrdersPerCustomerSql)
+}

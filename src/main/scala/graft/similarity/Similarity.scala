@@ -1,0 +1,125 @@
+package graft.similarity
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k (exact, one pass, broadcast query
+  * vector — at scale this is a map-side scan, no shuffle until top-k).
+  * Scale path: random-hyperplane LSH bucketing — candidates come from the
+  * query's bucket instead of the full corpus, turning 100 TB ANN into a
+  * bucket-pruned scan; recall is tunable via planes/probes.
+  *
+  * Dot products are strictly sequential left-folds over double-cast
+  * elements (`aggregate(sequence(...))`) so the DuckDB oracle reproduces
+  * them bit-for-bit.
+  */
+object Similarity {
+
+  /** Sequential dot product of two float-array columns, in double. */
+  def dot(a: String, b: String): Column =
+    expr(s"""aggregate(sequence(1, size($a)), CAST(0 AS DOUBLE),
+            |  (acc, i) -> acc + CAST(element_at($a, i) AS DOUBLE) * CAST(element_at($b, i) AS DOUBLE))""".stripMargin)
+
+  def l2Norm(a: String): Column = sqrt(dot(a, a))
+
+  def cosine(a: String, b: String): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Per-vector L2 norms. */
+  def norms(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("label"),
+      graft.Parity.pround(l2Norm("embedding"), 6).as("l2_norm"))
+
+  /** Exact top-k neighbours of `queryVecId` by cosine (excluding itself).
+    * The one-row query side is broadcast; the scan side computes one fused
+    * projection per row — no shuffle before the global top-k.
+    */
+  def knnBruteForce(embeddings: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_embedding"),
+        l2Norm("embedding").as("q_norm"))
+    val cos = dot("embedding", "q_embedding") / (l2Norm("embedding") * col("q_norm"))
+    embeddings.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        graft.Parity.pround(cos, 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Near-duplicate vector pairs above `minCosine`, blocked by `label`
+    * (metadata blocking keeps the pair space n²/|blocks|; LSH below is the
+    * unblocked scale path).
+    *
+    * Norms are materialized per side BEFORE the join: otherwise Catalyst
+    * folds the full cosine (three interpreted array-folds) into the join's
+    * bound condition and evaluates it per candidate pair — observed ~100x
+    * slowdown. With norms precomputed each pair costs one dot product.
+    */
+  def neardupPairs(embeddings: DataFrame, minCosine: Double): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"), col("embedding"),
+      l2Norm("embedding").as("norm"))
+    val l = e.as("l")
+    val r = e.as("r")
+    val cos = dot("l.embedding", "r.embedding") / (col("l.norm") * col("r.norm"))
+    l.join(r, col("l.label") === col("r.label") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_id_a"), col("r.vec_id").as("vec_id_b"),
+        col("l.label").as("label"),
+        graft.Parity.pround(cos, 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCosine)
+  }
+
+  /** Deterministic random-hyperplane set (seeded), as literal arrays. */
+  private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+    val rng = new Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-bucket id for an embedding against the hyperplane set. */
+  private def bucketExpr(planeSet: Seq[Array[Double]]): Column =
+    planeSet.zipWithIndex.map { case (p, i) =>
+      val planeArr = s"array(${p.mkString(", ")})"
+      val d = s"""aggregate(sequence(1, size(embedding)), CAST(0 AS DOUBLE),
+                 |  (acc, j) -> acc + CAST(element_at(embedding, j) AS DOUBLE) * element_at($planeArr, j))""".stripMargin
+      when(expr(d) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN top-k with multi-probe: per query vector, rank
+    * candidates in the query's sign-bucket AND every bucket at Hamming
+    * distance 1 (probe buckets are exploded on the tiny broadcast query
+    * side, so the candidate lookup stays a bucket equi-join — at scale the
+    * big side is scanned once and pruned to (1+nPlanes)/2^nPlanes of the
+    * corpus). `nPlanes` trades recall for candidate count.
+    */
+  def annLshTopK(
+      embeddings: DataFrame, queryVecIds: Seq[Long], k: Int,
+      nPlanes: Int = 6, seed: Long = 42L): DataFrame = {
+    val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
+    val withBucket = embeddings
+      .withColumn("bucket", bucketExpr(planes(nPlanes, dim, seed)))
+    val probeBuckets = explode(array(
+      col("bucket") +: (0 until nPlanes).map(i =>
+        col("bucket").bitwiseXOR(lit(1L << i))): _*)).as("bucket")
+    val queries = withBucket
+      .filter(col("vec_id").isin(queryVecIds: _*))
+      .select(col("vec_id").as("query_vec_id"),
+        col("embedding").as("q_embedding"),
+        l2Norm("embedding").as("q_norm"), probeBuckets)
+    val w = Window.partitionBy("query_vec_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val cos = dot("embedding", "q_embedding") / (l2Norm("embedding") * col("q_norm"))
+    withBucket
+      .join(broadcast(queries),
+        Seq("bucket")) // bucket-pruned candidates only
+      .filter(col("vec_id") =!= col("query_vec_id"))
+      .select(col("query_vec_id"), col("vec_id"),
+        graft.Parity.pround(cos, 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}
