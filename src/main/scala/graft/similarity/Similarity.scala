@@ -20,10 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential dot product of two float-array columns, in double. */
+  /** Sequential dot product of two float-array columns, in double.
+    * Backed by the codegen'd VecDot expression — identical fold order and
+    * arithmetic to the `aggregate(sequence(...))` HOF form and the DuckDB
+    * oracle's `list_reduce`, but fused into whole-stage codegen.
+    */
   def dot(a: String, b: String): Column =
-    expr(s"""aggregate(sequence(1, size($a)), CAST(0 AS DOUBLE),
-            |  (acc, i) -> acc + CAST(element_at($a, i) AS DOUBLE) * CAST(element_at($b, i) AS DOUBLE))""".stripMargin)
+    graft.functions.VectorExpressions.vecDot(col(a), col(b))
 
   def l2Norm(a: String): Column = sqrt(dot(a, a))
 
@@ -83,10 +86,9 @@ object Similarity {
   /** Sign-bucket id for an embedding against the hyperplane set. */
   private def bucketExpr(planeSet: Seq[Array[Double]]): Column =
     planeSet.zipWithIndex.map { case (p, i) =>
-      val planeArr = s"array(${p.mkString(", ")})"
-      val d = s"""aggregate(sequence(1, size(embedding)), CAST(0 AS DOUBLE),
-                 |  (acc, j) -> acc + CAST(element_at(embedding, j) AS DOUBLE) * element_at($planeArr, j))""".stripMargin
-      when(expr(d) >= 0, lit(1L << i)).otherwise(lit(0L))
+      val d = graft.functions.VectorExpressions.vecDot(
+        col("embedding"), typedLit(p.toSeq))
+      when(d >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** LSH-bucketed ANN top-k with multi-probe: per query vector, rank
