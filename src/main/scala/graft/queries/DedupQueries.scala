@@ -164,7 +164,40 @@ object DedupQueries {
       .replace("FROM normed_src", "FROM documents")
   }
 
+  /** End-to-end corpus dedup: drop every doc marked as the higher-id side
+    * of a near-dup pair (est. Jaccard ≥ 0.5); single-link transitive
+    * clusters keep their lowest-id representative via the pair ordering.
+    */
+  val dedupKeepDocs: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val drops = DocDedup.estimatedJaccardPairs(docs)
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_id_b")).distinct()
+    docs.join(drops, docs("doc_id") === drops("doc_id_b"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupKeepDocsSql: String = {
+    val eq = (0 until NumHashes)
+      .map(j => s"CASE WHEN sa.mh_$j = sb.mh_$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $sigsSql,
+       |$bandsSql,
+       |$pairsSql,
+       |drops AS (
+       |  SELECT DISTINCT c.doc_id_b
+       |  FROM cand c
+       |  JOIN sigs sa ON c.doc_id_a = sa.doc_id
+       |  JOIN sigs sb ON c.doc_id_b = sb.doc_id
+       |  WHERE floor((CAST($eq AS DOUBLE) / $NumHashes) * 1e6 + 0.5) / 1e6 >= 0.5)
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id_b FROM drops)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_keep_docs" -> dedupKeepDocs,
     "dedup_exact_docs" -> dedupExactDocs,
     "minhash_signatures" -> minhashSignatures,
     "lsh_candidate_pairs" -> lshCandidatePairs,
@@ -173,6 +206,7 @@ object DedupQueries {
     "simhash_signatures" -> simhashSignatures)
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_keep_docs" -> dedupKeepDocsSql,
     "dedup_exact_docs" -> dedupExactDocsSql,
     "minhash_signatures" -> minhashSignaturesSql,
     "lsh_candidate_pairs" -> lshCandidatePairsSql,

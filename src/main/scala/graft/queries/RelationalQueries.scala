@@ -132,15 +132,48 @@ object RelationalQueries {
       |  FROM orders)
       |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
 
+  /** As-of join demo: every event gets the latest hourly per-type summary
+    * at or before its timestamp (graft.relational.AsOfJoin; DuckDB's native
+    * ASOF JOIN is the oracle).
+    */
+  val asofJoin: Q = (s, dir) => {
+    import graft.forex.Resample
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val hourly = ev
+      .groupBy(col("event_type"),
+        Resample.bucket(col("ts"), Resample.byName("1h")).as("h_bucket"))
+      .agg(max(col("value")).as("h_high"), count(lit(1)).as("h_events"))
+    graft.relational.AsOfJoin.backward(
+        ev, hourly, leftTs = "ts", rightTs = "h_bucket",
+        keys = Seq("event_type"), rightPayload = Seq("h_bucket", "h_high", "h_events"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofJoinSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+      |hourly AS (
+      |  SELECT event_type,
+      |         make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS h_bucket,
+      |         max(value) AS h_high, count(*) AS h_events
+      |  FROM ev GROUP BY 1, 2)
+      |SELECT e.event_id, e.ts, e.event_type, e.value, h.h_bucket, h.h_high, h.h_events
+      |FROM ev e ASOF LEFT JOIN hourly h
+      |  ON e.event_type = h.event_type AND e.ts >= h.h_bucket
+      |ORDER BY e.event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q1_pricing" -> q1Pricing,
     "q3_top_orders" -> q3TopOrders,
     "q5_nation_revenue" -> q5NationRevenue,
-    "topk_orders_per_customer" -> topOrdersPerCustomer)
+    "topk_orders_per_customer" -> topOrdersPerCustomer,
+    "asof_join" -> asofJoin)
 
   val oracleSql: Map[String, String] = Map(
     "q1_pricing" -> q1PricingSql,
     "q3_top_orders" -> q3TopOrdersSql,
     "q5_nation_revenue" -> q5NationRevenueSql,
-    "topk_orders_per_customer" -> topOrdersPerCustomerSql)
+    "topk_orders_per_customer" -> topOrdersPerCustomerSql,
+    "asof_join" -> asofJoinSql)
 }
