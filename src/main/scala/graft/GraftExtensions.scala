@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.VecDot
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions as SQL functions, so `spark.sql("SELECT
+  * vec_dot(a, b)")` works next to the Column API.
+  *
+  * Wire up via `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.vecDotDescriptor)
+  }
+}
+
+object GraftExtensions {
+
+  private[graft] val vecDotDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "vec_dot(arrayA, arrayB) takes 2 arguments")
+      VecDot(children.head, children(1))
+    })
+
+  /** Register on an existing session (for sessions not built with
+    * withExtensions, e.g. the driver-owned ones).
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "scala_udf")
+}
+
+/** Canonical session factory for library users: local-cluster-shaped conf
+  * with the settings every graft workload needs (UTC, ns-timestamp reads,
+  * µs writes, AQE with skew-join handling, sane shuffle width).
+  */
+object GraftSession {
+  def builder(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+}
