@@ -163,17 +163,49 @@ object RelationalQueries {
       |  ON e.event_type = h.event_type AND e.ts >= h.h_bucket
       |ORDER BY e.event_id""".stripMargin
 
+  /** Per-type event KPIs: counts, exact distinct users, exact interpolated
+    * percentiles (Spark `percentile` and DuckDB `quantile_cont` share the
+    * p·(n−1) interpolation and produce identical doubles — verified), value
+    * sums via exact decimal.
+    */
+  val eventsKpi: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        graft.Parity.pround(expr("percentile(value, 0.5)"), 6).as("value_p50"),
+        graft.Parity.pround(expr("percentile(value, 0.95)"), 6).as("value_p95"),
+        graft.Parity.pround(sumExact(col("value")), 2).as("value_sum"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"))
+      .orderBy(col("event_type"))
+
+  val eventsKpiSql: String =
+    s"""SELECT event_type,
+       |       count(*) AS n_events,
+       |       count(DISTINCT user_id) AS n_users,
+       |       ${graft.Parity.proundSql("quantile_cont(CAST(value AS DOUBLE), 0.5)", 6)} AS value_p50,
+       |       ${graft.Parity.proundSql("quantile_cont(CAST(value AS DOUBLE), 0.95)", 6)} AS value_p95,
+       |       ${graft.Parity.proundSql(sumExactSql("value"), 2)} AS value_sum,
+       |       min(CAST(ts AS TIMESTAMP)) AS first_ts,
+       |       max(CAST(ts AS TIMESTAMP)) AS last_ts
+       |FROM events
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q1_pricing" -> q1Pricing,
     "q3_top_orders" -> q3TopOrders,
     "q5_nation_revenue" -> q5NationRevenue,
     "topk_orders_per_customer" -> topOrdersPerCustomer,
-    "asof_join" -> asofJoin)
+    "asof_join" -> asofJoin,
+    "events_kpi" -> eventsKpi)
 
   val oracleSql: Map[String, String] = Map(
     "q1_pricing" -> q1PricingSql,
     "q3_top_orders" -> q3TopOrdersSql,
     "q5_nation_revenue" -> q5NationRevenueSql,
     "topk_orders_per_customer" -> topOrdersPerCustomerSql,
-    "asof_join" -> asofJoinSql)
+    "asof_join" -> asofJoinSql,
+    "events_kpi" -> eventsKpiSql)
 }
