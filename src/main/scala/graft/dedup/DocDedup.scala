@@ -60,19 +60,30 @@ object DocDedup {
         (1 until NumHashes).map(j =>
           min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"mh_$j")): _*)
 
-  /** LSH banded candidate pairs: docs sharing any band of the signature.
-    * Join is per (band_idx, band_key) bucket — the only pairs materialized
-    * are hash-collision candidates, which is what makes near-dup detection
-    * feasible at scale (vs O(n²) all-pairs).
+  /** Signatures materialized once for multi-branch pair queries.
+    *
+    * The banded self-join plus signature re-join references the signature
+    * subtree up to 4x, and Catalyst's ReusedExchange does not fire across
+    * the self-join aliases — observed 4 full recomputes of the shingle
+    * window + 32-column min agg. A lazy localCheckpoint collapses the
+    * branches onto one computed RDD (the in-query analog of materializing
+    * the signature table, which is how a 100 TB corpus would run this:
+    * signatures persisted once, pair generation reading them).
     */
-  def lshCandidatePairs(docs: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(docs)
+  private def materializedSignatures(docs: DataFrame): DataFrame =
+    minhashSignatures(docs).localCheckpoint(false)
+
+  private def bandsOf(sigs: DataFrame): DataFrame = {
     val nBands = NumHashes / BandSize
-    val bands = sigs.select(
+    sigs.select(
       col("doc_id"),
       posexplode(array((0 until nBands).map { b =>
         md5(concat_ws("|", (0 until BandSize).map(i => col(s"mh_${b * BandSize + i}")): _*))
       }: _*)).as(Seq("band_idx", "band_key")))
+  }
+
+  private def pairsFromSigs(sigs: DataFrame): DataFrame = {
+    val bands = bandsOf(sigs)
     val l = bands.as("l")
     val r = bands.as("r")
     l.join(r,
@@ -83,12 +94,20 @@ object DocDedup {
       .distinct()
   }
 
+  /** LSH banded candidate pairs: docs sharing any band of the signature.
+    * Join is per (band_idx, band_key) bucket — the only pairs materialized
+    * are hash-collision candidates, which is what makes near-dup detection
+    * feasible at scale (vs O(n²) all-pairs).
+    */
+  def lshCandidatePairs(docs: DataFrame): DataFrame =
+    pairsFromSigs(materializedSignatures(docs))
+
   /** Estimated Jaccard for candidate pairs: fraction of equal signature
     * rows. Exact-Jaccard refinement joins shingle sets for candidates only.
     */
   def estimatedJaccardPairs(docs: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(docs)
-    val pairs = lshCandidatePairs(docs)
+    val sigs = materializedSignatures(docs)
+    val pairs = pairsFromSigs(sigs)
     val a = sigs.as("a")
     val b = sigs.as("b")
     val eqCount = (0 until NumHashes)
@@ -105,7 +124,7 @@ object DocDedup {
     * |A ∩ B| via shingle-set join, |A ∪ B| = |A| + |B| − |A ∩ B|.
     */
   def exactJaccardPairs(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs).distinct()
+    val sh = shingles(docs).distinct().localCheckpoint(false)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val pairs = lshCandidatePairs(docs)
     val inter = pairs
