@@ -2,8 +2,9 @@ package graft.ingest
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Bronze ingest — Spark equivalent of the reference extractor's
   * validate/prepare/save path (scripts/extract_forex.py:112-199).
@@ -12,6 +13,38 @@ import org.apache.spark.sql.functions._
   * local engine (SURVEY §2.1 S1/S2): ingest starts from a raw tick DataFrame.
   */
 object Ingest {
+
+  /** Time-series API response schema (S1 parity, extract_forex.py:34-67):
+    * OHLC values arrive as an array of stringly-typed rows under `values` —
+    * the Bronze contract is loosely typed, Silver casts (SURVEY §1.2).
+    */
+  val apiResponseSchema: StructType = StructType(Seq(
+    StructField("meta", StructType(Seq(
+      StructField("symbol", StringType),
+      StructField("interval", StringType)))),
+    StructField("values", ArrayType(StructType(Seq(
+      StructField("datetime", StringType),
+      StructField("open", StringType),
+      StructField("high", StringType),
+      StructField("low", StringType),
+      StructField("close", StringType))))),
+    StructField("status", StringType)))
+
+  /** Parse API JSON response files into raw ticks: explode `values`, type
+    * the strings (the pandas `as_pandas` + Silver-cast path of the
+    * reference, extract_forex.py:52-61 + stg_eurusd.sql:27-31).
+    */
+  def fromApiJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(apiResponseSchema).json(path)
+      .filter(col("status") === "ok")
+      .select(col("meta.symbol").as("symbol"), explode(col("values")).as("v"))
+      .select(
+        to_timestamp(col("v.datetime"), "yyyy-MM-dd HH:mm:ss").as("datetime"),
+        col("v.open").cast("double").as("open"),
+        col("v.high").cast("double").as("high"),
+        col("v.low").cast("double").as("low"),
+        col("v.close").cast("double").as("close"),
+        col("symbol"))
 
   /** validate_and_prepare_data parity (extract_forex.py:112-141):
     * exact-row dedup, time-sort, stamp symbol + extraction timestamp.

@@ -116,6 +116,23 @@ object ForexQueries {
        |       count(*)                         AS ticks_5m_count
        |FROM silver GROUP BY 1, 2 ORDER BY candle_start""".stripMargin
 
+  /** Fused single-buffer OHLC via the custom OhlcAgg DeclarativeAggregate —
+    * same semantics and SAME ORACLE as ohlc_1h, different physical
+    * aggregation (one buffer instead of four aggregate functions).
+    */
+  val ohlc1hFused: Q = (s, dir) => {
+    val fanned = Resample.fanout(ForexPipeline.silverFrom(s, dir),
+      Seq(Resample.byName("1h")))
+    fanned.groupBy(col("timeframe"), col("candle_start"))
+      .agg(graft.functions.OhlcAggregate.ohlc(
+        col("observed_at"), col("open_price"), col("high_price"),
+        col("low_price"), col("close_price")).as("c"))
+      .select(col("timeframe"), col("candle_start"), col("c.open_price"),
+        col("c.high_price"), col("c.low_price"), col("c.close_price"),
+        col("c.ticks_5m_count"))
+      .orderBy(col("candle_start"))
+  }
+
   /** All 7 bucket expressions side-by-side (T2–T5 in isolation). */
   val resampleBuckets: Q = (s, dir) => {
     val silver = ForexPipeline.silverFrom(s, dir)
@@ -212,6 +229,7 @@ object ForexQueries {
     "stg_ticks" -> stgTicks,
     "fct_timeframes" -> fctTimeframes,
     "ohlc_1h" -> ohlc1h,
+    "ohlc_1h_fused" -> ohlc1hFused,
     "resample_buckets" -> resampleBuckets,
     "indicators_1h" -> indicators1h,
     "dedup_exact_rows" -> dedupExactRows,
@@ -222,6 +240,7 @@ object ForexQueries {
     "stg_ticks" -> stgTicksSql,
     "fct_timeframes" -> fctTimeframesSql,
     "ohlc_1h" -> ohlc1hSql,
+    "ohlc_1h_fused" -> ohlc1hSql, // same semantics, custom aggregate physical op
     "resample_buckets" -> resampleBucketsSql,
     "indicators_1h" -> indicators1hSql,
     "dedup_exact_rows" -> dedupExactRowsSql,

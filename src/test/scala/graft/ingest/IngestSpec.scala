@@ -9,6 +9,23 @@ import graft.SparkSpec
 
 class IngestSpec extends SparkSpec {
 
+  test("fromApiJson parses the API response shape into typed ticks") {
+    val dir = Files.createTempDirectory("graft_api").toString
+    val json =
+      """{"meta":{"symbol":"EUR/USD","interval":"5min"},
+        |"values":[
+        | {"datetime":"2024-01-01 00:00:00","open":"1.1040","high":"1.1050","low":"1.1030","close":"1.1045"},
+        | {"datetime":"2024-01-01 00:05:00","open":"1.1045","high":"1.1060","low":"1.1040","close":"1.1055"}],
+        |"status":"ok"}""".stripMargin.replace("\n", "")
+    Files.writeString(java.nio.file.Path.of(s"$dir/resp.json"), json)
+    val ticks = Ingest.fromApiJson(spark, dir)
+    assert(ticks.count() === 2)
+    val r = ticks.orderBy("datetime").first()
+    assert(r.getAs[Double]("open") === 1.1040)
+    assert(r.getAs[String]("symbol") === "EUR/USD")
+    assert(r.getAs[java.sql.Timestamp]("datetime").toString.startsWith("2024-01-01 00:00:00"))
+  }
+
   test("validateAndPrepare dedups, sorts, stamps; writeBronze lays out year=/month=") {
     import spark.implicits._
     val t0 = new Timestamp(1704067200000L) // 2024-01-01 00:00:00 UTC
