@@ -193,7 +193,40 @@ object RelationalQueries {
        |FROM events
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Gap-based sessionization (30 min) via the custom-state
+    * flatMapGroupsWithState operator, batch-executed; the oracle is the
+    * classic lag + cumulative-flag SQL sessionization.
+    */
+  val sessionizeEvents: Q = (s, dir) =>
+    graft.streaming.Sessionize.sessionizeBatch(
+        Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
+        gapMs = 30L * 60000L)
+      .orderBy(col("user_id"), col("session_start"))
+
+  val sessionizeEventsSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+       |m AS (
+       |  SELECT user_id, ts, value,
+       |         CASE WHEN lag(ts) OVER w IS NULL
+       |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+       |              THEN 1 ELSE 0 END AS new_s
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)),
+       |s AS (
+       |  SELECT user_id, ts, value,
+       |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, value
+       |                          ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM m)
+       |SELECT user_id,
+       |       min(ts) AS session_start,
+       |       max(ts) AS session_end,
+       |       count(*) AS n_events,
+       |       ${sumExactSql("value")} AS value_sum
+       |FROM s GROUP BY user_id, sid
+       |ORDER BY user_id, session_start""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sessionize_events" -> sessionizeEvents,
     "q1_pricing" -> q1Pricing,
     "q3_top_orders" -> q3TopOrders,
     "q5_nation_revenue" -> q5NationRevenue,
@@ -202,6 +235,7 @@ object RelationalQueries {
     "events_kpi" -> eventsKpi)
 
   val oracleSql: Map[String, String] = Map(
+    "sessionize_events" -> sessionizeEventsSql,
     "q1_pricing" -> q1PricingSql,
     "q3_top_orders" -> q3TopOrdersSql,
     "q5_nation_revenue" -> q5NationRevenueSql,

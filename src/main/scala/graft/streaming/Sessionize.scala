@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom-state streaming operator: gap-based sessionization via
+  * `flatMapGroupsWithState` (the KeyValueGroupedDataset custom-state path —
+  * SURVEY §2.10 has no session windows in the reference, but a complete
+  * streaming engine needs the stateful-operator machinery).
+  *
+  * State per user: (session start, last event ts, event count, value sum).
+  * An event more than `gap` after the previous one closes the session and
+  * emits it; event-time timeout flushes idle sessions once the watermark
+  * passes last_ts + gap. Also runs on a batch Dataset (Spark executes
+  * flatMapGroupsWithState in batch with NoTimeout), which is how the spec
+  * asserts session shapes deterministically.
+  */
+object Sessionize extends Serializable {
+
+  final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  // valueSum accumulates in BigDecimal so the session sum is exact and
+  // order-independent — matching the DuckDB oracle's DECIMAL sum bitwise.
+  final case class SessionState(
+      start: Long, lastTs: Long, nEvents: Long, valueSum: BigDecimal)
+  final case class Session(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, value_sum: Double)
+
+  /** Full-precision epoch micros (Timestamp.getTime is millis-truncated). */
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  private def toTs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000L * 1000L)
+    t.setNanos((us % 1000000L).toInt * 1000)
+    t
+  }
+
+  def sessionize(
+      events: Dataset[Event], gapMs: Long,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[Session] = {
+    implicit val sessionEnc = Encoders.product[Session]
+    implicit val stateEnc = Encoders.product[SessionState]
+
+    def close(userId: Long, s: SessionState): Session =
+      Session(userId, toTs(s.start), toTs(s.lastTs),
+        s.nEvents, s.valueSum.toDouble)
+
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close(userId, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.value))
+            val closed = Seq.newBuilder[Session]
+            var cur = state.getOption
+            val gapUs = gapMs * 1000L
+            sorted.foreach { e =>
+              val t = micros(e.ts)
+              cur match {
+                case Some(s) if t - s.lastTs <= gapUs =>
+                  cur = Some(s.copy(lastTs = math.max(s.lastTs, t),
+                    nEvents = s.nEvents + 1,
+                    valueSum = s.valueSum + BigDecimal.decimal(e.value)))
+                case Some(s) =>
+                  closed += close(userId, s)
+                  cur = Some(SessionState(t, t, 1L, BigDecimal.decimal(e.value)))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, BigDecimal.decimal(e.value)))
+              }
+            }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                if (timeout == GroupStateTimeout.EventTimeTimeout)
+                  state.setTimeoutTimestamp(s.lastTs / 1000L + gapMs)
+                else if (timeout == GroupStateTimeout.NoTimeout) {
+                  // batch execution: no further input will arrive — flush
+                  closed += close(userId, s)
+                  state.remove()
+                }
+              case None => ()
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Batch convenience over a DataFrame with (user_id, ts, value). */
+  def sessionizeBatch(df: DataFrame, gapMs: Long): DataFrame = {
+    implicit val evEnc = Encoders.product[Event]
+    sessionize(df.selectExpr("user_id", "ts", "value").as[Event], gapMs).toDF()
+  }
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
+
+import graft.SparkSpec
+
+class SessionizeSpec extends SparkSpec {
+
+  import Sessionize._
+
+  test("batch sessionization splits on gap and aggregates per session") {
+    import spark.implicits._
+    def t(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+    val ev = Seq(
+      Event(1L, t(0), 1.0), Event(1L, t(10), 2.0),  // session A (gap 30m)
+      Event(1L, t(50), 4.0),                        // session B
+      Event(2L, t(5), 8.0)                          // user 2, one session
+    ).toDS()
+    val sessions = sessionize(ev, gapMs = 30L * 60000L)
+      .collect().sortBy(s => (s.user_id, s.session_start.getTime))
+    assert(sessions.length === 3)
+    assert(sessions(0).n_events === 2 && sessions(0).value_sum === 3.0)
+    assert(sessions(1).n_events === 1 && sessions(1).value_sum === 4.0)
+    assert(sessions(2).user_id === 2L)
+  }
+
+  test("streaming sessionization with event-time timeout runs end-to-end") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sess_in").toString
+    graft.Tables.events(spark, sf0001)
+      .select($"user_id", $"ts", $"value")
+      .write.mode("overwrite").parquet(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", "1 minute").as[Event]
+    val q = sessionize(stream, gapMs = 30L * 60000L,
+        timeout = GroupStateTimeout.EventTimeTimeout)
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    // bounded stream: sessions whose timeout predates the final watermark
+    // are emitted; the tail may be withheld as open state — that's correct
+    // append-mode semantics. The assertion is that the stateful operator
+    // executes and emits well-formed sessions.
+    val out = spark.table("sessions_stream")
+    assert(out.columns.toSeq ===
+      Seq("user_id", "session_start", "session_end", "n_events", "value_sum"))
+    assert(out.filter("session_end < session_start").count() === 0)
+  }
+}
