@@ -15,12 +15,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ForexQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MediaQueries.queries ++
-      RelationalQueries.queries
+      RelationalQueries.queries ++ SamplingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ForexQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ MediaQueries.oracleSql ++
-      RelationalQueries.oracleSql
+      RelationalQueries.oracleSql ++ SamplingQueries.oracleSql
 }

@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.PortableHash
+import graft.sampling.Sampling
+import graft.text.TextAnalysis
+
+/** Deterministic sampling/splitting + corpus rollup queries (training-data
+  * pipeline surface), oracle-checked via the portable md5 hash.
+  */
+object SamplingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val bucketSqlExpr =
+    s"(${PortableHash.hash32Sql("doc_id")}) % 100"
+
+  /** 80/10/10 train/val/test assignment over documents. */
+  val trainTestSplit: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Sampling.bucket(col("doc_id")).as("bucket"),
+        Sampling.split(col("doc_id"),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"))
+      .orderBy(col("doc_id"))
+
+  val trainTestSplitSql: String =
+    s"""SELECT doc_id,
+       |       $bucketSqlExpr AS bucket,
+       |       CASE WHEN $bucketSqlExpr < 80 THEN 'train'
+       |            WHEN $bucketSqlExpr < 90 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Split-level rollup: sizes must be stable for reproducible training. */
+  val splitSummary: Q = (s, dir) =>
+    trainTestSplit(s, dir)
+      .join(Tables.documents(s, dir), "doc_id")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("split"))
+
+  val splitSummarySql: String =
+    s"""WITH sp AS (
+       |  SELECT doc_id, n_chars,
+       |         CASE WHEN $bucketSqlExpr < 80 THEN 'train'
+       |              WHEN $bucketSqlExpr < 90 THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+       |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Per-source corpus statistics: doc counts, exact token totals,
+    * interpolated median tokens, mean chars.
+    */
+  val corpusStats: Q = (s, dir) => {
+    val withTokens = Tables.documents(s, dir)
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+    withTokens.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        graft.Parity.pround(expr("percentile(n_tokens, 0.5)"), 6).as("p50_tokens"),
+        graft.Parity.pround(
+          sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"))
+      .orderBy(col("source"))
+  }
+
+  val corpusStatsSql: String =
+    s"""WITH t AS (
+       |  SELECT source, n_chars,
+       |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]|\\s+')) AS n_tokens
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       |       ${graft.Parity.proundSql("quantile_cont(CAST(n_tokens AS DOUBLE), 0.5)", 6)} AS p50_tokens,
+       |       ${graft.Parity.proundSql("CAST(sum(n_chars) AS DOUBLE) / count(*)", 6)} AS avg_chars
+       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "train_test_split" -> trainTestSplit,
+    "split_summary" -> splitSummary,
+    "corpus_stats" -> corpusStats)
+
+  val oracleSql: Map[String, String] = Map(
+    "train_test_split" -> trainTestSplitSql,
+    "split_summary" -> splitSummarySql,
+    "corpus_stats" -> corpusStatsSql)
+}
