@@ -225,7 +225,48 @@ object RelationalQueries {
        |FROM s GROUP BY user_id, sid
        |ORDER BY user_id, session_start""".stripMargin
 
+  /** Reshape: daily event counts pivoted to one column per event_type
+    * (Spark `pivot`; oracle uses portable conditional aggregation).
+    */
+  val eventsPivot: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy(col("day"))
+
+  val eventsPivotSql: String =
+    """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |       count(*) FILTER (event_type = 'click') AS click,
+      |       count(*) FILTER (event_type = 'error') AS error,
+      |       count(*) FILTER (event_type = 'purchase') AS purchase,
+      |       count(*) FILTER (event_type = 'signup') AS signup,
+      |       count(*) FILTER (event_type = 'view') AS view
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** Hierarchical subtotals via ROLLUP (flag → flag+status → grand total).
+    * NULL subtotal markers sort differently across engines (Spark NULLS
+    * FIRST vs DuckDB NULLS LAST by default) — pinned explicitly.
+    */
+  val lineitemRollup: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.Parity.pround(sumExact(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val lineitemRollupSql: String =
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       |       ${graft.Parity.proundSql(sumExactSql("l_quantity"), 2)} AS sum_qty
+       |FROM lineitem
+       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_pivot" -> eventsPivot,
+    "lineitem_rollup" -> lineitemRollup,
     "sessionize_events" -> sessionizeEvents,
     "q1_pricing" -> q1Pricing,
     "q3_top_orders" -> q3TopOrders,
@@ -235,6 +276,8 @@ object RelationalQueries {
     "events_kpi" -> eventsKpi)
 
   val oracleSql: Map[String, String] = Map(
+    "events_pivot" -> eventsPivotSql,
+    "lineitem_rollup" -> lineitemRollupSql,
     "sessionize_events" -> sessionizeEventsSql,
     "q1_pricing" -> q1PricingSql,
     "q3_top_orders" -> q3TopOrdersSql,
