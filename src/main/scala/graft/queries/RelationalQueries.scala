@@ -264,7 +264,41 @@ object RelationalQueries {
        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** Semi/anti-join coverage: customers that placed no orders (NOT EXISTS →
+    * left_anti) and parts never ordered at all vs parts with line items
+    * (EXCEPT / INTERSECT on key sets).
+    */
+  val customersWithoutOrders: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  val customersWithoutOrdersSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  val partKeySets: Q = (s, dir) => {
+    val ordered = Tables.lineitem(s, dir).select(col("l_partkey").as("p_partkey"))
+    val parts = Tables.part(s, dir).select(col("p_partkey"))
+    val never = parts.exceptAll(ordered.distinct()).withColumn("status", lit("never_ordered"))
+    val both = parts.intersect(ordered).withColumn("status", lit("ordered"))
+    never.unionByName(both).orderBy(col("status"), col("p_partkey"))
+  }
+
+  val partKeySetsSql: String =
+    """WITH ordered AS (SELECT DISTINCT l_partkey AS p_partkey FROM lineitem),
+      |parts AS (SELECT p_partkey FROM part)
+      |SELECT p_partkey, 'never_ordered' AS status FROM (SELECT * FROM parts EXCEPT ALL SELECT * FROM ordered)
+      |UNION ALL
+      |SELECT p_partkey, 'ordered' AS status FROM (SELECT * FROM parts INTERSECT SELECT * FROM ordered)
+      |ORDER BY status, p_partkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "customers_without_orders" -> customersWithoutOrders,
+    "part_key_sets" -> partKeySets,
     "events_pivot" -> eventsPivot,
     "lineitem_rollup" -> lineitemRollup,
     "sessionize_events" -> sessionizeEvents,
@@ -276,6 +310,8 @@ object RelationalQueries {
     "events_kpi" -> eventsKpi)
 
   val oracleSql: Map[String, String] = Map(
+    "customers_without_orders" -> customersWithoutOrdersSql,
+    "part_key_sets" -> partKeySetsSql,
     "events_pivot" -> eventsPivotSql,
     "lineitem_rollup" -> lineitemRollupSql,
     "sessionize_events" -> sessionizeEventsSql,

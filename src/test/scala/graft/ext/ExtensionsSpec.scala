@@ -89,6 +89,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.2, s"ANN recall $recall too low (ann=${ann.size} candidates)")
   }
 
+  test("VecDot is bitwise-identical to the HOF fold and stays in codegen") {
+    import org.apache.spark.sql.functions._
+    val hof = expr("aggregate(sequence(1, size(embedding)), CAST(0 AS DOUBLE), " +
+      "(acc, i) -> acc + CAST(element_at(embedding, i) AS DOUBLE) * CAST(element_at(embedding, i) AS DOUBLE))")
+    val vd = graft.functions.VectorExpressions.vecDot(col("embedding"), col("embedding"))
+    val diffs = embs.select((hof - vd).as("d")).filter(col("d") =!= 0.0).count()
+    assert(diffs === 0)
+    val plan = embs.select(vd.as("x")).queryExecution.executedPlan.toString
+    assert(plan.contains("vecdot") && plan.contains("*(1)"),
+      s"VecDot not codegen'd: ${plan.take(200)}")
+  }
+
   test("multimodal: decode stub emits features for every payload; frames sample videos") {
     val media = Multimodal.fromDocuments(docs)
     val feats = Multimodal.decodeStub(media)
