@@ -1,0 +1,26 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed-table layout for co-located joins (SURVEY §4 row 3's
+  * `cluster_by` taken to its scale conclusion).
+  *
+  * A fact table bucketed AND sorted by its join key joins another table
+  * bucketed the same way with NO exchange and NO sort: at 100 TB that
+  * removes the dominant cost of repeated fact-fact joins (the shuffle is
+  * paid once at write time, amortized over every subsequent join/agg on
+  * the bucket key — the Spark-native equivalent of the reference's
+  * BigQuery clustering).
+  */
+object Bucketing {
+
+  /** Save as a bucketed+sorted managed table (parquet). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int): Unit =
+    df.write
+      .format("parquet")
+      .mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+}
