@@ -19,11 +19,13 @@ object PortableHash {
       acc * 16L + (instr(lit("0123456789abcdef"), substring(md, i, 1)) - 1).cast("long"))
   }
 
-  /** Same hash in DuckDB SQL over expression `e`. */
+  /** Same hash in DuckDB SQL over expression `e`. list_sum widens to
+    * HUGEINT; the outer CAST keeps the oracle at BIGINT to match Spark's
+    * LongType (driver hash compare is dtype-sensitive). */
   def hash32Sql(e: String): String = {
     val powers = (0 until 8).map(i => 1L << (4 * (7 - i))).mkString("[", ", ", "]")
-    s"""list_sum(list_transform(range(1, 9),
+    s"""CAST(list_sum(list_transform(range(1, 9),
        |  i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(($e) AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
-       |       * ($powers)[i]))""".stripMargin
+       |       * ($powers)[i])) AS BIGINT)""".stripMargin
   }
 }

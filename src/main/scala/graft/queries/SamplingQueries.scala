@@ -53,7 +53,7 @@ object SamplingQueries {
        |              WHEN $bucketSqlExpr < 90 THEN 'val'
        |              ELSE 'test' END AS split
        |  FROM documents)
-       |SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       |SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
        |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
        |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -78,7 +78,7 @@ object SamplingQueries {
        |  SELECT source, n_chars,
        |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]|\\s+')) AS n_tokens
        |  FROM documents)
-       |SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        |       ${graft.Parity.proundSql("quantile_cont(CAST(n_tokens AS DOUBLE), 0.5)", 6)} AS p50_tokens,
        |       ${graft.Parity.proundSql("CAST(sum(n_chars) AS DOUBLE) / count(*)", 6)} AS avg_chars
        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin

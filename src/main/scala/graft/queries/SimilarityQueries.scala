@@ -37,7 +37,7 @@ object SimilarityQueries {
     Similarity.norms(Tables.embeddings(s, dir)).orderBy(col("vec_id"))
 
   val embeddingNormsSql: String =
-    s"""SELECT vec_id, label,
+    s"""SELECT vec_id, CAST(label AS BIGINT) AS label,
        |       floor(sqrt(${dotSql("embedding", "embedding")}) * 1e6 + 0.5) / 1e6 AS l2_norm
        |FROM embeddings ORDER BY vec_id""".stripMargin
 
@@ -46,7 +46,7 @@ object SimilarityQueries {
 
   val knnBruteForceSql: String =
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-       |SELECT e.vec_id, e.label,
+       |SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
        |       floor((${cosineSql("e.embedding", "q.qe")}) * 1e6 + 0.5) / 1e6 AS cos_sim
        |FROM embeddings e, q
        |WHERE e.vec_id <> 0
@@ -60,7 +60,7 @@ object SimilarityQueries {
 
   val neardupEmbeddingsSql: String =
     s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 1000)
-       |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.label AS label,
+       |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, CAST(a.label AS BIGINT) AS label,
        |       floor((${cosineSql("a.embedding", "b.embedding")}) * 1e6 + 0.5) / 1e6 AS cos_sim
        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
        |WHERE floor((${cosineSql("a.embedding", "b.embedding")}) * 1e6 + 0.5) / 1e6 >= 0.3

@@ -1,17 +1,23 @@
 #!/usr/bin/env python3
-"""Dev-only pre-check that mirrors the driver's DuckDB oracle gate.
+"""Dev-only pre-check that mirrors the driver's DuckDB oracle gate — strictly.
+
+Round-1 lesson: a laxer mirror (tz_localize(None), astype(str) int compare)
+reported 39/39 while the driver failed 14 queries. This version reads the
+Spark output parquet THROUGH DuckDB so both sides are typed by the same
+engine, then demands:
+  schema: identical (column, duckdb-type) sets after sorting columns by name
+          — TIMESTAMP vs TIMESTAMP WITH TIME ZONE and BIGINT vs HUGEINT are
+          mismatches, exactly as at the driver gate
+  rows:   identical counts
+  values: exact equality per cell after sorting columns by name and rows by
+          all columns (floats compared bitwise-exact; a max|Δ| is printed to
+          distinguish ulp noise from real bugs)
 
 Runs AFTER `sbt "runMain graft.Verify <sfDir> <outDir>"`:
-for each query output parquet, runs the corresponding oracle SQL from
-oracle_sql.json in DuckDB over the same testdata parquet tables, sorts
-columns by name and rows by all columns, and compares values exactly
-(with a small float report to distinguish ulp noise from real bugs).
-
 Usage: python3 tools/check_oracle.py <sfDir> <outDir>
 Not part of the shipped Scala library; uses the driver-side python stack.
 """
 import json
-import math
 import sys
 
 import duckdb
@@ -21,37 +27,48 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:  # Spark parquet ts is tz-aware UTC, DuckDB naive
-        if isinstance(df[c].dtype, pd.DatetimeTZDtype):
-            df[c] = df[c].dt.tz_localize(None)
-    if len(df):
-        df = df.sort_values(by=list(df.columns), kind="mergesort")
-    return df.reset_index(drop=True)
+def typed_schema(con, sql: str):
+    """[(column, duckdb_type)] sorted by column name."""
+    rows = con.sql(f"DESCRIBE {sql}").fetchall()
+    return sorted((r[0], r[1]) for r in rows)
 
 
-def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> str:
-    got, exp = norm(got), norm(exp)
-    if list(got.columns) != list(exp.columns):
-        return f"SCHEMA MISMATCH spark={list(got.columns)} duckdb={list(exp.columns)}"
+def fetch_sorted(con, sql: str, cols) -> pd.DataFrame:
+    order = ", ".join(f'"{c}"' for c, _ in cols)
+    q = f'SELECT {order} FROM ({sql}) ORDER BY {order}'
+    return con.sql(q).df().reset_index(drop=True)
+
+
+def compare(con, name: str, spark_glob: str, oracle_sql: str) -> str:
+    spark_sql = f"SELECT * FROM read_parquet('{spark_glob}')"
+    s_schema = typed_schema(con, spark_sql)
+    o_schema = typed_schema(con, f"({oracle_sql})")
+    if s_schema != o_schema:
+        return f"SCHEMA MISMATCH spark={s_schema} duckdb={o_schema}"
+    got = fetch_sorted(con, spark_sql, s_schema)
+    exp = fetch_sorted(con, oracle_sql, o_schema)
     if len(got) != len(exp):
         return f"ROWCOUNT MISMATCH spark={len(got)} duckdb={len(exp)}"
     bad = []
     for c in got.columns:
         g, e = got[c], exp[c]
-        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(e):
-            gn, en = g.astype(float), e.astype(float)
-            mask = ~((gn == en) | (gn.isna() & en.isna()))
+        if pd.api.types.is_float_dtype(g) and pd.api.types.is_float_dtype(e):
+            mask = ~((g == e) | (g.isna() & e.isna()))
             if mask.any():
-                d = (gn[mask] - en[mask]).abs().max()
-                bad.append(f"{c}: {mask.sum()} diffs, max |Δ|={d:.3e}")
+                d = (g[mask] - e[mask]).abs().max()
+                bad.append(f"{c}: {int(mask.sum())} diffs, max |Δ|={d:.3e}")
         else:
-            gs, es = g.astype(str), e.astype(str)
-            mask = gs != es
+            # identical duckdb types → same pandas dtype; any remaining
+            # difference is a genuine value diff (no string coercion)
+            try:
+                mask = ~((g == e) | (g.isna() & e.isna()))
+            except (TypeError, ValueError):
+                gs, es = g.apply(repr), e.apply(repr)
+                mask = gs != es
             if mask.any():
                 i = mask.idxmax()
-                bad.append(f"{c}: {mask.sum()} diffs, first@{i}: {g[i]!r} vs {e[i]!r}")
+                bad.append(
+                    f"{c}: {int(mask.sum())} diffs, first@{i}: {g[i]!r} vs {e[i]!r}")
     return "; ".join(bad) if bad else ""
 
 
@@ -65,23 +82,14 @@ def main(sf_dir: str, out_dir: str) -> int:
     fails = 0
     for name, sql in sorted(oracles.items()):
         try:
-            got = pd.read_parquet(f"{out_dir}/{name}")
+            msg = compare(con, name, f"{out_dir}/{name}/*.parquet", sql)
         except Exception as e:
-            print(f"FAIL {name}: spark output unreadable: {e}")
-            fails += 1
-            continue
-        try:
-            exp = con.sql(sql).df()
-        except Exception as e:
-            print(f"FAIL {name}: oracle sql error: {e}")
-            fails += 1
-            continue
-        msg = compare(name, got, exp)
+            msg = f"error: {e}"
         if msg:
             print(f"FAIL {name}: {msg}")
             fails += 1
         else:
-            print(f"ok   {name}: {len(got)} rows x {len(got.columns)} cols")
+            print(f"ok   {name}")
     print(f"== {len(oracles) - fails}/{len(oracles)} queries match ==")
     return 1 if fails else 0
 
