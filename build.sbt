@@ -17,6 +17,10 @@ run / fork := true
 // here is immutable system jars — run from the originals instead.
 Compile / run / bgCopyClasspath := false
 Compile / runMain / bgCopyClasspath := false
+// Forked-run stdout goes straight through instead of being rewrapped as
+// sbt "[info]" log lines — Bench's one-line JSON contract requires the
+// driver to see the raw line on stdout.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

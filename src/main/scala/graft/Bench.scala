@@ -1,9 +1,18 @@
 package graft
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver benchmark: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
+  * emits ONE JSON line on stdout (also written to bench.json in the cwd so a
+  * log-wrapping launcher can still recover it). Query failures are reported
+  * in an "errs" field and on stderr — never swallowed, a broken query must
+  * not bench as ~0 s.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,27 +22,43 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val errs = scala.collection.mutable.LinkedHashMap[String, String]()
+    def runQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        stage: String): Unit =
+      try { fn(spark, sfDir).count(); () } catch { case e: Throwable =>
+        errs(name) = e.toString.linesIterator.next().take(200)
+        System.err.println(s"[bench] $stage $name FAILED: $e")
+        e.printStackTrace()
+      }
     // Untimed warmup pass first: JVM classloading + whole-stage codegen for
     // an operator is paid once per JVM and would otherwise be attributed to
     // whichever query happens to touch it first (observed 5-15x inflation on
     // cold queries). The timed pass then measures steady-state execution.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
+    SparkEntry.queries.foreach { case (name, fn) => runQuery(name, fn, "warmup") }
     // Two timed passes, min per query: guards the reported number against
     // one-off JVM events (GC storms, block-store eviction) observed to
     // inflate a single query by ~50x in long multi-query runs.
     def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      runQuery(name, fn, "timed")
       name -> (System.nanoTime() - t0) / 1e9
     }
     val (p1, p2) = (timedPass(), timedPass())
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val es = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errs":$es,"sf":${jstr(sfDir)}}"""
+    println(json)
+    Files.writeString(Paths.get("bench.json"), json + "\n")
     spark.stop()
   }
 }

@@ -47,7 +47,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (ForexQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MediaQueries.queries ++
-      RelationalQueries.queries ++ SamplingQueries.queries)
+      RelationalQueries.queries ++ SamplingQueries.queries ++
+      StoreQueries.queries)
       .map { case (name, fn) =>
         name -> ((s: SparkSession, dir: String) => normalizeOutputs(fn(s, dir)))
       }
@@ -57,5 +58,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ForexQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ MediaQueries.oracleSql ++
-      RelationalQueries.oracleSql ++ SamplingQueries.oracleSql
+      RelationalQueries.oracleSql ++ SamplingQueries.oracleSql ++
+      StoreQueries.oracleSql
 }

@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.text.TextAnalysis
@@ -34,24 +33,58 @@ object DocDedup {
       .groupBy("fp")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc_id"))
 
-  /** (doc_id, pos, word) exploded normalized words. */
-  private def explodedWords(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      posexplode(TextAnalysis.words(col("text"))).as(Seq("pos", "word")))
-
-  /** (doc_id, shingle) word 3-gram shingles via lead windows. */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val withLeads = explodedWords(docs).select(
-      col("doc_id"),
-      concat_ws(" ", (0 until n).map(i =>
-        if (i == 0) col("word") else lead(col("word"), i).over(w)): _*).as("shingle"),
-      (0 until n).drop(1).map(i => lead(col("word"), i).over(w).isNotNull)
-        .reduce(_ && _).as("complete"))
-    withLeads.filter(col("complete")).select("doc_id", "shingle")
+  /** Spread per-row hash-heavy work across the cluster when the scan has
+    * fewer partitions than cores (a single small parquet file reads as ONE
+    * partition, serializing all downstream per-row crypto onto one core —
+    * observed 30x+ on the driver bench). A no-op whenever the source
+    * already has enough splits, i.e. at any real scale.
+    */
+  private def spread(docs: DataFrame): DataFrame = {
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
   }
 
-  /** MinHash signature: NumHashes seeded minima over md5(seed:shingle). */
+  /** (doc_id, pos, word) exploded normalized words. */
+  private def explodedWords(docs: DataFrame): DataFrame =
+    spread(docs).select(col("doc_id"),
+      posexplode(TextAnalysis.words(col("text"))).as(Seq("pos", "word")))
+
+  /** (doc_id, shingle) word 3-gram shingles, exploded.
+    *
+    * Shingles are derived from the document's own word array with a single
+    * per-row `transform` over index positions — zero shuffle, zero network
+    * bytes (the round-1 design posexploded every word and shuffled the whole
+    * corpus through a per-doc lead window just to form 3-grams). The array
+    * is referenced exactly ONCE, by the generator: Catalyst inlines aliased
+    * expressions into every usage site (CollapseProject), so an expression
+    * this expensive must have exactly one usage — a `filter(size(sh)>0)` or
+    * per-column `array_min(transform(sh,...))` formulation re-executes the
+    * whole shingle build per reference, interpreted (observed: minutes on
+    * one core).
+    */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val parts = (0 until n).map(i => if (i == 0) "w[i]" else s"w[i+$i]").mkString(", ")
+    spread(docs)
+      .withColumn("w", TextAnalysis.words(col("text")))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(w) >= $n
+           |  THEN transform(sequence(0, size(w) - $n), i -> concat_ws(' ', $parts))
+           |  ELSE array() END""".stripMargin)).as("shingle"))
+  }
+
+  /** Per-doc distinct shingle SETS (one array row per doc) — the join-side
+    * shape for exact-Jaccard refinement.
+    */
+  private[graft] def shingleSets(docs: DataFrame, n: Int = 3): DataFrame =
+    shingles(docs, n)
+      .groupBy("doc_id").agg(collect_set(col("shingle")).as("shs"))
+
+  /** MinHash signature: NumHashes seeded minima over md5(seed:shingle).
+    * One explode + one hash-aggregate with map-side partial min: the shuffle
+    * carries only |docs| x NumHashes partially-combined rows, never the
+    * shingle stream. Docs with fewer than 3 words have no shingles and no
+    * signature row.
+    */
   def minhashSignatures(docs: DataFrame): DataFrame =
     shingles(docs)
       .groupBy("doc_id")
@@ -64,14 +97,15 @@ object DocDedup {
     *
     * The banded self-join plus signature re-join references the signature
     * subtree up to 4x, and Catalyst's ReusedExchange does not fire across
-    * the self-join aliases — observed 4 full recomputes of the shingle
-    * window + 32-column min agg. A lazy localCheckpoint collapses the
-    * branches onto one computed RDD (the in-query analog of materializing
-    * the signature table, which is how a 100 TB corpus would run this:
-    * signatures persisted once, pair generation reading them).
+    * the self-join aliases. An EAGER localCheckpoint computes the (small:
+    * doc_id + 8 hashes) signature relation exactly once and pins it, so the
+    * join branches cannot re-materialize it under executor contention —
+    * round 1's lazy checkpoint raced its own branches at local[32] and
+    * degraded 30x. This is the in-query analog of how a 100 TB corpus runs
+    * this: signatures persisted once, pair generation reading them.
     */
   private def materializedSignatures(docs: DataFrame): DataFrame =
-    minhashSignatures(docs).localCheckpoint(false)
+    minhashSignatures(docs).localCheckpoint(true)
 
   private def bandsOf(sigs: DataFrame): DataFrame = {
     val nBands = NumHashes / BandSize
@@ -120,27 +154,25 @@ object DocDedup {
         graft.Parity.pround(eqCount.cast("double") / NumHashes, 6).as("est_jaccard"))
   }
 
-  /** Exact n-gram Jaccard, computed ONLY for LSH candidate pairs:
-    * |A ∩ B| via shingle-set join, |A ∪ B| = |A| + |B| − |A ∩ B|.
+  /** Exact n-gram Jaccard, computed ONLY for LSH candidate pairs.
+    *
+    * Candidates join the per-doc distinct shingle SETS (one array row per
+    * doc), and |A ∩ B| is a per-pair `array_intersect` — the shingle stream
+    * itself is never self-joined. Pair count is ∝ LSH collisions, so the
+    * intersect work is tiny; the round-1 three-way exploded-shingle join
+    * shuffled the whole shingle relation twice and dominated the bench.
+    * |A ∪ B| = |A| + |B| − |A ∩ B|.
     */
   def exactJaccardPairs(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs).distinct().localCheckpoint(false)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val pairs = lshCandidatePairs(docs)
-    val inter = pairs
-      .join(sh.as("sa"), col("doc_id_a") === col("sa.doc_id"))
-      .join(sh.as("sb"),
-        col("doc_id_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
-      .groupBy("doc_id_a", "doc_id_b")
-      .agg(count(lit(1)).as("n_common"))
-    pairs
-      .join(inter, Seq("doc_id_a", "doc_id_b"), "left")
-      .na.fill(0L, Seq("n_common"))
-      .join(sizes.as("za"), col("doc_id_a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("doc_id_b") === col("zb.doc_id"))
+    // computed once, eagerly, reused by both join sides
+    val docSets = shingleSets(docs).localCheckpoint(true)
+    val nCommon = size(array_intersect(col("za.shs"), col("zb.shs")))
+    lshCandidatePairs(docs)
+      .join(docSets.as("za"), col("doc_id_a") === col("za.doc_id"))
+      .join(docSets.as("zb"), col("doc_id_b") === col("zb.doc_id"))
       .select(col("doc_id_a"), col("doc_id_b"),
-        graft.Parity.pround(col("n_common").cast("double") /
-          (col("za.n_shingles") + col("zb.n_shingles") - col("n_common")), 6)
+        graft.Parity.pround(nCommon.cast("double") /
+          (size(col("za.shs")) + size(col("zb.shs")) - nCommon), 6)
           .as("jaccard"))
   }
 

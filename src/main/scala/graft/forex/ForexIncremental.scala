@@ -42,6 +42,49 @@ object ForexIncremental {
       batch, silverDir, tsCol = "observed_at", keyCols = Seq("observed_at"))
   }
 
+  /** Single-day silver backfill (the reference's `--date` mode,
+    * extract_forex.py:276 + daily_run.yml:10-24): reprocess exactly one
+    * historical day, bypassing the high-watermark (which would drop any day
+    * at or below max(observed_at)). Idempotent: the MERGE upsert replaces
+    * that day's rows by key, and only that day's partition is rewritten.
+    */
+  def runSilverBackfill(
+      events: DataFrame, silverDir: String, date: java.time.LocalDate,
+      now: Timestamp = new Timestamp(0L)): Unit = {
+    val d = java.sql.Date.valueOf(date)
+    val dayEvents = events.filter(to_date(col("ts")) === lit(d))
+    val batch = ForexPipeline.silver(dayEvents)
+      .withColumn("dbt_updated_at", lit(now))
+    IncrementalStore.upsertByKey(
+      batch, silverDir, tsCol = "observed_at", keyCols = Seq("observed_at"))
+  }
+
+  /** Single-day gold backfill: recompute ONLY `date`'s candle-day partition,
+    * feeding the candle aggregation the trailing lookback window so ROWS-
+    * frame SMAs see their preceding candles (frames are PRECEDING-only, so
+    * the backfilled day's values equal a full one-shot recompute's).
+    */
+  def runGoldBackfill(
+      spark: SparkSession, silverDir: String, goldDir: String,
+      date: java.time.LocalDate,
+      now: Timestamp = new Timestamp(0L)): Unit = {
+    val d = java.sql.Date.valueOf(date)
+    val start = new Timestamp(
+      d.getTime - LookbackDays * 86400000L)
+    // include day d+1 ticks: shifted buckets (tz +2h) put early-next-day
+    // ticks into day-d candles; candle_start <= tick ts, so earlier days
+    // can never contribute to day d and the lookback bound suffices
+    val dNext = java.sql.Date.valueOf(date.plusDays(1))
+    val silver = IncrementalStore.readTable(spark, silverDir)
+      .select("observed_at", "open_price", "high_price", "low_price", "close_price")
+      .filter(col("observed_at") >= lit(start) && to_date(col("observed_at")) <= lit(dNext))
+    val batch = ForexPipeline.gold(silver)
+      .filter(to_date(col("candle_start")) === lit(d))
+      .withColumn("dbt_updated_at", lit(now))
+    IncrementalStore.overwriteDayPartitions(
+      batch, goldDir, tsCol = "candle_start", clusterBy = Seq("timeframe"))
+  }
+
   /** One gold batch: recompute candles over the trailing lookback window and
     * replace the touched candle-day partitions (clustered by timeframe, the
     * reference's `cluster_by`).

@@ -32,17 +32,56 @@ object MediaQueries {
       |       md5(text) AS sha
       |FROM documents ORDER BY media_id""".stripMargin
 
-  /** Batched decode stub + typed features (rows-only check). */
+  /** Batched decode stub + typed features. The stub's byte math is
+    * deterministic (first two payload bytes), so it IS SQL-expressible: the
+    * corpus is ASCII (verified per driver dataset), so byte k of the UTF-8
+    * payload == ascii(substr(text, k, 1)), with ascii('') = 0 matching the
+    * stub's empty-payload default.
+    */
   val mediaDecode: Q = (s, dir) =>
     Multimodal.decodeStub(Multimodal.fromDocuments(Tables.documents(s, dir)))
       .toDF().orderBy(col("media_id"))
 
-  /** Frame-sampling explode over decoded video rows (rows-only check). */
+  /** Shared decoded-features CTE mirroring Multimodal.{fromDocuments,
+    * decodeBytes}: kind from doc_id mod 3, pseudo-metadata from b0/b1.
+    */
+  private val featuresSql: String =
+    """feats AS (
+      |  SELECT doc_id AS media_id,
+      |         (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+      |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |         md5(text) AS sha,
+      |         ascii(substr(text, 1, 1)) AS b0,
+      |         ascii(substr(text, 2, 1)) AS b1
+      |  FROM documents),
+      |decoded AS (
+      |  SELECT media_id, kind, n_bytes, sha,
+      |         CAST(CASE kind WHEN 'image' THEN 64 + b0 * 4
+      |                        WHEN 'video' THEN 320 + b0 ELSE 0 END AS BIGINT) AS width,
+      |         CAST(CASE kind WHEN 'image' THEN 64 + b1 * 4
+      |                        WHEN 'video' THEN 240 + b1 ELSE 0 END AS BIGINT) AS height,
+      |         CAST(CASE kind WHEN 'audio' THEN 1000 + b0 * 16
+      |                        WHEN 'video' THEN 5000 + b1 * 32 ELSE 0 END AS BIGINT) AS duration_ms
+      |  FROM feats)""".stripMargin
+
+  val mediaDecodeSql: String =
+    s"""WITH $featuresSql
+       |SELECT media_id, kind, n_bytes, sha, width, height, duration_ms
+       |FROM decoded ORDER BY media_id""".stripMargin
+
+  /** Frame-sampling explode over decoded video rows. */
   val mediaFrames: Q = (s, dir) =>
     Multimodal.sampleFrames(
         Multimodal.decodeStub(Multimodal.fromDocuments(Tables.documents(s, dir))),
         everyMs = 500L)
       .orderBy(col("media_id"), col("frame_offset_ms"))
+
+  val mediaFramesSql: String =
+    s"""WITH $featuresSql
+       |SELECT media_id, sha,
+       |       CAST(unnest(range(0, duration_ms, 500)) AS BIGINT) AS frame_offset_ms
+       |FROM decoded WHERE kind = 'video'
+       |ORDER BY media_id, frame_offset_ms""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "media_meta" -> mediaMeta,
@@ -50,5 +89,7 @@ object MediaQueries {
     "media_frame_sample" -> mediaFrames)
 
   val oracleSql: Map[String, String] = Map(
-    "media_meta" -> mediaMetaSql)
+    "media_meta" -> mediaMetaSql,
+    "media_decode_stub" -> mediaDecodeSql,
+    "media_frame_sample" -> mediaFramesSql)
 }

@@ -66,13 +66,59 @@ object SimilarityQueries {
        |WHERE floor((${cosineSql("a.embedding", "b.embedding")}) * 1e6 + 0.5) / 1e6 >= 0.3
        |ORDER BY vec_id_a, vec_id_b""".stripMargin
 
-  /** Scale-path ANN: LSH sign-buckets, candidates restricted to the query's
-    * bucket. Not SQL-expressible (seeded hyperplanes) → rows-only check.
+  /** Scale-path ANN: LSH sign-buckets with multi-probe, candidates
+    * restricted to the query's probe buckets. The seeded hyperplanes are
+    * deterministic, so the oracle embeds the exact plane values as SQL
+    * literals (dim is 64 in every driver dataset; the Spark side reads dim
+    * from the data, so only the oracle pins it).
     */
   val annLshTopK: Q = (s, dir) =>
     Similarity.annLshTopK(
         Tables.embeddings(s, dir), queryVecIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
       .orderBy(col("query_vec_id"), col("rank"))
+
+  private val AnnPlanes = 6
+  private val AnnDim = 64
+  private val AnnSeed = 42L
+
+  val annLshTopKSql: String = {
+    val planes = Similarity.planes(AnnPlanes, AnnDim, AnnSeed)
+    // double literals via shortest-roundtrip toString: DuckDB parses back
+    // to the bit-identical double
+    def planeLit(p: Array[Double]): String =
+      p.map(_.toString).mkString("[", ", ", "]")
+    def planeDot(p: Array[Double]): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(range(1, $AnnDim + 1),
+         |      i -> CAST(embedding[i] AS DOUBLE) * (${planeLit(p)}::DOUBLE[])[i])), (x, y) -> x + y)""".stripMargin
+    val bucketExpr = planes.zipWithIndex
+      .map { case (p, i) => s"CASE WHEN (${planeDot(p)}) >= 0 THEN ${1L << i} ELSE 0 END" }
+      .mkString("\n       + ")
+    val probeList = ("qb" +: (0 until AnnPlanes).map(i => s"xor(qb, ${1L << i})")).mkString("[", ", ", "]")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |       $bucketExpr AS bucket
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_vec_id, embedding AS qe,
+       |         sqrt(${dotSql("embedding", "embedding")}) AS qn, bucket AS qb
+       |  FROM b WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |probes AS (
+       |  SELECT query_vec_id, qe, qn, unnest($probeList) AS bucket FROM q),
+       |cand AS (
+       |  SELECT p.query_vec_id, b.vec_id,
+       |         floor(((${dotSql("b.embedding", "p.qe")})
+       |                / (sqrt(${dotSql("b.embedding", "b.embedding")}) * p.qn)) * 1e6 + 0.5) / 1e6 AS cos_sim
+       |  FROM b JOIN probes p ON b.bucket = p.bucket
+       |  WHERE b.vec_id <> p.query_vec_id),
+       |ranked AS (
+       |  SELECT query_vec_id, vec_id, cos_sim,
+       |         CAST(row_number() OVER (PARTITION BY query_vec_id
+       |                                 ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+       |  FROM cand)
+       |SELECT query_vec_id, vec_id, cos_sim, rank FROM ranked
+       |WHERE rank <= 10 ORDER BY query_vec_id, rank""".stripMargin
+  }
 
   val queries: Map[String, Q] = Map(
     "embedding_norms" -> embeddingNorms,
@@ -83,5 +129,6 @@ object SimilarityQueries {
   val oracleSql: Map[String, String] = Map(
     "embedding_norms" -> embeddingNormsSql,
     "knn_bruteforce" -> knnBruteForceSql,
-    "neardup_embeddings" -> neardupEmbeddingsSql)
+    "neardup_embeddings" -> neardupEmbeddingsSql,
+    "ann_lsh_topk" -> annLshTopKSql)
 }

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.forex.ForexPipeline
+import graft.store.IncrementalStore
+
+/** Driver queries exercising the MERGE-semantics incremental store (S7/S8,
+  * §2.10-upsert) end-to-end with a DuckDB oracle.
+  *
+  * `merge_upsert` runs the silver upsert twice into a scratch table:
+  * batch 1 = ticks in the first 2/3 of the time span, batch 2 = ticks in the
+  * last 2/3 with close_price shifted by +1.0. The middle third overlaps, so
+  * batch 2 must UPDATE existing keys; the first third's days are untouched
+  * partitions that must survive verbatim; the last third is pure insert.
+  * The oracle recomputes the expected final table from the same two batch
+  * definitions (partition-scoped merge: untouched days survive, touched days
+  * = batch-2 rows + batch-1 rows whose key is absent from batch 2).
+  *
+  * Cutoffs are integer epoch-microsecond arithmetic on BOTH engines
+  * (truncating division on non-negative spans) so batch membership is
+  * bit-exactly reproducible.
+  */
+object StoreQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val silverSql: String =
+    """silver AS (
+      |  SELECT observed_at, open_price, high_price, low_price, close_price FROM (
+      |    SELECT CAST(ts AS TIMESTAMP) AS observed_at,
+      |           value AS open_price, value AS high_price,
+      |           value AS low_price, value AS close_price,
+      |           row_number() OVER (PARTITION BY CAST(ts AS TIMESTAMP)
+      |                              ORDER BY event_id DESC) AS rn
+      |    FROM events)
+      |  WHERE rn = 1)""".stripMargin
+
+  val mergeUpsert: Q = (s, dir) => {
+    val silver = ForexPipeline.silverFrom(s, dir)
+    val target = s"${sys.props("java.io.tmpdir")}/graft_store/merge_upsert"
+    val p = new org.apache.hadoop.fs.Path(target)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // idempotent scratch table
+    // driver-side scalar bounds (SURVEY-sanctioned one-row collect)
+    val row = silver.agg(
+      min(unix_micros(col("observed_at"))), max(unix_micros(col("observed_at")))).first()
+    val (mn, mx) = (row.getLong(0), row.getLong(1))
+    val cutA = mn + (mx - mn) * 2L / 3L
+    val cutB = mn + (mx - mn) / 3L
+    val b1 = silver.filter(unix_micros(col("observed_at")) <= cutA)
+    val b2 = silver.filter(unix_micros(col("observed_at")) >= cutB)
+      .withColumn("close_price", col("close_price") + lit(1.0))
+    IncrementalStore.upsertByKey(b1, target, "observed_at", Seq("observed_at"))
+    IncrementalStore.upsertByKey(b2, target, "observed_at", Seq("observed_at"))
+    IncrementalStore.readTable(s, target)
+      .select(col("observed_at"), col("open_price"), col("high_price"),
+        col("low_price"), col("close_price"), col("p_date"))
+      .orderBy(col("observed_at"))
+  }
+
+  val mergeUpsertSql: String =
+    s"""WITH $silverSql,
+       |bounds AS (
+       |  SELECT min(epoch_us(observed_at)) AS mn, max(epoch_us(observed_at)) AS mx
+       |  FROM silver),
+       |b1 AS (
+       |  SELECT * FROM silver
+       |  WHERE epoch_us(observed_at) <= (SELECT mn + (mx - mn) * 2 // 3 FROM bounds)),
+       |b2 AS (
+       |  SELECT observed_at, open_price, high_price, low_price,
+       |         close_price + 1.0 AS close_price
+       |  FROM silver
+       |  WHERE epoch_us(observed_at) >= (SELECT mn + (mx - mn) // 3 FROM bounds)),
+       |t1 AS (SELECT *, CAST(observed_at AS DATE) AS p_date FROM b1),
+       |t2 AS (SELECT *, CAST(observed_at AS DATE) AS p_date FROM b2),
+       |final AS (
+       |  SELECT * FROM t1 WHERE p_date NOT IN (SELECT DISTINCT p_date FROM t2)
+       |  UNION ALL
+       |  SELECT * FROM t1 WHERE p_date IN (SELECT DISTINCT p_date FROM t2)
+       |    AND observed_at NOT IN (SELECT observed_at FROM t2)
+       |  UNION ALL
+       |  SELECT * FROM t2)
+       |SELECT observed_at, open_price, high_price, low_price, close_price, p_date
+       |FROM final ORDER BY observed_at""".stripMargin
+
+  val queries: Map[String, Q] = Map("merge_upsert" -> mergeUpsert)
+  val oracleSql: Map[String, String] = Map("merge_upsert" -> mergeUpsertSql)
+}

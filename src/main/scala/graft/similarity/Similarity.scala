@@ -77,8 +77,11 @@ object Similarity {
       .filter(col("cos_sim") >= minCosine)
   }
 
-  /** Deterministic random-hyperplane set (seeded), as literal arrays. */
-  private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+  /** Deterministic random-hyperplane set (seeded), as literal arrays.
+    * Exposed within graft so the DuckDB oracle can embed the exact same
+    * plane values as SQL literals.
+    */
+  private[graft] def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
     val rng = new Random(seed)
     Seq.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
   }

@@ -61,6 +61,33 @@ class IncrementalSpec extends SparkSpec {
     assert(IncrementalStore.readTable(spark, dir).count() === n1)
   }
 
+  test("backfill --date: re-running one historical day equals one-shot") {
+    val (silverDir, goldDir) = (tmp(), tmp())
+    val (silverOnce, goldOnce) = (tmp(), tmp())
+    // pick a day ~3 days before the end of the data
+    val maxTs = events.agg(max(col("ts"))).first().getTimestamp(0)
+    val day = maxTs.toLocalDateTime.toLocalDate.minusDays(3)
+    val d = java.sql.Date.valueOf(day)
+    // build the store WITHOUT day N-3 (days after it exist), then backfill it
+    ForexIncremental.runSilver(events.filter(to_date(col("ts")) =!= lit(d)), silverDir)
+    ForexIncremental.runGold(spark, silverDir, goldDir)
+    ForexIncremental.runSilverBackfill(events, silverDir, day)
+    ForexIncremental.runGoldBackfill(spark, silverDir, goldDir, day)
+    // one-shot over everything
+    ForexIncremental.runSilver(events, silverOnce)
+    ForexIncremental.runGold(spark, silverOnce, goldOnce)
+    val sA = sortedRows(IncrementalStore.readTable(spark, silverDir), Seq("dbt_updated_at", "p_date"))
+    val sB = sortedRows(IncrementalStore.readTable(spark, silverOnce), Seq("dbt_updated_at", "p_date"))
+    assert(sA === sB)
+    // gold: the backfilled day must equal the one-shot day exactly
+    val dayA = sortedRows(IncrementalStore.readTable(spark, goldDir)
+      .filter(to_date(col("candle_start")) === lit(d)), Seq("dbt_updated_at", "p_date"))
+    val dayB = sortedRows(IncrementalStore.readTable(spark, goldOnce)
+      .filter(to_date(col("candle_start")) === lit(d)), Seq("dbt_updated_at", "p_date"))
+    assert(dayA === dayB)
+    assert(dayA.nonEmpty)
+  }
+
   test("gold: incremental after silver growth equals one-shot recompute") {
     val (silverInc, goldInc, silverOnce, goldOnce) = (tmp(), tmp(), tmp(), tmp())
     val m = midpoint
