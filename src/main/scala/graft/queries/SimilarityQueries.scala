@@ -120,15 +120,70 @@ object SimilarityQueries {
        |WHERE rank <= 10 ORDER BY query_vec_id, rank""".stripMargin
   }
 
+  /** IVF-style ANN: sampled-centroid cells (centroids = vectors at fixed
+    * vec_ids 100..115), nProbe=4 nearest cells searched per query. Fully
+    * SQL-expressible: assignment is argmax-cosine with a cent_id tie-break,
+    * identical on both engines because the dot-product folds are
+    * bit-identical.
+    */
+  val annIvfTopK: Q = (s, dir) =>
+    Similarity.annIvfTopK(
+        Tables.embeddings(s, dir), queryVecIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+      .orderBy(col("query_vec_id"), col("rank"))
+
+  val annIvfTopKSql: String = {
+    val centIds = (100L until 116L).mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS c_emb, norm AS c_norm
+       |  FROM e WHERE vec_id IN ($centIds)),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, e.norm, c.cent_id,
+       |         (${dotSql("e.embedding", "c.c_emb")}) / (e.norm * c.c_norm) AS c_cos
+       |  FROM e CROSS JOIN cents c),
+       |assign AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY c_cos DESC, cent_id) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS query_vec_id, embedding AS q_emb, norm AS q_norm,
+       |         cent_id AS cell FROM (
+       |    SELECT vec_id, embedding, norm, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY c_cos DESC, cent_id) AS rn
+       |    FROM scored WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 4),
+       |cand AS (
+       |  SELECT q.query_vec_id, v.vec_id,
+       |         floor(((${dotSql("v.embedding", "q.q_emb")})
+       |                / (v.norm * q.q_norm)) * 1e6 + 0.5) / 1e6 AS cos_sim
+       |  FROM e v JOIN assign a ON v.vec_id = a.vec_id
+       |  JOIN qprobe q ON a.cell = q.cell
+       |  WHERE v.vec_id <> q.query_vec_id),
+       |ranked AS (
+       |  SELECT query_vec_id, vec_id, cos_sim,
+       |         CAST(row_number() OVER (PARTITION BY query_vec_id
+       |                                 ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+       |  FROM cand)
+       |SELECT query_vec_id, vec_id, cos_sim, rank FROM ranked
+       |WHERE rank <= 10 ORDER BY query_vec_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "embedding_norms" -> embeddingNorms,
     "knn_bruteforce" -> knnBruteForce,
     "neardup_embeddings" -> neardupEmbeddings,
-    "ann_lsh_topk" -> annLshTopK)
+    "ann_lsh_topk" -> annLshTopK,
+    "ann_ivf_topk" -> annIvfTopK)
 
   val oracleSql: Map[String, String] = Map(
     "embedding_norms" -> embeddingNormsSql,
     "knn_bruteforce" -> knnBruteForceSql,
     "neardup_embeddings" -> neardupEmbeddingsSql,
-    "ann_lsh_topk" -> annLshTopKSql)
+    "ann_lsh_topk" -> annLshTopKSql,
+    "ann_ivf_topk" -> annIvfTopKSql)
 }

@@ -94,6 +94,54 @@ object Similarity {
       when(d >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF-style ANN top-k: a sampled-centroid coarse quantizer (centroids =
+    * the vectors at fixed `centroidVecIds` — the deterministic analog of
+    * k-means init by sampling), every vector assigned to its nearest
+    * centroid by cosine, and each query probing its `nProbe` nearest cells.
+    *
+    * Scale shape: assignment is a broadcast of ~nCentroids rows against a
+    * single corpus scan with a map-side-combinable `max_by` (the shuffle
+    * carries |V| assignment rows, not the |V| x nCentroids score stream);
+    * the search scans only ~nProbe/nCentroids of the corpus via the cell
+    * equi-join. Ties (equal cosine) break to the smaller cent_id on both
+    * engines.
+    */
+  def annIvfTopK(
+      embeddings: DataFrame, queryVecIds: Seq[Long], k: Int,
+      centroidVecIds: Seq[Long] = (100L until 116L),
+      nProbe: Int = 4): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"),
+      l2Norm("embedding").as("norm"))
+    val cents = e.filter(col("vec_id").isin(centroidVecIds: _*))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+    // coarse quantization scores: one corpus scan x broadcast centroids
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cent_id"),
+        (dot("embedding", "c_emb") / (col("norm") * col("c_norm"))).as("c_cos"))
+    val assign = scored.groupBy("vec_id")
+      .agg(max_by(col("cent_id"),
+        struct(col("c_cos"), (-col("cent_id")).as("tb"))).as("cell"))
+    val withCell = e.join(assign, "vec_id")
+    val qprobe = scored
+      .filter(col("vec_id").isin(queryVecIds: _*))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cent_id"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_vec_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("cent_id").as("cell"))
+    val w = Window.partitionBy("query_vec_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val cos = dot("embedding", "q_emb") / (col("norm") * col("q_norm"))
+    withCell
+      .join(broadcast(qprobe), Seq("cell")) // cell-pruned candidates only
+      .filter(col("vec_id") =!= col("query_vec_id"))
+      .select(col("query_vec_id"), col("vec_id"),
+        graft.Parity.pround(cos, 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN top-k with multi-probe: per query vector, rank
     * candidates in the query's sign-bucket AND every bucket at Hamming
     * distance 1 (probe buckets are exploded on the tiny broadcast query
