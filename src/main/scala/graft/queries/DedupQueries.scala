@@ -134,8 +134,10 @@ object DedupQueries {
   val simhashSignatures: Q = (s, dir) =>
     DocDedup.simhashSignatures(Tables.documents(s, dir)).orderBy(col("doc_id"))
 
-  val simhashSignaturesSql: String = {
-    // portable hex→int: positional digit parse of the first 8 md5 chars
+  /** Shared CTE chain ending in `sims(doc_id, simhash32)` — mirrors
+    * DocDedup.simhashSignatures (portable hex→int digit parse of md5).
+    */
+  private val simhashCte: String = {
     val powers = (0 until 8).map(i => 1L << (4 * (7 - i))) // 16^(7-i)
     val powerList = powers.mkString("[", ", ", "]")
     val bitCols = (0 until 32)
@@ -144,9 +146,9 @@ object DedupQueries {
     val simExpr = (0 until 32)
       .map(b => s"CASE WHEN bit_$b > 0 THEN ${1L << b} ELSE 0 END")
       .mkString(" + ")
-    s"""WITH normed AS (
+    s"""normed AS (
        |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
-       |  FROM normed_src),
+       |  FROM documents),
        |wordpos AS (
        |  SELECT doc_id, unnest(string_split(norm, ' ')) AS word FROM normed),
        |toks AS (
@@ -158,11 +160,28 @@ object DedupQueries {
        |bits AS (
        |  SELECT doc_id,
        |         $bitCols
-       |  FROM toks GROUP BY doc_id)
-       |SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash32
-       |FROM bits ORDER BY doc_id""".stripMargin
-      .replace("FROM normed_src", "FROM documents")
+       |  FROM toks GROUP BY doc_id),
+       |sims AS (
+       |  SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash32 FROM bits)""".stripMargin
   }
+
+  val simhashSignaturesSql: String =
+    s"""WITH $simhashCte
+       |SELECT doc_id, simhash32 FROM sims ORDER BY doc_id""".stripMargin
+
+  /** SimHash near-dup pairs: high-16-bit blocking, Hamming <= 3. */
+  val simhashPairs: Q = (s, dir) =>
+    DocDedup.simhashPairs(Tables.documents(s, dir))
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+
+  val simhashPairsSql: String =
+    s"""WITH $simhashCte
+       |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       |       CAST(bit_count(xor(a.simhash32, b.simhash32)) AS BIGINT) AS hamming
+       |FROM sims a JOIN sims b
+       |  ON a.simhash32 // 65536 = b.simhash32 // 65536 AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 3
+       |ORDER BY doc_id_a, doc_id_b""".stripMargin
 
   /** End-to-end corpus dedup: drop every doc marked as the higher-id side
     * of a near-dup pair (est. Jaccard ≥ 0.5); single-link transitive
@@ -203,9 +222,11 @@ object DedupQueries {
     "lsh_candidate_pairs" -> lshCandidatePairs,
     "neardup_minhash" -> neardupMinhash,
     "ngram_jaccard" -> ngramJaccard,
-    "simhash_signatures" -> simhashSignatures)
+    "simhash_signatures" -> simhashSignatures,
+    "simhash_pairs" -> simhashPairs)
 
   val oracleSql: Map[String, String] = Map(
+    "simhash_pairs" -> simhashPairsSql,
     "dedup_keep_docs" -> dedupKeepDocsSql,
     "dedup_exact_docs" -> dedupExactDocsSql,
     "minhash_signatures" -> minhashSignaturesSql,
