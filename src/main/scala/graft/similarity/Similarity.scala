@@ -152,6 +152,8 @@ object Similarity {
   def annLshTopK(
       embeddings: DataFrame, queryVecIds: Seq[Long], k: Int,
       nPlanes: Int = 6, seed: Long = 42L): DataFrame = {
+    // bounded scalar collect (one int): the embedding dimension, needed
+    // driver-side to build the hyperplane literals
     val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
     val withBucket = embeddings
       .withColumn("bucket", bucketExpr(planes(nPlanes, dim, seed)))
