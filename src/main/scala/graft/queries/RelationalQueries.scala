@@ -296,7 +296,25 @@ object RelationalQueries {
       |SELECT p_partkey, 'ordered' AS status FROM (SELECT * FROM parts INTERSECT SELECT * FROM ordered)
       |ORDER BY status, p_partkey""".stripMargin
 
+  /** Aggregation-side skew mitigation: two-phase salted sum over the hot
+    * event_type keys. Exact-DECIMAL partials are association-independent, so
+    * salting cannot change the result by a bit — the oracle is the PLAIN
+    * single-phase sum, proving the salted plan computes the same answer.
+    */
+  val skewSaltedSum: Q = (s, dir) =>
+    graft.relational.Skew.saltedSumExact(
+        Tables.events(s, dir), Seq(col("event_type")), col("value"), col("event_id"))
+      .select(col("event_type"),
+        graft.Parity.pround(col("sum_value"), 6).as("sum_value"))
+      .orderBy(col("event_type"))
+
+  val skewSaltedSumSql: String =
+    s"""SELECT event_type,
+       |       ${graft.Parity.proundSql("CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)", 6)} AS sum_value
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "skew_salted_sum" -> skewSaltedSum,
     "customers_without_orders" -> customersWithoutOrders,
     "part_key_sets" -> partKeySets,
     "events_pivot" -> eventsPivot,
@@ -310,6 +328,7 @@ object RelationalQueries {
     "events_kpi" -> eventsKpi)
 
   val oracleSql: Map[String, String] = Map(
+    "skew_salted_sum" -> skewSaltedSumSql,
     "customers_without_orders" -> customersWithoutOrdersSql,
     "part_key_sets" -> partKeySetsSql,
     "events_pivot" -> eventsPivotSql,
