@@ -93,19 +93,22 @@ object DocDedup {
         (1 until NumHashes).map(j =>
           min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"mh_$j")): _*)
 
-  /** Signatures materialized once for multi-branch pair queries.
+  /** Signature relation for multi-branch pair queries.
     *
-    * The banded self-join plus signature re-join references the signature
-    * subtree up to 4x, and Catalyst's ReusedExchange does not fire across
-    * the self-join aliases. An EAGER localCheckpoint computes the (small:
-    * doc_id + 8 hashes) signature relation exactly once and pins it, so the
-    * join branches cannot re-materialize it under executor contention —
-    * round 1's lazy checkpoint raced its own branches at local[32] and
-    * degraded 30x. This is the in-query analog of how a 100 TB corpus runs
-    * this: signatures persisted once, pair generation reading them.
+    * The banded self-join plus signature re-join references this subtree up
+    * to 4x. Deliberately NOT checkpointed/persisted: the subtree is now one
+    * scan + explode + partially-combined agg (cheap, fully parallel), and
+    * identical exchange subtrees are deduplicated by ReuseExchange where
+    * they match. Pinning it in the block manager (round-1/2 designs, lazy
+    * then eager localCheckpoint) coupled every pair query to block-store
+    * state and produced multi-second nondeterministic degradation in
+    * long-lived constrained-heap JVMs — a bounded recompute is cheaper than
+    * an unbounded eviction storm. At 100 TB the equivalent is writing the
+    * signature TABLE once and reading it per pair job, not caching it
+    * inside one query's lineage.
     */
   private def materializedSignatures(docs: DataFrame): DataFrame =
-    minhashSignatures(docs).localCheckpoint(true)
+    minhashSignatures(docs)
 
   private def bandsOf(sigs: DataFrame): DataFrame = {
     val nBands = NumHashes / BandSize
@@ -164,8 +167,9 @@ object DocDedup {
     * |A ∪ B| = |A| + |B| − |A ∩ B|.
     */
   def exactJaccardPairs(docs: DataFrame): DataFrame = {
-    // computed once, eagerly, reused by both join sides
-    val docSets = shingleSets(docs).localCheckpoint(true)
+    // referenced by both join sides; cheap enough to recompute (see
+    // materializedSignatures note on why nothing here pins block storage)
+    val docSets = shingleSets(docs)
     val nCommon = size(array_intersect(col("za.shs"), col("zb.shs")))
     lshCandidatePairs(docs)
       .join(docSets.as("za"), col("doc_id_a") === col("za.doc_id"))
