@@ -23,7 +23,7 @@ object ForexQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** DuckDB equivalent of the silver model (shared CTE text). */
-  private val silverSql: String =
+  private[queries] val silverSql: String =
     """silver AS (
       |  SELECT observed_at, open_price, high_price, low_price, close_price FROM (
       |    SELECT CAST(ts AS TIMESTAMP) AS observed_at,
@@ -40,7 +40,7 @@ object ForexQueries {
     s"make_timestamp($u - ($u % ${tf.widthUs}) - ${tf.shiftUs})"
   }
 
-  private val fannedSql: String = {
+  private[queries] val fannedSql: String = {
     val branches = Resample.timeframes.map { tf =>
       s"""  SELECT '${tf.name}' AS timeframe, ${bucketSql("observed_at", tf)} AS candle_start,
          |         observed_at, open_price, high_price, low_price, close_price FROM silver""".stripMargin
@@ -51,14 +51,14 @@ object ForexQueries {
   /** DuckDB SMA mirroring Indicators.sma: exact DECIMAL frame sum → double
     * → divide by frame count → round. Association-independent on both sides.
     */
-  private def smaSql(n: Int): String = {
+  private[queries] def smaSql(n: Int): String = {
     val frame = s"PARTITION BY timeframe ORDER BY candle_start ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW"
     val avg = s"""CAST(sum(CAST(close_price AS DECIMAL(25,10))) OVER ($frame) AS DOUBLE)
        |         / count(*) OVER ($frame)""".stripMargin
     graft.Parity.proundSql(avg, 6) + s" AS sma_$n"
   }
 
-  private val candlesSql: String =
+  private[queries] val candlesSql: String =
     """candles AS (
       |  SELECT timeframe, candle_start,
       |         arg_min(open_price, observed_at) AS open_price,
