@@ -313,7 +313,19 @@ object RelationalQueries {
        |       ${graft.Parity.proundSql("CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)", 6)} AS sum_value
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Same sessionization through the whale-user-safe declarative rewrite
+    * (window lag + cumulative flag, spillable external sort) — the 100 TB
+    * batch path. Shares the stateful operator's oracle: both plans must
+    * produce the identical session table.
+    */
+  val sessionizeRelational: Q = (s, dir) =>
+    graft.streaming.Sessionize.sessionizeRelational(
+        Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
+        gapMs = 30L * 60000L)
+      .orderBy(col("user_id"), col("session_start"))
+
   val queries: Map[String, Q] = Map(
+    "sessionize_relational" -> sessionizeRelational,
     "skew_salted_sum" -> skewSaltedSum,
     "customers_without_orders" -> customersWithoutOrders,
     "part_key_sets" -> partKeySets,
@@ -328,6 +340,7 @@ object RelationalQueries {
     "events_kpi" -> eventsKpi)
 
   val oracleSql: Map[String, String] = Map(
+    "sessionize_relational" -> sessionizeEventsSql, // same semantics, scalable plan
     "skew_salted_sum" -> skewSaltedSumSql,
     "customers_without_orders" -> customersWithoutOrdersSql,
     "part_key_sets" -> partKeySetsSql,

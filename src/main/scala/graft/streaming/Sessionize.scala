@@ -97,4 +97,40 @@ object Sessionize extends Serializable {
     implicit val evEnc = Encoders.product[Event]
     sessionize(df.selectExpr("user_id", "ts", "value").as[Event], gapMs).toDF()
   }
+
+  /** Whale-user-safe batch sessionization: the classic lag + cumulative-flag
+    * rewrite as declarative window functions. Unlike the stateful operator
+    * above (which buffers one user-batch in memory to sort it), window sort
+    * runs through Spark's spillable external sorter, so a single user with
+    * billions of events cannot OOM an executor — this is the 100 TB batch
+    * path; `sessionize` remains the streaming path. One shuffle on user_id;
+    * the session-level groupBy reuses that partitioning (user_id is a prefix
+    * of the grouping key), so no second exchange.
+    *
+    * Semantics are identical by construction and proven by sharing the
+    * stateful operator's DuckDB oracle. The exact-DECIMAL session sum keeps
+    * `value_sum` association-independent (see Parity).
+    */
+  def sessionizeRelational(df: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("value"))
+    val gapUs = gapMs * 1000L
+    df.selectExpr("user_id", "ts", "value")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(30, 10))).cast("double").as("value_sum"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("value_sum"))
+  }
 }

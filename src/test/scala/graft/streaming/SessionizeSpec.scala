@@ -26,6 +26,31 @@ class SessionizeSpec extends SparkSpec {
     assert(sessions(2).user_id === 2L)
   }
 
+  test("relational sessionization equals the stateful operator on real events") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"user_id", $"ts", $"value")
+    val gap = 30L * 60000L
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select($"user_id", $"session_start", $"session_end", $"n_events", $"value_sum")
+        .collect().map(_.mkString("|")).sorted.toSeq
+    val stateful = canon(Sessionize.sessionizeBatch(ev, gap))
+    val relational = canon(Sessionize.sessionizeRelational(ev, gap))
+    assert(relational.nonEmpty)
+    assert(relational === stateful)
+  }
+
+  test("relational sessionization adds no exchange after the window shuffle") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"user_id", $"ts", $"value")
+    val plan = Sessionize.sessionizeRelational(ev, 30L * 60000L)
+      .queryExecution.executedPlan.toString
+    // one shuffle on user_id for the window; the session groupBy must reuse
+    // it (user_id is a prefix of the grouping key)
+    assert(plan.split("Exchange hashpartitioning").length - 1 === 1, plan)
+  }
+
   test("streaming sessionization with event-time timeout runs end-to-end") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sess_in").toString
