@@ -85,6 +85,46 @@ object StoreQueries {
        |SELECT observed_at, open_price, high_price, low_price, close_price, p_date
        |FROM final ORDER BY observed_at""".stripMargin
 
-  val queries: Map[String, Q] = Map("merge_upsert" -> mergeUpsert)
-  val oracleSql: Map[String, String] = Map("merge_upsert" -> mergeUpsertSql)
+  /** Co-located join through the bucketed-table layout (SURVEY §4 row 3 at
+    * scale): lineitem and orders are written bucketed+sorted on the order
+    * key, then joined and aggregated. With both sides pre-bucketed the join
+    * needs no exchange and no sort (asserted in BucketingSpec; at fact-fact
+    * scale the shuffle is paid once at write time and amortized over every
+    * later join). The oracle recomputes the same aggregate with a plain join
+    * over the source parquet — the layout must not change a single value.
+    */
+  val bucketedJoin: Q = (s, dir) => {
+    graft.store.Bucketing.writeBucketed(
+      graft.Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_extendedprice")),
+      "graft_li_bucketed", "l_orderkey", 8)
+    graft.store.Bucketing.writeBucketed(
+      graft.Tables.orders(s, dir).select(
+        col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
+      "graft_ord_bucketed", "l_orderkey", 8)
+    s.table("graft_li_bucketed")
+      .join(s.table("graft_ord_bucketed"), "l_orderkey")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        graft.Parity.pround(
+          sum(col("l_extendedprice")
+            .cast(org.apache.spark.sql.types.DecimalType(30, 10))).cast("double"),
+          2).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val bucketedJoinSql: String =
+    s"""SELECT o_orderstatus, count(*) AS n_rows,
+       |       ${graft.Parity.proundSql(
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)", 2)} AS sum_price
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "merge_upsert" -> mergeUpsert,
+    "bucketed_join" -> bucketedJoin)
+  val oracleSql: Map[String, String] = Map(
+    "merge_upsert" -> mergeUpsertSql,
+    "bucketed_join" -> bucketedJoinSql)
 }
