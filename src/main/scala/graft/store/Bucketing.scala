@@ -14,13 +14,26 @@ import org.apache.spark.sql.DataFrame
   */
 object Bucketing {
 
-  /** Save as a bucketed+sorted managed table (parquet). */
+  /** Save as a bucketed+sorted managed table (parquet).
+    *
+    * Idempotent across JVMs: with the default in-memory catalog the table
+    * METADATA dies with the session but the warehouse FILES persist, so a
+    * bare `saveAsTable` in a fresh JVM fails with LOCATION_ALREADY_EXISTS —
+    * drop any stale catalog entry and stale location first.
+    */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
     df.write
       .format("parquet")
       .mode("overwrite")
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+  }
 }

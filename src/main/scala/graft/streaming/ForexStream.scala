@@ -67,6 +67,19 @@ object ForexStream {
         col("open_price"), col("high_price"), col("low_price"),
         col("close_price"), col("ticks_5m_count"))
 
+  /** Streaming analog of the batch keyed dedup (D2): keep one tick per
+    * observed_at across micro-batches, with state bounded by the watermark —
+    * `dropDuplicatesWithinWatermark` expires each key's dedup state once the
+    * watermark passes it, so state size is O(keys per lateness window), not
+    * O(stream history). This is the only state-bound-safe streaming dedup at
+    * 100 TB/day volumes; plain `dropDuplicates` on a stream accumulates
+    * state forever.
+    */
+  def dedupedTicks(ticksStream: DataFrame, lateness: String = "1 hour"): DataFrame =
+    ticksStream
+      .withWatermark("observed_at", lateness)
+      .dropDuplicatesWithinWatermark("observed_at")
+
   /** Stream → incremental store: every micro-batch upserts its candle-days
     * (idempotent on (timeframe, candle_start), so replays are exactly-once
     * at the table level).

@@ -68,6 +68,25 @@ class ForexStreamSpec extends SparkSpec {
     assert(hours.nonEmpty && hours.subsetOf(Set(22, 2, 6, 10, 14, 18)), s"got $hours")
   }
 
+  test("watermark-bounded streaming dedup keeps one tick per observed_at") {
+    val dir = silverDir()
+    // duplicate the whole input in a second file batch: every key now has
+    // cross-micro-batch duplicates within the lateness window
+    ForexPipeline.silverFrom(spark, sf0001)
+      .write.mode("append").parquet(dir)
+    val q = ForexStream.dedupedTicks(ForexStream.ticks(spark, dir))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.table("dedup_stream")
+    val batch = ForexPipeline.silverFrom(spark, sf0001)
+    assert(out.count() === batch.count(),
+      "each observed_at must survive exactly once despite duplicated input")
+    assert(out.groupBy("observed_at").count().filter(col("count") > 1).count() === 0)
+  }
+
   test("foreachBatch sink: streamed candles land in the incremental store") {
     val dir = silverDir()
     val out = Files.createTempDirectory("graft_stream_out").toString
