@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.forex.{Dedup, ForexPipeline, Indicators, Ohlc, Resample}
+import graft.forex.{Dedup, ForexPipeline, Indicators, IndicatorsChunked, Ohlc, Resample}
 
 /** Driver-contract queries covering the reference pipeline (SURVEY §2),
   * each with a DuckDB oracle over the same parquet tables.
@@ -178,6 +178,18 @@ object ForexQueries {
        |       ${smaSql(50)}
        |FROM candles ORDER BY candle_start""".stripMargin
 
+  /** Indicator stage through the chunked scale-out path (bounded chunks +
+    * ≤50-row carry-in, parallelism = #chunks instead of #timeframes) —
+    * SAME ORACLE as indicators_1h: the physical strategy must not change
+    * a bit.
+    */
+  val indicators1hChunked: Q = (s, dir) => {
+    val fanned = Resample.fanout(ForexPipeline.silverFrom(s, dir),
+      Seq(Resample.byName("1h")))
+    IndicatorsChunked.enrich(Ohlc.candles(fanned), candlesPerChunk = 64)
+      .orderBy(col("candle_start"))
+  }
+
   /** D1: exact whole-row dedup over raw events. */
   val dedupExactRows: Q = (s, dir) =>
     Dedup.exactRows(Tables.events(s, dir)
@@ -232,6 +244,7 @@ object ForexQueries {
     "ohlc_1h_fused" -> ohlc1hFused,
     "resample_buckets" -> resampleBuckets,
     "indicators_1h" -> indicators1h,
+    "indicators_1h_chunked" -> indicators1hChunked,
     "dedup_exact_rows" -> dedupExactRows,
     "watermark_filter" -> watermarkFilter,
     "union_fanout" -> unionFanout)
@@ -243,6 +256,7 @@ object ForexQueries {
     "ohlc_1h_fused" -> ohlc1hSql, // same semantics, custom aggregate physical op
     "resample_buckets" -> resampleBucketsSql,
     "indicators_1h" -> indicators1hSql,
+    "indicators_1h_chunked" -> indicators1hSql, // same semantics, chunked plan
     "dedup_exact_rows" -> dedupExactRowsSql,
     "watermark_filter" -> watermarkFilterSql,
     "union_fanout" -> unionFanoutSql)
