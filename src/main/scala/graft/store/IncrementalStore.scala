@@ -78,6 +78,26 @@ object IncrementalStore {
       clusterBy: Seq[String] = Nil): Unit =
     write(withPartition(batch, tsCol), target, clusterBy)
 
+  /** Day-scoped small-file compaction. Every incremental upsert rewrites its
+    * touched day-partitions with one file per shuffle task, so hot days
+    * accumulate small files over many batches — the classic warehouse decay
+    * mode; at 100 TB unbounded file counts dominate scan open/footer costs.
+    * Compaction re-reads ONLY the given days (partition-pruned) and rewrites
+    * each as one file (or one per cluster key when `clusterBy` is set),
+    * byte-identical data, bounded by the touched days like the merge itself.
+    */
+  def compactDays(
+      spark: SparkSession, target: String, days: Seq[java.sql.Date],
+      clusterBy: Seq[String] = Nil): Unit = {
+    val pruned = readTable(spark, target)
+      .filter(col(PartitionCol).isin(days: _*))
+    // one shuffle partition per day → one output file per day directory
+    val arranged =
+      if (clusterBy.isEmpty) pruned.repartition(col(PartitionCol))
+      else pruned
+    write(arranged, target, clusterBy)
+  }
+
   /** MERGE upsert on `keyCols` bounded to the batch's day-partitions
     * (silver path: existing rows of touched days survive unless replaced by
     * a batch row with the same key).
