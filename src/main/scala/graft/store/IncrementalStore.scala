@@ -85,6 +85,11 @@ object IncrementalStore {
     * Compaction re-reads ONLY the given days (partition-pruned) and rewrites
     * each as one file (or one per cluster key when `clusterBy` is set),
     * byte-identical data, bounded by the touched days like the merge itself.
+    *
+    * Pass the SAME `clusterBy` the table is written with (the store keeps
+    * the cluster spec at call sites, like upsertByKey): compacting a
+    * clustered table with the default would keep every value but silently
+    * drop the cluster-sorted layout its row-group pruning relies on.
     */
   def compactDays(
       spark: SparkSession, target: String, days: Seq[java.sql.Date],

@@ -24,6 +24,15 @@ object Sessionize extends Serializable {
   // order-independent — matching the DuckDB oracle's DECIMAL sum bitwise.
   final case class SessionState(
       start: Long, lastTs: Long, nEvents: Long, valueSum: BigDecimal)
+
+  /** Exactly CAST(value AS DECIMAL(30,10)) on both Spark and DuckDB:
+    * shortest decimal representation, HALF_UP at scale 10. The oracle (and
+    * sessionizeRelational) quantize each value this way before summing, so
+    * the stateful path must too — full-precision accumulation would diverge
+    * on values with >10 fractional digits.
+    */
+  private def dec10(d: Double): BigDecimal =
+    BigDecimal.decimal(d).setScale(10, scala.math.BigDecimal.RoundingMode.HALF_UP)
   final case class Session(
       user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long, value_sum: Double)
@@ -67,12 +76,12 @@ object Sessionize extends Serializable {
                 case Some(s) if t - s.lastTs <= gapUs =>
                   cur = Some(s.copy(lastTs = math.max(s.lastTs, t),
                     nEvents = s.nEvents + 1,
-                    valueSum = s.valueSum + BigDecimal.decimal(e.value)))
+                    valueSum = s.valueSum + dec10(e.value)))
                 case Some(s) =>
                   closed += close(userId, s)
-                  cur = Some(SessionState(t, t, 1L, BigDecimal.decimal(e.value)))
+                  cur = Some(SessionState(t, t, 1L, dec10(e.value)))
                 case None =>
-                  cur = Some(SessionState(t, t, 1L, BigDecimal.decimal(e.value)))
+                  cur = Some(SessionState(t, t, 1L, dec10(e.value)))
               }
             }
             cur match {
