@@ -170,13 +170,83 @@ object PipelineQueries {
       |FROM raw
       |ORDER BY datetime, open""".stripMargin
 
+  /** The STREAMING engine against the batch oracle: silver ticks flow
+    * through `readStream` → tumbling `window()` OHLC → complete-mode memory
+    * sink (`Trigger.AvailableNow`), and the final table must equal the batch
+    * 1h-candle query bit-for-bit — it shares ohlc_1h's DuckDB oracle.
+    * Complete mode emits every window (nothing withheld past the watermark),
+    * which is what makes a bounded streaming run exactly comparable.
+    */
+  val streamOhlc1h: Q = (s, dir) => {
+    val base = scratch(s, "stream_ohlc_1h")
+    graft.forex.ForexPipeline.silverFrom(s, dir)
+      .write.mode("overwrite").parquet(base)
+    val name = "graft_stream_ohlc_1h"
+    s.streams.active.filter(_.name == name).foreach(_.stop())
+    val q = graft.streaming.ForexStream
+      .candlesComplete(graft.streaming.ForexStream.ticks(s, base),
+        graft.forex.Resample.byName("1h"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    s.table(name).orderBy(col("candle_start"))
+  }
+
+  /** Store maintenance at the gate: fragment a silver store through the
+    * real multi-task write path, compact every day to one file, and return
+    * the table — the oracle is the plain silver recompute, so compaction
+    * must be value-invisible; the one-file-per-day property itself is
+    * asserted in CompactionSpec.
+    */
+  val compactRoundtrip: Q = (s, dir) => {
+    val store = scratch(s, "compact_roundtrip")
+    // ten days of ticks suffice to fragment a store; the cutoff is a
+    // driver-side scalar so both engines filter on the identical µs bound
+    val events = Tables.events(s, dir)
+    val mn = events.agg(min(unix_micros(col("ts")))).first().getLong(0)
+    val tenDays = events.filter(unix_micros(col("ts")) < mn + 10L * 86400000000L)
+    // multi-task writes (AQE would coalesce to one file at this scale); 8
+    // tasks fragment just as well as 32 without paying 32-task launch
+    // overhead on every fixture stage
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try graft.forex.ForexIncremental.runSilver(tenDays, store)
+    finally {
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    val days = IncrementalStore.readTable(s, store)
+      .select(col(IncrementalStore.PartitionCol)).distinct()
+      .collect().map(_.getDate(0)).toSeq // bounded: day list, never row data
+    IncrementalStore.compactDays(s, store, days)
+    IncrementalStore.readTable(s, store)
+      .select(col("observed_at"), col("open_price"), col("high_price"),
+        col("low_price"), col("close_price"))
+      .orderBy(col("observed_at"))
+  }
+
+  val compactRoundtripSql: String =
+    s"""WITH ${ForexQueries.silverSql}
+       |SELECT * FROM silver
+       |WHERE epoch_us(observed_at) <
+       |      (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) + 10 * 86400000000 FROM events)
+       |ORDER BY observed_at""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "staging_view" -> stagingView,
     "backfill_day" -> backfillDay,
-    "ingest_bronze" -> ingestBronze)
+    "ingest_bronze" -> ingestBronze,
+    "stream_ohlc_1h" -> streamOhlc1h,
+    "compact_roundtrip" -> compactRoundtrip)
 
   val oracleSql: Map[String, String] = Map(
     "staging_view" -> goldTableSql,
     "backfill_day" -> goldTableSql,
-    "ingest_bronze" -> ingestBronzeSql)
+    "ingest_bronze" -> ingestBronzeSql,
+    "stream_ohlc_1h" -> ForexQueries.ohlc1hSql, // streaming vs the batch oracle
+    "compact_roundtrip" -> compactRoundtripSql)
 }

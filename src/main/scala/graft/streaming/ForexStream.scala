@@ -49,14 +49,9 @@ object ForexStream {
     window(col("observed_at"), width, width, start)
   }
 
-  /** Streaming OHLC candles for one timeframe (append mode once the
-    * watermark passes the window end).
-    */
-  def candles(ticksStream: DataFrame, tf: Resample.Timeframe,
-      lateness: String = "1 hour"): DataFrame =
-    ticksStream
-      .withWatermark("observed_at", lateness)
-      .groupBy(windowFor(tf).as("w"))
+  private def ohlcOverWindow(grouped: org.apache.spark.sql.RelationalGroupedDataset,
+      tf: Resample.Timeframe): DataFrame =
+    grouped
       .agg(
         min_by(col("open_price"), col("observed_at")).as("open_price"),
         max(col("high_price")).as("high_price"),
@@ -66,6 +61,25 @@ object ForexStream {
       .select(lit(tf.name).as("timeframe"), col("w.start").as("candle_start"),
         col("open_price"), col("high_price"), col("low_price"),
         col("close_price"), col("ticks_5m_count"))
+
+  /** Streaming OHLC candles for one timeframe (append mode once the
+    * watermark passes the window end).
+    */
+  def candles(ticksStream: DataFrame, tf: Resample.Timeframe,
+      lateness: String = "1 hour"): DataFrame =
+    ohlcOverWindow(
+      ticksStream
+        .withWatermark("observed_at", lateness)
+        .groupBy(windowFor(tf).as("w")), tf)
+
+  /** Complete-mode variant: every window re-emitted per trigger, none
+    * withheld behind a watermark — the form whose bounded run is exactly
+    * comparable to (and oracle-checked against) the batch candle query.
+    * State grows with window count, so it is for bounded replays/backfills,
+    * not unbounded streams; `candles` is the production append path.
+    */
+  def candlesComplete(ticksStream: DataFrame, tf: Resample.Timeframe): DataFrame =
+    ohlcOverWindow(ticksStream.groupBy(windowFor(tf).as("w")), tf)
 
   /** Streaming analog of the batch keyed dedup (D2): keep one tick per
     * observed_at across micro-batches, with state bounded by the watermark —
