@@ -48,7 +48,7 @@ object SparkEntry {
     (ForexQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MediaQueries.queries ++
       RelationalQueries.queries ++ SamplingQueries.queries ++
-      StoreQueries.queries ++ PipelineQueries.queries)
+      StoreQueries.queries ++ PipelineQueries.queries ++ CurationQueries.queries)
       .map { case (name, fn) =>
         name -> ((s: SparkSession, dir: String) => normalizeOutputs(fn(s, dir)))
       }
@@ -59,5 +59,5 @@ object SparkEntry {
     ForexQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ MediaQueries.oracleSql ++
       RelationalQueries.oracleSql ++ SamplingQueries.oracleSql ++
-      StoreQueries.oracleSql ++ PipelineQueries.oracleSql
+      StoreQueries.oracleSql ++ PipelineQueries.oracleSql ++ CurationQueries.oracleSql
 }

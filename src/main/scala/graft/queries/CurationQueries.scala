@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.DocDedup
+import graft.functions.PortableHash
+import graft.sampling.Sampling
+import graft.text.TextAnalysis
+
+/** The flagship end-to-end training-data curation query: the full corpus
+  * pipeline a 100 TB pretraining run needs, as ONE composed dataflow —
+  *
+  *   1. exact dedup (fingerprint group-by, keep lowest doc_id),
+  *   2. near-dup removal (MinHash banding → LSH candidates → estimated
+  *      Jaccard ≥ 0.5, drop the higher-id side — never all-pairs),
+  *   3. quality gate (composite score ≥ 0.5) + language gate (lang-ID = en),
+  *   4. deterministic 80/10/10 train/val/test assignment (hash-of-key,
+  *      never rand()).
+  *
+  * Every stage reuses the already-oracle-checked operator (DocDedup,
+  * TextAnalysis, Sampling); the oracle below recomputes the whole chain in
+  * DuckDB, so the COMPOSITION is verified end-to-end, not just the parts.
+  * Near-dup pairs are computed over the full corpus rather than the
+  * exact-dedup survivors: exact duplicates share identical signatures, so
+  * either ordering yields the same survivor set, and the full-corpus form
+  * keeps one signature subtree shared with the standalone dedup queries.
+  */
+object CurationQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val corpusCuration: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val keepers = DocDedup.exactDuplicates(docs)
+      .select(col("keep_doc_id").as("doc_id"))
+    val drops = DocDedup.estimatedJaccardPairs(docs)
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_id_b")).distinct()
+    val quality = TextAnalysis.qualityScore(docs) // (doc_id, quality_score)
+    val lang = TextAnalysis.langId(docs).select(col("doc_id"), col("lang_pred"))
+    docs.select(col("doc_id"))
+      .join(keepers, "doc_id")
+      .join(drops, col("doc_id") === col("doc_id_b"), "left_anti")
+      .join(quality.filter(col("quality_score") >= 0.5), "doc_id")
+      .join(lang.filter(col("lang_pred") === "en"), "doc_id")
+      .select(col("doc_id"), col("lang_pred"), col("quality_score"),
+        Sampling.split(col("doc_id"),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusCurationSql: String = {
+    import DedupQueries.{sigsSql, bandsSql, pairsSql}
+    import TextQueries.{stopCountSql, stopEn, stopEs, stopDe, stopFr}
+    val eq = (0 until DocDedup.NumHashes)
+      .map(j => s"CASE WHEN sa.mh_$j = sb.mh_$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    // qualified: the final select joins four relations that all carry doc_id
+    val bucket = s"(${PortableHash.hash32Sql("d.doc_id")}) % 100"
+    s"""WITH $sigsSql,
+       |$bandsSql,
+       |$pairsSql,
+       |drops AS (
+       |  SELECT DISTINCT c.doc_id_b
+       |  FROM cand c
+       |  JOIN sigs sa ON c.doc_id_a = sa.doc_id
+       |  JOIN sigs sb ON c.doc_id_b = sb.doc_id
+       |  WHERE floor((CAST($eq AS DOUBLE) / ${DocDedup.NumHashes}) * 1e6 + 0.5) / 1e6 >= 0.5),
+       |keepers AS (
+       |  SELECT min(doc_id) AS doc_id FROM normed GROUP BY md5(norm)),
+       |wq AS (
+       |  SELECT doc_id, text,
+       |         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+       |  FROM documents),
+       |stats AS (
+       |  SELECT doc_id,
+       |         len(ws) AS word_count,
+       |         len(regexp_extract_all(text, '[.,;:!?]')) AS punct_count,
+       |         floor((CAST(${stopCountSql(stopEn)} AS DOUBLE) / len(ws)) * 1e6 + 0.5) / 1e6 AS stopword_ratio
+       |  FROM wq),
+       |quality AS (
+       |  SELECT doc_id,
+       |         floor((0.4 * least(CAST(word_count AS DOUBLE) / 50, 1.0)
+       |             + 0.3 * least(stopword_ratio * 5, 1.0)
+       |             + 0.3 * greatest(0.0, 1.0 - CAST(punct_count AS DOUBLE) / greatest(word_count, 1))) * 1e6 + 0.5) / 1e6
+       |           AS quality_score
+       |  FROM stats),
+       |langscores AS (
+       |  SELECT doc_id,
+       |         ${stopCountSql(stopEn)} AS score_en,
+       |         ${stopCountSql(stopEs)} AS score_es,
+       |         ${stopCountSql(stopDe)} AS score_de,
+       |         ${stopCountSql(stopFr)} AS score_fr
+       |  FROM wq),
+       |lang AS (
+       |  SELECT doc_id,
+       |         CASE
+       |           WHEN score_en >= greatest(score_es, score_de, score_fr) AND score_en > 0 THEN 'en'
+       |           WHEN score_es >= greatest(score_de, score_fr) AND score_es > 0 THEN 'es'
+       |           WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+       |           WHEN score_fr > 0 THEN 'fr'
+       |           ELSE 'und'
+       |         END AS lang_pred
+       |  FROM langscores)
+       |SELECT d.doc_id, l.lang_pred, q.quality_score,
+       |       CASE WHEN $bucket < 80 THEN 'train'
+       |            WHEN $bucket < 90 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM documents d
+       |JOIN keepers k ON d.doc_id = k.doc_id
+       |JOIN quality q ON d.doc_id = q.doc_id
+       |JOIN lang l ON d.doc_id = l.doc_id
+       |WHERE d.doc_id NOT IN (SELECT doc_id_b FROM drops)
+       |  AND q.quality_score >= 0.5 AND l.lang_pred = 'en'
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map("corpus_curation" -> corpusCuration)
+  val oracleSql: Map[String, String] = Map("corpus_curation" -> corpusCurationSql)
+}

@@ -19,7 +19,7 @@ object DedupQueries {
     * signatures — mirrors DocDedup.{explodedWords, shingles,
     * minhashSignatures}.
     */
-  private val sigsSql: String = {
+  private[queries] val sigsSql: String = {
     val mhCols = (0 until NumHashes)
       .map(j => s"min(md5('$j:' || shingle)) AS mh_$j").mkString(",\n         ")
     s"""normed AS (
@@ -42,7 +42,7 @@ object DedupQueries {
        |  FROM sh GROUP BY doc_id)""".stripMargin
   }
 
-  private val bandsSql: String = {
+  private[queries] val bandsSql: String = {
     val nBands = NumHashes / BandSize
     val branches = (0 until nBands).map { b =>
       val key = (0 until BandSize).map(i => s"mh_${b * BandSize + i}").mkString(" || '|' || ")
@@ -51,7 +51,7 @@ object DedupQueries {
     "bands AS (\n" + branches.mkString("\n  UNION ALL\n") + ")"
   }
 
-  private val pairsSql: String =
+  private[queries] val pairsSql: String =
     """cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
       |  FROM bands a JOIN bands b

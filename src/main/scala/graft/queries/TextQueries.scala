@@ -15,10 +15,10 @@ object TextQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val stopEn = Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "a", "on", "with")
-  private val stopEs = Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "las", "es", "por")
-  private val stopDe = Seq("der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht", "ein", "eine")
-  private val stopFr = Seq("le", "la", "les", "de", "et", "un", "une", "est", "dans", "que", "pour", "il")
+  private[queries] val stopEn = Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "a", "on", "with")
+  private[queries] val stopEs = Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "las", "es", "por")
+  private[queries] val stopDe = Seq("der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht", "ein", "eine")
+  private[queries] val stopFr = Seq("le", "la", "les", "de", "et", "un", "une", "est", "dans", "que", "pour", "il")
 
   private def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
 
@@ -30,7 +30,7 @@ object TextQueries {
       |  FROM documents),
       |w AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS ws FROM normed)""".stripMargin
 
-  private def stopCountSql(ws: Seq[String]): String =
+  private[queries] def stopCountSql(ws: Seq[String]): String =
     s"len(list_filter(ws, x -> x IN (${sqlList(ws)})))"
 
   val textStats: Q = (s, dir) =>
