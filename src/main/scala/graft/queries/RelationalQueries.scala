@@ -324,7 +324,58 @@ object RelationalQueries {
         gapMs = 30L * 60000L)
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Point-in-interval range join (time-binned equi-join, never a nested
+    * loop): events join back into their own 30-minute sessions on
+    * (user_id, containment). Self-validating data: sessions partition each
+    * user's events, so the range-join count per session must equal the
+    * session's own n_events — and the oracle recomputes the join with a raw
+    * BETWEEN predicate in DuckDB.
+    */
+  val rangeJoinSessions: Q = (s, dir) => {
+    val events = Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
+    val sessions = graft.streaming.Sessionize
+      .sessionizeRelational(events, gapMs = 30L * 60000L)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+    graft.relational.RangeJoin.pointInInterval(
+        events.select(col("user_id"), col("ts")), sessions, Seq("user_id"),
+        "ts", "session_start", "session_end", binWidthUs = 1800000000L)
+      .groupBy(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .agg(count(lit(1)).as("n_in_range"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  val rangeJoinSessionsSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+       |m AS (
+       |  SELECT user_id, ts, value,
+       |         CASE WHEN lag(ts) OVER w IS NULL
+       |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+       |              THEN 1 ELSE 0 END AS new_s
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)),
+       |s AS (
+       |  SELECT user_id, ts, value,
+       |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, value
+       |                          ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM m),
+       |sessions AS (
+       |  SELECT user_id,
+       |         min(ts) AS session_start,
+       |         max(ts) AS session_end,
+       |         count(*) AS n_events
+       |  FROM s GROUP BY user_id, sid)
+       |SELECT ss.user_id, ss.session_start, ss.session_end, ss.n_events,
+       |       count(*) AS n_in_range
+       |FROM sessions ss
+       |JOIN e ON e.user_id = ss.user_id
+       |      AND e.ts >= ss.session_start AND e.ts <= ss.session_end
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY ss.user_id, ss.session_start""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "range_join_sessions" -> rangeJoinSessions,
     "sessionize_relational" -> sessionizeRelational,
     "skew_salted_sum" -> skewSaltedSum,
     "customers_without_orders" -> customersWithoutOrders,
@@ -340,6 +391,7 @@ object RelationalQueries {
     "events_kpi" -> eventsKpi)
 
   val oracleSql: Map[String, String] = Map(
+    "range_join_sessions" -> rangeJoinSessionsSql,
     "sessionize_relational" -> sessionizeEventsSql, // same semantics, scalable plan
     "skew_salted_sum" -> skewSaltedSumSql,
     "customers_without_orders" -> customersWithoutOrdersSql,
