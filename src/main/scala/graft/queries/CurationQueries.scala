@@ -40,8 +40,9 @@ object CurationQueries {
       .select(col("doc_id_b")).distinct()
     val quality = TextAnalysis.qualityScore(docs) // (doc_id, quality_score)
     val lang = TextAnalysis.langId(docs).select(col("doc_id"), col("lang_pred"))
-    docs.select(col("doc_id"))
-      .join(keepers, "doc_id")
+    // keepers' ids are drawn from docs, so keepers IS the exact-dedup
+    // survivor set — no join back to documents needed
+    keepers
       .join(drops, col("doc_id") === col("doc_id_b"), "left_anti")
       .join(quality.filter(col("quality_score") >= 0.5), "doc_id")
       .join(lang.filter(col("lang_pred") === "en"), "doc_id")
@@ -57,8 +58,8 @@ object CurationQueries {
     val eq = (0 until DocDedup.NumHashes)
       .map(j => s"CASE WHEN sa.mh_$j = sb.mh_$j THEN 1 ELSE 0 END")
       .mkString(" + ")
-    // qualified: the final select joins four relations that all carry doc_id
-    val bucket = s"(${PortableHash.hash32Sql("d.doc_id")}) % 100"
+    // qualified: the final select joins three relations that all carry doc_id
+    val bucket = s"(${PortableHash.hash32Sql("k.doc_id")}) % 100"
     s"""WITH $sigsSql,
        |$bandsSql,
        |$pairsSql,
@@ -71,9 +72,10 @@ object CurationQueries {
        |keepers AS (
        |  SELECT min(doc_id) AS doc_id FROM normed GROUP BY md5(norm)),
        |wq AS (
-       |  SELECT doc_id, text,
-       |         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
-       |  FROM documents),
+       |  -- derive from the sigs chain's normed CTE: ONE canonical
+       |  -- normalization expression, not a third copy of it
+       |  SELECT n.doc_id, d.text, string_split(n.norm, ' ') AS ws
+       |  FROM normed n JOIN documents d ON n.doc_id = d.doc_id),
        |stats AS (
        |  SELECT doc_id,
        |         len(ws) AS word_count,
@@ -104,17 +106,16 @@ object CurationQueries {
        |           ELSE 'und'
        |         END AS lang_pred
        |  FROM langscores)
-       |SELECT d.doc_id, l.lang_pred, q.quality_score,
+       |SELECT k.doc_id, l.lang_pred, q.quality_score,
        |       CASE WHEN $bucket < 80 THEN 'train'
        |            WHEN $bucket < 90 THEN 'val'
        |            ELSE 'test' END AS split
-       |FROM documents d
-       |JOIN keepers k ON d.doc_id = k.doc_id
-       |JOIN quality q ON d.doc_id = q.doc_id
-       |JOIN lang l ON d.doc_id = l.doc_id
-       |WHERE d.doc_id NOT IN (SELECT doc_id_b FROM drops)
+       |FROM keepers k
+       |JOIN quality q ON k.doc_id = q.doc_id
+       |JOIN lang l ON k.doc_id = l.doc_id
+       |WHERE k.doc_id NOT IN (SELECT doc_id_b FROM drops)
        |  AND q.quality_score >= 0.5 AND l.lang_pred = 'en'
-       |ORDER BY d.doc_id""".stripMargin
+       |ORDER BY k.doc_id""".stripMargin
   }
 
   val queries: Map[String, Q] = Map("corpus_curation" -> corpusCuration)

@@ -190,7 +190,12 @@ object PipelineQueries {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    if (!q.awaitTermination(300000)) {
+      q.stop() // never leak a running stream into later queries' conf changes
+      throw new IllegalStateException(
+        s"stream_ohlc_1h did not finish within 300s (a timed-out run would " +
+          "otherwise return a silently partial memory-sink table)")
+    }
     s.table(name).orderBy(col("candle_start"))
   }
 

@@ -32,6 +32,15 @@ object RangeJoin {
       tsCol: String, startCol: String, endCol: String,
       binWidthUs: Long): DataFrame = {
     require(binWidthUs > 0, "binWidthUs must be positive")
+    require(!points.columns.contains("graft_bin") &&
+      !intervals.columns.contains("graft_bin"),
+      "inputs must not already carry the working column 'graft_bin'")
+    // the residual predicate references tsCol/startCol/endCol by bare name:
+    // any non-key column shared between the two sides would be ambiguous
+    val shared = (points.columns.toSet & intervals.columns.toSet) -- keys
+    require(shared.isEmpty,
+      s"non-key columns shared between both sides would be ambiguous after " +
+        s"the join: ${shared.mkString(", ")}")
     val l = points.withColumn("graft_bin",
       expr(s"unix_micros(`$tsCol`) DIV ${binWidthUs}L"))
     val r = intervals.withColumn("graft_bin", explode(expr(

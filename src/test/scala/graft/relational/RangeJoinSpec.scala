@@ -14,7 +14,9 @@ class RangeJoinSpec extends SparkSpec {
     .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
 
   test("binned range join equals the naive inequality join, no duplicates") {
-    val points = events.select(col("user_id"), col("ts"))
+    // distinct points so output-row uniqueness isolates JOIN duplication
+    // from fixture duplication (two events can share a µs-truncated ts)
+    val points = events.select(col("user_id"), col("ts")).distinct()
     val binned = RangeJoin.pointInInterval(points, sessions, Seq("user_id"),
         "ts", "session_start", "session_end", binWidthUs = 1800000000L)
       .select(col("user_id"), col("ts"), col("session_start"))
