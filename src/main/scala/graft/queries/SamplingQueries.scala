@@ -83,13 +83,28 @@ object SamplingQueries {
        |       ${graft.Parity.proundSql("CAST(sum(n_chars) AS DOUBLE) / count(*)", 6)} AS avg_chars
        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Deterministic 10% sample: hash-of-key bucket < fraction·buckets —
+    * stable across runs, engines, and cluster sizes (never rand()).
+    */
+  val sampleByKey: Q = (s, dir) =>
+    Sampling.sampleByKey(Tables.documents(s, dir), col("doc_id"), 0.1)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  val sampleByKeySql: String =
+    s"""SELECT doc_id, source, lang FROM documents
+       |WHERE (${PortableHash.hash32Sql("doc_id")}) % 10000 < 1000
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "train_test_split" -> trainTestSplit,
     "split_summary" -> splitSummary,
-    "corpus_stats" -> corpusStats)
+    "corpus_stats" -> corpusStats,
+    "sample_by_key" -> sampleByKey)
 
   val oracleSql: Map[String, String] = Map(
     "train_test_split" -> trainTestSplitSql,
     "split_summary" -> splitSummarySql,
-    "corpus_stats" -> corpusStatsSql)
+    "corpus_stats" -> corpusStatsSql,
+    "sample_by_key" -> sampleByKeySql)
 }
