@@ -23,28 +23,40 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val errs = scala.collection.mutable.LinkedHashMap[String, String]()
+    val warmupErrs = scala.collection.mutable.LinkedHashMap[String, String]()
     def runQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        stage: String): Unit =
-      try { fn(spark, sfDir).count(); () } catch { case e: Throwable =>
-        errs(name) = e.toString.linesIterator.next().take(200)
+        stage: String): Boolean =
+      try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+        val sink = if (stage == "warmup") warmupErrs else errs
+        sink(name) = e.toString.linesIterator.next().take(200)
         System.err.println(s"[bench] $stage $name FAILED: $e")
         e.printStackTrace()
+        false
       }
     // Untimed warmup pass first: JVM classloading + whole-stage codegen for
     // an operator is paid once per JVM and would otherwise be attributed to
     // whichever query happens to touch it first (observed 5-15x inflation on
     // cold queries). The timed pass then measures steady-state execution.
+    // Warmup failures are reported under their own key — a transient
+    // warmup-only failure (scratch-dir setup etc.) must not mark a query
+    // that timed clean as erroring.
     SparkEntry.queries.foreach { case (name, fn) => runQuery(name, fn, "warmup") }
     // Two timed passes, min per query: guards the reported number against
     // one-off JVM events (GC storms, block-store eviction) observed to
-    // inflate a single query by ~50x in long multi-query runs.
-    def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    // inflate a single query by ~50x in long multi-query runs. A failed run
+    // yields no time — a broken query must neither bench as ~0 s nor
+    // deflate the total.
+    def timedPass(): Map[String, Option[Double]] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      runQuery(name, fn, "timed")
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = runQuery(name, fn, "timed")
+      name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
     }
     val (p1, p2) = (timedPass(), timedPass())
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    // min over the passes that succeeded; a query with no clean pass is
+    // excluded from queries/total and appears only in errs
+    val results: Map[String, Double] = p1.flatMap { case (k, v) =>
+      (v ++ p2(k)).reduceOption((a, b) => math.min(a, b)).map(k -> _)
+    }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -54,9 +66,10 @@ object Bench {
       } + "\""
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val ws = warmupErrs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errs":$es,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errs":$es,"warmup_errs":$ws,"sf":${jstr(sfDir)}}"""
     println(json)
     Files.writeString(Paths.get("bench.json"), json + "\n")
     spark.stop()

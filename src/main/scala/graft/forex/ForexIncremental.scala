@@ -59,27 +59,47 @@ object ForexIncremental {
       batch, silverDir, tsCol = "observed_at", keyCols = Seq("observed_at"))
   }
 
-  /** Single-day gold backfill: recompute ONLY `date`'s candle-day partition,
-    * feeding the candle aggregation the trailing lookback window so ROWS-
-    * frame SMAs see their preceding candles (frames are PRECEDING-only, so
-    * the backfilled day's values equal a full one-shot recompute's).
+  /** How far a changed silver day reaches in the gold table. Backward: the
+    * +2h shift makes 4h/12h candles that START late on day d-1 absorb day-d
+    * ticks before 02:00, so day d-1 must be rewritten too. Forward: a candle
+    * on day x reads candles back to x-49 through its ROWS-frame sma_50 (the
+    * 24h timeframe spends one candle per day; shorter timeframes reach less
+    * far), so days d+1..d+49 must be rewritten; day d+50's frame starts at
+    * d+1 and never sees day d.
+    */
+  final val BackfillForwardDays = 49
+
+  /** Single-day gold backfill: recompute every candle-day partition a change
+    * to `date`'s silver data can reach — [d-1, d+49] (see
+    * BackfillForwardDays) — feeding the candle aggregation the trailing
+    * lookback window so the EARLIEST rewritten day's ROWS-frame SMAs see
+    * their preceding candles. This mirrors the reference's incremental run,
+    * which re-merges its whole 60-day lookback window every batch
+    * (fct_eurusd_timeframes.sql:25-29) and therefore repairs neighbors for
+    * free; rewriting only day d would leave d-1's shifted candles and the
+    * SMAs of up to 49 following days stale whenever the backfill actually
+    * changed the day. Cost stays O(1) in table size: ~111 days of silver
+    * read, <=51 day-partitions rewritten, independent of history length.
     */
   def runGoldBackfill(
       spark: SparkSession, silverDir: String, goldDir: String,
       date: java.time.LocalDate,
       now: Timestamp = new Timestamp(0L)): Unit = {
-    val d = java.sql.Date.valueOf(date)
+    val first = date.minusDays(1)
+    val last = date.plusDays(BackfillForwardDays)
     val start = new Timestamp(
-      d.getTime - LookbackDays * 86400000L)
-    // include day d+1 ticks: shifted buckets (tz +2h) put early-next-day
-    // ticks into day-d candles; candle_start <= tick ts, so earlier days
-    // can never contribute to day d and the lookback bound suffices
-    val dNext = java.sql.Date.valueOf(date.plusDays(1))
+      java.sql.Date.valueOf(first).getTime - LookbackDays * 86400000L)
+    // include day last+1 ticks: shifted buckets (tz +2h) put early-next-day
+    // ticks into day-`last` candles; candle_start <= tick ts, so ticks can
+    // never contribute to an EARLIER day than `start` allows
+    val readEnd = java.sql.Date.valueOf(last.plusDays(1))
     val silver = IncrementalStore.readTable(spark, silverDir)
       .select("observed_at", "open_price", "high_price", "low_price", "close_price")
-      .filter(col("observed_at") >= lit(start) && to_date(col("observed_at")) <= lit(dNext))
+      .filter(col("observed_at") >= lit(start) &&
+        to_date(col("observed_at")) <= lit(readEnd))
     val batch = ForexPipeline.gold(silver)
-      .filter(to_date(col("candle_start")) === lit(d))
+      .filter(to_date(col("candle_start"))
+        .between(lit(java.sql.Date.valueOf(first)), lit(java.sql.Date.valueOf(last))))
       .withColumn("dbt_updated_at", lit(now))
     IncrementalStore.overwriteDayPartitions(
       batch, goldDir, tsCol = "candle_start", clusterBy = Seq("timeframe"))

@@ -1,8 +1,9 @@
 package graft.ingest
 
 /** Retry with exponential backoff — S2 parity with the reference
-  * extractor's fetch loop (scripts/extract_forex.py:70-109): up to 5
-  * attempts, 10 s initial delay, doubling after each failure.
+  * extractor's fetch loop (scripts/extract_forex.py:70-109): max_retries=5
+  * retries after the initial call, i.e. up to 6 attempts total, 10 s
+  * initial delay, doubling after each failure.
   *
   * Driver-side utility (wraps the network/IO edge of an ingest job, not a
   * distributed operator). `sleep` is injectable so tests run instantly, and
@@ -16,7 +17,7 @@ object Retry {
       s"operation failed after $attempts attempts: ${last.getMessage}", last)
 
   def withBackoff[T](
-      maxAttempts: Int = 5,
+      maxAttempts: Int = 6,
       initialDelayMs: Long = 10000L,
       backoffFactor: Double = 2.0,
       sleep: Long => Unit = Thread.sleep,
@@ -33,8 +34,14 @@ object Retry {
           attempt += 1
       }
     }
-    // final attempt: any failure propagates, wrapped with the attempt count
+    // final attempt: a RETRYABLE failure means the budget is exhausted —
+    // wrap it with the attempt count; a non-retryable failure propagates
+    // raw here exactly as it does on every earlier attempt, so callers
+    // catching the fatal type see one behavior regardless of which attempt
+    // it lands on
     try op(attempt)
-    catch { case e: Throwable => throw ExhaustedException(attempt, e) }
+    catch {
+      case e: Throwable if isRetryable(e) => throw ExhaustedException(attempt, e)
+    }
   }
 }

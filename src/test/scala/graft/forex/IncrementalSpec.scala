@@ -79,13 +79,16 @@ class IncrementalSpec extends SparkSpec {
     val sA = sortedRows(IncrementalStore.readTable(spark, silverDir), Seq("dbt_updated_at", "p_date"))
     val sB = sortedRows(IncrementalStore.readTable(spark, silverOnce), Seq("dbt_updated_at", "p_date"))
     assert(sA === sB)
-    // gold: the backfilled day must equal the one-shot day exactly
-    val dayA = sortedRows(IncrementalStore.readTable(spark, goldDir)
-      .filter(to_date(col("candle_start")) === lit(d)), Seq("dbt_updated_at", "p_date"))
-    val dayB = sortedRows(IncrementalStore.readTable(spark, goldOnce)
-      .filter(to_date(col("candle_start")) === lit(d)), Seq("dbt_updated_at", "p_date"))
-    assert(dayA === dayB)
-    assert(dayA.nonEmpty)
+    // gold: the backfill CHANGED day d's silver (the day was absent from the
+    // initial build), which staled day d-1's shifted 4h/12h candles and the
+    // SMAs of every following day — the repair must rewrite all of them, so
+    // the ENTIRE table must equal the one-shot recompute, not just day d
+    val gA = sortedRows(IncrementalStore.readTable(spark, goldDir),
+      Seq("dbt_updated_at", "p_date"))
+    val gB = sortedRows(IncrementalStore.readTable(spark, goldOnce),
+      Seq("dbt_updated_at", "p_date"))
+    assert(gA === gB)
+    assert(gA.nonEmpty)
   }
 
   test("gold: incremental after silver growth equals one-shot recompute") {

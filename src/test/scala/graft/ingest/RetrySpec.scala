@@ -2,8 +2,8 @@ package graft.ingest
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** S2 retry/backoff semantics (reference extract_forex.py:70-109: 5
-  * attempts, 10 s initial delay, doubling).
+/** S2 retry/backoff semantics (reference extract_forex.py:70-109:
+  * max_retries=5 → 6 calls total, 10 s initial delay, doubling).
   */
 class RetrySpec extends AnyFunSuite {
 
@@ -36,6 +36,26 @@ class RetrySpec extends AnyFunSuite {
     assert(e.attempts === 5)
     assert(sleeps === 4) // no sleep after the final failure
     assert(e.getCause.getMessage === "fail 5")
+  }
+
+  test("default attempt budget matches the reference: 6 calls total") {
+    var calls = 0
+    intercept[Retry.ExhaustedException] {
+      Retry.withBackoff[Int](sleep = _ => ()) { _ => calls += 1; sys.error("x") }
+    }
+    assert(calls === 6)
+  }
+
+  test("non-retryable error on the FINAL attempt propagates raw (no wrap)") {
+    // maxAttempts=1 makes the first attempt the final one — the fatal
+    // error must arrive unwrapped just like on any earlier attempt
+    val e = intercept[IllegalArgumentException] {
+      Retry.withBackoff[Int](maxAttempts = 1, sleep = _ => (),
+        isRetryable = !_.isInstanceOf[IllegalArgumentException]) { _ =>
+        throw new IllegalArgumentException("fatal")
+      }
+    }
+    assert(e.getMessage === "fatal")
   }
 
   test("non-retryable errors propagate immediately") {
