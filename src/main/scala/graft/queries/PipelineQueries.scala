@@ -180,22 +180,30 @@ object PipelineQueries {
   val streamOhlc1h: Q = (s, dir) => {
     val base = scratch(s, "stream_ohlc_1h")
     graft.forex.ForexPipeline.silverFrom(s, dir)
+      .coalesce(8) // bounded source file count for the stream listing
       .write.mode("overwrite").parquet(base)
     val name = "graft_stream_ohlc_1h"
     s.streams.active.filter(_.name == name).foreach(_.stop())
-    val q = graft.streaming.ForexStream
-      .candlesComplete(graft.streaming.ForexStream.ticks(s, base),
-        graft.forex.Resample.byName("1h"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    if (!q.awaitTermination(300000)) {
-      q.stop() // never leak a running stream into later queries' conf changes
-      throw new IllegalStateException(
-        s"stream_ohlc_1h did not finish within 300s (a timed-out run would " +
-          "otherwise return a silently partial memory-sink table)")
-    }
+    // the stateful agg creates one state-store instance (with per-batch
+    // delta + commit files) per shuffle partition; 720 windows need 8, not
+    // 32 — streaming disables AQE, so nothing coalesces this for us
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = graft.streaming.ForexStream
+        .candlesComplete(graft.streaming.ForexStream.ticks(s, base),
+          graft.forex.Resample.byName("1h"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000)) {
+        q.stop() // never leak a running stream into later queries' conf changes
+        throw new IllegalStateException(
+          s"stream_ohlc_1h did not finish within 300s (a timed-out run would " +
+            "otherwise return a silently partial memory-sink table)")
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.table(name).orderBy(col("candle_start"))
   }
 

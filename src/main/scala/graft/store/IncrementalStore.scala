@@ -51,18 +51,33 @@ object IncrementalStore {
   private def withPartition(df: DataFrame, tsCol: String): DataFrame =
     df.withColumn(PartitionCol, to_date(col(tsCol)))
 
-  private def write(df: DataFrame, target: String, clusterBy: Seq[String]): Unit = {
-    val spark = df.sparkSession
+  /** Batch layout for incremental writes: RANGE-partition by
+    * (day, cluster..., ts) and sort identically within partitions.
+    *
+    *  - File count per day-partition is bounded by the range slices that
+    *    cover the day (~ max(tasks, days) files across the whole batch),
+    *    not by shuffle fan-out: a hash-partitioned batch writes one file
+    *    per shuffle task into EVERY touched day — 32 tasks x 35 days ~ 1100
+    *    tiny files at spec scale, and unbounded small-file decay at 100 TB.
+    *    A big day still spans many range slices (many tasks, many files),
+    *    so write parallelism survives skew.
+    *  - Rows reach the writer already sorted by the partition column, so
+    *    FileFormatWriter skips its defensive per-task sort.
+    *  - Within each file rows are cluster- and time-ordered, so parquet
+    *    row-group min/max stats prune on exactly the predicates the store
+    *    serves (day, cluster key, time range) — the cluster_by analog of
+    *    fct_eurusd_timeframes.sql:11 taken to the file layout.
+    */
+  private def rangeLayout(df: DataFrame, tsCol: String,
+      clusterBy: Seq[String]): DataFrame = {
+    val keys = (PartitionCol +: clusterBy :+ tsCol).map(col)
+    df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+  }
+
+  private def write(arranged: DataFrame, target: String): Unit = {
+    val spark = arranged.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    // cluster_by analog (fct_eurusd_timeframes.sql:11): co-locate cluster key
-    // rows within each day-partition file and keep them sorted for row-group
-    // min/max pruning on the cluster column.
-    val arranged =
-      if (clusterBy.isEmpty) df
-      else df
-        .repartition((col(PartitionCol) +: clusterBy.map(col)): _*)
-        .sortWithinPartitions((clusterBy :+ PartitionCol).map(col): _*)
     arranged.write
       .mode("overwrite")
       .partitionBy(PartitionCol)
@@ -76,12 +91,14 @@ object IncrementalStore {
   def overwriteDayPartitions(
       batch: DataFrame, target: String, tsCol: String,
       clusterBy: Seq[String] = Nil): Unit =
-    write(withPartition(batch, tsCol), target, clusterBy)
+    write(rangeLayout(withPartition(batch, tsCol), tsCol, clusterBy), target)
 
-  /** Day-scoped small-file compaction. Every incremental upsert rewrites its
-    * touched day-partitions with one file per shuffle task, so hot days
-    * accumulate small files over many batches — the classic warehouse decay
-    * mode; at 100 TB unbounded file counts dominate scan open/footer costs.
+  /** Day-scoped small-file compaction. The merge path's range layout bounds
+    * files per batch, but day directories still accumulate files from
+    * multi-task writes of big days, append-style producers (bronze ingest,
+    * per-micro-batch streaming sinks), and external writers — the classic
+    * warehouse decay mode; at 100 TB unbounded file counts dominate scan
+    * open/footer costs.
     * Compaction re-reads ONLY the given days (partition-pruned) and rewrites
     * each as one file (or one per cluster key when `clusterBy` is set),
     * byte-identical data, bounded by the touched days like the merge itself.
@@ -96,11 +113,14 @@ object IncrementalStore {
       clusterBy: Seq[String] = Nil): Unit = {
     val pruned = readTable(spark, target)
       .filter(col(PartitionCol).isin(days: _*))
-    // one shuffle partition per day → one output file per day directory
+    // one shuffle partition per day (or per day x cluster-key hash) → one
+    // output file per day directory / cluster run
     val arranged =
       if (clusterBy.isEmpty) pruned.repartition(col(PartitionCol))
       else pruned
-    write(arranged, target, clusterBy)
+        .repartition((col(PartitionCol) +: clusterBy.map(col)): _*)
+        .sortWithinPartitions((PartitionCol +: clusterBy).map(col): _*)
+    write(arranged, target)
   }
 
   /** MERGE upsert on `keyCols` bounded to the batch's day-partitions
@@ -121,6 +141,6 @@ object IncrementalStore {
           .select(part.columns.map(col): _*) // align column order
         old.join(part, keyCols, "left_anti").unionByName(part)
       }
-    write(merged, target, clusterBy)
+    write(rangeLayout(merged, tsCol, clusterBy), target)
   }
 }
