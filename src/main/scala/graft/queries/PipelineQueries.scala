@@ -93,16 +93,19 @@ object PipelineQueries {
     val warehouse = s"${sys.props("java.io.tmpdir")}/graft_pipeline/backfill_day"
     val marker = new org.apache.hadoop.fs.Path(s"$warehouse/_GRAFT_BUILD_COMPLETE")
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // the tag carries a layout version so a warehouse persisted by an older
+    // build (different file layout / write path) is rebuilt, not reused
+    val buildTag = s"$dir|range-layout-v3"
     val built = fs.exists(marker) && {
       val in = fs.open(marker)
       val tag = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-      tag == dir
+      tag == buildTag
     }
     if (!built) {
       scratch(s, "backfill_day")
       PipelineRunner.runOnce(s, dir, warehouse, now = Epoch0)
       val out = fs.create(marker, true)
-      try out.write(dir.getBytes("UTF-8")) finally out.close()
+      try out.write(buildTag.getBytes("UTF-8")) finally out.close()
     }
     // deterministic mid-span day, derived from integer µs bounds (one
     // SURVEY-sanctioned scalar collect; same truncating arithmetic as the

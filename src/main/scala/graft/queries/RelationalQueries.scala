@@ -264,6 +264,32 @@ object RelationalQueries {
        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** Full multi-dimensional subtotal lattice via CUBE over
+    * (event_type, day) with `grouping_id` disambiguating which dimensions
+    * each row rolls up (both engines put the FIRST cube column in the most
+    * significant bit). One shuffle; Spark expands the grouping sets with
+    * map-side partial aggregation, so the lattice costs one pass over the
+    * fact table — the OLAP dashboard query shape at warehouse scale.
+    */
+  val eventsCube: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("d"), col("value"))
+      .cube(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n"),
+        graft.Parity.pround(sumExact(col("value")), 2).as("sum_value"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("event_type").asc_nulls_first, col("d").asc_nulls_first)
+
+  val eventsCubeSql: String =
+    s"""WITH t AS (
+       |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, value
+       |  FROM events)
+       |SELECT event_type, d, count(*) AS n,
+       |       ${graft.Parity.proundSql(sumExactSql("value"), 2)} AS sum_value,
+       |       CAST(GROUPING(event_type, d) AS BIGINT) AS gid
+       |FROM t GROUP BY CUBE (event_type, d)
+       |ORDER BY gid, event_type ASC NULLS FIRST, d ASC NULLS FIRST""".stripMargin
+
   /** Semi/anti-join coverage: customers that placed no orders (NOT EXISTS →
     * left_anti) and parts never ordered at all vs parts with line items
     * (EXCEPT / INTERSECT on key sets).
@@ -382,6 +408,7 @@ object RelationalQueries {
     "part_key_sets" -> partKeySets,
     "events_pivot" -> eventsPivot,
     "lineitem_rollup" -> lineitemRollup,
+    "events_cube" -> eventsCube,
     "sessionize_events" -> sessionizeEvents,
     "q1_pricing" -> q1Pricing,
     "q3_top_orders" -> q3TopOrders,
@@ -398,6 +425,7 @@ object RelationalQueries {
     "part_key_sets" -> partKeySetsSql,
     "events_pivot" -> eventsPivotSql,
     "lineitem_rollup" -> lineitemRollupSql,
+    "events_cube" -> eventsCubeSql,
     "sessionize_events" -> sessionizeEventsSql,
     "q1_pricing" -> q1PricingSql,
     "q3_top_orders" -> q3TopOrdersSql,

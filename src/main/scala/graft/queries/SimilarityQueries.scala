@@ -173,17 +173,57 @@ object SimilarityQueries {
        |WHERE rank <= 10 ORDER BY query_vec_id, rank""".stripMargin
   }
 
+  /** Per-vector scalar quantization (uint8-style): affine-map each
+    * embedding to integer codes in [0, 255] with its own (qmin, qscale) —
+    * the embedding-compression step before shipping vectors to an ANN
+    * index or training shard (4x smaller than float32 at ~1e-2 recall
+    * cost). Pure per-row array math: no shuffle, embarrassingly parallel,
+    * and the dequantization constants travel with the row. floor(x + 0.5)
+    * is the engine-independent HALF_UP (plain round() disagrees across
+    * engines at half-boundaries).
+    */
+  val embedQuantize: Q = (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .select(col("vec_id"), col("emb"),
+        array_min(col("emb")).as("qmin"),
+        ((array_max(col("emb")) - array_min(col("emb"))) / 255.0).as("qscale"))
+      .select(col("vec_id"), col("qmin"), col("qscale"),
+        when(col("qscale") === 0.0,
+          expr("transform(emb, x -> CAST(0 AS BIGINT))"))
+          .otherwise(
+            expr("transform(emb, x -> CAST(floor((x - qmin) / qscale + 0.5) AS BIGINT))"))
+          .as("codes"))
+      .orderBy(col("vec_id"))
+
+  val embedQuantizeSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, emb, list_min(emb) AS qmin,
+      |         (list_max(emb) - list_min(emb)) / 255.0 AS qscale
+      |  FROM e)
+      |SELECT vec_id, qmin, qscale,
+      |       CASE WHEN qscale = 0 THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+      |            ELSE list_transform(emb, x -> CAST(floor((x - qmin) / qscale + 0.5) AS BIGINT))
+      |       END AS codes
+      |FROM s ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "embedding_norms" -> embeddingNorms,
     "knn_bruteforce" -> knnBruteForce,
     "neardup_embeddings" -> neardupEmbeddings,
     "ann_lsh_topk" -> annLshTopK,
-    "ann_ivf_topk" -> annIvfTopK)
+    "ann_ivf_topk" -> annIvfTopK,
+    "embed_quantize" -> embedQuantize)
 
   val oracleSql: Map[String, String] = Map(
     "embedding_norms" -> embeddingNormsSql,
     "knn_bruteforce" -> knnBruteForceSql,
     "neardup_embeddings" -> neardupEmbeddingsSql,
     "ann_lsh_topk" -> annLshTopKSql,
-    "ann_ivf_topk" -> annIvfTopKSql)
+    "ann_ivf_topk" -> annIvfTopKSql,
+    "embed_quantize" -> embedQuantizeSql)
 }

@@ -107,17 +107,54 @@ object TextQueries {
     s"""WITH $normedSql
        |SELECT doc_id, md5(norm) AS fp FROM normed ORDER BY doc_id""".stripMargin
 
+  /** Per-language token-length distribution — the numbers a curation
+    * pipeline turns into length-filter thresholds (p50/p90/p99). Exact
+    * interpolated percentiles: Spark `percentile` and DuckDB
+    * `quantile_cont` are bit-identical on doubles. Exact percentiles
+    * buffer each group's values; at 100 TB the same query swaps in
+    * `percentile_approx` (t-digest, mergeable partials) — kept exact here
+    * because the oracle gate needs cross-engine bit-parity and language
+    * groups are few.
+    */
+  val tokenQuantiles: Q = (s, dir) => {
+    val t = Tables.documents(s, dir)
+      .select(col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("double").as("n_tokens"))
+    t.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        percentile(col("n_tokens"), lit(0.5)).as("p50_tokens"),
+        percentile(col("n_tokens"), lit(0.9)).as("p90_tokens"),
+        percentile(col("n_tokens"), lit(0.99)).as("p99_tokens"),
+        max(col("n_tokens")).cast("long").as("max_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val tokenQuantilesSql: String =
+    """WITH t AS (
+      |  SELECT lang,
+      |         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]|\s+')) AS DOUBLE) AS n_tokens
+      |  FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |       quantile_cont(n_tokens, 0.5) AS p50_tokens,
+      |       quantile_cont(n_tokens, 0.9) AS p90_tokens,
+      |       quantile_cont(n_tokens, 0.99) AS p99_tokens,
+      |       CAST(max(n_tokens) AS BIGINT) AS max_tokens
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text_stats" -> textStats,
     "text_quality" -> qualityScore,
     "token_count" -> tokenCount,
     "lang_id" -> langId,
-    "doc_fingerprint" -> docFingerprint)
+    "doc_fingerprint" -> docFingerprint,
+    "token_quantiles" -> tokenQuantiles)
 
   val oracleSql: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
     "text_quality" -> qualityScoreSql,
     "token_count" -> tokenCountSql,
     "lang_id" -> langIdSql,
-    "doc_fingerprint" -> docFingerprintSql)
+    "doc_fingerprint" -> docFingerprintSql,
+    "token_quantiles" -> tokenQuantilesSql)
 }
