@@ -132,15 +132,21 @@ object IncrementalStore {
       clusterBy: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val part = withPartition(batch, tsCol)
-    val merged =
-      if (!exists(spark, target)) part
-      else {
-        val days = part.select(PartitionCol).distinct().collect().map(_.getDate(0))
+    if (!exists(spark, target)) write(rangeLayout(part, tsCol, clusterBy), target)
+    else {
+      // the batch feeds three computations (day-list collect, anti-join
+      // probe, merged write) — persist it once rather than re-running its
+      // whole lineage (a source scan + dedup at warehouse scale) per use;
+      // the batch itself is one micro-batch of data, bounded by design
+      val cached = part.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val days = cached.select(PartitionCol).distinct().collect().map(_.getDate(0))
         val old = readTable(spark, target)
           .filter(col(PartitionCol).isin(days.toIndexedSeq: _*))
-          .select(part.columns.map(col): _*) // align column order
-        old.join(part, keyCols, "left_anti").unionByName(part)
-      }
-    write(rangeLayout(merged, tsCol, clusterBy), target)
+          .select(cached.columns.map(col): _*) // align column order
+        val merged = old.join(cached, keyCols, "left_anti").unionByName(cached)
+        write(rangeLayout(merged, tsCol, clusterBy), target)
+      } finally cached.unpersist(blocking = false)
+    }
   }
 }
