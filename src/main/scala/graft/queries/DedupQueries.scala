@@ -215,7 +215,60 @@ object DedupQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Benchmark decontamination: flag corpus documents that share any word
+    * 8-gram with a held-out benchmark set — the standard eval-leakage
+    * guard before training (n-gram collision, not exact match, because
+    * leaked eval items are near-copies: reflowed, retitled, partially
+    * quoted). Benchmark here = doc_id < 50 of the same table, so the
+    * oracle recomputes both sides from `documents` alone.
+    *
+    * Scale shape: real benchmark suites are tiny relative to the corpus,
+    * so the distinct benchmark shingle set is broadcast and the corpus
+    * streams through a map-side semi-probe (zero corpus shuffle before
+    * the per-doc distinct, which carries doc_ids only). The shingle
+    * arrays are built per-row from each doc's own word array
+    * (DocDedup.shingles — zero-shuffle construction).
+    */
+  val decontaminate: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val sh = DocDedup.shingles(docs, n = 8)
+    val benchShingles = sh.filter(col("doc_id") < 50).select(col("shingle")).distinct()
+    val hits = sh.filter(col("doc_id") >= 50)
+      .join(broadcast(benchShingles), Seq("shingle"))
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(true))
+    docs.filter(col("doc_id") >= 50)
+      .select(col("doc_id"))
+      .join(broadcast(hits), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String = {
+    val gram8 = (1 to 8).map(i => s"ws[i+$i]").mkString(" || ' ' || ")
+    s"""WITH normed AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+       |  FROM documents),
+       |w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM normed),
+       |sh AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(ws) >= 8
+       |              THEN list_transform(range(0, len(ws) - 7), i -> $gram8)
+       |              ELSE []::VARCHAR[] END AS sh
+       |  FROM w),
+       |bsh AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id < 50),
+       |hits AS (
+       |  SELECT DISTINCT doc_id
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id >= 50) c
+       |  WHERE s IN (SELECT s FROM bsh))
+       |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+       |FROM (SELECT doc_id FROM documents WHERE doc_id >= 50) d
+       |LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "decontaminate" -> decontaminate,
     "dedup_keep_docs" -> dedupKeepDocs,
     "dedup_exact_docs" -> dedupExactDocs,
     "minhash_signatures" -> minhashSignatures,
@@ -226,6 +279,7 @@ object DedupQueries {
     "simhash_pairs" -> simhashPairs)
 
   val oracleSql: Map[String, String] = Map(
+    "decontaminate" -> decontaminateSql,
     "simhash_pairs" -> simhashPairsSql,
     "dedup_keep_docs" -> dedupKeepDocsSql,
     "dedup_exact_docs" -> dedupExactDocsSql,

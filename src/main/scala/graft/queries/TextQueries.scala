@@ -142,13 +142,80 @@ object TextQueries {
       |       CAST(max(n_tokens) AS BIGINT) AS max_tokens
       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Within-document repetition (Gopher/C4-style quality signal): the
+    * fraction of a doc's word 3-grams that are duplicates of an earlier
+    * 3-gram. High ratios mark boilerplate/spam for curation filters. Pure
+    * per-row array math (the shingle array is built from the doc's own
+    * word array — zero shuffle); the total 3-gram count comes from the
+    * word count (size(w)-2), so the shingle array has a single consumer
+    * chain and Catalyst's CollapseProject inlining stays cheap.
+    */
+  val dupNgramRatio: Q = (s, dir) => {
+    val n = 3
+    val parts = (0 until n).map(i => if (i == 0) "w[i]" else s"w[i+$i]").mkString(", ")
+    Tables.documents(s, dir)
+      .withColumn("w", TextAnalysis.words(col("text")))
+      .select(col("doc_id"),
+        greatest(size(col("w")) - (n - 1), lit(0)).cast("long").as("n_ngrams"),
+        expr(
+          s"""CASE WHEN size(w) >= $n THEN CAST(size(array_distinct(
+             |  transform(sequence(0, size(w) - $n), i -> concat_ws(' ', $parts)))) AS BIGINT)
+             |ELSE CAST(0 AS BIGINT) END""".stripMargin).as("n_distinct"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_distinct"),
+        when(col("n_ngrams") > 0,
+          graft.Parity.pround(
+            lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams").cast("double"), 6))
+          .otherwise(lit(0.0)).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dupNgramRatioSql: String =
+    s"""WITH $normedSql,
+       |sh AS (
+       |  SELECT doc_id,
+       |         CAST(greatest(len(ws) - 2, 0) AS BIGINT) AS n_ngrams,
+       |         CASE WHEN len(ws) >= 3
+       |              THEN CAST(len(list_distinct(list_transform(range(0, len(ws) - 2),
+       |                     i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS BIGINT)
+       |              ELSE CAST(0 AS BIGINT) END AS n_distinct
+       |  FROM w)
+       |SELECT doc_id, n_ngrams, n_distinct,
+       |       CASE WHEN n_ngrams > 0
+       |            THEN floor((1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_ngrams AS DOUBLE)) * 1e6 + 0.5) / 1e6
+       |            ELSE 0.0 END AS dup_ratio
+       |FROM sh ORDER BY doc_id""".stripMargin
+
+  /** Corpus vocabulary head: top-100 tokens by frequency with a total
+    * deterministic tie-break — the first step of tokenizer/vocab
+    * construction. One explode + one hash aggregate with map-side partial
+    * counts (the shuffle carries |distinct tokens per partition| rows, not
+    * the token stream), then a global top-k (TakeOrdered, no full sort).
+    */
+  val vocabTopK: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(explode(TextAnalysis.words(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(100)
+
+  val vocabTopKSql: String =
+    s"""WITH $normedSql,
+       |tok AS (SELECT unnest(ws) AS token FROM w)
+       |SELECT token, count(*) AS n FROM tok
+       |WHERE length(token) > 0
+       |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text_stats" -> textStats,
     "text_quality" -> qualityScore,
     "token_count" -> tokenCount,
     "lang_id" -> langId,
     "doc_fingerprint" -> docFingerprint,
-    "token_quantiles" -> tokenQuantiles)
+    "token_quantiles" -> tokenQuantiles,
+    "dup_ngram_ratio" -> dupNgramRatio,
+    "vocab_topk" -> vocabTopK)
 
   val oracleSql: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
@@ -156,5 +223,7 @@ object TextQueries {
     "token_count" -> tokenCountSql,
     "lang_id" -> langIdSql,
     "doc_fingerprint" -> docFingerprintSql,
-    "token_quantiles" -> tokenQuantilesSql)
+    "token_quantiles" -> tokenQuantilesSql,
+    "dup_ngram_ratio" -> dupNgramRatioSql,
+    "vocab_topk" -> vocabTopKSql)
 }
