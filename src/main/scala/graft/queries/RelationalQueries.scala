@@ -339,6 +339,39 @@ object RelationalQueries {
        |       ${graft.Parity.proundSql("CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)", 6)} AS sum_value
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Join-side skew mitigation for big-skewed x small-dim: the fact side is
+    * salted with a content-derived salt, the broadcast dimension is
+    * replicated buckets-x, so one hot key (5 event types carry ALL fact
+    * rows here — maximal skew) spreads across 16 tasks instead of
+    * straggling on one reducer. The oracle is the PLAIN join + aggregate:
+    * replication must not duplicate or drop a single row, and exact-DECIMAL
+    * sums make the answer association-independent.
+    */
+  val skewSaltedJoin: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("type_weight", length(col("event_type")).cast("long"))
+    graft.relational.Skew.saltedJoinSmall(
+        ev, dim, "event_type", saltSource = col("value"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Parity.pround(
+          sumExact(col("value") * col("type_weight").cast("double")), 2)
+          .as("weighted_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  val skewSaltedJoinSql: String =
+    s"""WITH dim AS (
+       |  SELECT DISTINCT event_type,
+       |         CAST(length(event_type) AS BIGINT) AS type_weight
+       |  FROM events)
+       |SELECT e.event_type, count(*) AS n,
+       |       ${graft.Parity.proundSql(
+      sumExactSql("e.value * CAST(d.type_weight AS DOUBLE)"), 2)} AS weighted_sum
+       |FROM events e JOIN dim d ON e.event_type = d.event_type
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Same sessionization through the whale-user-safe declarative rewrite
     * (window lag + cumulative flag, spillable external sort) — the 100 TB
     * batch path. Shares the stateful operator's oracle: both plans must
@@ -404,6 +437,7 @@ object RelationalQueries {
     "range_join_sessions" -> rangeJoinSessions,
     "sessionize_relational" -> sessionizeRelational,
     "skew_salted_sum" -> skewSaltedSum,
+    "skew_salted_join" -> skewSaltedJoin,
     "customers_without_orders" -> customersWithoutOrders,
     "part_key_sets" -> partKeySets,
     "events_pivot" -> eventsPivot,
@@ -421,6 +455,7 @@ object RelationalQueries {
     "range_join_sessions" -> rangeJoinSessionsSql,
     "sessionize_relational" -> sessionizeEventsSql, // same semantics, scalable plan
     "skew_salted_sum" -> skewSaltedSumSql,
+    "skew_salted_join" -> skewSaltedJoinSql,
     "customers_without_orders" -> customersWithoutOrdersSql,
     "part_key_sets" -> partKeySetsSql,
     "events_pivot" -> eventsPivotSql,
