@@ -173,6 +173,46 @@ object SimilarityQueries {
        |WHERE rank <= 10 ORDER BY query_vec_id, rank""".stripMargin
   }
 
+  /** k-means TRAINING at the oracle gate: two full Lloyd iterations
+    * (seeded init → assign → mean-update → assign → mean-update) must
+    * reproduce bit-for-bit in DuckDB — dot products are sequential folds,
+    * distances use the expanded ||x||2 - 2x.c + ||c||2 form with identical
+    * parenthesization, and per-dimension means are exact-DECIMAL sums over
+    * a double division, so the entire training trajectory (not just one
+    * step) is engine-independent. Output: trained centroid vectors with
+    * final assignment counts.
+    */
+  val ivfTrain: Q = (s, dir) =>
+    Similarity.ivfTrain(Tables.embeddings(s, dir))
+
+  val ivfTrainSql: String = {
+    val centIds = (100L until 116L).mkString(", ")
+    def assignSql(cents: String, name: String): String =
+      s"""$name AS (SELECT vec_id, emb, cent_id AS cell FROM (
+         |    SELECT en.vec_id, en.emb, c.cent_id,
+         |           row_number() OVER (PARTITION BY en.vec_id
+         |                              ORDER BY en.xx - 2 * (${dotSql("en.emb", "c.c_emb")}) + c.cc ASC, c.cent_id) AS rn
+         |    FROM en CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def updateSql(asg: String, uname: String, cname: String): String =
+      s"""$uname AS (SELECT cell, pos, CAST(sum(CAST(v AS DECIMAL(30,10))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+         |    FROM (SELECT cell, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v FROM $asg) x
+         |    GROUP BY cell, pos),
+         |$cname AS (SELECT cell AS cent_id, list(m ORDER BY pos) AS c_emb FROM $uname GROUP BY cell)""".stripMargin
+    s"""WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       |en AS (SELECT vec_id, emb, ${dotSql("emb", "emb")} AS xx FROM e0),
+       |c0 AS (SELECT vec_id AS cent_id, emb AS c_emb FROM e0 WHERE vec_id IN ($centIds)),
+       |c0n AS (SELECT cent_id, c_emb, ${dotSql("c_emb", "c_emb")} AS cc FROM c0),
+       |${assignSql("c0n", "a1")},
+       |${updateSql("a1", "u1", "c1")},
+       |c1n AS (SELECT cent_id, c_emb, ${dotSql("c_emb", "c_emb")} AS cc FROM c1),
+       |${assignSql("c1n", "a2")},
+       |${updateSql("a2", "u2", "c2")},
+       |n2 AS (SELECT cell, count(*) AS n FROM a2 GROUP BY cell)
+       |SELECT c2.cent_id, n2.n, c2.c_emb AS centroid
+       |FROM c2 JOIN n2 ON c2.cent_id = n2.cell
+       |ORDER BY c2.cent_id""".stripMargin
+  }
+
   /** Per-vector scalar quantization (uint8-style): affine-map each
     * embedding to integer codes in [0, 255] with its own (qmin, qscale) —
     * the embedding-compression step before shipping vectors to an ANN
@@ -217,9 +257,11 @@ object SimilarityQueries {
     "neardup_embeddings" -> neardupEmbeddings,
     "ann_lsh_topk" -> annLshTopK,
     "ann_ivf_topk" -> annIvfTopK,
+    "ivf_train" -> ivfTrain,
     "embed_quantize" -> embedQuantize)
 
   val oracleSql: Map[String, String] = Map(
+    "ivf_train" -> ivfTrainSql,
     "embedding_norms" -> embeddingNormsSql,
     "knn_bruteforce" -> knnBruteForceSql,
     "neardup_embeddings" -> neardupEmbeddingsSql,

@@ -142,6 +142,67 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic k-means (Lloyd) training for the IVF coarse quantizer:
+    * init from the vectors at fixed `centroidVecIds` (sampling-by-key, the
+    * deterministic analog of k-means++ seeding), then `iters` rounds of
+    * assign (argmin squared-Euclidean, tie-break to the smaller cent_id)
+    * and update (per-dimension mean). Returns the trained centroids with
+    * their final assignment counts. Empty cells drop out (their seed was
+    * beaten everywhere) — standard Lloyd behavior.
+    *
+    * Scale shape per iteration: assignment is one corpus scan x broadcast
+    * centroids with a map-side-combinable `min_by` (the shuffle carries |V|
+    * assignment rows, never the |V| x K distance stream; dist uses the
+    * expanded form ||x||2 - 2x.c + ||c||2 so per-pair work is ONE fused
+    * VecDot); the update posexplodes to (cell, dim) partial sums — map-side
+    * combine makes the shuffle carry K x dim rows per partition. Everything
+    * is bit-reproducible cross-engine: dot products are sequential folds,
+    * means are exact-DECIMAL sums over a double division, so the DuckDB
+    * oracle reproduces the whole training trajectory exactly.
+    */
+  def ivfTrain(
+      embeddings: DataFrame,
+      centroidVecIds: Seq[Long] = (100L until 116L),
+      iters: Int = 2): DataFrame = {
+    val e = embeddings
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .withColumn("xx", dot("emb", "emb"))
+    val init = e.filter(col("vec_id").isin(centroidVecIds: _*))
+      .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"))
+    def assign(cents: DataFrame): DataFrame = {
+      val c = cents.withColumn("cc", dot("c_emb", "c_emb"))
+      e.crossJoin(broadcast(c))
+        .withColumn("dist",
+          col("xx") - lit(2.0) * dot("emb", "c_emb") + col("cc"))
+        .groupBy(col("vec_id"))
+        .agg(
+          min_by(col("cent_id"), struct(col("dist"), col("cent_id"))).as("cell"),
+          // emb is constant across a vec_id's K scored rows, so first() is
+          // deterministic here
+          first(col("emb")).as("emb"))
+    }
+    def update(assigned: DataFrame): DataFrame = assigned
+      .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(30, 10)))
+        .cast("double") / count(lit(1)).cast("double")).as("m"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .as("c_emb"))
+      .select(col("cell").as("cent_id"), col("c_emb"))
+    var cents = init
+    var lastAssign: DataFrame = init // placeholder, reassigned below
+    for (_ <- 1 to math.max(iters, 1)) {
+      lastAssign = assign(cents)
+      cents = update(lastAssign)
+    }
+    val counts = lastAssign.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    cents.join(counts, col("cent_id") === col("cell"))
+      .select(col("cent_id"), col("n"), col("c_emb").as("centroid"))
+      .orderBy(col("cent_id"))
+  }
+
   /** LSH-bucketed ANN top-k with multi-probe: per query vector, rank
     * candidates in the query's sign-bucket AND every bucket at Hamming
     * distance 1 (probe buckets are exploded on the tiny broadcast query

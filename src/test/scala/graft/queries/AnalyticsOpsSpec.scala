@@ -39,6 +39,20 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(byGid(2L).forall(r => r.isNullAt(0) && !r.isNullAt(1)))
   }
 
+  test("ivf_train: every vector assigned, centroids have the data's dim") {
+    val out = SimilarityQueries.ivfTrain(spark, sf0001).collect()
+    assert(out.nonEmpty && out.length <= 16)
+    val total = Tables.embeddings(spark, sf0001).count()
+    assert(out.map(_.getAs[Long]("n")).sum === total)
+    val dim = Tables.embeddings(spark, sf0001)
+      .select(org.apache.spark.sql.functions.size(col("embedding"))).first().getInt(0)
+    out.foreach { r =>
+      val c = r.getAs[scala.collection.Seq[Double]]("centroid")
+      assert(c.length === dim)
+      assert(c.forall(v => !v.isNaN && !v.isInfinite))
+    }
+  }
+
   test("embed_quantize: codes in [0,255], dequantization error <= qscale/2") {
     val out = SimilarityQueries.embedQuantize(spark, sf0001)
     val joined = out.join(
