@@ -210,6 +210,66 @@ object PipelineQueries {
     s.table(name).orderBy(col("candle_start"))
   }
 
+  /** STREAM-STREAM interval join at the gate: purchases and clicks flow as
+    * two file streams, join on user_id within a 30-minute attribution
+    * window (watermarks + two-sided time bound → evictable state), append
+    * to a memory sink, and the final table must equal the plain batch
+    * join — inner stream-stream joins emit each matched pair exactly once,
+    * so a bounded run is directly comparable.
+    */
+  val streamJoinAttribution: Q = (s, dir) => {
+    val base = scratch(s, "stream_join_attribution")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"), col("user_id"))
+      .coalesce(4).write.mode("overwrite").parquet(s"$base/purchases")
+    ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("c_ts"),
+        col("user_id").as("c_user_id"))
+      .coalesce(4).write.mode("overwrite").parquet(s"$base/clicks")
+    val pSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("purchase_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p_ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType)))
+    val cSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("click_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("c_ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("c_user_id", org.apache.spark.sql.types.LongType)))
+    val name = "graft_stream_join_attribution"
+    s.streams.active.filter(_.name == name).foreach(_.stop())
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = graft.streaming.StreamJoin.attribution(
+          s.readStream.schema(pSchema).parquet(s"$base/purchases"),
+          s.readStream.schema(cSchema).parquet(s"$base/clicks"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "stream_join_attribution did not finish within 300s")
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(name).orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  val streamJoinAttributionSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+      |p AS (SELECT event_id AS purchase_id, ts AS p_ts, user_id FROM ev
+      |      WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS click_id, ts AS c_ts, user_id AS c_user_id FROM ev
+      |      WHERE event_type = 'click')
+      |SELECT p.purchase_id, c.click_id, p.user_id, p.p_ts, c.c_ts
+      |FROM p JOIN c ON p.user_id = c.c_user_id
+      |  AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+      |  AND c.c_ts <= p.p_ts
+      |ORDER BY p.purchase_id, c.click_id""".stripMargin
+
   /** Store maintenance at the gate: fragment a silver store through the
     * real multi-task write path, compact every day to one file, and return
     * the table — the oracle is the plain silver recompute, so compaction
@@ -257,6 +317,7 @@ object PipelineQueries {
     "backfill_day" -> backfillDay,
     "ingest_bronze" -> ingestBronze,
     "stream_ohlc_1h" -> streamOhlc1h,
+    "stream_join_attribution" -> streamJoinAttribution,
     "compact_roundtrip" -> compactRoundtrip)
 
   val oracleSql: Map[String, String] = Map(
@@ -264,5 +325,6 @@ object PipelineQueries {
     "backfill_day" -> goldTableSql,
     "ingest_bronze" -> ingestBronzeSql,
     "stream_ohlc_1h" -> ForexQueries.ohlc1hSql, // streaming vs the batch oracle
+    "stream_join_attribution" -> streamJoinAttributionSql, // streaming vs batch join
     "compact_roundtrip" -> compactRoundtripSql)
 }
