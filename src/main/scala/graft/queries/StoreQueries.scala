@@ -1,5 +1,7 @@
 package graft.queries
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -85,6 +87,81 @@ object StoreQueries {
        |SELECT observed_at, open_price, high_price, low_price, close_price, p_date
        |FROM final ORDER BY observed_at""".stripMargin
 
+  private val TrackCols = Seq("open_price", "high_price", "low_price", "close_price")
+
+  /** SCD Type-2 snapshot (the dbt `snapshots/` surface, check strategy):
+    * apply batch 1 at T1 then the shifted batch 2 at T2 — overlap keys get
+    * their T1 version closed ([T1, T2), is_current=false) and a T2 version
+    * opened; batch-1-only keys stay current (dbt's default hard-delete
+    * handling); batch-2-only keys open at T2. The oracle rebuilds the full
+    * interval history from the same two batch definitions with null-safe
+    * value comparisons (IS DISTINCT FROM on both engines — never a string
+    * digest).
+    */
+  val scd2Snapshot: Q = (s, dir) => {
+    val silver = ForexPipeline.silverFrom(s, dir)
+    val row = silver.agg(
+      min(unix_micros(col("observed_at"))), max(unix_micros(col("observed_at")))).first()
+    val (mn, mx) = (row.getLong(0), row.getLong(1))
+    val cutA = mn + (mx - mn) * 2L / 3L
+    val cutB = mn + (mx - mn) / 3L
+    val b1 = silver.filter(unix_micros(col("observed_at")) <= cutA)
+    val b2 = silver.filter(unix_micros(col("observed_at")) >= cutB)
+      .withColumn("close_price", col("close_price") + lit(1.0))
+    val t1 = new Timestamp(0L)
+    val t2 = new Timestamp(86400000L) // 1970-01-02 00:00:00 UTC
+    val s1 = graft.store.Scd2.snapshot(None, b1, Seq("observed_at"), TrackCols, t1)
+    val s2 = graft.store.Scd2.snapshot(Some(s1), b2, Seq("observed_at"), TrackCols, t2)
+    s2.select(col("observed_at"), col("open_price"), col("high_price"),
+        col("low_price"), col("close_price"), col("valid_from"),
+        col("valid_to"), col("is_current"))
+      .orderBy(col("observed_at"), col("valid_from"))
+  }
+
+  val scd2SnapshotSql: String = {
+    val cols = "observed_at, open_price, high_price, low_price, close_price"
+    def aCols = TrackCols.map(c => s"a.$c").mkString(", ")
+    def bCols = TrackCols.map(c => s"b.$c").mkString(", ")
+    val changed = TrackCols
+      .map(c => s"a.$c IS DISTINCT FROM b.$c").mkString(" OR ")
+    s"""WITH $silverSql,
+       |bounds AS (
+       |  SELECT min(epoch_us(observed_at)) AS mn, max(epoch_us(observed_at)) AS mx
+       |  FROM silver),
+       |b1 AS (
+       |  SELECT * FROM silver
+       |  WHERE epoch_us(observed_at) <= (SELECT mn + (mx - mn) * 2 // 3 FROM bounds)),
+       |b2 AS (
+       |  SELECT observed_at, open_price, high_price, low_price,
+       |         close_price + 1.0 AS close_price
+       |  FROM silver
+       |  WHERE epoch_us(observed_at) >= (SELECT mn + (mx - mn) // 3 FROM bounds)),
+       |closed AS (
+       |  SELECT a.observed_at, $aCols,
+       |         TIMESTAMP '1970-01-01 00:00:00' AS valid_from,
+       |         TIMESTAMP '1970-01-02 00:00:00' AS valid_to,
+       |         FALSE AS is_current
+       |  FROM b1 a JOIN b2 b ON a.observed_at = b.observed_at
+       |  WHERE $changed),
+       |kept AS (
+       |  SELECT a.observed_at, $aCols,
+       |         TIMESTAMP '1970-01-01 00:00:00' AS valid_from,
+       |         NULL::TIMESTAMP AS valid_to, TRUE AS is_current
+       |  FROM b1 a LEFT JOIN b2 b ON a.observed_at = b.observed_at
+       |  WHERE b.observed_at IS NULL OR NOT ($changed)),
+       |opened AS (
+       |  SELECT b.observed_at, $bCols,
+       |         TIMESTAMP '1970-01-02 00:00:00' AS valid_from,
+       |         NULL::TIMESTAMP AS valid_to, TRUE AS is_current
+       |  FROM b2 b LEFT JOIN b1 a ON a.observed_at = b.observed_at
+       |  WHERE a.observed_at IS NULL OR ($changed))
+       |SELECT $cols, valid_from, valid_to, is_current FROM (
+       |  SELECT * FROM closed UNION ALL
+       |  SELECT * FROM kept UNION ALL
+       |  SELECT * FROM opened)
+       |ORDER BY observed_at, valid_from""".stripMargin
+  }
+
   /** Co-located join through the bucketed-table layout (SURVEY §4 row 3 at
     * scale): lineitem and orders are written bucketed+sorted on the order
     * key, then joined and aggregated. With both sides pre-bucketed the join
@@ -139,8 +216,10 @@ object StoreQueries {
 
   val queries: Map[String, Q] = Map(
     "merge_upsert" -> mergeUpsert,
+    "scd2_snapshot" -> scd2Snapshot,
     "bucketed_join" -> bucketedJoin)
   val oracleSql: Map[String, String] = Map(
     "merge_upsert" -> mergeUpsertSql,
+    "scd2_snapshot" -> scd2SnapshotSql,
     "bucketed_join" -> bucketedJoinSql)
 }

@@ -1,0 +1,80 @@
+package graft.store
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, TimestampType}
+
+/** SCD Type-2 snapshots — the dbt `snapshots/` surface of the reference
+  * (the directory is scaffolded in the reference repo; dbt's
+  * `check`-strategy snapshot is the canonical implementation) as a
+  * DataFrame operator: each application of a source batch appends history
+  * rows instead of overwriting, so every key carries its full change
+  * timeline as [valid_from, valid_to) intervals with one current row.
+  *
+  * Semantics (dbt check strategy, default hard-delete handling):
+  *  - new key            → open a current row (valid_from = now);
+  *  - tracked change     → close the old current row (valid_to = now,
+  *    is_current = false) and open a new current one;
+  *  - unchanged          → row passes through untouched;
+  *  - key absent from the batch → stays current (dbt's default: deletes
+  *    are not invalidated).
+  * Change detection is null-safe value equality on `trackCols` (IS
+  * DISTINCT FROM), never a string/hash digest — exact doubles compare
+  * identically on every engine.
+  *
+  * Scale shape: one full-outer join of the CURRENT slice against the
+  * batch on the key (history rows never join — they are a pass-through
+  * union), so cost is O(current + batch) per application regardless of
+  * accumulated history depth; on disk the history naturally partitions by
+  * valid_from day through IncrementalStore.
+  */
+object Scd2 {
+
+  /** Apply one source batch to an optional existing snapshot table.
+    * `existing` must carry valid_from/valid_to/is_current (i.e. be a prior
+    * result of this function); `batch` is the raw source slice.
+    */
+  def snapshot(existing: Option[DataFrame], batch: DataFrame,
+      keyCols: Seq[String], trackCols: Seq[String], now: Timestamp): DataFrame = {
+    val opened = batch
+      .withColumn("valid_from", lit(now))
+      .withColumn("valid_to", lit(null).cast(TimestampType))
+      .withColumn("is_current", lit(true).cast(BooleanType))
+    existing match {
+      case None => opened
+      case Some(table) =>
+        val cur = table.filter(col("is_current"))
+        val hist = table.filter(!col("is_current"))
+        val b = batch.select(
+          keyCols.map(col) ++ trackCols.map(c => col(c).as(s"__b_$c"))
+            :+ lit(true).as("__b_present"): _*)
+        val joined = cur.join(b, keyCols, "full_outer")
+        val present = col("valid_from").isNotNull // key existed in cur
+        val batchPresent = col("__b_present").isNotNull
+        val changed = trackCols
+          .map(c => !(col(s"__b_$c") <=> col(c)))
+          .reduce(_ || _)
+        // close rows whose tracked values changed
+        val closed = joined
+          .filter(present && batchPresent && changed)
+          .select(cur.columns.map(col): _*)
+          .withColumn("valid_to", lit(now))
+          .withColumn("is_current", lit(false))
+        // untouched: unchanged matches and keys absent from the batch
+        val kept = joined
+          .filter(present && (!batchPresent || !changed))
+          .select(cur.columns.map(col): _*)
+        // open: brand-new keys and the new version of changed keys
+        val openedNow = joined
+          .filter(batchPresent && (!present || changed))
+          .select((keyCols.map(col) ++
+            trackCols.map(c => col(s"__b_$c").as(c))): _*)
+          .withColumn("valid_from", lit(now))
+          .withColumn("valid_to", lit(null).cast(TimestampType))
+          .withColumn("is_current", lit(true).cast(BooleanType))
+        hist.unionByName(closed).unionByName(kept).unionByName(openedNow)
+    }
+  }
+}
