@@ -56,25 +56,31 @@ object Scd2 {
         val changed = trackCols
           .map(c => !(col(s"__b_$c") <=> col(c)))
           .reduce(_ || _)
-        // close rows whose tracked values changed
-        val closed = joined
-          .filter(present && batchPresent && changed)
-          .select(cur.columns.map(col): _*)
-          .withColumn("valid_to", lit(now))
-          .withColumn("is_current", lit(false))
-        // untouched: unchanged matches and keys absent from the batch
-        val kept = joined
-          .filter(present && (!batchPresent || !changed))
-          .select(cur.columns.map(col): _*)
-        // open: brand-new keys and the new version of changed keys
-        val openedNow = joined
-          .filter(batchPresent && (!present || changed))
-          .select((keyCols.map(col) ++
-            trackCols.map(c => col(s"__b_$c").as(c))): _*)
-          .withColumn("valid_from", lit(now))
-          .withColumn("valid_to", lit(null).cast(TimestampType))
-          .withColumn("is_current", lit(true).cast(BooleanType))
-        hist.unionByName(closed).unionByName(kept).unionByName(openedNow)
+        // Single pass over the join: each row maps to its output rows via
+        // one exploded action array — filtering the same join three ways
+        // (closed/kept/opened) would make Catalyst EXECUTE the full-outer
+        // join three times (no subtree reuse across filters), tripling the
+        // dominant cost at scale.
+        val outCols = cur.columns // batch cols + valid_from/valid_to/is_current
+        def shaped(fields: Map[String, org.apache.spark.sql.Column]) =
+          struct(outCols.map(c => fields.getOrElse(c, col(c)).as(c)).toIndexedSeq: _*)
+        val closedRow = shaped(Map(
+          "valid_to" -> lit(now).cast(TimestampType),
+          "is_current" -> lit(false).cast(BooleanType)))
+        val keptRow = shaped(Map.empty)
+        val openedRow = shaped(
+          trackCols.map(c => c -> col(s"__b_$c")).toMap ++ Map(
+            "valid_from" -> lit(now).cast(TimestampType),
+            "valid_to" -> lit(null).cast(TimestampType),
+            "is_current" -> lit(true).cast(BooleanType)))
+        val out = joined
+          .select(explode(
+            when(present && batchPresent && changed, array(closedRow, openedRow))
+              .when(present, array(keptRow)) // unchanged match or batch-absent
+              .otherwise(array(openedRow))   // brand-new key
+          ).as("__r"))
+          .select(col("__r.*"))
+        hist.unionByName(out)
     }
   }
 }
