@@ -290,6 +290,61 @@ object RelationalQueries {
        |FROM t GROUP BY CUBE (event_type, d)
        |ORDER BY gid, event_type ASC NULLS FIRST, d ASC NULLS FIRST""".stripMargin
 
+  /** Semi-structured column extraction: events.props carries a JSON
+    * payload; parse it with a declared schema (`from_json` — codegen'd
+    * Jackson parse, schema-on-read at the silver boundary like the
+    * reference's API-response parse) and aggregate the extracted field.
+    * Per-row parse, zero shuffle before the aggregate.
+    */
+  val jsonPropsKpi: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val jsonPropsKpiSql: String =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Ranking-window breadth: ntile / percent_rank / cume_dist / first_value
+    * over one per-customer ordered window. percent_rank and cume_dist are
+    * exact integer ratios ((rank-1)/(n-1), seen/n) so doubles match
+    * bit-for-bit cross-engine; the window order is total (price DESC, key)
+    * so every rank is deterministic.
+    */
+  val windowRanks: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        first_value(col("o_orderkey")).over(w).as("top_order"))
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  val windowRanksSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |       percent_rank() OVER w AS pct_rank,
+      |       cume_dist() OVER w AS cume,
+      |       first_value(o_orderkey) OVER w AS top_order
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
   /** Semi/anti-join coverage: customers that placed no orders (NOT EXISTS →
     * left_anti) and parts never ordered at all vs parts with line items
     * (EXCEPT / INTERSECT on key sets).
@@ -443,6 +498,8 @@ object RelationalQueries {
     "events_pivot" -> eventsPivot,
     "lineitem_rollup" -> lineitemRollup,
     "events_cube" -> eventsCube,
+    "json_props_kpi" -> jsonPropsKpi,
+    "window_ranks" -> windowRanks,
     "sessionize_events" -> sessionizeEvents,
     "q1_pricing" -> q1Pricing,
     "q3_top_orders" -> q3TopOrders,
@@ -461,6 +518,8 @@ object RelationalQueries {
     "events_pivot" -> eventsPivotSql,
     "lineitem_rollup" -> lineitemRollupSql,
     "events_cube" -> eventsCubeSql,
+    "json_props_kpi" -> jsonPropsKpiSql,
+    "window_ranks" -> windowRanksSql,
     "sessionize_events" -> sessionizeEventsSql,
     "q1_pricing" -> q1PricingSql,
     "q3_top_orders" -> q3TopOrdersSql,
