@@ -267,8 +267,43 @@ object DedupQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Edit-distance fuzzy pairs — the confirm stage for near-dup candidates
+    * where token-level Jaccard is too coarse (OCR noise, small in-word
+    * edits). Blocked by `lang` (standing in for an LSH/block key: at scale
+    * the pair space always comes pre-gated, never all-pairs) and capped to
+    * a fixed id range so the pair count is SF-independent; comparing
+    * 40-char normalized prefixes bounds per-pair cost to O(40^2) DP cells.
+    * Spark and DuckDB `levenshtein` are the same classic edit distance, so
+    * the oracle matches exactly.
+    */
+  val fuzzyPairs: Q = (s, dir) => {
+    val p = Tables.documents(s, dir)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("lang"),
+        substring(graft.text.TextAnalysis.normText(col("text")), 1, 40).as("pfx"))
+    p.as("a").join(p.as("b"),
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.lang").as("lang"),
+        levenshtein(col("a.pfx"), col("b.pfx")).cast("long").as("lev"))
+      .filter(col("lev") <= 20)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val fuzzyPairsSql: String =
+    """WITH normed AS (
+      |  SELECT doc_id, lang, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      |  FROM documents WHERE doc_id < 300),
+      |p AS (SELECT doc_id, lang, substr(norm, 1, 40) AS pfx FROM normed)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+      |       CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS lev
+      |FROM p a JOIN p b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.pfx, b.pfx) <= 20
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "decontaminate" -> decontaminate,
+    "fuzzy_pairs" -> fuzzyPairs,
     "dedup_keep_docs" -> dedupKeepDocs,
     "dedup_exact_docs" -> dedupExactDocs,
     "minhash_signatures" -> minhashSignatures,
@@ -280,6 +315,7 @@ object DedupQueries {
 
   val oracleSql: Map[String, String] = Map(
     "decontaminate" -> decontaminateSql,
+    "fuzzy_pairs" -> fuzzyPairsSql,
     "simhash_pairs" -> simhashPairsSql,
     "dedup_keep_docs" -> dedupKeepDocsSql,
     "dedup_exact_docs" -> dedupExactDocsSql,
