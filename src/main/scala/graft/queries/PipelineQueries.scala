@@ -290,6 +290,86 @@ object PipelineQueries {
       |  AND c.c_ts <= p.p_ts
       |ORDER BY p.purchase_id, c.click_id""".stripMargin
 
+  /** The streaming SINK path end-to-end: streamed candles flow through
+    * `foreachBatch` → IncrementalStore MERGE upsert (the reference's
+    * exactly-once table semantics driven from a stream), and the persisted
+    * store must equal the batch candle query. Complete mode re-emits every
+    * window per trigger; the upsert is idempotent on (timeframe,
+    * candle_start), so replays converge on the batch answer — the
+    * at-least-once emission x idempotent-merge = exactly-once table
+    * contents argument, verified against the oracle instead of asserted.
+    */
+  val streamToStore: Q = (s, dir) => {
+    val base = ensureFixture(s, "stream_ohlc_1h", dir) { b =>
+      graft.forex.ForexPipeline.silverFrom(s, dir)
+        .coalesce(8).write.mode("overwrite").parquet(b)
+    }
+    val store = scratch(s, "stream_to_store_tbl")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = graft.streaming.ForexStream.writeToStore(
+          graft.streaming.ForexStream.candlesComplete(
+            graft.streaming.ForexStream.ticks(s, base),
+            graft.forex.Resample.byName("1h")), store)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("stream_to_store did not finish within 300s")
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    IncrementalStore.readTable(s, store)
+      .select(col("timeframe"), col("candle_start"), col("open_price"),
+        col("high_price"), col("low_price"), col("close_price"),
+        col("ticks_5m_count"))
+      .orderBy(col("candle_start"))
+  }
+
+  /** The dbt schema-test suite itself at the gate: Checks.report's
+    * one-pass violation counts over the gold model, recomputed check by
+    * check in DuckDB. Proves the quality harness reports the same numbers
+    * an independent engine derives (all zeros on healthy data — the
+    * planted-violation direction is ChecksSpec's job).
+    */
+  val qualityReport: Q = (s, dir) =>
+    graft.quality.Checks.report(
+      ForexQueries.fctTimeframes(s, dir)
+        .select(col("unique_id"), col("timeframe"), col("candle_start"),
+          col("open_price"), col("high_price"), col("low_price"), col("close_price")),
+      graft.quality.Checks.goldChecks)
+      .orderBy(col("check_name"))
+
+  val qualityReportSql: String = {
+    val tfs = Seq("5m", "15m", "30m", "1h", "4h", "12h", "24h")
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH ${ForexQueries.silverSql},
+       |${ForexQueries.fannedSql},
+       |${ForexQueries.candlesSql},
+       |gold AS (
+       |  SELECT md5(timeframe || '|' || strftime(candle_start, '%Y-%m-%d %H:%M:%S')) AS unique_id,
+       |         timeframe, candle_start, open_price, high_price, low_price, close_price
+       |  FROM candles)
+       |SELECT 'accepted_values(timeframe)' AS check_name,
+       |       CAST(sum(CASE WHEN timeframe IN ($tfs) OR timeframe IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS violations FROM gold
+       |UNION ALL
+       |SELECT 'candle_bounds',
+       |       CAST(sum(CASE WHEN low_price <= least(open_price, close_price)
+       |                      AND high_price >= greatest(open_price, close_price)
+       |                     THEN 0 ELSE 1 END) AS BIGINT) FROM gold
+       |UNION ALL
+       |SELECT 'not_null(candle_start)',
+       |       CAST(sum(CASE WHEN candle_start IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM gold
+       |UNION ALL
+       |SELECT 'not_null(unique_id)',
+       |       CAST(sum(CASE WHEN unique_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM gold
+       |UNION ALL
+       |SELECT 'unique(unique_id)',
+       |       CAST(count(*) - count(DISTINCT unique_id) AS BIGINT) FROM gold
+       |ORDER BY check_name""".stripMargin
+  }
+
   /** Store maintenance at the gate: fragment a silver store through the
     * real multi-task write path, compact every day to one file, and return
     * the table — the oracle is the plain silver recompute, so compaction
@@ -338,6 +418,8 @@ object PipelineQueries {
     "ingest_bronze" -> ingestBronze,
     "stream_ohlc_1h" -> streamOhlc1h,
     "stream_join_attribution" -> streamJoinAttribution,
+    "stream_to_store" -> streamToStore,
+    "quality_report" -> qualityReport,
     "compact_roundtrip" -> compactRoundtrip)
 
   val oracleSql: Map[String, String] = Map(
@@ -346,5 +428,7 @@ object PipelineQueries {
     "ingest_bronze" -> ingestBronzeSql,
     "stream_ohlc_1h" -> ForexQueries.ohlc1hSql, // streaming vs the batch oracle
     "stream_join_attribution" -> streamJoinAttributionSql, // streaming vs batch join
+    "stream_to_store" -> ForexQueries.ohlc1hSql, // stream->MERGE store vs batch candles
+    "quality_report" -> qualityReportSql,
     "compact_roundtrip" -> compactRoundtripSql)
 }
