@@ -46,13 +46,28 @@ object PipelineQueries {
   private def ensureFixture(spark: SparkSession, name: String, dir: String)(
       build: String => Unit): String = fixtureBuilt.synchronized {
     val base = s"${sys.props("java.io.tmpdir")}/graft_pipeline/$name"
-    if (!fixtureBuilt.get(name).contains(dir)) {
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the memo alone is not enough: the dir can be deleted externally
+    // between runs in the same JVM
+    if (!(fixtureBuilt.get(name).contains(dir) && fs.exists(p))) {
       scratch(spark, name)
       build(base)
       fixtureBuilt(name) = dir
     }
     base
   }
+
+  /** Shared silver-tick stream source for `stream_ohlc_1h` and
+    * `stream_to_store` — one builder so the fixture definition exists
+    * exactly once (both queries must consume the identical source).
+    */
+  private def silverStreamSource(s: SparkSession, dir: String): String =
+    ensureFixture(s, "stream_ohlc_1h", dir) { b =>
+      graft.forex.ForexPipeline.silverFrom(s, dir)
+        .coalesce(8) // bounded source file count for the stream listing
+        .write.mode("overwrite").parquet(b)
+    }
 
   /** Gold-table oracle shared by `staging_view` and `backfill_day`: both
     * pipelines must land exactly the one-shot gold recompute plus the audit
@@ -111,9 +126,10 @@ object PipelineQueries {
     val warehouse = s"${sys.props("java.io.tmpdir")}/graft_pipeline/backfill_day"
     val marker = new org.apache.hadoop.fs.Path(s"$warehouse/_GRAFT_BUILD_COMPLETE")
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // the tag carries a layout version so a warehouse persisted by an older
-    // build (different file layout / write path) is rebuilt, not reused
-    val buildTag = s"$dir|range-layout-v3"
+    // the tag carries the store's layout version so a warehouse persisted
+    // by an older build (different file layout / write path) is rebuilt,
+    // not reused
+    val buildTag = s"$dir|${IncrementalStore.LayoutVersion}"
     val built = fs.exists(marker) && {
       val in = fs.open(marker)
       val tag = try scala.io.Source.fromInputStream(in).mkString finally in.close()
@@ -199,11 +215,7 @@ object PipelineQueries {
     * which is what makes a bounded streaming run exactly comparable.
     */
   val streamOhlc1h: Q = (s, dir) => {
-    val base = ensureFixture(s, "stream_ohlc_1h", dir) { b =>
-      graft.forex.ForexPipeline.silverFrom(s, dir)
-        .coalesce(8) // bounded source file count for the stream listing
-        .write.mode("overwrite").parquet(b)
-    }
+    val base = silverStreamSource(s, dir)
     val name = "graft_stream_ohlc_1h"
     s.streams.active.filter(_.name == name).foreach(_.stop())
     // the stateful agg creates one state-store instance (with per-batch
@@ -300,10 +312,7 @@ object PipelineQueries {
     * contents argument, verified against the oracle instead of asserted.
     */
   val streamToStore: Q = (s, dir) => {
-    val base = ensureFixture(s, "stream_ohlc_1h", dir) { b =>
-      graft.forex.ForexPipeline.silverFrom(s, dir)
-        .coalesce(8).write.mode("overwrite").parquet(b)
-    }
+    val base = silverStreamSource(s, dir)
     val store = scratch(s, "stream_to_store_tbl")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")

@@ -178,20 +178,23 @@ object StoreQueries {
     */
   private val bucketedBuilt = scala.collection.mutable.Map[String, String]()
 
-  private def ensureBucketed(df: => DataFrame, table: String, dir: String,
-      bucketCol: String): Unit = bucketedBuilt.synchronized {
-    if (!bucketedBuilt.get(table).contains(dir)) {
+  private def ensureBucketed(s: SparkSession, df: => DataFrame, table: String,
+      dir: String, bucketCol: String): Unit = bucketedBuilt.synchronized {
+    // the memo alone is not enough: table METADATA lives in the per-session
+    // in-memory catalog, so a later SparkSession in the same JVM must
+    // rebuild even when the map says built
+    if (!(bucketedBuilt.get(table).contains(dir) && s.catalog.tableExists(table))) {
       graft.store.Bucketing.writeBucketed(df, table, bucketCol, 8)
       bucketedBuilt(table) = dir
     }
   }
 
   val bucketedJoin: Q = (s, dir) => {
-    ensureBucketed(
+    ensureBucketed(s,
       graft.Tables.lineitem(s, dir).select(
         col("l_orderkey"), col("l_extendedprice")),
       "graft_li_bucketed", dir, "l_orderkey")
-    ensureBucketed(
+    ensureBucketed(s,
       graft.Tables.orders(s, dir).select(
         col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
       "graft_ord_bucketed", dir, "l_orderkey")

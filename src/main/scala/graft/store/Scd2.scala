@@ -47,8 +47,13 @@ object Scd2 {
       case Some(table) =>
         val cur = table.filter(col("is_current"))
         val hist = table.filter(!col("is_current"))
+        // carry EVERY non-key batch column (not just the tracked ones):
+        // opened rows must be the full new source row — falling back to the
+        // cur side would null a brand-new key's passenger columns and carry
+        // stale values onto a changed key's new version
+        val passCols = batch.columns.filterNot(keyCols.contains).toSeq
         val b = batch.select(
-          keyCols.map(col) ++ trackCols.map(c => col(c).as(s"__b_$c"))
+          keyCols.map(col) ++ passCols.map(c => col(c).as(s"__b_$c"))
             :+ lit(true).as("__b_present"): _*)
         val joined = cur.join(b, keyCols, "full_outer")
         val present = col("valid_from").isNotNull // key existed in cur
@@ -69,7 +74,7 @@ object Scd2 {
           "is_current" -> lit(false).cast(BooleanType)))
         val keptRow = shaped(Map.empty)
         val openedRow = shaped(
-          trackCols.map(c => c -> col(s"__b_$c")).toMap ++ Map(
+          passCols.map(c => c -> col(s"__b_$c")).toMap ++ Map(
             "valid_from" -> lit(now).cast(TimestampType),
             "valid_to" -> lit(null).cast(TimestampType),
             "is_current" -> lit(true).cast(BooleanType)))

@@ -29,6 +29,20 @@ class Scd2Spec extends SparkSpec {
     assert(rows === s1.collect().map(_.mkString("|")).sorted)
   }
 
+  test("passenger columns (non-key, non-tracked) come from the batch on opened rows") {
+    import spark.implicits._
+    val b1 = Seq(("a", 1.0, "sys1"), ("b", 2.0, "sys1")).toDF("k", "v", "src")
+    val b2 = Seq(("a", 9.0, "sys2"), ("c", 3.0, "sys2")).toDF("k", "v", "src")
+    val s1 = Scd2.snapshot(None, b1, keys, track, t(0))
+    val s2 = Scd2.snapshot(Some(s1), b2, keys, track, t(1))
+    val aCur = s2.filter(col("k") === "a" && col("is_current")).collect().head
+    assert(aCur.getAs[String]("src") === "sys2") // new version = full new source row
+    val aOld = s2.filter(col("k") === "a" && !col("is_current")).collect().head
+    assert(aOld.getAs[String]("src") === "sys1") // closed version keeps its own
+    val cNew = s2.filter(col("k") === "c").collect().head
+    assert(cNew.getAs[String]("src") === "sys2") // brand-new key: never null
+  }
+
   test("change closes the old version and opens a new current one") {
     val s1 = Scd2.snapshot(None, src("a" -> 1.0, "b" -> 2.0), keys, track, t(0))
     val s2 = Scd2.snapshot(Some(s1), src("a" -> 9.0, "c" -> 3.0), keys, track, t(1))
