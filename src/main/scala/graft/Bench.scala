@@ -41,22 +41,23 @@ object Bench {
     // warmup-only failure (scratch-dir setup etc.) must not mark a query
     // that timed clean as erroring.
     SparkEntry.queries.foreach { case (name, fn) => runQuery(name, fn, "warmup") }
-    // Two timed passes, min per query: guards the reported number against
+    // Three timed passes, min per query: guards the reported number against
     // one-off JVM events (GC storms, block-store eviction) observed to
-    // inflate a single query by ~50x in long multi-query runs. A failed run
-    // yields no time — a broken query must neither bench as ~0 s nor
-    // deflate the total.
+    // inflate a single query by ~50x in long multi-query runs, and against
+    // ambient machine load (observed to swing whole-run totals ~40%
+    // between otherwise identical runs). A failed run yields no time — a
+    // broken query must neither bench as ~0 s nor deflate the total.
     def timedPass(): Map[String, Option[Double]] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = runQuery(name, fn, "timed")
       name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
     }
-    val (p1, p2) = (timedPass(), timedPass())
+    val passes = Seq(timedPass(), timedPass(), timedPass())
     // min over the passes that succeeded; a query with no clean pass is
     // excluded from queries/total and appears only in errs
-    val results: Map[String, Double] = p1.flatMap { case (k, v) =>
-      (v ++ p2(k)).reduceOption((a, b) => math.min(a, b)).map(k -> _)
-    }
+    val results: Map[String, Double] = passes.head.keys.flatMap { k =>
+      passes.flatMap(_(k)).reduceOption((a, b) => math.min(a, b)).map(k -> _)
+    }.toMap
     // a query that failed one pass but timed clean in the other is flaky,
     // not broken: report it under transient_errs so errs keys always mean
     // "no clean timed pass"
