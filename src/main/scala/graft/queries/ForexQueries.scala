@@ -116,6 +116,49 @@ object ForexQueries {
        |       count(*)                         AS ticks_5m_count
        |FROM silver GROUP BY 1, 2 ORDER BY candle_start""".stripMargin
 
+  /** EWMA over 1h candle closes — a RECURSIVE indicator
+    * (ewma_t = a*x_t + (1-a)*ewma_{t-1}) that no window frame can express:
+    * frames compute over values, not over prior RESULTS. Realized as a
+    * prefix-list sequential fold: collect_list over a ROWS UNBOUNDED
+    * PRECEDING window gives each row its ordered prefix, and `aggregate`
+    * folds it left with exactly DuckDB list_reduce's association, so the
+    * recurrence reproduces bit-for-bit. O(n^2) in series length per
+    * series — acceptable because the input is candle-level (720 rows/month
+    * at 1h), the same documented ceiling as the Indicators windows; the
+    * 100 TB path for long series is a parallel prefix scan (the recurrence
+    * is a linear map, hence associative in (mul, add) matrix form), noted
+    * here rather than built.
+    */
+  val ewma1h: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val candles = Ohlc.candles(
+      Resample.fanout(ForexPipeline.silverFrom(s, dir), Seq(Resample.byName("1h"))))
+      .select(col("candle_start"), col("close_price"))
+    val w = Window.orderBy(col("candle_start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    candles
+      .withColumn("px", collect_list(col("close_price")).over(w))
+      .select(col("candle_start"), col("close_price"),
+        graft.Parity.pround(
+          expr("aggregate(slice(px, 2, size(px) - 1), px[0], (acc, x) -> 0.2 * x + 0.8 * acc)"),
+          6).as("ewma"))
+      .orderBy(col("candle_start"))
+  }
+
+  val ewma1hSql: String =
+    s"""WITH $silverSql,
+       |c AS (
+       |  SELECT ${bucketSql("observed_at", Resample.byName("1h"))} AS candle_start,
+       |         arg_max(close_price, observed_at) AS close_price
+       |  FROM silver GROUP BY 1),
+       |pre AS (
+       |  SELECT candle_start, close_price,
+       |         list(close_price) OVER (ORDER BY candle_start ROWS UNBOUNDED PRECEDING) AS px
+       |  FROM c)
+       |SELECT candle_start, close_price,
+       |       ${graft.Parity.proundSql("list_reduce(px, (acc, x) -> 0.2 * x + 0.8 * acc)", 6)} AS ewma
+       |FROM pre ORDER BY candle_start""".stripMargin
+
   /** Fused single-buffer OHLC via the custom OhlcAgg DeclarativeAggregate —
     * same semantics and SAME ORACLE as ohlc_1h, different physical
     * aggregation (one buffer instead of four aggregate functions).
@@ -241,6 +284,7 @@ object ForexQueries {
     "stg_ticks" -> stgTicks,
     "fct_timeframes" -> fctTimeframes,
     "ohlc_1h" -> ohlc1h,
+    "ewma_1h" -> ewma1h,
     "ohlc_1h_fused" -> ohlc1hFused,
     "resample_buckets" -> resampleBuckets,
     "indicators_1h" -> indicators1h,
@@ -253,6 +297,7 @@ object ForexQueries {
     "stg_ticks" -> stgTicksSql,
     "fct_timeframes" -> fctTimeframesSql,
     "ohlc_1h" -> ohlc1hSql,
+    "ewma_1h" -> ewma1hSql,
     "ohlc_1h_fused" -> ohlc1hSql, // same semantics, custom aggregate physical op
     "resample_buckets" -> resampleBucketsSql,
     "indicators_1h" -> indicators1hSql,
