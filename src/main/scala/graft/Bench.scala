@@ -75,10 +75,20 @@ object Bench {
     val ws = warmupErrs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val ts = transientErrs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // excluded = queries with no clean timed pass: they contribute nothing
+    // to `total`, so consumers comparing totals across rounds must see the
+    // count explicitly — a broken query must not masquerade as a perf win
+    val excluded = SparkEntry.queries.size - results.size
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errs":$es,"warmup_errs":$ws,"transient_errs":$ts,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errs":$es,"warmup_errs":$ws,"transient_errs":$ts,"excluded":$excluded,"sf":${jstr(sfDir)}}"""
     println(json)
-    Files.writeString(Paths.get("bench.json"), json + "\n")
+    // Second, compact line (no per-query map): the full line at 70+ queries
+    // can exceed a log-tail capture window and arrive front-truncated, so
+    // always emit one short, self-contained JSON object last.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"excluded":$excluded,"errs":$es,"sf":${jstr(sfDir)}}"""
+    println(compact)
+    Files.writeString(Paths.get("bench.json"), json + "\n" + compact + "\n")
     spark.stop()
   }
 }

@@ -179,11 +179,21 @@ object SimilarityQueries {
     * distances use the expanded ||x||2 - 2x.c + ||c||2 form with identical
     * parenthesization, and per-dimension means are exact-DECIMAL sums over
     * a double division, so the entire training trajectory (not just one
-    * step) is engine-independent. Output: trained centroid vectors with
-    * final assignment counts.
+    * step) is engine-independent.
+    *
+    * Output is exploded to one row per (cent_id, pos) dimension — the
+    * driver's pandas-based comparator cannot sort rows containing
+    * top-level ARRAY cells (unhashable ndarray), so the trained centroid
+    * vectors are emitted as (cent_id, n, pos, val) scalar rows instead.
+    * The library API (`Similarity.ivfTrain`) still returns array-valued
+    * centroids.
     */
   val ivfTrain: Q = (s, dir) =>
     Similarity.ivfTrain(Tables.embeddings(s, dir))
+      .select(col("cent_id"), col("n"), posexplode(col("centroid")))
+      .select(col("cent_id"), col("n"),
+        col("pos").cast("long").as("pos"), col("col").as("val"))
+      .orderBy(col("cent_id"), col("pos"))
 
   val ivfTrainSql: String = {
     val centIds = (100L until 116L).mkString(", ")
@@ -194,7 +204,7 @@ object SimilarityQueries {
          |                              ORDER BY en.xx - 2 * (${dotSql("en.emb", "c.c_emb")}) + c.cc ASC, c.cent_id) AS rn
          |    FROM en CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
     def updateSql(asg: String, uname: String, cname: String): String =
-      s"""$uname AS (SELECT cell, pos, CAST(sum(CAST(v AS DECIMAL(30,10))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+      s"""$uname AS (SELECT cell, pos, CAST(sum(CAST(floor(v * 1e10 + 0.5) / 1e10 AS DECIMAL(30,10))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
          |    FROM (SELECT cell, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v FROM $asg) x
          |    GROUP BY cell, pos),
          |$cname AS (SELECT cell AS cent_id, list(m ORDER BY pos) AS c_emb FROM $uname GROUP BY cell)""".stripMargin
@@ -208,9 +218,9 @@ object SimilarityQueries {
        |${assignSql("c1n", "a2")},
        |${updateSql("a2", "u2", "c2")},
        |n2 AS (SELECT cell, count(*) AS n FROM a2 GROUP BY cell)
-       |SELECT c2.cent_id, n2.n, c2.c_emb AS centroid
-       |FROM c2 JOIN n2 ON c2.cent_id = n2.cell
-       |ORDER BY c2.cent_id""".stripMargin
+       |SELECT u2.cell AS cent_id, n2.n, CAST(u2.pos - 1 AS BIGINT) AS pos, u2.m AS val
+       |FROM u2 JOIN n2 ON u2.cell = n2.cell
+       |ORDER BY cent_id, pos""".stripMargin
   }
 
   /** Per-vector scalar quantization (uint8-style): affine-map each
@@ -221,6 +231,10 @@ object SimilarityQueries {
     * and the dequantization constants travel with the row. floor(x + 0.5)
     * is the engine-independent HALF_UP (plain round() disagrees across
     * engines at half-boundaries).
+    *
+    * `codes` is serialized to a comma-joined STRING (BIGINT→string is
+    * identical on both engines) because the driver's pandas comparator
+    * cannot sort top-level ARRAY cells.
     */
   val embedQuantize: Q = (s, dir) =>
     Tables.embeddings(s, dir)
@@ -234,7 +248,9 @@ object SimilarityQueries {
           expr("transform(emb, x -> CAST(0 AS BIGINT))"))
           .otherwise(
             expr("transform(emb, x -> CAST(floor((x - qmin) / qscale + 0.5) AS BIGINT))"))
-          .as("codes"))
+          .as("codes_arr"))
+      .select(col("vec_id"), col("qmin"), col("qscale"),
+        expr("array_join(transform(codes_arr, x -> CAST(x AS STRING)), ',')").as("codes"))
       .orderBy(col("vec_id"))
 
   val embedQuantizeSql: String =
@@ -246,9 +262,10 @@ object SimilarityQueries {
       |         (list_max(emb) - list_min(emb)) / 255.0 AS qscale
       |  FROM e)
       |SELECT vec_id, qmin, qscale,
-      |       CASE WHEN qscale = 0 THEN list_transform(emb, x -> CAST(0 AS BIGINT))
-      |            ELSE list_transform(emb, x -> CAST(floor((x - qmin) / qscale + 0.5) AS BIGINT))
-      |       END AS codes
+      |       array_to_string(
+      |         CASE WHEN qscale = 0 THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+      |              ELSE list_transform(emb, x -> CAST(floor((x - qmin) / qscale + 0.5) AS BIGINT))
+      |         END, ',') AS codes
       |FROM s ORDER BY vec_id""".stripMargin
 
   val queries: Map[String, Q] = Map(

@@ -182,10 +182,18 @@ object Similarity {
           // deterministic here
           first(col("emb")).as("emb"))
     }
+    // Pre-round each element with the engine-independent floor(v*1e10+0.5)
+    // /1e10 BEFORE the decimal cast: a float32-sourced dyadic can land
+    // exactly on the half boundary at scale 10 (e.g. -0.27392578125), where
+    // Spark's double→decimal cast rounds HALF_UP but DuckDB's rounds
+    // half-to-even — the pre-round resolves every tie identically in pure
+    // IEEE double arithmetic, keeping the whole training trajectory
+    // bit-reproducible cross-engine.
     def update(assigned: DataFrame): DataFrame = assigned
       .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
-      .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(30, 10)))
+      .agg((sum(graft.Parity.pround(col("v"), 10)
+        .cast(org.apache.spark.sql.types.DecimalType(30, 10)))
         .cast("double") / count(lit(1)).cast("double")).as("m"))
       .groupBy(col("cell"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")

@@ -40,16 +40,20 @@ class AnalyticsOpsSpec extends SparkSpec {
   }
 
   test("ivf_train: every vector assigned, centroids have the data's dim") {
+    // query output is exploded to (cent_id, n, pos, val) rows for the
+    // driver's pandas comparator; regroup per centroid here
     val out = SimilarityQueries.ivfTrain(spark, sf0001).collect()
-    assert(out.nonEmpty && out.length <= 16)
+    val byCent = out.groupBy(_.getAs[Long]("cent_id"))
+    assert(byCent.nonEmpty && byCent.size <= 16)
     val total = Tables.embeddings(spark, sf0001).count()
-    assert(out.map(_.getAs[Long]("n")).sum === total)
+    assert(byCent.values.map(_.head.getAs[Long]("n")).sum === total)
     val dim = Tables.embeddings(spark, sf0001)
       .select(org.apache.spark.sql.functions.size(col("embedding"))).first().getInt(0)
-    out.foreach { r =>
-      val c = r.getAs[scala.collection.Seq[Double]]("centroid")
-      assert(c.length === dim)
-      assert(c.forall(v => !v.isNaN && !v.isInfinite))
+    byCent.values.foreach { rows =>
+      assert(rows.length === dim)
+      assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq === (0L until dim.toLong))
+      rows.map(_.getAs[Double]("val")).foreach(v =>
+        assert(!v.isNaN && !v.isInfinite))
     }
   }
 
@@ -63,7 +67,8 @@ class AnalyticsOpsSpec extends SparkSpec {
     rows.foreach { r =>
       val qmin = r.getAs[Double]("qmin")
       val qscale = r.getAs[Double]("qscale")
-      val codes = r.getAs[scala.collection.Seq[Long]]("codes")
+      // codes travel as a comma-joined string (driver-comparable shape)
+      val codes = r.getAs[String]("codes").split(',').toSeq.map(_.toLong)
       val orig = r.getAs[scala.collection.Seq[Float]]("embedding")
       assert(codes.forall(c => c >= 0L && c <= 255L))
       codes.zip(orig).foreach { case (c, x) =>

@@ -34,9 +34,16 @@ def typed_schema(con, sql: str):
 
 
 def fetch_sorted(con, sql: str, cols) -> pd.DataFrame:
-    order = ", ".join(f'"{c}"' for c, _ in cols)
-    q = f'SELECT {order} FROM ({sql}) ORDER BY {order}'
-    return con.sql(q).df().reset_index(drop=True)
+    # Sort rows in PANDAS, not DuckDB: the driver's gate sorts via
+    # pandas sort_values, which cannot handle cells the DuckDB engine can
+    # (e.g. top-level ARRAY cells raise "unhashable type: numpy.ndarray").
+    # Sorting here the same way makes any such output shape fail locally
+    # before it reaches the driver (round-3 lesson: DuckDB ORDER BY
+    # green-lit two queries the driver could not compare).
+    names = [c for c, _ in cols]
+    sel = ", ".join(f'"{c}"' for c in names)
+    df = con.sql(f'SELECT {sel} FROM ({sql})').df()
+    return df.sort_values(by=names, kind="mergesort").reset_index(drop=True)
 
 
 def compare(con, name: str, spark_glob: str, oracle_sql: str) -> str:
@@ -72,13 +79,16 @@ def compare(con, name: str, spark_glob: str, oracle_sql: str) -> str:
     return "; ".join(bad) if bad else ""
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, only: str | None = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    if only:
+        names = set(only.split(","))
+        oracles = {k: v for k, v in oracles.items() if k in names}
     fails = 0
     for name, sql in sorted(oracles.items()):
         try:
@@ -95,4 +105,5 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
