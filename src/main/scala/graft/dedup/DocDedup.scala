@@ -93,22 +93,41 @@ object DocDedup {
         (1 until NumHashes).map(j =>
           min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"mh_$j")): _*)
 
+  /** Materialize a small derived relation to scratch parquet and read it
+    * back: one eager compute + cheap columnar scans per downstream
+    * reference, with ZERO block-manager involvement. This is the literal
+    * 100 TB pattern (write the signature table once, read it per pair
+    * job) applied at bench scale. The write is part of the calling
+    * query's execution, so benchmarks still pay the full signature build
+    * on every run — only the intra-query recompute multiplication goes
+    * away. Scratch dirs are per-invocation temp dirs, removed on JVM
+    * exit.
+    */
+  private def scratchTable(df: DataFrame, tag: String): DataFrame = {
+    val spark = df.sparkSession
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    val path = dir.resolve("data").toString
+    df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
   /** Signature relation for multi-branch pair queries.
     *
     * The banded self-join plus signature re-join references this subtree up
-    * to 4x. Deliberately NOT checkpointed/persisted: the subtree is now one
-    * scan + explode + partially-combined agg (cheap, fully parallel), and
-    * identical exchange subtrees are deduplicated by ReuseExchange where
-    * they match. Pinning it in the block manager (round-1/2 designs, lazy
-    * then eager localCheckpoint) coupled every pair query to block-store
-    * state and produced multi-second nondeterministic degradation in
-    * long-lived constrained-heap JVMs — a bounded recompute is cheaper than
-    * an unbounded eviction storm. At 100 TB the equivalent is writing the
-    * signature TABLE once and reading it per pair job, not caching it
-    * inside one query's lineage.
+    * to 4x. Earlier designs either persisted it (block-manager eviction
+    * storms in long constrained-heap JVMs → multi-second nondeterministic
+    * degradation) or recomputed it per reference (the scan + shingle
+    * explode + 8-way md5 min-agg ran 2-4x per query — ngram_jaccard spent
+    * 2/3 of its time rebuilding signatures). Scratch-parquet is the shape
+    * that survives both: compute once, scan cheaply, no pinned memory.
     */
   private def materializedSignatures(docs: DataFrame): DataFrame =
-    minhashSignatures(docs)
+    scratchTable(minhashSignatures(docs), "minhash-sigs")
 
   private def bandsOf(sigs: DataFrame): DataFrame = {
     val nBands = NumHashes / BandSize
@@ -167,9 +186,10 @@ object DocDedup {
     * |A ∪ B| = |A| + |B| − |A ∩ B|.
     */
   def exactJaccardPairs(docs: DataFrame): DataFrame = {
-    // referenced by both join sides; cheap enough to recompute (see
-    // materializedSignatures note on why nothing here pins block storage)
-    val docSets = shingleSets(docs)
+    // referenced by both join sides AND rebuilt from the same shingle
+    // explode the signatures use — scratch-materialized for the same
+    // reason as materializedSignatures
+    val docSets = scratchTable(shingleSets(docs), "shingle-sets")
     val nCommon = size(array_intersect(col("za.shs"), col("zb.shs")))
     lshCandidatePairs(docs)
       .join(docSets.as("za"), col("doc_id_a") === col("za.doc_id"))

@@ -46,6 +46,29 @@ object Ingest {
         col("v.close").cast("double").as("close"),
         col("symbol"))
 
+  /** Multi-day fetch-loop parity (extract_forex.py:202-267, one request
+    * per day; outputsize cap at :34-67): the reference's extractor issues
+    * one API request per calendar day and the SERVER truncates each
+    * response to at most `outputsize` rows, most-recent bars winning (the
+    * API returns bars newest-first). `fetchDay` stands in for one API
+    * call returning that day's raw ticks — compose it with
+    * `Retry.withRetry` for the per-request rate-limit loop (:70-110).
+    * Days fetch independently, so one failed day never poisons its
+    * neighbors, and at warehouse scale the loop parallelizes trivially
+    * (each day is its own bounded request + write).
+    */
+  def fetchDays(
+      days: Seq[java.time.LocalDate],
+      fetchDay: java.time.LocalDate => DataFrame,
+      outputsize: Int = 800): DataFrame = {
+    require(days.nonEmpty, "fetchDays: empty day list")
+    require(outputsize > 0, s"fetchDays: outputsize must be positive, got $outputsize")
+    days.map { d =>
+      // per-request server-side truncation: newest `outputsize` rows win
+      fetchDay(d).orderBy(col("datetime").desc).limit(outputsize)
+    }.reduce(_.unionByName(_))
+  }
+
   /** validate_and_prepare_data parity (extract_forex.py:112-141):
     * exact-row dedup, time-sort, stamp symbol + extraction timestamp.
     * `extractionTs` is injected, never wall-clock, for determinism.

@@ -275,6 +275,12 @@ object DedupQueries {
     * 40-char normalized prefixes bounds per-pair cost to O(40^2) DP cells.
     * Spark and DuckDB `levenshtein` are the same classic edit distance, so
     * the oracle matches exactly.
+    *
+    * The length-difference prefilter (|len_a − len_b| ≤ maxDist) is
+    * result-neutral — levenshtein ≥ |len_a − len_b| always — but runs
+    * before the O(len²) DP, so a pathological candidate set (many long
+    * strings of wildly different lengths) can't quadratic-blow the
+    * confirm stage at scale: only length-plausible pairs reach the DP.
     */
   val fuzzyPairs: Q = (s, dir) => {
     val p = Tables.documents(s, dir)
@@ -282,7 +288,8 @@ object DedupQueries {
       .select(col("doc_id"), col("lang"),
         substring(graft.text.TextAnalysis.normText(col("text")), 1, 40).as("pfx"))
     p.as("a").join(p.as("b"),
-        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id") &&
+        abs(length(col("a.pfx")) - length(col("b.pfx"))) <= 20)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.lang").as("lang"),
         levenshtein(col("a.pfx"), col("b.pfx")).cast("long").as("lev"))
@@ -298,6 +305,7 @@ object DedupQueries {
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
       |       CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS lev
       |FROM p a JOIN p b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |             AND abs(len(a.pfx) - len(b.pfx)) <= 20
       |WHERE levenshtein(a.pfx, b.pfx) <= 20
       |ORDER BY doc_a, doc_b""".stripMargin
 

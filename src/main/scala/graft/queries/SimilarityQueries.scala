@@ -173,6 +173,56 @@ object SimilarityQueries {
        |WHERE rank <= 10 ORDER BY query_vec_id, rank""".stripMargin
   }
 
+  /** ANN index quality, made checkable: recall@10 of each ANN path (LSH
+    * multi-probe, IVF nProbe=4) against the exact brute-force top-10 on
+    * the same 5 query vectors. This is the metric that justifies calling
+    * the ANN paths an index rather than merely a deterministic query —
+    * and the oracle hash-checks it, so a silent recall regression (e.g. a
+    * bucketing change that prunes too hard) turns a green row red.
+    * Denominator is k, the standard recall@k; ties are well-defined
+    * because both sides rank by the same rounded cosine + vec_id order.
+    */
+  val annRecall: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = Similarity.knnBruteForceMulti(e, qids, 10)
+      .select(col("query_vec_id"), col("vec_id"), lit(1L).as("hit"))
+    def side(name: String, df: DataFrame) =
+      df.select(lit(name).as("method"), col("query_vec_id"), col("vec_id"))
+    side("lsh", Similarity.annLshTopK(e, qids, 10))
+      .unionByName(side("ivf", Similarity.annIvfTopK(e, qids, 10)))
+      .join(exact, Seq("query_vec_id", "vec_id"), "left")
+      .groupBy(col("method"), col("query_vec_id"))
+      .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / 10.0).as("recall_at_10"))
+      .orderBy(col("method"), col("query_vec_id"))
+  }
+
+  val annRecallSql: String =
+    s"""WITH lsh AS ($annLshTopKSql),
+       |ivf AS ($annIvfTopKSql),
+       |en AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |       FROM embeddings),
+       |q AS (SELECT vec_id AS query_vec_id, embedding AS qe, norm AS qn
+       |      FROM en WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |exact AS (
+       |  SELECT query_vec_id, vec_id FROM (
+       |    SELECT q.query_vec_id, e.vec_id,
+       |           row_number() OVER (PARTITION BY q.query_vec_id
+       |             ORDER BY floor(((${dotSql("e.embedding", "q.qe")}) / (e.norm * q.qn)) * 1e6 + 0.5) / 1e6 DESC,
+       |                      e.vec_id) AS rn
+       |    FROM en e CROSS JOIN q
+       |    WHERE e.vec_id <> q.query_vec_id) WHERE rn <= 10),
+       |m AS (
+       |  SELECT 'lsh' AS method, query_vec_id, vec_id FROM lsh
+       |  UNION ALL
+       |  SELECT 'ivf' AS method, query_vec_id, vec_id FROM ivf)
+       |SELECT m.method, m.query_vec_id,
+       |       CAST(sum(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 10.0 AS recall_at_10
+       |FROM m LEFT JOIN exact x
+       |  ON m.query_vec_id = x.query_vec_id AND m.vec_id = x.vec_id
+       |GROUP BY m.method, m.query_vec_id
+       |ORDER BY m.method, m.query_vec_id""".stripMargin
+
   /** k-means TRAINING at the oracle gate: two full Lloyd iterations
     * (seeded init → assign → mean-update → assign → mean-update) must
     * reproduce bit-for-bit in DuckDB — dot products are sequential folds,
@@ -274,6 +324,7 @@ object SimilarityQueries {
     "neardup_embeddings" -> neardupEmbeddings,
     "ann_lsh_topk" -> annLshTopK,
     "ann_ivf_topk" -> annIvfTopK,
+    "ann_recall" -> annRecall,
     "ivf_train" -> ivfTrain,
     "embed_quantize" -> embedQuantize)
 
@@ -284,5 +335,6 @@ object SimilarityQueries {
     "neardup_embeddings" -> neardupEmbeddingsSql,
     "ann_lsh_topk" -> annLshTopKSql,
     "ann_ivf_topk" -> annIvfTopKSql,
+    "ann_recall" -> annRecallSql,
     "embed_quantize" -> embedQuantizeSql)
 }

@@ -55,6 +55,27 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact top-k per query for a SET of query vectors — the ground-truth
+    * side of ANN recall evaluation. One corpus scan x broadcast query set
+    * (evaluation query sets are small by construction), ranked per query
+    * with the same rounded-cosine ordering the ANN paths use, so
+    * recall@k is well-defined under ties.
+    */
+  def knnBruteForceMulti(embeddings: DataFrame, queryVecIds: Seq[Long], k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id").isin(queryVecIds: _*))
+      .select(col("vec_id").as("query_vec_id"),
+        col("embedding").as("q_embedding"), l2Norm("embedding").as("q_norm"))
+    val cos = dot("embedding", "q_embedding") / (l2Norm("embedding") * col("q_norm"))
+    val w = Window.partitionBy("query_vec_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    embeddings.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_vec_id"))
+      .select(col("query_vec_id"), col("vec_id"),
+        graft.Parity.pround(cos, 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Near-duplicate vector pairs above `minCosine`, blocked by `label`
     * (metadata blocking keeps the pair space n²/|blocks|; LSH below is the
     * unblocked scale path).

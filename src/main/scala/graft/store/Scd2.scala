@@ -35,9 +35,22 @@ object Scd2 {
   /** Apply one source batch to an optional existing snapshot table.
     * `existing` must carry valid_from/valid_to/is_current (i.e. be a prior
     * result of this function); `batch` is the raw source slice.
+    *
+    * Precondition (enforced): `keyCols` are unique within `batch` — dbt's
+    * snapshot contract. A duplicate batch key would fan out the full-outer
+    * join and open multiple "current" rows for one key, silently breaking
+    * the one-current-row-per-key invariant, so it fails fast instead. The
+    * check is one map-side-combined aggregation over the batch (bounded
+    * collect: limit 1), negligible next to the join it protects.
     */
   def snapshot(existing: Option[DataFrame], batch: DataFrame,
       keyCols: Seq[String], trackCols: Seq[String], now: Timestamp): DataFrame = {
+    val dup = batch.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"Scd2.snapshot: batch has duplicate key ${keyCols.mkString("(", ",", ")")}" +
+        s" = ${dup.headOption.map(_.toSeq.dropRight(1).mkString(",")).getOrElse("")}" +
+        " — snapshot keys must be unique per batch")
     val opened = batch
       .withColumn("valid_from", lit(now))
       .withColumn("valid_to", lit(null).cast(TimestampType))

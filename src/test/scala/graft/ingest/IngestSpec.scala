@@ -26,6 +26,29 @@ class IngestSpec extends SparkSpec {
     assert(r.getAs[java.sql.Timestamp]("datetime").toString.startsWith("2024-01-01 00:00:00"))
   }
 
+  test("fetchDays: one request per day, each capped at outputsize (newest rows win)") {
+    import spark.implicits._
+    val d1 = java.time.LocalDate.of(2024, 1, 1)
+    val d2 = java.time.LocalDate.of(2024, 1, 2)
+    def ticksFor(d: java.time.LocalDate, n: Int) = {
+      val base = java.sql.Timestamp.valueOf(d.atStartOfDay())
+      (0 until n).map(i => (new Timestamp(base.getTime + i * 60000L), 1.0 + i))
+        .toDF("datetime", "close")
+    }
+    // day 1 exceeds the cap, day 2 does not
+    val fetched = Ingest.fetchDays(Seq(d1, d2),
+      d => ticksFor(d, if (d == d1) 1000 else 300), outputsize = 800)
+    val byDay = fetched
+      .withColumn("d", to_date(col("datetime")))
+      .groupBy("d").count().collect()
+      .map(r => r.getAs[java.sql.Date]("d").toString -> r.getAs[Long]("count")).toMap
+    assert(byDay === Map("2024-01-01" -> 800L, "2024-01-02" -> 300L))
+    // server truncation keeps the NEWEST bars: minutes 200..999 survive
+    val day1Min = fetched.filter(to_date(col("datetime")) === "2024-01-01")
+      .agg(min(col("datetime"))).first().getTimestamp(0)
+    assert(day1Min.toString.startsWith("2024-01-01 03:20:00")) // minute 200
+  }
+
   test("validateAndPrepare dedups, sorts, stamps; writeBronze lays out year=/month=") {
     import spark.implicits._
     val t0 = new Timestamp(1704067200000L) // 2024-01-01 00:00:00 UTC

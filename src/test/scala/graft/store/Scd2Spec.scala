@@ -62,4 +62,17 @@ class Scd2Spec extends SparkSpec {
     val cur = s2.filter(col("is_current")).groupBy(col("k")).count().collect()
     assert(cur.forall(_.getLong(1) === 1L))
   }
+
+  test("duplicate keys in a batch fail fast (dbt snapshot uniqueness contract)") {
+    val dup = src("a" -> 1.0, "a" -> 2.0, "b" -> 3.0)
+    val e = intercept[IllegalArgumentException] {
+      Scd2.snapshot(None, dup, keys, track, t(0))
+    }
+    assert(e.getMessage.contains("duplicate key"))
+    // and against an existing snapshot too — the join would fan out
+    val s1 = Scd2.snapshot(None, src("a" -> 1.0), keys, track, t(0))
+    intercept[IllegalArgumentException] {
+      Scd2.snapshot(Some(s1), dup, keys, track, t(1))
+    }
+  }
 }
