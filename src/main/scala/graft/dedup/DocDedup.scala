@@ -103,7 +103,7 @@ object DocDedup {
     * away. Scratch dirs are per-invocation temp dirs, removed on JVM
     * exit.
     */
-  private def scratchTable(df: DataFrame, tag: String): DataFrame = {
+  private[dedup] def scratchTable(df: DataFrame, tag: String): DataFrame = {
     val spark = df.sparkSession
     val dir = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
     sys.addShutdownHook {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.dedup.DocDedup
+import graft.dedup.{Components, DocDedup}
 
 /** Dedup-family driver queries over `documents` with DuckDB oracles that
   * reproduce every md5-derived signature bit-for-bit (SURVEY §7.4).
@@ -215,6 +215,59 @@ object DedupQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Near-dup CLUSTERS: connected components over the est-Jaccard ≥ 0.5
+    * pair graph (same threshold as dedup_keep_docs), every document labeled
+    * with the min doc_id of its transitive group plus the group size.
+    * Pair detection says "a~b"; clustering turns "a~b, b~c" into one
+    * {a,b,c} group with one canonical keeper — the collapse step a curation
+    * pipeline actually acts on. Min-label propagation to a fixpoint
+    * (Components.connectedComponents); the oracle recomputes the closure
+    * with a recursive CTE, so the whole chain — signatures → bands →
+    * candidate pairs → similarity gate → transitive closure — is
+    * hash-checked end-to-end.
+    */
+  val dedupClusters: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val edges = DocDedup.estimatedJaccardPairs(docs)
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    val labels = Components.connectedComponents(
+      docs.select(col("doc_id").as("v")), edges)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("v").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupClustersSql: String = {
+    val eq = (0 until NumHashes)
+      .map(j => s"CASE WHEN sa.mh_$j = sb.mh_$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH RECURSIVE $sigsSql,
+       |$bandsSql,
+       |$pairsSql,
+       |simp AS (
+       |  SELECT c.doc_id_a, c.doc_id_b
+       |  FROM cand c
+       |  JOIN sigs sa ON c.doc_id_a = sa.doc_id
+       |  JOIN sigs sb ON c.doc_id_b = sb.doc_id
+       |  WHERE floor((CAST($eq AS DOUBLE) / $NumHashes) * 1e6 + 0.5) / 1e6 >= 0.5),
+       |edges AS (
+       |  SELECT doc_id_a AS s, doc_id_b AS d FROM simp
+       |  UNION ALL
+       |  SELECT doc_id_b AS s, doc_id_a AS d FROM simp),
+       |reach AS (
+       |  SELECT doc_id AS v, doc_id AS u FROM documents
+       |  UNION
+       |  SELECT r.v, e.d FROM reach r JOIN edges e ON r.u = e.s),
+       |lbl AS (SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY cluster_id)
+       |SELECT l.doc_id, l.cluster_id, s.cluster_size
+       |FROM lbl l JOIN sz s USING (cluster_id)
+       |ORDER BY l.doc_id""".stripMargin
+  }
+
   /** Benchmark decontamination: flag corpus documents that share any word
     * 8-gram with a held-out benchmark set — the standard eval-leakage
     * guard before training (n-gram collision, not exact match, because
@@ -313,6 +366,7 @@ object DedupQueries {
     "decontaminate" -> decontaminate,
     "fuzzy_pairs" -> fuzzyPairs,
     "dedup_keep_docs" -> dedupKeepDocs,
+    "dedup_clusters" -> dedupClusters,
     "dedup_exact_docs" -> dedupExactDocs,
     "minhash_signatures" -> minhashSignatures,
     "lsh_candidate_pairs" -> lshCandidatePairs,
@@ -326,6 +380,7 @@ object DedupQueries {
     "fuzzy_pairs" -> fuzzyPairsSql,
     "simhash_pairs" -> simhashPairsSql,
     "dedup_keep_docs" -> dedupKeepDocsSql,
+    "dedup_clusters" -> dedupClustersSql,
     "dedup_exact_docs" -> dedupExactDocsSql,
     "minhash_signatures" -> minhashSignaturesSql,
     "lsh_candidate_pairs" -> lshCandidatePairsSql,

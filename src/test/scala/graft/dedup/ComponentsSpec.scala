@@ -1,0 +1,49 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.queries.DedupQueries
+
+/** Connected-components invariants: fixpoint labels on a hand-built graph
+  * (chains force >1 propagation round), and the corpus-level clustering
+  * query's structural guarantees.
+  */
+class ComponentsSpec extends SparkSpec {
+
+  test("min-label propagation: chains, pairs, and singletons all converge") {
+    import spark.implicits._
+    // component {1,2,3,9} is a chain 9-3-2-1 (diameter 3: needs multiple
+    // rounds), {5,6} a pair, {4,7} singletons
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 9L).toDF("v")
+    val edges = Seq((2L, 1L), (3L, 2L), (9L, 3L), (5L, 6L)).toDF("a", "b")
+    val got = Components.connectedComponents(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("dedup_clusters: total labeling, pair-consistent, sizes partition the corpus") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = DedupQueries.dedupClusters(spark, sf0001).collect()
+    // one row per document, label never exceeds the member id
+    assert(out.length === docs.count())
+    assert(out.forall(r => r.getAs[Long]("cluster_id") <= r.getAs[Long]("doc_id")))
+    // cluster sizes are consistent and partition the corpus
+    val byCluster = out.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("cluster_size")).distinct.length === 1)
+      assert(rows.head.getAs[Long]("cluster_size") === rows.length.toLong)
+    }
+    // every gated near-dup pair ended up in the same cluster
+    val label = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val pairs = DocDedup.estimatedJaccardPairs(docs)
+      .filter(col("est_jaccard") >= 0.5)
+      .select("doc_id_a", "doc_id_b").collect()
+    assert(pairs.nonEmpty, "fixture should contain at least one near-dup pair")
+    pairs.foreach { p =>
+      assert(label(p.getLong(0)) === label(p.getLong(1)),
+        s"pair ${p.getLong(0)}~${p.getLong(1)} split across clusters")
+    }
+  }
+}
