@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -207,6 +208,181 @@ object TextQueries {
        |WHERE length(token) > 0
        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin
 
+  /** Per-document top-5 terms by TF-IDF — the relevance-ranking primitive
+    * behind keyword extraction and topical filtering. Two hash aggregates
+    * (term frequency per (doc, token); document frequency per token — both
+    * with map-side partial counts) and one join on token, then a per-doc
+    * ranking window. The document-frequency side is NOT broadcast-hinted:
+    * real vocabularies are heavy-tailed and can exceed a broadcast budget,
+    * and the token join after the tf aggregate shuffles |distinct (doc,
+    * token)| rows, not the token stream.
+    *
+    * idf is the RAW ratio N/df, not ln(N/df): natural log is not required
+    * to be correctly rounded by IEEE 754, so Spark (Java StrictMath-class
+    * behavior) and the DuckDB oracle (libm) could differ in the last ulp
+    * right at a rounding boundary. tf·N/df is pure integer-valued double
+    * arithmetic — exact in both engines — at the cost of weighting tf
+    * linearly rather than logarithmically; swap in `log` when cross-engine
+    * bit-parity is not a requirement.
+    */
+  val tfidfTopK: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    // bounded driver-side scalar: the corpus size for the idf numerator
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+    tf.join(dfreq, "token")
+      .withColumn("tfidf",
+        graft.Parity.pround(col("tf").cast("double") * lit(n.toDouble) / col("df"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val tfidfTopKSql: String =
+    s"""WITH $normedSql,
+       |tok AS (SELECT doc_id, unnest(ws) AS token FROM w),
+       |tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM tok
+       |  WHERE length(token) > 0 GROUP BY doc_id, token),
+       |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       |scored AS (
+       |  SELECT t.doc_id, t.token, t.tf, d.df,
+       |         floor((CAST(t.tf AS DOUBLE) * (SELECT n FROM nd) / d.df) * 1e6 + 0.5) / 1e6 AS tfidf
+       |  FROM tf t JOIN dfreq d USING (token)),
+       |ranked AS (
+       |  SELECT doc_id, token, tf, df, tfidf,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+       |  FROM scored)
+       |SELECT doc_id, rank, token, tf, df, tfidf
+       |FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+
+  /** Gopher/C4-style quality GATE: the per-document rule battery a curation
+    * pipeline uses to drop low-quality docs before training — length
+    * bounds, average-word-length bounds, a stopword floor, and a
+    * repetition ceiling — with the final `keep` conjunction. All signals
+    * are per-row array math over one scan (no shuffle); thresholds are
+    * calibrated so the synthetic corpus exercises BOTH outcomes of every
+    * flag (pass-through booleans that never vary would verify nothing).
+    */
+  val gopherFilters: Q = (s, dir) => {
+    val stats = Tables.documents(s, dir)
+      .withColumn("w", TextAnalysis.words(col("text")))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("word_count"),
+        expr("aggregate(transform(w, x -> length(x)), 0, (acc, x) -> acc + x)")
+          .as("word_chars"),
+        expr(s"size(filter(w, x -> x IN (${sqlList(stopEn)})))").cast("long")
+          .as("stopword_count"),
+        greatest(size(col("w")) - 2, lit(0)).cast("long").as("n_ngrams"),
+        expr("""CASE WHEN size(w) >= 3 THEN CAST(size(array_distinct(
+               |  transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS BIGINT)
+               |ELSE CAST(0 AS BIGINT) END""".stripMargin).as("n_distinct"))
+      .select(col("doc_id"), col("word_count"),
+        graft.Parity.pround(col("word_chars").cast("double") / col("word_count"), 6)
+          .as("avg_word_len"),
+        col("stopword_count"),
+        when(col("n_ngrams") > 0,
+          graft.Parity.pround(
+            lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams").cast("double"), 6))
+          .otherwise(lit(0.0)).as("dup_ratio"))
+    stats.select(col("doc_id"), col("word_count"), col("avg_word_len"),
+        col("stopword_count"), col("dup_ratio"),
+        (col("word_count") >= 20 && col("word_count") <= 1000).as("flag_words"),
+        (col("avg_word_len") >= 4.0 && col("avg_word_len") <= 10.0).as("flag_avg_len"),
+        (col("stopword_count") >= 2).as("flag_stop"),
+        (col("dup_ratio") <= 0.05).as("flag_rep"))
+      .withColumn("keep",
+        col("flag_words") && col("flag_avg_len") && col("flag_stop") && col("flag_rep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val gopherFiltersSql: String =
+    s"""WITH $normedSql,
+       |base AS (
+       |  SELECT doc_id,
+       |         CAST(len(ws) AS BIGINT) AS word_count,
+       |         list_sum(list_transform(ws, x -> length(x))) AS word_chars,
+       |         CAST(${stopCountSql(stopEn)} AS BIGINT) AS stopword_count,
+       |         CAST(greatest(len(ws) - 2, 0) AS BIGINT) AS n_ngrams,
+       |         CASE WHEN len(ws) >= 3
+       |              THEN CAST(len(list_distinct(list_transform(range(0, len(ws) - 2),
+       |                     i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS BIGINT)
+       |              ELSE CAST(0 AS BIGINT) END AS n_distinct
+       |  FROM w),
+       |stats AS (
+       |  SELECT doc_id, word_count,
+       |         floor((CAST(word_chars AS DOUBLE) / word_count) * 1e6 + 0.5) / 1e6 AS avg_word_len,
+       |         stopword_count,
+       |         CASE WHEN n_ngrams > 0
+       |              THEN floor((1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_ngrams AS DOUBLE)) * 1e6 + 0.5) / 1e6
+       |              ELSE 0.0 END AS dup_ratio
+       |  FROM base),
+       |flagged AS (
+       |  SELECT doc_id, word_count, avg_word_len, stopword_count, dup_ratio,
+       |         (word_count >= 20 AND word_count <= 1000) AS flag_words,
+       |         (avg_word_len >= 4.0 AND avg_word_len <= 10.0) AS flag_avg_len,
+       |         (stopword_count >= 2) AS flag_stop,
+       |         (dup_ratio <= 0.05) AS flag_rep
+       |  FROM stats)
+       |SELECT doc_id, word_count, avg_word_len, stopword_count, dup_ratio,
+       |       flag_words, flag_avg_len, flag_stop, flag_rep,
+       |       (flag_words AND flag_avg_len AND flag_stop AND flag_rep) AS keep
+       |FROM flagged ORDER BY doc_id""".stripMargin
+
+  private val sensitiveTerms = Seq("customer", "order")
+
+  /** PII / sensitive-content scrub: per-document counts of email-, phone-,
+    * and IPv4-shaped regex matches plus a dictionary-term scrub with the
+    * redacted text's fingerprint — the anonymization pass a training
+    * pipeline runs before the corpus leaves curation. Pure per-row work.
+    *
+    * The regex counts use RE2/Java-portable patterns (char classes, bounded
+    * repeats — no lookaround, no \\b); the synthetic corpus contains no
+    * such matches, so those columns verify the zero case only. The
+    * dictionary scrub is the positively-exercised path: term hits are
+    * counted and replaced word-array-natively (no regex), and the redacted
+    * fingerprint differs from the raw one exactly on hit documents —
+    * hash-checked both ways.
+    */
+  val piiScrub: Q = (s, dir) => {
+    val terms = sensitiveTerms.map(t => s"'$t'").mkString(", ")
+    Tables.documents(s, dir)
+      .withColumn("w", TextAnalysis.words(col("text")))
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"),
+          lit("[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"), lit(0))).cast("long").as("n_phones"),
+        size(regexp_extract_all(col("text"),
+          lit("([0-9]{1,3}\\.){3}[0-9]{1,3}"), lit(0))).cast("long").as("n_ipv4"),
+        expr(s"size(filter(w, x -> x IN ($terms)))").cast("long").as("n_sensitive"),
+        md5(concat_ws(" ",
+          expr(s"transform(w, x -> CASE WHEN x IN ($terms) THEN '<REDACTED>' ELSE x END)")))
+          .as("fp_redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiScrubSql: String = {
+    val terms = sensitiveTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH $normedSql
+       |SELECT doc_id,
+       |       CAST(len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+       |       CAST(len(regexp_extract_all(text, '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT) AS n_phones,
+       |       CAST(len(regexp_extract_all(text, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+       |       CAST(len(list_filter(ws, x -> x IN ($terms))) AS BIGINT) AS n_sensitive,
+       |       md5(array_to_string(list_transform(ws,
+       |             x -> CASE WHEN x IN ($terms) THEN '<REDACTED>' ELSE x END), ' ')) AS fp_redacted
+       |FROM w ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "text_stats" -> textStats,
     "text_quality" -> qualityScore,
@@ -215,7 +391,10 @@ object TextQueries {
     "doc_fingerprint" -> docFingerprint,
     "token_quantiles" -> tokenQuantiles,
     "dup_ngram_ratio" -> dupNgramRatio,
-    "vocab_topk" -> vocabTopK)
+    "vocab_topk" -> vocabTopK,
+    "tfidf_topk" -> tfidfTopK,
+    "gopher_filters" -> gopherFilters,
+    "pii_scrub" -> piiScrub)
 
   val oracleSql: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
@@ -225,5 +404,8 @@ object TextQueries {
     "doc_fingerprint" -> docFingerprintSql,
     "token_quantiles" -> tokenQuantilesSql,
     "dup_ngram_ratio" -> dupNgramRatioSql,
-    "vocab_topk" -> vocabTopKSql)
+    "vocab_topk" -> vocabTopKSql,
+    "tfidf_topk" -> tfidfTopKSql,
+    "gopher_filters" -> gopherFiltersSql,
+    "pii_scrub" -> piiScrubSql)
 }
