@@ -318,7 +318,86 @@ object SimilarityQueries {
       |         END, ',') AS codes
       |FROM s ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------ product quantization
+
+  /** Shared oracle CTE chain for the PQ family: double-cast embeddings,
+    * the sampled codebook (vec_ids 100..107 → codes 0..7), per-(vector,
+    * subspace) argmin assignments over 8 subspaces × 8 dims. Sub-distances
+    * are the same prepend-0 sequential folds as dotSql, at subvector
+    * offsets (DuckDB 1-based `s*8+i`, i∈[1,8] ≡ Spark 0-based `s*8+i`,
+    * i∈[0,7]).
+    */
+  private def pqSubDistSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(range(1, 9),
+       |    i -> ($a[r.s * 8 + i] - $b[r.s * 8 + i]) * ($a[r.s * 8 + i] - $b[r.s * 8 + i]))), (x, y) -> x + y)""".stripMargin
+
+  private val pqBaseSql: String =
+    s"""e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       |cb AS (SELECT vec_id - 100 AS code, emb AS c_emb FROM e0 WHERE vec_id BETWEEN 100 AND 107),
+       |r AS (SELECT unnest(range(0, 8)) AS s),
+       |scored AS (
+       |  SELECT e.vec_id, r.s, cb.code,
+       |         ${pqSubDistSql("e.emb", "cb.c_emb")} AS d
+       |  FROM e0 e CROSS JOIN r CROSS JOIN cb),
+       |asg AS (
+       |  SELECT vec_id, s, code, d FROM (
+       |    SELECT vec_id, s, code, d,
+       |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+       |    FROM scored) WHERE rn = 1)""".stripMargin
+
+  /** Product quantization codes: 8 subspaces × 8 dims over the 64-dim
+    * embeddings, sampled codebook (the vectors at vec_ids 100..107), codes
+    * comma-joined to a string (the driver's comparator cannot sort ARRAY
+    * cells) plus the total reconstruction error as an ordered sequential
+    * fold — order-fixed because a plain double SUM is not associative.
+    */
+  val pqCodesQ: Q = (s, dir) =>
+    Similarity.pqCodes(Tables.embeddings(s, dir)).orderBy(col("vec_id"))
+
+  val pqCodesSql: String =
+    s"""WITH $pqBaseSql
+       |SELECT vec_id,
+       |       array_to_string(list(CAST(code AS VARCHAR) ORDER BY s), ',') AS codes,
+       |       floor(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d ORDER BY s)),
+       |             (x, y) -> x + y) * 1e6 + 0.5) / 1e6 AS recon_err
+       |FROM asg GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** PQ ANN via asymmetric distance computation: full-precision queries
+    * (vec_ids 0..4) probe a 5×8×8 query-to-codebook LUT; each candidate's
+    * distance is the ordered per-subspace LUT sum for its codes. Ranked
+    * ascending with vec_id tie-break; top-10 per query, self excluded.
+    */
+  val annPqTopK: Q = (s, dir) =>
+    Similarity.annPqTopK(
+        Tables.embeddings(s, dir), queryVecIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+      .orderBy(col("query_vec_id"), col("rank"))
+
+  val annPqTopKSql: String =
+    s"""WITH $pqBaseSql,
+       |q AS (SELECT vec_id AS query_vec_id, emb AS q_emb FROM e0 WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |lut AS (
+       |  SELECT q.query_vec_id, r.s, cb.code,
+       |         ${pqSubDistSql("q.q_emb", "cb.c_emb")} AS qd
+       |  FROM q CROSS JOIN r CROSS JOIN cb),
+       |adc AS (
+       |  SELECT l.query_vec_id, a.vec_id,
+       |         floor(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.qd ORDER BY a.s)),
+       |               (x, y) -> x + y) * 1e6 + 0.5) / 1e6 AS adc_dist
+       |  FROM asg a JOIN lut l ON a.s = l.s AND a.code = l.code
+       |  WHERE a.vec_id <> l.query_vec_id
+       |  GROUP BY l.query_vec_id, a.vec_id),
+       |ranked AS (
+       |  SELECT query_vec_id, vec_id, adc_dist,
+       |         CAST(row_number() OVER (PARTITION BY query_vec_id
+       |                                 ORDER BY adc_dist, vec_id) AS BIGINT) AS rank
+       |  FROM adc)
+       |SELECT query_vec_id, vec_id, adc_dist, rank FROM ranked
+       |WHERE rank <= 10 ORDER BY query_vec_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "pq_codes" -> pqCodesQ,
+    "ann_pq_topk" -> annPqTopK,
     "embedding_norms" -> embeddingNorms,
     "knn_bruteforce" -> knnBruteForce,
     "neardup_embeddings" -> neardupEmbeddings,
@@ -329,6 +408,8 @@ object SimilarityQueries {
     "embed_quantize" -> embedQuantize)
 
   val oracleSql: Map[String, String] = Map(
+    "pq_codes" -> pqCodesSql,
+    "ann_pq_topk" -> annPqTopKSql,
     "ivf_train" -> ivfTrainSql,
     "embedding_norms" -> embeddingNormsSql,
     "knn_bruteforce" -> knnBruteForceSql,

@@ -232,6 +232,116 @@ object Similarity {
       .orderBy(col("cent_id"))
   }
 
+  /** Sequential squared-L2 distance between the `s`-th width-`w` subvectors
+    * of two double arrays: a left fold starting at 0.0 over (a[i]-b[i])²,
+    * term order fixed — the shape the DuckDB oracle reproduces bit-for-bit
+    * with list_reduce(list_prepend(0.0, ...)).
+    */
+  private def subDist(a: String, b: String, s: String, w: Int): Column =
+    expr(s"""aggregate(sequence(0, ${w - 1}), CAST(0 AS DOUBLE),
+            |  (acc, i) -> acc + ($a[$s * $w + i] - $b[$s * $w + i])
+            |                  * ($a[$s * $w + i] - $b[$s * $w + i]))""".stripMargin)
+
+  /** Product-quantization assignments: each vector split into `nSub`
+    * width-`subWidth` subvectors, each subvector coded as the argmin
+    * squared-L2 codebook entry of its subspace (tie → smaller code).
+    * Codebook = the subvectors of the vectors at `codebookVecIds` (the
+    * deterministic sampled-codebook analog of per-subspace k-means — swap
+    * ivfTrain in per subspace to train instead).
+    *
+    * Scale shape: one corpus scan exploded ×nSub, cross-joined against a
+    * broadcast |codebook| rows, min_by-reduced with map-side combine — the
+    * shuffle carries |V| × nSub assignment rows, never the distance
+    * stream. Returns (vec_id, s, code, sdist).
+    */
+  private[graft] def pqAssignments(
+      embeddings: DataFrame,
+      codebookVecIds: Seq[Long] = (100L until 108L),
+      nSub: Int = 8, subWidth: Int = 8): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val codeOf = codebookVecIds.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (id, j)) => when(col("vec_id") === id, lit(j)).otherwise(acc)
+    }
+    val cb = e.filter(col("vec_id").isin(codebookVecIds: _*))
+      .select(codeOf.as("code"), col("emb").as("c_emb"))
+    e.select(col("vec_id"), col("emb"),
+        explode(sequence(lit(0), lit(nSub - 1))).as("s"))
+      .crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("s"), col("code"),
+        subDist("emb", "c_emb", "s", subWidth).as("d"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(
+        min_by(col("code"), struct(col("d"), col("code"))).as("code"),
+        min(col("d")).as("sdist"))
+  }
+
+  /** PQ codes per vector: the comma-joined per-subspace code string (the
+    * compressed representation — nSub bytes instead of dim floats) plus the
+    * total reconstruction error. The error is an ORDERED fold over the
+    * per-subspace minima (collect → sort by s → sequential sum): a plain
+    * SUM() over doubles is order-nondeterministic across engines and runs,
+    * which would break the oracle's bit-parity.
+    */
+  def pqCodes(
+      embeddings: DataFrame,
+      codebookVecIds: Seq[Long] = (100L until 108L),
+      nSub: Int = 8, subWidth: Int = 8): DataFrame =
+    pqAssignments(embeddings, codebookVecIds, nSub, subWidth)
+      .groupBy(col("vec_id"))
+      .agg(
+        expr("""array_join(transform(array_sort(collect_list(struct(s, code))),
+               |  p -> CAST(p.code AS STRING)), ',')""".stripMargin).as("codes"),
+        graft.Parity.pround(
+          expr("""aggregate(transform(array_sort(collect_list(struct(s, sdist))),
+                 |  p -> p.sdist), CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin), 6)
+          .as("recon_err"))
+      .orderBy(col("vec_id"))
+
+  /** PQ ANN top-k via asymmetric distance computation (ADC): the query
+    * stays full-precision, the corpus is its PQ codes, and each candidate's
+    * distance is the sum over subspaces of the PRECOMPUTED query-to-
+    * codebook-entry distance for the candidate's code — one lookup-table
+    * probe per (candidate, subspace) instead of a dim-length float scan.
+    *
+    * Scale shape: the LUT is |queries| × nSub × |codebook| rows (tiny —
+    * built from a broadcast codebook and broadcast again for the probe
+    * join), so the corpus side streams its |V| × nSub code rows through a
+    * broadcast-hash join and a map-side-combinable ordered-sum aggregate.
+    * This is the memory-bandwidth shape that makes PQ indexes fast at
+    * scale: candidates are scanned as bytes, never as floats.
+    */
+  def annPqTopK(
+      embeddings: DataFrame, queryVecIds: Seq[Long], k: Int,
+      codebookVecIds: Seq[Long] = (100L until 108L),
+      nSub: Int = 8, subWidth: Int = 8): DataFrame = {
+    val asg = pqAssignments(embeddings, codebookVecIds, nSub, subWidth)
+    val e = embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val codeOf = codebookVecIds.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (id, j)) => when(col("vec_id") === id, lit(j)).otherwise(acc)
+    }
+    val cb = e.filter(col("vec_id").isin(codebookVecIds: _*))
+      .select(codeOf.as("code"), col("emb").as("c_emb"))
+    val lut = e.filter(col("vec_id").isin(queryVecIds: _*))
+      .select(col("vec_id").as("query_vec_id"), col("emb").as("q_emb"),
+        explode(sequence(lit(0), lit(nSub - 1))).as("s"))
+      .crossJoin(broadcast(cb))
+      .select(col("query_vec_id"), col("s"), col("code"),
+        subDist("q_emb", "c_emb", "s", subWidth).as("qd"))
+    val w = Window.partitionBy("query_vec_id")
+      .orderBy(col("adc_dist"), col("vec_id"))
+    asg.join(broadcast(lut), Seq("s", "code"))
+      .filter(col("vec_id") =!= col("query_vec_id"))
+      .groupBy(col("query_vec_id"), col("vec_id"))
+      .agg(graft.Parity.pround(
+        expr("""aggregate(transform(array_sort(collect_list(struct(s, qd))),
+               |  p -> p.qd), CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin), 6)
+        .as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN top-k with multi-probe: per query vector, rank
     * candidates in the query's sign-bucket AND every bucket at Hamming
     * distance 1 (probe buckets are exploded on the tiny broadcast query
