@@ -13,6 +13,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // dev-only subset filter (mirrors Verify's): SPARK_GRAFT_QUERIES=a,b,c
+    // times just those queries for isolation runs; the driver never sets it
+    val onlyQueries = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(',').toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,14 +43,17 @@ object Bench {
     // Warmup failures are reported under their own key — a transient
     // warmup-only failure (scratch-dir setup etc.) must not mark a query
     // that timed clean as erroring.
-    SparkEntry.queries.foreach { case (name, fn) => runQuery(name, fn, "warmup") }
+    val benchQueries = onlyQueries
+      .map(f => SparkEntry.queries.view.filterKeys(f).toMap)
+      .getOrElse(SparkEntry.queries)
+    benchQueries.foreach { case (name, fn) => runQuery(name, fn, "warmup") }
     // Three timed passes, min per query: guards the reported number against
     // one-off JVM events (GC storms, block-store eviction) observed to
     // inflate a single query by ~50x in long multi-query runs, and against
     // ambient machine load (observed to swing whole-run totals ~40%
     // between otherwise identical runs). A failed run yields no time — a
     // broken query must neither bench as ~0 s nor deflate the total.
-    def timedPass(): Map[String, Option[Double]] = SparkEntry.queries.map { case (name, fn) =>
+    def timedPass(): Map[String, Option[Double]] = benchQueries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = runQuery(name, fn, "timed")
       name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
@@ -78,7 +84,7 @@ object Bench {
     // excluded = queries with no clean timed pass: they contribute nothing
     // to `total`, so consumers comparing totals across rounds must see the
     // count explicitly — a broken query must not masquerade as a perf win
-    val excluded = SparkEntry.queries.size - results.size
+    val excluded = benchQueries.size - results.size
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errs":$es,"warmup_errs":$ws,"transient_errs":$ts,"excluded":$excluded,"sf":${jstr(sfDir)}}"""
     println(json)

@@ -93,28 +93,12 @@ object DocDedup {
         (1 until NumHashes).map(j =>
           min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"mh_$j")): _*)
 
-  /** Materialize a small derived relation to scratch parquet and read it
-    * back: one eager compute + cheap columnar scans per downstream
-    * reference, with ZERO block-manager involvement. This is the literal
-    * 100 TB pattern (write the signature table once, read it per pair
-    * job) applied at bench scale. The write is part of the calling
-    * query's execution, so benchmarks still pay the full signature build
-    * on every run — only the intra-query recompute multiplication goes
-    * away. Scratch dirs are per-invocation temp dirs, removed on JVM
-    * exit.
+  /** See graft.Scratch — write-once-read-many scratch parquet for derived
+    * relations referenced by multiple downstream subtrees (the signature
+    * table, shingle sets, per-round component labels).
     */
-  private[dedup] def scratchTable(df: DataFrame, tag: String): DataFrame = {
-    val spark = df.sparkSession
-    val dir = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
-    sys.addShutdownHook {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
-    val path = dir.resolve("data").toString
-    df.write.mode("overwrite").parquet(path)
-    spark.read.parquet(path)
-  }
+  private[dedup] def scratchTable(df: DataFrame, tag: String): DataFrame =
+    graft.Scratch.table(df, tag)
 
   /** Signature relation for multi-branch pair queries.
     *

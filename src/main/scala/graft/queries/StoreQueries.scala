@@ -40,7 +40,10 @@ object StoreQueries {
       |  WHERE rn = 1)""".stripMargin
 
   val mergeUpsert: Q = (s, dir) => {
-    val silver = ForexPipeline.silverFrom(s, dir)
+    // silver feeds THREE subtrees (the bounds agg and both batches) — each
+    // would re-run the scan + dedup window; scratch-materialize it once
+    // (graft.Scratch: the write-once-read-many shape, no block manager)
+    val silver = graft.Scratch.table(ForexPipeline.silverFrom(s, dir), "merge-silver")
     val target = s"${sys.props("java.io.tmpdir")}/graft_store/merge_upsert"
     val p = new org.apache.hadoop.fs.Path(target)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
