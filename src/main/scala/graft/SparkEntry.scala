@@ -45,8 +45,8 @@ object SparkEntry {
     * surface: text analysis, dedup family, similarity search, multimodal).
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (ForexQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ MediaQueries.queries ++
+    (ForexQueries.queries ++ IndicatorQueries.queries ++ TextQueries.queries ++
+      DedupQueries.queries ++ SimilarityQueries.queries ++ MediaQueries.queries ++
       RelationalQueries.queries ++ SamplingQueries.queries ++
       StoreQueries.queries ++ PipelineQueries.queries ++ CurationQueries.queries)
       .map { case (name, fn) =>
@@ -56,7 +56,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ForexQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
+    ForexQueries.oracleSql ++ IndicatorQueries.oracleSql ++
+      TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ MediaQueries.oracleSql ++
       RelationalQueries.oracleSql ++ SamplingQueries.oracleSql ++
       StoreQueries.oracleSql ++ PipelineQueries.oracleSql ++ CurationQueries.oracleSql

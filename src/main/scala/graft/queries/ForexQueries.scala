@@ -35,7 +35,7 @@ object ForexQueries {
       |  WHERE rn = 1)""".stripMargin
 
   /** DuckDB bucket expression mirroring Resample.bucket's closed form. */
-  private def bucketSql(tsCol: String, tf: Resample.Timeframe): String = {
+  private[queries] def bucketSql(tsCol: String, tf: Resample.Timeframe): String = {
     val u = s"(epoch_us($tsCol) + ${tf.shiftUs})"
     s"make_timestamp($u - ($u % ${tf.widthUs}) - ${tf.shiftUs})"
   }

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.forex.{ForexPipeline, Ohlc, Resample, TechIndicators}
+
+/** Advanced indicator queries (Bollinger, RSI, MACD) over 1h candles, each
+  * with a DuckDB oracle. All indicator math is sequential-fold deterministic
+  * (see TechIndicators scaladoc); the oracle lambdas are written with the
+  * SAME literal arithmetic as the Spark-side fold lambdas so both engines
+  * produce bit-identical doubles before the shared pround.
+  */
+object IndicatorQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def candles1h(s: SparkSession, dir: String): DataFrame =
+    Ohlc.candles(Resample.fanout(ForexPipeline.silverFrom(s, dir),
+        Seq(Resample.byName("1h"))))
+      .select(col("candle_start"), col("close_price"))
+
+  /** 1h close-price candle CTE shared by the three oracles (same shape as
+    * ewma_1h's — bucket via the closed-form epoch arithmetic).
+    */
+  private val candles1hSql: String =
+    s"""c AS (
+       |  SELECT ${ForexQueries.bucketSql("observed_at", Resample.byName("1h"))} AS candle_start,
+       |         arg_max(close_price, observed_at) AS close_price
+       |  FROM silver GROUP BY 1)""".stripMargin
+
+  // ------------------------------------------------------------- Bollinger
+
+  val bollinger1h: Q = (s, dir) =>
+    TechIndicators.bollinger(candles1h(s, dir)).orderBy(col("candle_start"))
+
+  val bollinger1hSql: String =
+    s"""WITH ${ForexQueries.silverSql},
+       |$candles1hSql,
+       |p AS (
+       |  SELECT candle_start, close_price,
+       |         list(close_price) OVER (ORDER BY candle_start
+       |           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS px
+       |  FROM c),
+       |m AS (
+       |  SELECT candle_start, close_price, px,
+       |         list_reduce(px, (acc, x) -> acc + x) / CAST(len(px) AS DOUBLE) AS bb_mid
+       |  FROM p),
+       |sd AS (
+       |  SELECT candle_start, close_price, bb_mid,
+       |         sqrt(list_reduce(list_transform(px, x -> (x - bb_mid) * (x - bb_mid)),
+       |                          (acc, x) -> acc + x) / CAST(len(px) AS DOUBLE)) AS bb_sd
+       |  FROM m)
+       |SELECT candle_start, close_price,
+       |       ${graft.Parity.proundSql("bb_mid", 6)} AS bb_mid,
+       |       ${graft.Parity.proundSql("bb_mid + 2.0 * bb_sd", 6)} AS bb_upper,
+       |       ${graft.Parity.proundSql("bb_mid - 2.0 * bb_sd", 6)} AS bb_lower
+       |FROM sd ORDER BY candle_start""".stripMargin
+
+  // ------------------------------------------------------------------ RSI
+
+  val rsi1h: Q = (s, dir) =>
+    TechIndicators.rsi(candles1h(s, dir)).orderBy(col("candle_start"))
+
+  val rsi1hSql: String =
+    s"""WITH ${ForexQueries.silverSql},
+       |$candles1hSql,
+       |d AS (
+       |  SELECT candle_start, close_price,
+       |         close_price - lag(close_price) OVER (ORDER BY candle_start) AS diff
+       |  FROM c),
+       |g AS (
+       |  SELECT candle_start, close_price,
+       |         greatest(diff, 0.0) AS gain, greatest(0.0 - diff, 0.0) AS loss
+       |  FROM d WHERE diff IS NOT NULL),
+       |p AS (
+       |  SELECT candle_start, close_price,
+       |         list(gain) OVER pw AS gl, list(loss) OVER pw AS ll
+       |  FROM g WINDOW pw AS (ORDER BY candle_start ROWS UNBOUNDED PRECEDING)),
+       |a AS (
+       |  SELECT candle_start, close_price,
+       |         list_reduce(gl, (acc, x) -> (acc * 13.0 + x) / 14.0) AS avg_gain,
+       |         list_reduce(ll, (acc, x) -> (acc * 13.0 + x) / 14.0) AS avg_loss
+       |  FROM p)
+       |SELECT candle_start, close_price,
+       |       ${graft.Parity.proundSql(
+               "CASE WHEN avg_loss = 0.0 THEN 100.0 " +
+               "ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss) END", 6)} AS rsi_14
+       |FROM a ORDER BY candle_start""".stripMargin
+
+  // ----------------------------------------------------------------- MACD
+
+  val macd1h: Q = (s, dir) =>
+    TechIndicators.macd(candles1h(s, dir)).orderBy(col("candle_start"))
+
+  val macd1hSql: String =
+    s"""WITH ${ForexQueries.silverSql},
+       |$candles1hSql,
+       |p AS (
+       |  SELECT candle_start, close_price,
+       |         list(close_price) OVER (ORDER BY candle_start
+       |           ROWS UNBOUNDED PRECEDING) AS px
+       |  FROM c),
+       |m AS (
+       |  SELECT candle_start, close_price,
+       |         list_reduce(px, (acc, x) -> acc + (2.0 / 13.0) * (x - acc))
+       |         - list_reduce(px, (acc, x) -> acc + (2.0 / 27.0) * (x - acc)) AS macd
+       |  FROM p),
+       |ms AS (
+       |  SELECT candle_start, close_price, macd,
+       |         list(macd) OVER (ORDER BY candle_start
+       |           ROWS UNBOUNDED PRECEDING) AS ml
+       |  FROM m),
+       |sg AS (
+       |  SELECT candle_start, close_price, macd,
+       |         list_reduce(ml, (acc, x) -> acc + (2.0 / 10.0) * (x - acc)) AS signal
+       |  FROM ms)
+       |SELECT candle_start, close_price,
+       |       ${graft.Parity.proundSql("macd", 6)} AS macd,
+       |       ${graft.Parity.proundSql("signal", 6)} AS macd_signal,
+       |       ${graft.Parity.proundSql("macd - signal", 6)} AS macd_hist
+       |FROM sg ORDER BY candle_start""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "bollinger_1h" -> bollinger1h,
+    "rsi_1h" -> rsi1h,
+    "macd_1h" -> macd1h)
+
+  val oracleSql: Map[String, String] = Map(
+    "bollinger_1h" -> bollinger1hSql,
+    "rsi_1h" -> rsi1hSql,
+    "macd_1h" -> macd1hSql)
+}

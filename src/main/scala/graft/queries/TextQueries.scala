@@ -383,7 +383,49 @@ object TextQueries {
        |FROM w ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-language distinct-token cardinality: the exact count next to the
+    * bit-checked HyperLogLog estimate (graft.relational.Sketches) and its
+    * relative error — the sketch IS part of the oracle contract, so the
+    * "approximate" path is still hash-verified, and the error column makes
+    * sketch quality measurable rather than asserted (same rationale as
+    * ann_recall for the ANN indexes).
+    */
+  val hllTokens: Q = (s, dir) => {
+    val tok = Tables.documents(s, dir)
+      .select(col("lang"), explode(TextAnalysis.words(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+    val exact = tok.groupBy("lang").agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("token")).as("exact_distinct"))
+    exact.join(graft.relational.Sketches.hllDistinct(tok, Seq("lang"), col("token")), "lang")
+      .select(col("lang"), col("n_tokens"), col("exact_distinct"),
+        graft.Parity.pround(col("hll_raw"), 6).as("hll_distinct"),
+        graft.Parity.pround(
+          abs(col("hll_raw") - col("exact_distinct").cast("double"))
+            / col("exact_distinct").cast("double"), 6).as("rel_err"))
+      .orderBy(col("lang"))
+  }
+
+  val hllTokensSql: String =
+    s"""WITH tok AS (
+       |  SELECT lang, token FROM (
+       |    SELECT lang,
+       |           unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+       |    FROM documents)
+       |  WHERE length(token) > 0),
+       |${graft.relational.Sketches.hllDistinctSql("tok", Seq("lang"), "token")},
+       |ex AS (
+       |  SELECT lang, count(*) AS n_tokens, count(DISTINCT token) AS exact_distinct
+       |  FROM tok GROUP BY 1)
+       |SELECT lang, n_tokens, exact_distinct,
+       |       ${graft.Parity.proundSql("hll_raw", 6)} AS hll_distinct,
+       |       ${graft.Parity.proundSql(
+                "abs(hll_raw - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE)",
+                6)} AS rel_err
+       |FROM ex JOIN hll USING (lang) ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "hll_tokens" -> hllTokens,
     "text_stats" -> textStats,
     "text_quality" -> qualityScore,
     "token_count" -> tokenCount,
@@ -397,6 +439,7 @@ object TextQueries {
     "pii_scrub" -> piiScrub)
 
   val oracleSql: Map[String, String] = Map(
+    "hll_tokens" -> hllTokensSql,
     "text_stats" -> textStatsSql,
     "text_quality" -> qualityScoreSql,
     "token_count" -> tokenCountSql,

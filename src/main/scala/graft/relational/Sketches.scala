@@ -1,0 +1,85 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** Sketch aggregates for approximate analytics at 100 TB — the cardinality
+  * path when exact `count(DISTINCT ...)` (a full shuffle of every distinct
+  * key) is too expensive. Spark ships `approx_count_distinct`, but its
+  * HLL++ register layout is engine-private and not oracle-checkable; this
+  * HyperLogLog is built from plain relational expressions over the
+  * engine-portable hash, so the DuckDB oracle reproduces it BIT-EXACTLY —
+  * the sketch itself is part of the checked query contract, not a black box.
+  *
+  * Shape at scale: one hash aggregate to (group, bucket) registers — map-side
+  * combined, shuffle carries ≤ m=64 rows per group regardless of input size —
+  * then a 64-row-per-group reduction. Compare: exact distinct shuffles every
+  * distinct key.
+  *
+  * Determinism: the register sum Σ 2^−M_j is NOT summed in floats (order-
+  * dependent) — each term is scaled to the integer 2^(27−M_j), summed as
+  * BIGINT (exact, any order), and divided by 2^27 once at the end: every
+  * float op runs on bit-identical inputs in both engines.
+  */
+object Sketches {
+
+  /** m = 2^6 = 64 registers; the portable hash is 32-bit, so 6 bucket bits
+    * leave a 26-bit value field: rho ∈ [1, 27].
+    */
+  private val M = 64
+  private val ValueBits = 26
+  /** alpha_64 · m² · 2^27 — pre-folded to ONE double literal so neither
+    * engine multiplies decimal literals (Spark and DuckDB disagree on
+    * decimal-literal arithmetic; a single shortest-round-trip double is
+    * parsed identically).
+    */
+  private[graft] val Numerator: Double = 0.709 * (64.0 * 64.0) * 134217728.0
+
+  /** Raw HyperLogLog distinct estimate of `key` per group (no small/large
+    * range corrections: linear counting needs `ln`, which is not IEEE
+    * exactly-rounded and so not cross-engine bit-stable; the raw estimate
+    * is the documented contract).
+    */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], key: Column): DataFrame = {
+    val g = groupCols.map(col)
+    val registers = df
+      .select(g :+ PortableHash.hash32(key).as("__h"): _*)
+      .withColumn("__bucket", expr(s"__h % $M"))
+      .withColumn("__w", expr(s"shiftright(__h, 6)"))
+      .withColumn("__rho",
+        when(col("__w") === 0, lit(ValueBits + 1).cast("long"))
+          .otherwise(lit(ValueBits + 1) - length(bin(col("__w"))).cast("long")))
+      .groupBy(g :+ col("__bucket"): _*)
+      .agg(max(col("__rho")).as("__m"))
+    registers
+      .groupBy(g: _*)
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${ValueBits + 1} - __m AS INT))"))
+          .as("__isum_obs"),
+        count(lit(1)).as("__nb"))
+      .withColumn("__isum",
+        col("__isum_obs") + (lit(M.toLong) - col("__nb")) * lit(1L << (ValueBits + 1)))
+      .select(g :+ (lit(Numerator) / col("__isum").cast("double")).as("hll_raw"): _*)
+  }
+
+  /** DuckDB mirror of [[hllDistinct]] as a CTE pipeline over a `(groupCols,
+    * key)` relation named `rel` with the key column named `key`.
+    */
+  def hllDistinctSql(rel: String, groupCols: Seq[String], keyExpr: String): String = {
+    val g = groupCols.mkString(", ")
+    s"""hashed AS (SELECT $g, ${PortableHash.hash32Sql(keyExpr)} AS hv FROM $rel),
+       |reg AS (
+       |  SELECT $g, hv % $M AS bucket,
+       |         max(CASE WHEN (hv >> 6) = 0 THEN ${ValueBits + 1}
+       |                  ELSE ${ValueBits + 1} - length(bin(hv >> 6)) END) AS m
+       |  FROM hashed GROUP BY ALL),
+       |hll AS (
+       |  SELECT $g,
+       |         CAST($Numerator AS DOUBLE) /
+       |           CAST(CAST(sum(CAST(1 AS BIGINT) << CAST(${ValueBits + 1} - m AS INTEGER)) AS BIGINT)
+       |                + ($M - count(*)) * ${1L << (ValueBits + 1)} AS DOUBLE) AS hll_raw
+       |  FROM reg GROUP BY ALL)""".stripMargin
+  }
+}

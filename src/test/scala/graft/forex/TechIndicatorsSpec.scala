@@ -1,0 +1,86 @@
+package graft.forex
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+
+/** Indicator-math invariants for TechIndicators (the oracle asserts
+  * cross-engine bit-parity; these assert the math itself on a tiny
+  * hand-checkable series).
+  */
+class TechIndicatorsSpec extends SparkSpec {
+
+  private def candles(prices: Double*) = {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("candle_start",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("close_price",
+        org.apache.spark.sql.types.DoubleType)))
+    val rows = prices.zipWithIndex.map { case (p, i) =>
+      Row(java.sql.Timestamp.valueOf(f"2024-01-01 ${i}%02d:00:00"), p)
+    }
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  test("bollinger: constant series has zero-width bands equal to the price") {
+    val rows = TechIndicators.bollinger(candles(Seq.fill(25)(1.5): _*), n = 20)
+      .collect()
+    assert(rows.length === 25)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("bb_mid") === 1.5)
+      assert(r.getAs[Double]("bb_upper") === 1.5)
+      assert(r.getAs[Double]("bb_lower") === 1.5)
+    }
+  }
+
+  test("bollinger: bands symmetric around mid, upper >= mid >= lower") {
+    val rows = TechIndicators.bollinger(
+      candles(1.0, 2.0, 3.0, 2.0, 1.0, 4.0, 2.5), n = 5).collect()
+    rows.foreach { r =>
+      val (mid, up, lo) = (r.getAs[Double]("bb_mid"),
+        r.getAs[Double]("bb_upper"), r.getAs[Double]("bb_lower"))
+      assert(up >= mid && mid >= lo)
+      assert(math.abs((up - mid) - (mid - lo)) < 1e-9)
+    }
+  }
+
+  test("rsi: monotone rise gives 100, monotone fall gives 0, bounded [0,100]") {
+    val up = TechIndicators.rsi(candles((1 to 20).map(_.toDouble): _*)).collect()
+    assert(up.length === 19) // first row has no diff
+    up.foreach(r => assert(r.getAs[Double]("rsi_14") === 100.0))
+    val down = TechIndicators.rsi(candles((20 to 1 by -1).map(_.toDouble): _*))
+      .collect()
+    down.foreach(r => assert(r.getAs[Double]("rsi_14") === 0.0))
+    val mixed = TechIndicators.rsi(
+      candles(1.0, 2.0, 1.5, 1.8, 1.2, 2.2, 2.0, 1.9)).collect()
+    mixed.foreach { r =>
+      val v = r.getAs[Double]("rsi_14")
+      assert(v >= 0.0 && v <= 100.0)
+    }
+  }
+
+  test("macd: constant series is identically zero; first row is zero") {
+    val rows = TechIndicators.macd(candles(Seq.fill(30)(2.0): _*)).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("macd") === 0.0)
+      assert(r.getAs[Double]("macd_signal") === 0.0)
+      assert(r.getAs[Double]("macd_hist") === 0.0)
+    }
+    // on any series the first row's EMAs all seed at close -> macd = 0
+    val any = TechIndicators.macd(candles(5.0, 1.0, 9.0, 2.0))
+      .orderBy("candle_start").collect()
+    assert(any.head.getAs[Double]("macd") === 0.0)
+    assert(any.head.getAs[Double]("macd_signal") === 0.0)
+  }
+
+  test("macd: hist = macd - signal (after shared rounding)") {
+    val rows = TechIndicators.macd(
+      candles(1.0, 1.2, 1.1, 1.4, 1.3, 1.8, 1.6, 1.9, 2.1, 1.7)).collect()
+    rows.foreach { r =>
+      val (m, s, h) = (r.getAs[Double]("macd"),
+        r.getAs[Double]("macd_signal"), r.getAs[Double]("macd_hist"))
+      assert(math.abs(h - (m - s)) < 2e-6) // independent roundings of each
+    }
+  }
+}

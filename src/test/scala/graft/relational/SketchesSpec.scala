@@ -1,0 +1,47 @@
+package graft.relational
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** HLL sketch invariants (the oracle asserts cross-engine bit-parity of the
+  * estimate; these assert estimator quality and the register-layout bounds).
+  */
+class SketchesSpec extends SparkSpec {
+
+  private def keys(n: Int, dup: Int) = {
+    import spark.implicits._
+    (0 until n).flatMap(i => Seq.fill(dup)(s"key_$i")).toDF("k")
+      .withColumn("g", lit("all"))
+  }
+
+  test("estimate within 30% of truth across two decades of cardinality") {
+    // raw HLL with m=64 has stderr ~1.04/sqrt(64) = 13%; 30% is a safe
+    // determinism-free bound at these cardinalities
+    Seq(100, 1000, 10000).foreach { n =>
+      val est = Sketches.hllDistinct(keys(n, 3), Seq("g"), col("k"))
+        .collect().head.getAs[Double]("hll_raw")
+      assert(math.abs(est - n) / n < 0.3, s"n=$n est=$est")
+    }
+  }
+
+  test("estimate is duplication-invariant (pure function of the key set)") {
+    val once = Sketches.hllDistinct(keys(500, 1), Seq("g"), col("k"))
+      .collect().head.getAs[Double]("hll_raw")
+    val thrice = Sketches.hllDistinct(keys(500, 3), Seq("g"), col("k"))
+      .collect().head.getAs[Double]("hll_raw")
+    assert(once === thrice)
+  }
+
+  test("per-group registers never exceed m=64 rows into the final reduce") {
+    import spark.implicits._
+    val df = (0 until 2000).map(i => (s"g${i % 3}", s"k$i")).toDF("g", "k")
+    // group count survives; estimates independent per group
+    val out = Sketches.hllDistinct(df, Seq("g"), col("k")).collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      val est = r.getAs[Double]("hll_raw")
+      assert(math.abs(est - 2000.0 / 3) / (2000.0 / 3) < 0.3, r.toString)
+    }
+  }
+}
