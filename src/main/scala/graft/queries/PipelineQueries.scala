@@ -421,7 +421,95 @@ object PipelineQueries {
        |      (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) + 10 * 86400000000 FROM events)
        |ORDER BY observed_at""".stripMargin
 
+  /** Bounded-run harness shared by the round-4 streaming queries: stop any
+    * prior run of `name`, drop state-store partitions to 8 (streaming
+    * disables AQE; 32 state stores for a few hundred windows is pure
+    * overhead), run to completion under AvailableNow, restore the conf.
+    */
+  private def runBoundedStream(s: SparkSession, name: String,
+      build: () => DataFrame, mode: String): DataFrame = {
+    s.streams.active.filter(_.name == name).foreach(_.stop())
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = build()
+        .writeStream.format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(
+          s"$name did not finish within 300s (a timed-out run would " +
+            "otherwise return a silently partial memory-sink table)")
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(name)
+  }
+
+  /** SLIDING-window streaming OHLC: 1h candles refreshed every 15m — each
+    * tick lands in 4 overlapping windows. Complete-mode bounded run equals
+    * the batch explode-to-4-windows form, which is the oracle (CROSS JOIN
+    * range(0,4) on the slide grid).
+    */
+  val streamSlidingOhlc: Q = (s, dir) => {
+    val base = silverStreamSource(s, dir)
+    runBoundedStream(s, "graft_stream_sliding_ohlc",
+      () => graft.streaming.ForexStream.slidingCandles(
+        graft.streaming.ForexStream.ticks(s, base)),
+      "complete").orderBy(col("window_start"))
+  }
+
+  val streamSlidingOhlcSql: String =
+    s"""WITH ${ForexQueries.silverSql},
+       |e AS (
+       |  SELECT observed_at, open_price, high_price, low_price, close_price,
+       |         make_timestamp((epoch_us(observed_at) - (epoch_us(observed_at) % 900000000))
+       |                        - k * 900000000) AS window_start
+       |  FROM silver CROSS JOIN range(0, 4) r(k))
+       |SELECT window_start,
+       |       arg_min(open_price, observed_at) AS open_price,
+       |       max(high_price)                  AS high_price,
+       |       min(low_price)                   AS low_price,
+       |       arg_max(close_price, observed_at) AS close_price,
+       |       count(*)                         AS ticks_5m_count
+       |FROM e GROUP BY 1 ORDER BY window_start""".stripMargin
+
+  /** STREAMING dedup at the gate: raw event timestamps (with duplicates)
+    * flow through `dropDuplicatesWithinWatermark`, and the appended output
+    * must equal batch DISTINCT. The fixture is one file sorted by time so
+    * the bounded run is deterministic: AvailableNow ingests it as a single
+    * micro-batch whose starting watermark is epoch-0, so no row can arrive
+    * behind the watermark and the in-batch dedup is exhaustive. The input
+    * is projected to the key column alone, so WHICH duplicate survives is
+    * immaterial — the unstated survivor-choice of streaming dedup (arrival
+    * order) never leaks into the output. State is bounded by the lateness
+    * window (keys expire as the watermark passes them), which is what makes
+    * this operator — unlike plain dropDuplicates — safe on unbounded
+    * streams; dedupedTicks' spec covers the multi-batch expiry behavior.
+    */
+  val streamDedup: Q = (s, dir) => {
+    val base = ensureFixture(s, "stream_dedup", dir) { b =>
+      Tables.events(s, dir).select(col("ts").as("observed_at"))
+        .orderBy(col("observed_at"))
+        .coalesce(1).write.mode("overwrite").parquet(b)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("observed_at",
+        org.apache.spark.sql.types.TimestampType)))
+    runBoundedStream(s, "graft_stream_dedup",
+      () => graft.streaming.ForexStream.dedupedTicks(
+        s.readStream.schema(schema).parquet(base)),
+      "append").orderBy(col("observed_at"))
+  }
+
+  val streamDedupSql: String =
+    """SELECT DISTINCT CAST(ts AS TIMESTAMP) AS observed_at
+      |FROM events ORDER BY observed_at""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "stream_sliding_ohlc" -> streamSlidingOhlc,
+    "stream_dedup" -> streamDedup,
     "staging_view" -> stagingView,
     "backfill_day" -> backfillDay,
     "ingest_bronze" -> ingestBronze,
@@ -432,6 +520,8 @@ object PipelineQueries {
     "compact_roundtrip" -> compactRoundtrip)
 
   val oracleSql: Map[String, String] = Map(
+    "stream_sliding_ohlc" -> streamSlidingOhlcSql, // streaming vs batch explode
+    "stream_dedup" -> streamDedupSql, // streaming dedup vs batch DISTINCT
     "staging_view" -> goldTableSql,
     "backfill_day" -> goldTableSql,
     "ingest_bronze" -> ingestBronzeSql,

@@ -81,6 +81,29 @@ object ForexStream {
   def candlesComplete(ticksStream: DataFrame, tf: Resample.Timeframe): DataFrame =
     ohlcOverWindow(ticksStream.groupBy(windowFor(tf).as("w")), tf)
 
+  /** SLIDING-window OHLC: overlapping windows (width > slide), each tick
+    * contributing to width/slide windows — the streaming form of a moving
+    * aggregate (e.g. "1h candle refreshed every 15m"). Spark's `window()`
+    * assigns each row to all windows whose [start, start+width) contains
+    * it, starts aligned to the slide grid; state per key is one window
+    * aggregate, so memory is O(active windows), and in complete-mode
+    * bounded runs the result is exactly the batch explode-to-4-windows
+    * equivalent (the oracle's CROSS JOIN range(0, width/slide) form).
+    */
+  def slidingCandles(ticksStream: DataFrame, width: String = "1 hour",
+      slide: String = "15 minutes"): DataFrame =
+    ticksStream
+      .groupBy(window(col("observed_at"), width, slide).as("w"))
+      .agg(
+        min_by(col("open_price"), col("observed_at")).as("open_price"),
+        max(col("high_price")).as("high_price"),
+        min(col("low_price")).as("low_price"),
+        max_by(col("close_price"), col("observed_at")).as("close_price"),
+        count(lit(1)).as("ticks_5m_count"))
+      .select(col("w.start").as("window_start"), col("open_price"),
+        col("high_price"), col("low_price"), col("close_price"),
+        col("ticks_5m_count"))
+
   /** Streaming analog of the batch keyed dedup (D2): keep one tick per
     * observed_at across micro-batches, with state bounded by the watermark —
     * `dropDuplicatesWithinWatermark` expires each key's dedup state once the

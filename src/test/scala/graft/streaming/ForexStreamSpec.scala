@@ -87,6 +87,31 @@ class ForexStreamSpec extends SparkSpec {
     assert(out.groupBy("observed_at").count().filter(col("count") > 1).count() === 0)
   }
 
+  test("sliding windows: every tick lands in width/slide overlapping windows") {
+    val dir = silverDir()
+    val q = ForexStream.slidingCandles(ForexStream.ticks(spark, dir))
+      .writeStream.format("memory").queryName("sliding_stream")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.table("sliding_stream")
+    val ticks = ForexPipeline.silverFrom(spark, sf0001)
+    // total window membership = 4 x tick count (1h width / 15m slide)
+    assert(out.agg(sum("ticks_5m_count")).first().getLong(0) === ticks.count() * 4)
+    // window starts are on the 15-minute slide grid
+    assert(out.filter(expr("CAST(window_start AS LONG) % 900 != 0")).count() === 0)
+    // each 1h-aligned sliding window equals the tumbling 1h candle
+    val tumbling = Ohlc.candles(Resample.fanout(ticks, Seq(Resample.byName("1h"))))
+      .select("candle_start", "open_price", "close_price", "ticks_5m_count")
+      .collect().map(_.mkString("|")).sorted
+    val aligned = out.filter(expr("CAST(window_start AS LONG) % 3600 = 0"))
+      .select(col("window_start").as("candle_start"), col("open_price"),
+        col("close_price"), col("ticks_5m_count"))
+      .collect().map(_.mkString("|")).sorted
+    assert(aligned.toSeq === tumbling.toSeq)
+  }
+
   test("foreachBatch sink: streamed candles land in the incremental store") {
     val dir = silverDir()
     val out = Files.createTempDirectory("graft_stream_out").toString
