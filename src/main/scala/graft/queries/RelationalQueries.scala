@@ -488,7 +488,35 @@ object RelationalQueries {
        |GROUP BY 1, 2, 3, 4
        |ORDER BY ss.user_id, ss.session_start""".stripMargin
 
+  /** Bloom-pruned exact semi join (graft.relational.BloomPrune): lineitems
+    * of URGENT orders, pruned through a distributed bloom sketch before the
+    * confirming semi join. The oracle is the PLAIN semi join — blooms have
+    * no false negatives and the confirm join kills false positives, so
+    * pruning must be result-invisible; only shuffle volume changes.
+    */
+  val bloomSemiJoin: Q = (s, dir) => {
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    graft.relational.BloomPrune
+      .semiJoin(Tables.lineitem(s, dir), "l_orderkey", urgent, "o_orderkey",
+        expectedItems = 100000L)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        graft.Parity.pround(sumExact(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val bloomSemiJoinSql: String =
+    s"""SELECT l_returnflag, count(*) AS n_items,
+       |       ${graft.Parity.proundSql(sumExactSql("l_extendedprice"), 2)} AS sum_price
+       |FROM lineitem
+       |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+       |                     WHERE o_orderpriority = '1-URGENT')
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "bloom_semi_join" -> bloomSemiJoin,
     "range_join_sessions" -> rangeJoinSessions,
     "sessionize_relational" -> sessionizeRelational,
     "skew_salted_sum" -> skewSaltedSum,
@@ -509,6 +537,7 @@ object RelationalQueries {
     "events_kpi" -> eventsKpi)
 
   val oracleSql: Map[String, String] = Map(
+    "bloom_semi_join" -> bloomSemiJoinSql,
     "range_join_sessions" -> rangeJoinSessionsSql,
     "sessionize_relational" -> sessionizeEventsSql, // same semantics, scalable plan
     "skew_salted_sum" -> skewSaltedSumSql,
