@@ -28,4 +28,39 @@ object Ohlc {
         min(col("low_price")).as("low_price"),
         max_by(col("close_price"), col("observed_at")).as("close_price"),
         count(lit(1)).as("ticks_5m_count"))
+
+  /** Hierarchical re-aggregation: coarser candles FROM finer candles, never
+    * re-reading ticks — OHLC is a mergeable aggregate (open = open of the
+    * earliest child, close = close of the latest, high/low = max/min,
+    * count = sum). Correct whenever every coarse boundary is also a fine
+    * boundary, which holds for all reference timeframes over a 1h base:
+    * the 4h/12h anchors are whole hours (−2h NY shift) and 24h is
+    * UTC-midnight-aligned.
+    *
+    * This is THE candle-store pattern at 100 TB: the tick scan happens once
+    * (into the finest persisted timeframe) and every coarser series derives
+    * from candle-level data — input is |candles|, orders of magnitude below
+    * |ticks|. One explode + one hash aggregate for all targets (the same
+    * single-scan shape as Resample.fanout); `min_by`/`max_by` order on the
+    * child candle_start, unique per timeframe by construction.
+    */
+  def rollupCandles(fine: DataFrame, targets: Seq[Resample.Timeframe]): DataFrame = {
+    val f = fine.select(col("candle_start").as("child_start"),
+      col("open_price"), col("high_price"), col("low_price"),
+      col("close_price"), col("ticks_5m_count"))
+    val tags = array(targets.map { tf =>
+      struct(
+        lit(tf.name).as("timeframe"),
+        Resample.bucket(col("child_start"), tf).as("candle_start"))
+    }: _*)
+    f.select(explode(tags).as("tfb"), col("*"))
+      .groupBy(col("tfb.timeframe").as("timeframe"),
+        col("tfb.candle_start").as("candle_start"))
+      .agg(
+        min_by(col("open_price"), col("child_start")).as("open_price"),
+        max(col("high_price")).as("high_price"),
+        min(col("low_price")).as("low_price"),
+        max_by(col("close_price"), col("child_start")).as("close_price"),
+        sum(col("ticks_5m_count")).as("ticks_5m_count"))
+  }
 }

@@ -278,9 +278,34 @@ object ForexQueries {
        |       count(DISTINCT candle_start) AS n_candles
        |FROM fanned GROUP BY 1 ORDER BY timeframe""".stripMargin
 
+  /** Hierarchical candle re-aggregation (Ohlc.rollupCandles): 4h/12h/24h
+    * candles derived from 1h candles, never re-reading ticks. The oracle is
+    * the DIRECT tick aggregation for those timeframes — rollup must be
+    * indistinguishable from recompute, which is what licenses a candle
+    * store to build coarse series from the finest persisted one at scale.
+    */
+  val candlesRollup: Q = (s, dir) => {
+    val oneHour = Ohlc.candles(Resample.fanout(
+      ForexPipeline.silverFrom(s, dir), Seq(Resample.byName("1h"))))
+    Ohlc.rollupCandles(oneHour,
+        Seq(Resample.byName("4h"), Resample.byName("12h"), Resample.byName("24h")))
+      .orderBy(col("timeframe"), col("candle_start"))
+  }
+
+  val candlesRollupSql: String =
+    s"""WITH $silverSql,
+       |$fannedSql,
+       |$candlesSql
+       |SELECT timeframe, candle_start, open_price, high_price, low_price,
+       |       close_price, ticks_5m_count
+       |FROM candles
+       |WHERE timeframe IN ('4h', '12h', '24h')
+       |ORDER BY timeframe, candle_start""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
+    "candles_rollup" -> candlesRollup,
     "stg_ticks" -> stgTicks,
     "fct_timeframes" -> fctTimeframes,
     "ohlc_1h" -> ohlc1h,
@@ -294,6 +319,7 @@ object ForexQueries {
     "union_fanout" -> unionFanout)
 
   val oracleSql: Map[String, String] = Map(
+    "candles_rollup" -> candlesRollupSql, // rollup-from-1h vs direct-from-ticks
     "stg_ticks" -> stgTicksSql,
     "fct_timeframes" -> fctTimeframesSql,
     "ohlc_1h" -> ohlc1hSql,

@@ -61,4 +61,22 @@ class ForexPipelineSpec extends SparkSpec {
     val dups = silver.groupBy("observed_at").count().filter(col("count") > 1).count()
     assert(dups === 0)
   }
+
+  test("candle rollup from a finer base equals direct aggregation from ticks") {
+    // 1h -> {4h, 12h, 24h} (the query's shape) and 5m -> 15m (grid nesting
+    // in the sub-hour family)
+    def direct(tfs: String*) = Ohlc.candles(
+        Resample.fanout(silver, tfs.map(Resample.byName)))
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val from1h = Ohlc.rollupCandles(
+        Ohlc.candles(Resample.fanout(silver, Seq(Resample.byName("1h")))),
+        Seq("4h", "12h", "24h").map(Resample.byName))
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(from1h === direct("4h", "12h", "24h"))
+    val from5m = Ohlc.rollupCandles(
+        Ohlc.candles(Resample.fanout(silver, Seq(Resample.byName("5m")))),
+        Seq(Resample.byName("15m")))
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(from5m === direct("15m"))
+  }
 }
