@@ -94,6 +94,68 @@ object TechIndicators {
           6).as(s"rsi_$n"))
   }
 
+  // --------------------------------------------------- chunk-parallel EWMA
+
+  /** EWMA as a PARALLEL PREFIX SCAN — the 100 TB path for linear
+    * recurrences that [[graft.queries.ForexQueries.ewma1h]]'s scaladoc
+    * names but does not build. ewma_t = (1−α)·ewma_{t−1} + α·x_t is the
+    * affine map s ↦ a·s + b_t (a = 1−α, b_t = α·x_t), and affine maps
+    * compose associatively: (A₂,B₂)∘(A₁,B₁) = (A₂A₁, A₂B₁+B₂). So:
+    *
+    *  1. split the series into time-contiguous chunks (integer-DIV on the
+    *     candle grid — same chunking as IndicatorsChunked);
+    *  2. per chunk, IN PARALLEL: fold each row's prefix to its local
+    *     (A_j, B_j) — row value given any incoming state s is A_j·s + B_j;
+    *  3. compose the per-chunk totals in chunk order (|chunks| rows, a
+    *     window + fold, no driver loop) seeded with the series' first
+    *     close — yielding each chunk's incoming state S_c;
+    *  4. finish per row: ewma = A_j·S_c + B_j.
+    *
+    * Parallelism is #chunks; no single task ever sees the whole series —
+    * unlike the plain prefix-fold, whose unpartitioned window is a single
+    * sorted task. The reassociation computes DIFFERENT double roundings
+    * than the sequential fold (|Δ| ~ ulps, spec-bounded), so this operator
+    * carries its OWN DuckDB oracle in exactly the same chunked form —
+    * hash-exact cross-engine — rather than sharing ewma_1h's.
+    *
+    * Cost note: step 2 is a per-row prefix fold (O(chunk²) per chunk) to
+    * stay fully declarative/oracle-checkable; a mapPartitions running
+    * state would be O(chunk) at the price of leaving SQL. Struct literals
+    * are CAST to DOUBLE on the oracle side — DuckDB types bare 0.8 as
+    * DECIMAL and decimal arithmetic diverges from Spark's.
+    */
+  def ewmaChunked(candles: DataFrame, alpha: Double = 0.2,
+      candlesPerChunk: Int = 64, gridUs: Long = 3600000000L): DataFrame = {
+    require(alpha == 0.2, "lambda literals are written for alpha = 0.2")
+    val w = gridUs * candlesPerChunk
+    val c = candles.withColumn("chunk_id",
+      expr(s"unix_micros(candle_start) DIV ${w}L"))
+    val wPre = Window.partitionBy(col("chunk_id")).orderBy(col("candle_start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withAb = c
+      .withColumn("px", collect_list(col("close_price")).over(wPre))
+      .withColumn("fs", expr("transform(px, x -> named_struct('a', 0.8D, 'b', 0.2D * x))"))
+      .withColumn("abf", expr(
+        "aggregate(slice(fs, 2, size(fs) - 1), fs[0], " +
+          "(acc, f) -> named_struct('a', f.a * acc.a, 'b', f.a * acc.b + f.b))"))
+    val firstClose = candles.agg(
+      min_by(col("close_price"), col("candle_start")).as("first_close"))
+    val wPrev = Window.orderBy(col("chunk_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val incoming = withAb
+      .groupBy(col("chunk_id"))
+      .agg(max_by(col("abf"), col("candle_start")).as("ab_total"))
+      .crossJoin(broadcast(firstClose))
+      .withColumn("prev", collect_list(col("ab_total")).over(wPrev))
+      .withColumn("s_in", expr(
+        "aggregate(prev, named_struct('a', 1.0D, 'b', first_close), " +
+          "(acc, f) -> named_struct('a', 1.0D, 'b', f.a * acc.b + f.b)).b"))
+      .select(col("chunk_id"), col("s_in"))
+    withAb.join(incoming, "chunk_id")
+      .select(col("candle_start"), col("close_price"),
+        graft.Parity.pround(expr("abf.a * s_in + abf.b"), 6).as("ewma"))
+  }
+
   // ----------------------------------------------------------------- MACD
 
   /** MACD(12, 26, 9): EMA12 − EMA26 of close, signal = EMA9 of the MACD

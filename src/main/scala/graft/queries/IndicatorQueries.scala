@@ -121,13 +121,61 @@ object IndicatorQueries {
        |       ${graft.Parity.proundSql("macd - signal", 6)} AS macd_hist
        |FROM sg ORDER BY candle_start""".stripMargin
 
+  // --------------------------------------------------- chunk-parallel EWMA
+
+  val ewmaChunked: Q = (s, dir) =>
+    TechIndicators.ewmaChunked(candles1h(s, dir)).orderBy(col("candle_start"))
+
+  /** Oracle in the SAME chunked association as the engine (see
+    * TechIndicators.ewmaChunked scaladoc): per-chunk affine prefix folds,
+    * cross-chunk composition seeded with the first close. Struct literals
+    * CAST to DOUBLE (bare 0.8 is DECIMAL in DuckDB).
+    */
+  val ewmaChunkedSql: String = {
+    val w = 3600000000L * 64
+    s"""WITH ${ForexQueries.silverSql},
+       |$candles1hSql,
+       |ck AS (
+       |  SELECT candle_start, close_price, epoch_us(candle_start) // $w AS chunk_id
+       |  FROM c),
+       |p AS (
+       |  SELECT candle_start, close_price, chunk_id,
+       |         list(close_price) OVER (PARTITION BY chunk_id ORDER BY candle_start
+       |           ROWS UNBOUNDED PRECEDING) AS px
+       |  FROM ck),
+       |ab AS (
+       |  SELECT candle_start, close_price, chunk_id,
+       |         list_reduce(
+       |           list_transform(px, x -> {'a': CAST(0.8 AS DOUBLE), 'b': 0.2 * x}),
+       |           (acc, f) -> {'a': f.a * acc.a, 'b': f.a * acc.b + f.b}) AS abf
+       |  FROM p),
+       |lastc AS (SELECT chunk_id, arg_max(abf, candle_start) AS ab_total FROM ab GROUP BY 1),
+       |pv AS (
+       |  SELECT chunk_id,
+       |         coalesce(list(ab_total) OVER (ORDER BY chunk_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), []) AS prev
+       |  FROM lastc),
+       |si AS (
+       |  SELECT chunk_id,
+       |         list_reduce(
+       |           list_prepend({'a': CAST(1.0 AS DOUBLE),
+       |                         'b': (SELECT arg_min(close_price, candle_start) FROM c)}, prev),
+       |           (acc, f) -> {'a': CAST(1.0 AS DOUBLE), 'b': f.a * acc.b + f.b}).b AS s_in
+       |  FROM pv)
+       |SELECT ab.candle_start, ab.close_price,
+       |       ${graft.Parity.proundSql("ab.abf.a * si.s_in + ab.abf.b", 6)} AS ewma
+       |FROM ab JOIN si USING (chunk_id) ORDER BY candle_start""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "bollinger_1h" -> bollinger1h,
     "rsi_1h" -> rsi1h,
-    "macd_1h" -> macd1h)
+    "macd_1h" -> macd1h,
+    "ewma_chunked" -> ewmaChunked)
 
   val oracleSql: Map[String, String] = Map(
     "bollinger_1h" -> bollinger1hSql,
     "rsi_1h" -> rsi1hSql,
-    "macd_1h" -> macd1hSql)
+    "macd_1h" -> macd1hSql,
+    "ewma_chunked" -> ewmaChunkedSql)
 }

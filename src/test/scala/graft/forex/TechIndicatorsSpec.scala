@@ -17,8 +17,9 @@ class TechIndicatorsSpec extends SparkSpec {
         org.apache.spark.sql.types.TimestampType),
       org.apache.spark.sql.types.StructField("close_price",
         org.apache.spark.sql.types.DoubleType)))
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
     val rows = prices.zipWithIndex.map { case (p, i) =>
-      Row(java.sql.Timestamp.valueOf(f"2024-01-01 ${i}%02d:00:00"), p)
+      Row(new java.sql.Timestamp(base + i * 3600000L), p)
     }
     spark.createDataFrame(rows.asJava, schema)
   }
@@ -72,6 +73,33 @@ class TechIndicatorsSpec extends SparkSpec {
       .orderBy("candle_start").collect()
     assert(any.head.getAs[Double]("macd") === 0.0)
     assert(any.head.getAs[Double]("macd_signal") === 0.0)
+  }
+
+  test("ewma chunked scan tracks the sequential fold to float noise") {
+    // 300 hourly closes across many 64-candle chunks
+    val prices = (0 until 300).map(i => 1.0 + 0.3 * math.sin(i / 7.0) + 0.01 * (i % 13))
+    val df = candles(prices: _*)
+    val chunked = TechIndicators.ewmaChunked(df)
+      .orderBy("candle_start").collect().map(_.getAs[Double]("ewma"))
+    assert(chunked.length === 300)
+    // sequential reference recurrence
+    val seq = prices.tail.scanLeft(prices.head)((acc, x) => 0.8 * acc + 0.2 * x)
+      .map(v => math.floor(v * 1e6 + 0.5) / 1e6)
+    chunked.zip(seq).zipWithIndex.foreach { case ((c, s), i) =>
+      assert(math.abs(c - s) <= 1e-6 + 1e-9, s"row $i: chunked=$c seq=$s")
+    }
+    // first row: ewma seeds at the first close exactly
+    assert(chunked.head === math.floor(prices.head * 1e6 + 0.5) / 1e6)
+  }
+
+  test("ewma chunked is invariant to chunk width (up to rounding grain)") {
+    val prices = (0 until 200).map(i => 1.2 + 0.05 * ((i * 37) % 11))
+    val df = candles(prices: _*)
+    val a = TechIndicators.ewmaChunked(df, candlesPerChunk = 16)
+      .orderBy("candle_start").collect().map(_.getAs[Double]("ewma"))
+    val b = TechIndicators.ewmaChunked(df, candlesPerChunk = 128)
+      .orderBy("candle_start").collect().map(_.getAs[Double]("ewma"))
+    a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) <= 1e-6 + 1e-9) }
   }
 
   test("macd: hist = macd - signal (after shared rounding)") {
