@@ -424,7 +424,55 @@ object TextQueries {
                 6)} AS rel_err
        |FROM ex JOIN hll USING (lang) ORDER BY lang""".stripMargin
 
+  /** Heavy-hitter estimation through a count-min sketch
+    * (graft.relational.Sketches): the top-20 exact tokens next to their CMS
+    * point estimates and the (always ≥ 0) overcount. Integer-only sketch,
+    * so the whole estimate is hash-checked bit-exactly — the sketch is part
+    * of the oracle contract, same rationale as hll_tokens.
+    */
+  val cmsTopK: Q = (s, dir) => {
+    val tok = Tables.documents(s, dir)
+      .select(explode(TextAnalysis.words(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+    val counters = graft.relational.Sketches.cmsCounters(tok, col("token"))
+    val top = tok.groupBy("token").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("token")).limit(20)
+    val est = graft.relational.Sketches.cmsEstimate(top, col("token"), counters)
+    top.join(est, top("token") === est("__key"))
+      .select(col("token"), col("n_exact"), col("n_cms"),
+        (col("n_cms") - col("n_exact")).as("overcount"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
+  val cmsTopKSql: String = {
+    import graft.relational.Sketches.cmsBucketSql
+    def probeUnion(src: String): String =
+      (0 until 4).map { i =>
+        s"SELECT token, $i AS row_id, ${cmsBucketSql(i, "token")} AS bucket FROM $src"
+      }.mkString("\n  UNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT token FROM (
+       |    SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+       |    FROM documents)
+       |  WHERE length(token) > 0),
+       |counters AS (
+       |  SELECT row_id, bucket, CAST(count(*) AS BIGINT) AS n
+       |  FROM (${probeUnion("tok")})
+       |  GROUP BY 1, 2),
+       |top AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS n_exact FROM tok
+       |  GROUP BY 1 ORDER BY n_exact DESC, token LIMIT 20),
+       |probes AS (${probeUnion("top")}),
+       |est AS (
+       |  SELECT token, min(n) AS n_cms
+       |  FROM probes JOIN counters USING (row_id, bucket) GROUP BY 1)
+       |SELECT token, n_exact, n_cms, n_cms - n_exact AS overcount
+       |FROM top JOIN est USING (token)
+       |ORDER BY n_exact DESC, token""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "cms_topk" -> cmsTopK,
     "hll_tokens" -> hllTokens,
     "text_stats" -> textStats,
     "text_quality" -> qualityScore,
@@ -439,6 +487,7 @@ object TextQueries {
     "pii_scrub" -> piiScrub)
 
   val oracleSql: Map[String, String] = Map(
+    "cms_topk" -> cmsTopKSql,
     "hll_tokens" -> hllTokensSql,
     "text_stats" -> textStatsSql,
     "text_quality" -> qualityScoreSql,

@@ -64,6 +64,52 @@ object Sketches {
       .select(g :+ (lit(Numerator) / col("__isum").cast("double")).as("hll_raw"): _*)
   }
 
+  /** Count-min sketch: d independent hash rows × w counters. Counts are
+    * pure integers, so — unlike any float sketch — the estimate is exact
+    * arithmetic end-to-end and needs no summation-order care at all.
+    *
+    * Shape at scale: the counter table is d·w rows REGARDLESS of stream
+    * size (the explode multiplies rows by d, but the hash aggregate's
+    * map-side combine collapses each partition to ≤ d·w partials before
+    * the shuffle). Point estimates then join candidates (tiny) against the
+    * counter table (tiny, broadcast) — the classic heavy-hitter check
+    * without a second pass over the stream.
+    */
+  def cmsCounters(df: DataFrame, key: Column, d: Int = 4, w: Int = 256): DataFrame =
+    df
+      .select(explode(array((0 until d).map { i =>
+        struct(lit(i.toLong).as("row_id"),
+          pmod(PortableHash.hash32(concat(lit(i.toString), lit("|"), key)), lit(w.toLong))
+            .as("bucket"))
+      }: _*)).as("rb"))
+      .groupBy(col("rb.row_id").as("row_id"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** CMS point estimate for each row of `candidates`: min over the d row
+    * counters the key hashes into. Never underestimates; collisions only
+    * inflate.
+    */
+  def cmsEstimate(candidates: DataFrame, key: Column, counters: DataFrame,
+      d: Int = 4, w: Int = 256): DataFrame = {
+    val probes = candidates
+      .select(key.as("__key"), explode(array((0 until d).map { i =>
+        struct(lit(i.toLong).as("row_id"),
+          pmod(PortableHash.hash32(concat(lit(i.toString), lit("|"), key)), lit(w.toLong))
+            .as("bucket"))
+      }: _*)).as("rb"))
+      .select(col("__key"), col("rb.row_id").as("row_id"), col("rb.bucket").as("bucket"))
+    probes
+      .join(broadcast(counters), Seq("row_id", "bucket"))
+      .groupBy(col("__key"))
+      .agg(min(col("n")).as("n_cms"))
+  }
+
+  /** DuckDB mirror of the CMS bucket assignment for hash row `i` over
+    * `keyExpr`.
+    */
+  def cmsBucketSql(i: Int, keyExpr: String, w: Int = 256): String =
+    s"(${PortableHash.hash32Sql(s"'$i' || '|' || ($keyExpr)")}) % $w"
+
   /** DuckDB mirror of [[hllDistinct]] as a CTE pipeline over a `(groupCols,
     * key)` relation named `rel` with the key column named `key`.
     */

@@ -33,6 +33,29 @@ class SketchesSpec extends SparkSpec {
     assert(once === thrice)
   }
 
+  test("cms: never underestimates, exact for skewed heavy hitters") {
+    import spark.implicits._
+    // heavy hitters a(1000), b(500) over a long tail of 2000 singletons
+    val data = (Seq.fill(1000)("a") ++ Seq.fill(500)("b") ++
+      (0 until 2000).map(i => s"tail_$i")).toDF("k")
+    val counters = Sketches.cmsCounters(data, col("k"))
+    // counter table is bounded by d*w regardless of input size
+    assert(counters.count() <= 4 * 256)
+    val exact = data.groupBy("k").count()
+    val est = Sketches.cmsEstimate(exact, col("k"), counters)
+      .withColumnRenamed("__key", "k")
+    val joined = exact.join(est, "k").collect()
+    assert(joined.length === 2002)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("n_cms") >= r.getAs[Long]("count"),
+        s"underestimate for ${r.getAs[String]("k")}")
+    }
+    // heavy hitters dominate their buckets: overcount is tail-collision
+    // noise, bounded well below the heavy counts themselves
+    val a = joined.find(_.getAs[String]("k") == "a").get
+    assert(a.getAs[Long]("n_cms") - a.getAs[Long]("count") < 200)
+  }
+
   test("per-group registers never exceed m=64 rows into the final reduce") {
     import spark.implicits._
     val df = (0 until 2000).map(i => (s"g${i % 3}", s"k$i")).toDF("g", "k")
