@@ -515,7 +515,59 @@ object RelationalQueries {
        |                     WHERE o_orderpriority = '1-URGENT')
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Mergeable-sketch proof: per-day HLL registers over (event_type, day)
+    * merged by per-bucket max must produce the BIT-IDENTICAL estimate to
+    * the direct whole-range sketch — `merge_exact` is computed on the raw
+    * doubles pre-rounding and must be 1. This is the incremental-
+    * maintenance story for distinct counts at 100 TB: a store keeps tiny
+    * per-day register tables (≤64 rows/group/day) and serves any date
+    * range by merging them, never re-reading events.
+    */
+  val hllMergeDays: Q = (s, dir) => {
+    import graft.relational.Sketches
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    val direct = Sketches.hllDistinct(ev, Seq("event_type"), col("user_id"))
+      .withColumnRenamed("hll_raw", "raw_direct")
+    val merged = Sketches.hllFromRegisters(
+        Sketches.mergeRegisters(
+          Sketches.hllRegisters(ev, Seq("event_type", "day"), col("user_id")),
+          Seq("event_type")),
+        Seq("event_type"))
+      .withColumnRenamed("hll_raw", "raw_merged")
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    exact.join(direct, "event_type").join(merged, "event_type")
+      .select(col("event_type"), col("exact_distinct"),
+        graft.Parity.pround(col("raw_direct"), 6).as("hll_direct"),
+        graft.Parity.pround(col("raw_merged"), 6).as("hll_merged"),
+        (col("raw_merged") === col("raw_direct")).cast("long").as("merge_exact"))
+      .orderBy(col("event_type"))
+  }
+
+  val hllMergeDaysSql: String = {
+    import graft.relational.Sketches
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+       |  FROM events),
+       |${Sketches.hllRegistersSql("ev", Seq("event_type", "day"), "user_id", "reg_day")},
+       |mreg AS (SELECT event_type, bucket, max(m) AS m FROM reg_day GROUP BY ALL),
+       |${Sketches.hllEstimateSql("mreg", Seq("event_type"), "hm")},
+       |${Sketches.hllRegistersSql("ev", Seq("event_type"), "user_id", "reg_all")},
+       |${Sketches.hllEstimateSql("reg_all", Seq("event_type"), "hd")},
+       |ex AS (
+       |  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+       |  FROM ev GROUP BY 1)
+       |SELECT event_type, exact_distinct,
+       |       ${graft.Parity.proundSql("hd.hll_raw", 6)} AS hll_direct,
+       |       ${graft.Parity.proundSql("hm.hll_raw", 6)} AS hll_merged,
+       |       CAST(hm.hll_raw = hd.hll_raw AS BIGINT) AS merge_exact
+       |FROM ex JOIN hd USING (event_type) JOIN hm USING (event_type)
+       |ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "hll_merge_days" -> hllMergeDays,
     "bloom_semi_join" -> bloomSemiJoin,
     "range_join_sessions" -> rangeJoinSessions,
     "sessionize_relational" -> sessionizeRelational,
@@ -537,6 +589,7 @@ object RelationalQueries {
     "events_kpi" -> eventsKpi)
 
   val oracleSql: Map[String, String] = Map(
+    "hll_merge_days" -> hllMergeDaysSql,
     "bloom_semi_join" -> bloomSemiJoinSql,
     "range_join_sessions" -> rangeJoinSessionsSql,
     "sessionize_relational" -> sessionizeEventsSql, // same semantics, scalable plan

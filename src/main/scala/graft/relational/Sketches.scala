@@ -37,14 +37,17 @@ object Sketches {
     */
   private[graft] val Numerator: Double = 0.709 * (64.0 * 64.0) * 134217728.0
 
-  /** Raw HyperLogLog distinct estimate of `key` per group (no small/large
-    * range corrections: linear counting needs `ln`, which is not IEEE
-    * exactly-rounded and so not cross-engine bit-stable; the raw estimate
-    * is the documented contract).
+  /** Per-(group, bucket) HLL registers: `__bucket` ∈ [0, m), `__m` = max
+    * rho. Registers are the sketch's MERGEABLE partial state: registers of
+    * any partitioning of the input (days, shards, streams) merge by
+    * per-bucket `max` into exactly the registers of the whole — which is
+    * what lets a store keep per-day sketches and serve any date range
+    * without re-reading rows (see [[mergeRegisters]] and the
+    * hll_merge_days query).
     */
-  def hllDistinct(df: DataFrame, groupCols: Seq[String], key: Column): DataFrame = {
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], key: Column): DataFrame = {
     val g = groupCols.map(col)
-    val registers = df
+    df
       .select(g :+ PortableHash.hash32(key).as("__h"): _*)
       .withColumn("__bucket", expr(s"__h % $M"))
       .withColumn("__w", expr(s"shiftright(__h, 6)"))
@@ -53,7 +56,19 @@ object Sketches {
           .otherwise(lit(ValueBits + 1) - length(bin(col("__w"))).cast("long")))
       .groupBy(g :+ col("__bucket"): _*)
       .agg(max(col("__rho")).as("__m"))
-    registers
+  }
+
+  /** Merge registers down to a coarser grouping (drop the partition
+    * columns): per-bucket max — exact, associative, order-free.
+    */
+  def mergeRegisters(reg: DataFrame, groupCols: Seq[String]): DataFrame =
+    reg.groupBy(groupCols.map(col) :+ col("__bucket"): _*)
+      .agg(max(col("__m")).as("__m"))
+
+  /** Estimate from a register table (integer register sum, one division). */
+  def hllFromRegisters(reg: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    reg
       .groupBy(g: _*)
       .agg(
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${ValueBits + 1} - __m AS INT))"))
@@ -63,6 +78,14 @@ object Sketches {
         col("__isum_obs") + (lit(M.toLong) - col("__nb")) * lit(1L << (ValueBits + 1)))
       .select(g :+ (lit(Numerator) / col("__isum").cast("double")).as("hll_raw"): _*)
   }
+
+  /** Raw HyperLogLog distinct estimate of `key` per group (no small/large
+    * range corrections: linear counting needs `ln`, which is not IEEE
+    * exactly-rounded and so not cross-engine bit-stable; the raw estimate
+    * is the documented contract).
+    */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], key: Column): DataFrame =
+    hllFromRegisters(hllRegisters(df, groupCols, key), groupCols)
 
   /** Count-min sketch: d independent hash rows × w counters. Counts are
     * pure integers, so — unlike any float sketch — the estimate is exact
@@ -110,22 +133,38 @@ object Sketches {
   def cmsBucketSql(i: Int, keyExpr: String, w: Int = 256): String =
     s"(${PortableHash.hash32Sql(s"'$i' || '|' || ($keyExpr)")}) % $w"
 
-  /** DuckDB mirror of [[hllDistinct]] as a CTE pipeline over a `(groupCols,
-    * key)` relation named `rel` with the key column named `key`.
+  /** DuckDB mirror of [[hllRegisters]]: emits `<out>_hashed` and `<out>`
+    * CTEs over relation `rel`; `<out>` has columns (groupCols..., bucket, m).
     */
-  def hllDistinctSql(rel: String, groupCols: Seq[String], keyExpr: String): String = {
+  def hllRegistersSql(rel: String, groupCols: Seq[String], keyExpr: String,
+      out: String = "reg"): String = {
     val g = groupCols.mkString(", ")
-    s"""hashed AS (SELECT $g, ${PortableHash.hash32Sql(keyExpr)} AS hv FROM $rel),
-       |reg AS (
+    s"""${out}_hashed AS (SELECT $g, ${PortableHash.hash32Sql(keyExpr)} AS hv FROM $rel),
+       |$out AS (
        |  SELECT $g, hv % $M AS bucket,
        |         max(CASE WHEN (hv >> 6) = 0 THEN ${ValueBits + 1}
        |                  ELSE ${ValueBits + 1} - length(bin(hv >> 6)) END) AS m
-       |  FROM hashed GROUP BY ALL),
-       |hll AS (
+       |  FROM ${out}_hashed GROUP BY ALL)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[hllFromRegisters]]: a `<out>` CTE estimating from a
+    * register relation `regRel` with columns (groupCols..., bucket, m).
+    */
+  def hllEstimateSql(regRel: String, groupCols: Seq[String],
+      out: String = "hll"): String = {
+    val g = groupCols.mkString(", ")
+    s"""$out AS (
        |  SELECT $g,
        |         CAST($Numerator AS DOUBLE) /
        |           CAST(CAST(sum(CAST(1 AS BIGINT) << CAST(${ValueBits + 1} - m AS INTEGER)) AS BIGINT)
        |                + ($M - count(*)) * ${1L << (ValueBits + 1)} AS DOUBLE) AS hll_raw
-       |  FROM reg GROUP BY ALL)""".stripMargin
+       |  FROM $regRel GROUP BY ALL)""".stripMargin
   }
+
+  /** DuckDB mirror of [[hllDistinct]] as a CTE pipeline over a `(groupCols,
+    * key)` relation named `rel` with the key column named `key`.
+    */
+  def hllDistinctSql(rel: String, groupCols: Seq[String], keyExpr: String): String =
+    s"""${hllRegistersSql(rel, groupCols, keyExpr)},
+       |${hllEstimateSql("reg", groupCols)}""".stripMargin
 }

@@ -33,6 +33,21 @@ class SketchesSpec extends SparkSpec {
     assert(once === thrice)
   }
 
+  test("hll registers merged across any partitioning equal the direct sketch") {
+    import spark.implicits._
+    val df = (0 until 5000)
+      .map(i => ("all", s"shard_${i % 7}", s"key_${i % 1300}"))
+      .toDF("g", "shard", "k")
+    val direct = Sketches.hllDistinct(df, Seq("g"), col("k"))
+      .collect().head.getAs[Double]("hll_raw")
+    val merged = Sketches.hllFromRegisters(
+        Sketches.mergeRegisters(
+          Sketches.hllRegisters(df, Seq("g", "shard"), col("k")), Seq("g")),
+        Seq("g"))
+      .collect().head.getAs[Double]("hll_raw")
+    assert(merged === direct) // bit-identical, not approximately equal
+  }
+
   test("cms: never underestimates, exact for skewed heavy hitters") {
     import spark.implicits._
     // heavy hitters a(1000), b(500) over a long tail of 2000 singletons
