@@ -507,9 +507,61 @@ object PipelineQueries {
     """SELECT DISTINCT CAST(ts AS TIMESTAMP) AS observed_at
       |FROM events ORDER BY observed_at""".stripMargin
 
+  /** STREAMING sketch maintenance: HLL registers as streaming aggregation
+    * state. Register building is a per-row hash + a (group, bucket) max —
+    * a streaming-legal aggregate whose state is bounded by groups×64
+    * REGARDLESS of stream length (contrast the exact-distinct state, which
+    * grows with keys). A bounded complete-mode run must equal the batch
+    * sketch, so this shares the batch HLL oracle; estimate + exact + error
+    * are computed off the final register table.
+    */
+  val streamHll: Q = (s, dir) => {
+    import graft.relational.Sketches
+    val base = ensureFixture(s, "stream_hll", dir) { b =>
+      Tables.events(s, dir).select(col("event_type"), col("user_id"))
+        .coalesce(8).write.mode("overwrite").parquet(b)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType)))
+    val registers = runBoundedStream(s, "graft_stream_hll",
+      () => Sketches.hllRegisters(
+        s.readStream.schema(schema).parquet(base),
+        Seq("event_type"), col("user_id")),
+      "complete")
+    val exact = Tables.events(s, dir).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    exact
+      .join(Sketches.hllFromRegisters(registers, Seq("event_type")), "event_type")
+      .select(col("event_type"), col("exact_distinct"),
+        graft.Parity.pround(col("hll_raw"), 6).as("hll_distinct"),
+        graft.Parity.pround(
+          abs(col("hll_raw") - col("exact_distinct").cast("double"))
+            / col("exact_distinct").cast("double"), 6).as("rel_err"))
+      .orderBy(col("event_type"))
+  }
+
+  val streamHllSql: String = {
+    import graft.relational.Sketches
+    s"""WITH ev AS (SELECT event_type, user_id FROM events),
+       |${Sketches.hllDistinctSql("ev", Seq("event_type"), "user_id")},
+       |ex AS (
+       |  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+       |  FROM ev GROUP BY 1)
+       |SELECT event_type, exact_distinct,
+       |       ${graft.Parity.proundSql("hll_raw", 6)} AS hll_distinct,
+       |       ${graft.Parity.proundSql(
+                "abs(hll_raw - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE)",
+                6)} AS rel_err
+       |FROM ex JOIN hll USING (event_type) ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_sliding_ohlc" -> streamSlidingOhlc,
     "stream_dedup" -> streamDedup,
+    "stream_hll" -> streamHll,
     "staging_view" -> stagingView,
     "backfill_day" -> backfillDay,
     "ingest_bronze" -> ingestBronze,
@@ -522,6 +574,7 @@ object PipelineQueries {
   val oracleSql: Map[String, String] = Map(
     "stream_sliding_ohlc" -> streamSlidingOhlcSql, // streaming vs batch explode
     "stream_dedup" -> streamDedupSql, // streaming dedup vs batch DISTINCT
+    "stream_hll" -> streamHllSql, // streaming register state vs batch sketch
     "staging_view" -> goldTableSql,
     "backfill_day" -> goldTableSql,
     "ingest_bronze" -> ingestBronzeSql,
