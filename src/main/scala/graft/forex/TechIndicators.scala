@@ -124,36 +124,85 @@ object TechIndicators {
     * are CAST to DOUBLE on the oracle side — DuckDB types bare 0.8 as
     * DECIMAL and decimal arithmetic diverges from Spark's.
     */
+  /** Generic chunk-parallel scan of s_j = a·s_{j−1} + b·x_j over the column
+    * `valueCol` (time-keyed by `candle_start`), seeded s₁ = x₁ — requires
+    * a + b = 1 so the uniform pre-series state s₀ = x_first reproduces the
+    * seed. Appends `outCol` with the scan value; every arithmetic form is
+    * mirrored literally by the oracle builder (IndicatorQueries
+    * .affineScanSql), with a and b pre-folded to single double literals
+    * (Spark and DuckDB disagree on decimal-literal arithmetic).
+    * Working columns are prefixed `outCol_` so two scans compose in one
+    * query (see rsi_chunked: Wilder gain and loss scans side by side).
+    */
+  private[forex] def affineScan(df: DataFrame, valueCol: String, outCol: String,
+      a: Double, b: Double, candlesPerChunk: Int, gridUs: Long): DataFrame = {
+    require(math.abs(a + b - 1.0) < 1e-15, "seeding needs a + b = 1")
+    val w = gridUs * candlesPerChunk
+    val ck = s"${outCol}_chunk"
+    val px = s"${outCol}_px"
+    val fs = s"${outCol}_fs"
+    val ab = s"${outCol}_ab"
+    val c = df.withColumn(ck, expr(s"unix_micros(candle_start) DIV ${w}L"))
+    val wPre = Window.partitionBy(col(ck)).orderBy(col("candle_start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withAb = c
+      .withColumn(px, collect_list(col(valueCol)).over(wPre))
+      .withColumn(fs, expr(s"transform($px, x -> named_struct('a', ${a}D, 'b', ${b}D * x))"))
+      .withColumn(ab, expr(
+        s"aggregate(slice($fs, 2, size($fs) - 1), $fs[0], " +
+          "(acc, f) -> named_struct('a', f.a * acc.a, 'b', f.a * acc.b + f.b))"))
+    val first = df.agg(
+      min_by(col(valueCol), col("candle_start")).as(s"${outCol}_first"))
+    val wPrev = Window.orderBy(col(ck))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val incoming = withAb
+      .groupBy(col(ck))
+      .agg(max_by(col(ab), col("candle_start")).as(s"${outCol}_tot"))
+      .crossJoin(broadcast(first))
+      .withColumn(s"${outCol}_prev", collect_list(col(s"${outCol}_tot")).over(wPrev))
+      .withColumn(s"${outCol}_sin", expr(
+        s"aggregate(${outCol}_prev, named_struct('a', 1.0D, 'b', ${outCol}_first), " +
+          s"(acc, f) -> named_struct('a', 1.0D, 'b', f.a * acc.b + f.b)).b"))
+      .select(col(ck), col(s"${outCol}_sin"))
+    withAb.join(incoming, ck)
+      .withColumn(outCol, expr(s"$ab.a * ${outCol}_sin + $ab.b"))
+      .drop(ck, px, fs, ab, s"${outCol}_sin")
+  }
+
   def ewmaChunked(candles: DataFrame, alpha: Double = 0.2,
       candlesPerChunk: Int = 64, gridUs: Long = 3600000000L): DataFrame = {
     require(alpha == 0.2, "lambda literals are written for alpha = 0.2")
-    val w = gridUs * candlesPerChunk
-    val c = candles.withColumn("chunk_id",
-      expr(s"unix_micros(candle_start) DIV ${w}L"))
-    val wPre = Window.partitionBy(col("chunk_id")).orderBy(col("candle_start"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withAb = c
-      .withColumn("px", collect_list(col("close_price")).over(wPre))
-      .withColumn("fs", expr("transform(px, x -> named_struct('a', 0.8D, 'b', 0.2D * x))"))
-      .withColumn("abf", expr(
-        "aggregate(slice(fs, 2, size(fs) - 1), fs[0], " +
-          "(acc, f) -> named_struct('a', f.a * acc.a, 'b', f.a * acc.b + f.b))"))
-    val firstClose = candles.agg(
-      min_by(col("close_price"), col("candle_start")).as("first_close"))
-    val wPrev = Window.orderBy(col("chunk_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val incoming = withAb
-      .groupBy(col("chunk_id"))
-      .agg(max_by(col("abf"), col("candle_start")).as("ab_total"))
-      .crossJoin(broadcast(firstClose))
-      .withColumn("prev", collect_list(col("ab_total")).over(wPrev))
-      .withColumn("s_in", expr(
-        "aggregate(prev, named_struct('a', 1.0D, 'b', first_close), " +
-          "(acc, f) -> named_struct('a', 1.0D, 'b', f.a * acc.b + f.b)).b"))
-      .select(col("chunk_id"), col("s_in"))
-    withAb.join(incoming, "chunk_id")
+    affineScan(candles, "close_price", "ewma_raw",
+        a = 0.8, b = 0.2, candlesPerChunk, gridUs)
       .select(col("candle_start"), col("close_price"),
-        graft.Parity.pround(expr("abf.a * s_in + abf.b"), 6).as("ewma"))
+        graft.Parity.pround(col("ewma_raw"), 6).as("ewma"))
+  }
+
+  /** RSI with Wilder smoothing via TWO chunk-parallel affine scans (gain
+    * and loss; a = (n−1)/n, b = 1/n, a + b = 1 exactly in doubles for
+    * n = 14) — the scale-out form of [[rsi]], seeded identically (first
+    * gain/loss), so it matches `rsi` up to scan reassociation (spec-
+    * bounded); its oracle is written in the same chunked association.
+    */
+  def rsiChunked(candles: DataFrame, n: Int = 14,
+      candlesPerChunk: Int = 64, gridUs: Long = 3600000000L): DataFrame = {
+    require(n == 14, "lambda literals are written for n = 14")
+    val diffed = candles
+      .withColumn("diff", col("close_price") - lag(col("close_price"), 1).over(w))
+      .filter(col("diff").isNotNull)
+      .withColumn("gain", greatest(col("diff"), lit(0.0)))
+      .withColumn("loss", greatest(lit(0.0) - col("diff"), lit(0.0)))
+    val a = 13.0 / 14.0
+    val b = 1.0 / 14.0
+    val scanned = affineScan(
+      affineScan(diffed, "gain", "avg_gain", a, b, candlesPerChunk, gridUs),
+      "loss", "avg_loss", a, b, candlesPerChunk, gridUs)
+    scanned.select(col("candle_start"), col("close_price"),
+      graft.Parity.pround(
+        when(col("avg_loss") === lit(0.0), lit(100.0))
+          .otherwise(lit(100.0) -
+            lit(100.0) / (lit(1.0) + col("avg_gain") / col("avg_loss"))),
+        6).as(s"rsi_$n"))
   }
 
   // ----------------------------------------------------------------- MACD

@@ -167,15 +167,90 @@ object IndicatorQueries {
        |FROM ab JOIN si USING (chunk_id) ORDER BY candle_start""".stripMargin
   }
 
+  /** DuckDB mirror of TechIndicators.affineScan as a name-prefixed CTE
+    * chain over `src` (must have `candle_start` and `valCol`; `extraCols`
+    * are carried through). Exposes `<p>_res` with column `<p>` = the scan
+    * value. Literal arithmetic mirrors the Spark lambdas exactly; a and b
+    * arrive pre-folded as double literals.
+    */
+  private def affineScanSql(p: String, src: String, valCol: String,
+      extraCols: Seq[String], a: Double, b: Double, w: Long): String = {
+    val extra = extraCols.map(c => s"$c, ").mkString
+    val extraA = extraCols.map(c => s"ab.$c, ").mkString
+    s"""${p}_ck AS (
+       |  SELECT $extra candle_start, $valCol,
+       |         epoch_us(candle_start) // $w AS chunk_id
+       |  FROM $src),
+       |${p}_p AS (
+       |  SELECT *, list($valCol) OVER (PARTITION BY chunk_id ORDER BY candle_start
+       |    ROWS UNBOUNDED PRECEDING) AS px
+       |  FROM ${p}_ck),
+       |${p}_ab AS (
+       |  SELECT $extra candle_start, $valCol, chunk_id,
+       |         list_reduce(
+       |           list_transform(px, x -> {'a': CAST($a AS DOUBLE), 'b': CAST($b AS DOUBLE) * x}),
+       |           (acc, f) -> {'a': f.a * acc.a, 'b': f.a * acc.b + f.b}) AS abf
+       |  FROM ${p}_p),
+       |${p}_last AS (SELECT chunk_id, arg_max(abf, candle_start) AS tot FROM ${p}_ab GROUP BY 1),
+       |${p}_pv AS (
+       |  SELECT chunk_id,
+       |         coalesce(list(tot) OVER (ORDER BY chunk_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), []) AS prev
+       |  FROM ${p}_last),
+       |${p}_si AS (
+       |  SELECT chunk_id,
+       |         list_reduce(
+       |           list_prepend({'a': CAST(1.0 AS DOUBLE),
+       |                         'b': (SELECT arg_min($valCol, candle_start) FROM $src)}, prev),
+       |           (acc, f) -> {'a': CAST(1.0 AS DOUBLE), 'b': f.a * acc.b + f.b}).b AS s_in
+       |  FROM ${p}_pv),
+       |${p}_res AS (
+       |  SELECT $extraA ab.candle_start, ab.$valCol,
+       |         ab.abf.a * si.s_in + ab.abf.b AS $p
+       |  FROM ${p}_ab ab JOIN ${p}_si si USING (chunk_id))""".stripMargin
+  }
+
+  /** RSI via two chunk-parallel Wilder scans (TechIndicators.rsiChunked):
+    * the scale-out form of rsi_1h, oracle-checked in its own chunked
+    * association.
+    */
+  val rsiChunked: Q = (s, dir) =>
+    TechIndicators.rsiChunked(candles1h(s, dir)).orderBy(col("candle_start"))
+
+  val rsiChunkedSql: String = {
+    val w = 3600000000L * 64
+    val a = 13.0 / 14.0
+    val b = 1.0 / 14.0
+    s"""WITH ${ForexQueries.silverSql},
+       |$candles1hSql,
+       |d AS (
+       |  SELECT candle_start, close_price,
+       |         close_price - lag(close_price) OVER (ORDER BY candle_start) AS diff
+       |  FROM c),
+       |g AS (
+       |  SELECT candle_start, close_price,
+       |         greatest(diff, 0.0) AS gain, greatest(0.0 - diff, 0.0) AS loss
+       |  FROM d WHERE diff IS NOT NULL),
+       |${affineScanSql("avg_gain", "g", "gain", Seq("close_price", "loss"), a, b, w)},
+       |${affineScanSql("avg_loss", "avg_gain_res", "loss", Seq("close_price", "avg_gain"), a, b, w)}
+       |SELECT candle_start, close_price,
+       |       ${graft.Parity.proundSql(
+                "CASE WHEN avg_loss = 0.0 THEN 100.0 " +
+                "ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss) END", 6)} AS rsi_14
+       |FROM avg_loss_res ORDER BY candle_start""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "bollinger_1h" -> bollinger1h,
     "rsi_1h" -> rsi1h,
     "macd_1h" -> macd1h,
-    "ewma_chunked" -> ewmaChunked)
+    "ewma_chunked" -> ewmaChunked,
+    "rsi_chunked" -> rsiChunked)
 
   val oracleSql: Map[String, String] = Map(
     "bollinger_1h" -> bollinger1hSql,
     "rsi_1h" -> rsi1hSql,
     "macd_1h" -> macd1hSql,
-    "ewma_chunked" -> ewmaChunkedSql)
+    "ewma_chunked" -> ewmaChunkedSql,
+    "rsi_chunked" -> rsiChunkedSql)
 }

@@ -102,6 +102,19 @@ class TechIndicatorsSpec extends SparkSpec {
     a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) <= 1e-6 + 1e-9) }
   }
 
+  test("rsi chunked scan tracks the sequential Wilder fold to float noise") {
+    val prices = (0 until 250).map(i => 1.0 + 0.2 * math.sin(i / 5.0) + 0.03 * ((i * 17) % 7))
+    val df = candles(prices: _*)
+    val seq = TechIndicators.rsi(df).orderBy("candle_start")
+      .collect().map(_.getAs[Double]("rsi_14"))
+    val chunked = TechIndicators.rsiChunked(df).orderBy("candle_start")
+      .collect().map(_.getAs[Double]("rsi_14"))
+    assert(chunked.length === seq.length)
+    chunked.zip(seq).zipWithIndex.foreach { case ((c, s), i) =>
+      assert(math.abs(c - s) <= 1e-5, s"row $i: chunked=$c seq=$s")
+    }
+  }
+
   test("macd: hist = macd - signal (after shared rounding)") {
     val rows = TechIndicators.macd(
       candles(1.0, 1.2, 1.1, 1.4, 1.3, 1.8, 1.6, 1.9, 2.1, 1.7)).collect()
