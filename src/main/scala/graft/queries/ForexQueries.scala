@@ -302,10 +302,93 @@ object ForexQueries {
        |WHERE timeframe IN ('4h', '12h', '24h')
        |ORDER BY timeframe, candle_start""".stripMargin
 
+  /** Calendar densification + forward fill: thin the 1h candle series
+    * deterministically (drop hours ≡ 3 mod 5 — real feeds drop ticks, the
+    * testdata doesn't), regenerate the full hourly grid with `sequence`,
+    * and forward-fill close_price with `last(_, ignoreNulls)` over the
+    * time order. `is_filled` marks synthesized rows. The standard
+    * time-series gap-repair operator: grid generation is one row per
+    * missing slot (never a cross join), the fill is one ordered window.
+    * At 100 TB the window partitions by series key (symbol) exactly like
+    * the indicator windows; a single global series is the documented
+    * candle-level ceiling.
+    */
+  val gapFill: Q = (s, dir) => {
+    val candles = Ohlc.candles(Resample.fanout(
+        ForexPipeline.silverFrom(s, dir), Seq(Resample.byName("1h"))))
+      .select(col("candle_start"), col("close_price"))
+      .filter(expr("(unix_micros(candle_start) DIV 3600000000L) % 5 != 3"))
+    val grid = candles
+      .agg(min(col("candle_start")).as("lo"), max(col("candle_start")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("candle_start"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("candle_start"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(candles, Seq("candle_start"), "left")
+      .withColumn("close_filled", last(col("close_price"), ignoreNulls = true).over(w))
+      .select(col("candle_start"), col("close_filled"),
+        col("close_price").isNull.cast("long").as("is_filled"))
+      .orderBy(col("candle_start"))
+  }
+
+  val gapFillSql: String =
+    s"""WITH $silverSql,
+       |c0 AS (
+       |  SELECT ${bucketSql("observed_at", Resample.byName("1h"))} AS candle_start,
+       |         arg_max(close_price, observed_at) AS close_price
+       |  FROM silver GROUP BY 1),
+       |c AS (
+       |  SELECT * FROM c0
+       |  WHERE (epoch_us(candle_start) // 3600000000) % 5 != 3),
+       |grid AS (
+       |  SELECT unnest(generate_series(
+       |           (SELECT min(candle_start) FROM c),
+       |           (SELECT max(candle_start) FROM c),
+       |           INTERVAL 1 HOUR)) AS candle_start),
+       |j AS (SELECT grid.candle_start, c.close_price FROM grid LEFT JOIN c USING (candle_start))
+       |SELECT candle_start,
+       |       last_value(close_price IGNORE NULLS) OVER (ORDER BY candle_start
+       |         ROWS UNBOUNDED PRECEDING) AS close_filled,
+       |       CAST(close_price IS NULL AS BIGINT) AS is_filled
+       |FROM j ORDER BY candle_start""".stripMargin
+
+  /** Unpivot/melt: wide OHLC candles to long (candle_start, field, value)
+    * form — the feature-table shape ML pipelines join on. Same single-scan
+    * explode-of-structs as Resample.fanout (Spark's `stack` plans the same
+    * Generate); per-row work only, no shuffle before the output sort.
+    */
+  val candlesUnpivot: Q = (s, dir) =>
+    Ohlc.candles(Resample.fanout(
+        ForexPipeline.silverFrom(s, dir), Seq(Resample.byName("1h"))))
+      .select(col("candle_start"), explode(array(
+        struct(lit("open").as("field"), col("open_price").as("value")),
+        struct(lit("high").as("field"), col("high_price").as("value")),
+        struct(lit("low").as("field"), col("low_price").as("value")),
+        struct(lit("close").as("field"), col("close_price").as("value")))).as("fv"))
+      .select(col("candle_start"), col("fv.field").as("field"), col("fv.value").as("value"))
+      .orderBy(col("candle_start"), col("field"))
+
+  val candlesUnpivotSql: String =
+    s"""WITH $silverSql,
+       |c AS (
+       |  SELECT ${bucketSql("observed_at", Resample.byName("1h"))} AS candle_start,
+       |         arg_min(open_price, observed_at) AS open_price,
+       |         max(high_price) AS high_price,
+       |         min(low_price) AS low_price,
+       |         arg_max(close_price, observed_at) AS close_price
+       |  FROM silver GROUP BY 1)
+       |SELECT candle_start, 'open' AS field, open_price AS value FROM c
+       |UNION ALL SELECT candle_start, 'high', high_price FROM c
+       |UNION ALL SELECT candle_start, 'low', low_price FROM c
+       |UNION ALL SELECT candle_start, 'close', close_price FROM c
+       |ORDER BY candle_start, field""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "candles_rollup" -> candlesRollup,
+    "gap_fill" -> gapFill,
+    "candles_unpivot" -> candlesUnpivot,
     "stg_ticks" -> stgTicks,
     "fct_timeframes" -> fctTimeframes,
     "ohlc_1h" -> ohlc1h,
@@ -320,6 +403,8 @@ object ForexQueries {
 
   val oracleSql: Map[String, String] = Map(
     "candles_rollup" -> candlesRollupSql, // rollup-from-1h vs direct-from-ticks
+    "gap_fill" -> gapFillSql,
+    "candles_unpivot" -> candlesUnpivotSql,
     "stg_ticks" -> stgTicksSql,
     "fct_timeframes" -> fctTimeframesSql,
     "ohlc_1h" -> ohlc1hSql,
