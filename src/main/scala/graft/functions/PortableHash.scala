@@ -13,19 +13,32 @@ import org.apache.spark.sql.functions._
 object PortableHash {
 
   /** 32-bit hash of a string column (Spark side). */
-  def hash32(c: Column): Column = {
+  def hash32(c: Column): Column = hash32At(c, 1)
+
+  /** 32-bit hash from the 8 hex digits of md5 starting at 1-based `off`
+    * (off ∈ {1, 9, 17, 25} gives four disjoint spans of one digest — a
+    * cheap independent hash family: one md5 per row serves all four, which
+    * is what keeps d-row sketches like the CMS at one digest per key
+    * instead of d).
+    */
+  def hash32At(c: Column, off: Int): Column = {
+    require(off >= 1 && off + 8 <= 33, s"md5 span out of range: $off")
     val md = md5(c.cast("string"))
-    (1 to 8).foldLeft(lit(0L))((acc, i) =>
+    (off until off + 8).foldLeft(lit(0L))((acc, i) =>
       acc * 16L + (instr(lit("0123456789abcdef"), substring(md, i, 1)) - 1).cast("long"))
   }
 
   /** Same hash in DuckDB SQL over expression `e`. list_sum widens to
     * HUGEINT; the outer CAST keeps the oracle at BIGINT to match Spark's
     * LongType (driver hash compare is dtype-sensitive). */
-  def hash32Sql(e: String): String = {
+  def hash32Sql(e: String): String = hash32AtSql(e, 1)
+
+  /** DuckDB mirror of [[hash32At]]. */
+  def hash32AtSql(e: String, off: Int): String = {
+    require(off >= 1 && off + 8 <= 33, s"md5 span out of range: $off")
     val powers = (0 until 8).map(i => 1L << (4 * (7 - i))).mkString("[", ", ", "]")
-    s"""CAST(list_sum(list_transform(range(1, 9),
+    s"""CAST(list_sum(list_transform(range(${off}, ${off + 8}),
        |  i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(($e) AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
-       |       * ($powers)[i])) AS BIGINT)""".stripMargin
+       |       * ($powers)[CAST(i AS INTEGER) - ${off - 1}])) AS BIGINT)""".stripMargin
   }
 }

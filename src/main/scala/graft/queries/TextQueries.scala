@@ -431,12 +431,21 @@ object TextQueries {
     * of the oracle contract, same rationale as hll_tokens.
     */
   val cmsTopK: Q = (s, dir) => {
-    val tok = Tables.documents(s, dir)
-      .select(explode(TextAnalysis.words(col("text"))).as("token"))
-      .filter(length(col("token")) > 0)
+    // the raw token stream feeds three consumers (counter build — computed
+    // again as the broadcast side — and the top-20 twice: probes + join
+    // left); scratch-materialize it once, spread over 8 files so the
+    // downstream scans parallelize past the single-file source partition
+    val tok = graft.Scratch.table(
+      Tables.documents(s, dir)
+        .select(explode(TextAnalysis.words(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+        .repartition(8),
+      "cms_tok")
     val counters = graft.relational.Sketches.cmsCounters(tok, col("token"))
-    val top = tok.groupBy("token").agg(count(lit(1)).as("n_exact"))
-      .orderBy(col("n_exact").desc, col("token")).limit(20)
+    val top = graft.Scratch.table(
+      tok.groupBy("token").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token")).limit(20),
+      "cms_top")
     val est = graft.relational.Sketches.cmsEstimate(top, col("token"), counters)
     top.join(est, top("token") === est("__key"))
       .select(col("token"), col("n_exact"), col("n_cms"),

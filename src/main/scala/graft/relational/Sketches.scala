@@ -102,7 +102,7 @@ object Sketches {
     df
       .select(explode(array((0 until d).map { i =>
         struct(lit(i.toLong).as("row_id"),
-          pmod(PortableHash.hash32(concat(lit(i.toString), lit("|"), key)), lit(w.toLong))
+          pmod(PortableHash.hash32At(key, 1 + 8 * i), lit(w.toLong))
             .as("bucket"))
       }: _*)).as("rb"))
       .groupBy(col("rb.row_id").as("row_id"), col("rb.bucket").as("bucket"))
@@ -117,7 +117,7 @@ object Sketches {
     val probes = candidates
       .select(key.as("__key"), explode(array((0 until d).map { i =>
         struct(lit(i.toLong).as("row_id"),
-          pmod(PortableHash.hash32(concat(lit(i.toString), lit("|"), key)), lit(w.toLong))
+          pmod(PortableHash.hash32At(key, 1 + 8 * i), lit(w.toLong))
             .as("bucket"))
       }: _*)).as("rb"))
       .select(col("__key"), col("rb.row_id").as("row_id"), col("rb.bucket").as("bucket"))
@@ -128,10 +128,10 @@ object Sketches {
   }
 
   /** DuckDB mirror of the CMS bucket assignment for hash row `i` over
-    * `keyExpr`.
+    * `keyExpr` (disjoint md5 spans — see PortableHash.hash32At).
     */
   def cmsBucketSql(i: Int, keyExpr: String, w: Int = 256): String =
-    s"(${PortableHash.hash32Sql(s"'$i' || '|' || ($keyExpr)")}) % $w"
+    s"(${PortableHash.hash32AtSql(keyExpr, 1 + 8 * i)}) % $w"
 
   /** DuckDB mirror of [[hllRegisters]]: emits `<out>_hashed` and `<out>`
     * CTEs over relation `rel`; `<out>` has columns (groupCols..., bucket, m).
