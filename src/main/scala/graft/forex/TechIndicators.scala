@@ -205,6 +205,30 @@ object TechIndicators {
         6).as(s"rsi_$n"))
   }
 
+  /** MACD via THREE composed chunk-parallel scans — the scale-out form of
+    * [[macd]]: two EMA scans of close (a = 1−2/(n+1), b = 2/(n+1); a+b = 1
+    * exactly in doubles for n ∈ {12, 26}), macd = their difference, then a
+    * third scan of the macd column for the signal line (a second-order
+    * recurrence scanned over first-order scan output). Oracle in the same
+    * chunked association.
+    */
+  def macdChunked(candles: DataFrame,
+      candlesPerChunk: Int = 64, gridUs: Long = 3600000000L): DataFrame = {
+    def ab(n: Int) = (1.0 - 2.0 / (n + 1), 2.0 / (n + 1))
+    val (af, bf) = ab(12)
+    val (as_, bs) = ab(26)
+    val (ag, bg) = ab(9)
+    val scans = affineScan(
+      affineScan(candles, "close_price", "ema_fast", af, bf, candlesPerChunk, gridUs),
+      "close_price", "ema_slow", as_, bs, candlesPerChunk, gridUs)
+      .withColumn("macd_raw", col("ema_fast") - col("ema_slow"))
+    affineScan(scans, "macd_raw", "sig", ag, bg, candlesPerChunk, gridUs)
+      .select(col("candle_start"), col("close_price"),
+        graft.Parity.pround(col("macd_raw"), 6).as("macd"),
+        graft.Parity.pround(col("sig"), 6).as("macd_signal"),
+        graft.Parity.pround(col("macd_raw") - col("sig"), 6).as("macd_hist"))
+  }
+
   // ----------------------------------------------------------------- MACD
 
   /** MACD(12, 26, 9): EMA12 − EMA26 of close, signal = EMA9 of the MACD

@@ -240,17 +240,44 @@ object IndicatorQueries {
        |FROM avg_loss_res ORDER BY candle_start""".stripMargin
   }
 
+  /** MACD via three composed affine scans (TechIndicators.macdChunked). */
+  val macdChunked: Q = (s, dir) =>
+    TechIndicators.macdChunked(candles1h(s, dir)).orderBy(col("candle_start"))
+
+  val macdChunkedSql: String = {
+    val w = 3600000000L * 64
+    def ab(n: Int) = (1.0 - 2.0 / (n + 1), 2.0 / (n + 1))
+    val (af, bf) = ab(12)
+    val (as_, bs) = ab(26)
+    val (ag, bg) = ab(9)
+    s"""WITH ${ForexQueries.silverSql},
+       |$candles1hSql,
+       |${affineScanSql("ema_fast", "c", "close_price", Seq(), af, bf, w)},
+       |${affineScanSql("ema_slow", "ema_fast_res", "close_price", Seq("ema_fast"), as_, bs, w)},
+       |m AS (
+       |  SELECT candle_start, close_price, ema_fast - ema_slow AS macd_raw
+       |  FROM ema_slow_res),
+       |${affineScanSql("sig", "m", "macd_raw", Seq("close_price"), ag, bg, w)}
+       |SELECT candle_start, close_price,
+       |       ${graft.Parity.proundSql("macd_raw", 6)} AS macd,
+       |       ${graft.Parity.proundSql("sig", 6)} AS macd_signal,
+       |       ${graft.Parity.proundSql("macd_raw - sig", 6)} AS macd_hist
+       |FROM sig_res ORDER BY candle_start""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "bollinger_1h" -> bollinger1h,
     "rsi_1h" -> rsi1h,
     "macd_1h" -> macd1h,
     "ewma_chunked" -> ewmaChunked,
-    "rsi_chunked" -> rsiChunked)
+    "rsi_chunked" -> rsiChunked,
+    "macd_chunked" -> macdChunked)
 
   val oracleSql: Map[String, String] = Map(
     "bollinger_1h" -> bollinger1hSql,
     "rsi_1h" -> rsi1hSql,
     "macd_1h" -> macd1hSql,
     "ewma_chunked" -> ewmaChunkedSql,
-    "rsi_chunked" -> rsiChunkedSql)
+    "rsi_chunked" -> rsiChunkedSql,
+    "macd_chunked" -> macdChunkedSql)
 }

@@ -115,6 +115,20 @@ class TechIndicatorsSpec extends SparkSpec {
     }
   }
 
+  test("macd chunked scans track the sequential folds to float noise") {
+    val prices = (0 until 250).map(i => 1.0 + 0.2 * math.sin(i / 9.0) + 0.02 * ((i * 23) % 5))
+    val df = candles(prices: _*)
+    val seq = TechIndicators.macd(df).orderBy("candle_start").collect()
+    val chunked = TechIndicators.macdChunked(df).orderBy("candle_start").collect()
+    assert(chunked.length === seq.length)
+    chunked.zip(seq).zipWithIndex.foreach { case ((c, s), i) =>
+      Seq("macd", "macd_signal", "macd_hist").foreach { f =>
+        assert(math.abs(c.getAs[Double](f) - s.getAs[Double](f)) <= 1e-5,
+          s"row $i $f: chunked=${c.getAs[Double](f)} seq=${s.getAs[Double](f)}")
+      }
+    }
+  }
+
   test("macd: hist = macd - signal (after shared rounding)") {
     val rows = TechIndicators.macd(
       candles(1.0, 1.2, 1.1, 1.4, 1.3, 1.8, 1.6, 1.9, 2.1, 1.7)).collect()
