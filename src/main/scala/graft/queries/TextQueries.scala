@@ -480,7 +480,52 @@ object TextQueries {
        |ORDER BY n_exact DESC, token""".stripMargin
   }
 
+  /** Conjunctive term search through the inverted-index shape: the
+    * (doc_id, token) explode IS the posting-list relation — token-keyed, so
+    * at 100 TB it persists bucketed by token and a query touches only the
+    * probed tokens' buckets. The query terms are the corpus's two most
+    * frequent tokens (deterministic tie-break, derived from the data so the
+    * query is scale-free); a doc matches when it contains BOTH, and n_hits
+    * counts total occurrences. The term set is broadcast; the only shuffle
+    * carries matching postings grouped by doc.
+    */
+  val indexSearch: Q = (s, dir) => {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(TextAnalysis.words(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+    val terms = tok.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(2)
+      .select(col("token"))
+    tok
+      .join(broadcast(terms), "token")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(countDistinct(col("token")).as("n_terms"), count(lit(1)).as("n_hits"))
+      .filter(col("n_terms") === 2)
+      .select(col("doc_id"), col("lang"), col("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val indexSearchSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, token FROM (
+       |    SELECT doc_id, lang,
+       |           unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+       |    FROM documents)
+       |  WHERE length(token) > 0),
+       |terms AS (
+       |  SELECT token FROM tok GROUP BY token
+       |  ORDER BY count(*) DESC, token LIMIT 2),
+       |m AS (
+       |  SELECT doc_id, lang,
+       |         count(DISTINCT token) AS n_terms, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM tok JOIN terms USING (token)
+       |  GROUP BY doc_id, lang)
+       |SELECT doc_id, lang, n_hits FROM m WHERE n_terms = 2
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "index_search" -> indexSearch,
     "cms_topk" -> cmsTopK,
     "hll_tokens" -> hllTokens,
     "text_stats" -> textStats,
@@ -496,6 +541,7 @@ object TextQueries {
     "pii_scrub" -> piiScrub)
 
   val oracleSql: Map[String, String] = Map(
+    "index_search" -> indexSearchSql,
     "cms_topk" -> cmsTopKSql,
     "hll_tokens" -> hllTokensSql,
     "text_stats" -> textStatsSql,
