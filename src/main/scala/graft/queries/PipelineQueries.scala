@@ -558,7 +558,42 @@ object PipelineQueries {
        |FROM ex JOIN hll USING (event_type) ORDER BY event_type""".stripMargin
   }
 
+  /** STREAMING count-min maintenance: the d×w counter table as streaming
+    * aggregation state (bounded at d·w rows regardless of stream length —
+    * same argument as stream_hll's registers). The bounded run's counters
+    * must equal the batch sketch's, so the whole query — streaming
+    * counters probed for the batch top-20 — shares cms_topk's oracle.
+    */
+  val streamCms: Q = (s, dir) => {
+    import graft.relational.Sketches
+    import graft.text.TextAnalysis
+    val base = ensureFixture(s, "stream_cms", dir) { b =>
+      Tables.documents(s, dir)
+        .select(explode(TextAnalysis.words(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+        .repartition(8).write.mode("overwrite").parquet(b)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("token",
+        org.apache.spark.sql.types.StringType)))
+    val counters = runBoundedStream(s, "graft_stream_cms",
+      () => Sketches.cmsCounters(
+        s.readStream.schema(schema).parquet(base), col("token")),
+      "complete")
+    val tok = s.read.parquet(base)
+    val top = graft.Scratch.table(
+      tok.groupBy("token").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token")).limit(20),
+      "stream_cms_top")
+    val est = Sketches.cmsEstimate(top, col("token"), counters)
+    top.join(est, top("token") === est("__key"))
+      .select(col("token"), col("n_exact"), col("n_cms"),
+        (col("n_cms") - col("n_exact")).as("overcount"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_cms" -> streamCms,
     "stream_sliding_ohlc" -> streamSlidingOhlc,
     "stream_dedup" -> streamDedup,
     "stream_hll" -> streamHll,
@@ -572,6 +607,7 @@ object PipelineQueries {
     "compact_roundtrip" -> compactRoundtrip)
 
   val oracleSql: Map[String, String] = Map(
+    "stream_cms" -> TextQueries.cmsTopKSql, // streaming counter state vs batch sketch
     "stream_sliding_ohlc" -> streamSlidingOhlcSql, // streaming vs batch explode
     "stream_dedup" -> streamDedupSql, // streaming dedup vs batch DISTINCT
     "stream_hll" -> streamHllSql, // streaming register state vs batch sketch

@@ -129,6 +129,20 @@ class TechIndicatorsSpec extends SparkSpec {
     }
   }
 
+  test("degenerate series: single-row and empty inputs never throw") {
+    val one = candles(1.5)
+    assert(TechIndicators.bollinger(one).collect().length === 1)
+    assert(TechIndicators.rsi(one).collect().length === 0) // no diff -> no row
+    assert(TechIndicators.macd(one).collect().length === 1)
+    assert(TechIndicators.ewmaChunked(one).collect().length === 1)
+    assert(TechIndicators.rsiChunked(one).collect().length === 0)
+    assert(TechIndicators.macdChunked(one).collect().length === 1)
+    val empty = candles()
+    assert(TechIndicators.bollinger(empty).collect().isEmpty)
+    assert(TechIndicators.rsi(empty).collect().isEmpty)
+    assert(TechIndicators.macd(empty).collect().isEmpty)
+  }
+
   test("macd: hist = macd - signal (after shared rounding)") {
     val rows = TechIndicators.macd(
       candles(1.0, 1.2, 1.1, 1.4, 1.3, 1.8, 1.6, 1.9, 2.1, 1.7)).collect()
