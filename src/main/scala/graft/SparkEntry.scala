@@ -48,7 +48,8 @@ object SparkEntry {
     (ForexQueries.queries ++ IndicatorQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++ MediaQueries.queries ++
       RelationalQueries.queries ++ SamplingQueries.queries ++
-      StoreQueries.queries ++ PipelineQueries.queries ++ CurationQueries.queries)
+      StoreQueries.queries ++ PipelineQueries.queries ++ CurationQueries.queries ++
+      MultiSymQueries.queries)
       .map { case (name, fn) =>
         name -> ((s: SparkSession, dir: String) => normalizeOutputs(fn(s, dir)))
       }
@@ -60,5 +61,6 @@ object SparkEntry {
       TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ MediaQueries.oracleSql ++
       RelationalQueries.oracleSql ++ SamplingQueries.oracleSql ++
-      StoreQueries.oracleSql ++ PipelineQueries.oracleSql ++ CurationQueries.oracleSql
+      StoreQueries.oracleSql ++ PipelineQueries.oracleSql ++
+      CurationQueries.oracleSql ++ MultiSymQueries.oracleSql
 }

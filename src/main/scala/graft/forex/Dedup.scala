@@ -26,9 +26,15 @@ object Dedup {
     * `tieBreak` descending). One shuffle on the key — same cost as any
     * keyed aggregate at scale.
     */
-  def keyedKeepOne(df: DataFrame, key: Column, tieBreak: Seq[Column]): DataFrame = {
-    val order = if (tieBreak.isEmpty) Seq(key.desc) else tieBreak.map(_.desc)
-    val w = Window.partitionBy(key).orderBy(order: _*)
+  def keyedKeepOne(df: DataFrame, key: Column, tieBreak: Seq[Column]): DataFrame =
+    keyedKeepOne(df, Seq(key), tieBreak)
+
+  /** Multi-column-key variant of D2 — the multi-symbol pipeline dedups per
+    * (symbol, observed_at), one shuffle on the compound key.
+    */
+  def keyedKeepOne(df: DataFrame, keys: Seq[Column], tieBreak: Seq[Column]): DataFrame = {
+    val order = if (tieBreak.isEmpty) keys.map(_.desc) else tieBreak.map(_.desc)
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")

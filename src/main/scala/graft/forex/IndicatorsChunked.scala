@@ -157,7 +157,7 @@ object IndicatorsChunked {
       }
 
     enriched.toDF()
-      .withColumn("unique_id", Indicators.uniqueId)
+      .withColumn("unique_id", Indicators.uniqueId())
       .select(
         col("unique_id"), col("timeframe"), col("candle_start"),
         col("open_price"), col("high_price"), col("low_price"), col("close_price"),

@@ -19,9 +19,9 @@ import org.apache.spark.sql.functions._
   */
 object Ohlc {
 
-  def candles(fanned: DataFrame): DataFrame =
+  def candles(fanned: DataFrame, keyCols: Seq[String] = Nil): DataFrame =
     fanned
-      .groupBy(col("timeframe"), col("candle_start"))
+      .groupBy(keyCols.map(col) ++ Seq(col("timeframe"), col("candle_start")): _*)
       .agg(
         min_by(col("open_price"), col("observed_at")).as("open_price"),
         max(col("high_price")).as("high_price"),

@@ -59,7 +59,8 @@ object Resample {
     * per-row with one `explode` over an inline array — one scan, same bag
     * of rows, still fully codegen-compatible up to the generate.
     */
-  def fanout(silver: DataFrame, tfs: Seq[Timeframe] = timeframes): DataFrame = {
+  def fanout(silver: DataFrame, tfs: Seq[Timeframe] = timeframes,
+      keyCols: Seq[String] = Nil): DataFrame = {
     val tags = array(tfs.map { tf =>
       struct(
         lit(tf.name).as("timeframe"),
@@ -67,10 +68,10 @@ object Resample {
     }: _*)
     silver
       .select(explode(tags).as("tfb"), col("*"))
-      .select(
+      .select(keyCols.map(col) ++ Seq(
         col("tfb.timeframe").as("timeframe"),
         col("tfb.candle_start").as("candle_start"),
         col("observed_at"),
-        col("open_price"), col("high_price"), col("low_price"), col("close_price"))
+        col("open_price"), col("high_price"), col("low_price"), col("close_price")): _*)
   }
 }

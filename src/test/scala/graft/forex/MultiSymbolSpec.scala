@@ -1,0 +1,49 @@
+package graft.forex
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Multi-symbol pipeline contract: the symbol key partitions every stage,
+  * so each symbol's slice of the multi-symbol gold must be IDENTICAL to
+  * running the single-symbol pipeline on that symbol's ticks alone — no
+  * window may leak rows across symbols (lag/SMA frames partitioned by
+  * (symbol, timeframe)).
+  */
+class MultiSymbolSpec extends SparkSpec {
+
+  private lazy val events = Tables.events(spark, sf0001).cache()
+  private lazy val goldMulti = ForexPipeline.goldMulti(
+    ForexPipeline.silverMulti(events)).cache()
+
+  private val compareCols = Seq("timeframe", "candle_start", "open_price",
+    "high_price", "low_price", "close_price", "ticks_5m_count",
+    "price_diff", "sma_20", "sma_50")
+
+  test("per-symbol slice equals the single-symbol pipeline on that symbol") {
+    val symbols = events.select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(symbols.length >= 2, "fixture must be genuinely multi-symbol")
+    symbols.foreach { sym =>
+      val slice = goldMulti.filter(col("symbol") === sym)
+        .select(compareCols.map(col): _*)
+      val solo = ForexPipeline.gold(
+          ForexPipeline.silver(events.filter(col("event_type") === sym)))
+        .select(compareCols.map(col): _*)
+      assert(slice.exceptAll(solo).isEmpty && solo.exceptAll(slice).isEmpty,
+        s"symbol $sym diverges from its single-symbol run")
+    }
+  }
+
+  test("unique_id stays unique across symbols (symbol is in the hash)") {
+    val dups = goldMulti.groupBy("unique_id").count()
+      .filter(col("count") > 1).count()
+    assert(dups === 0)
+  }
+
+  test("every (symbol, timeframe) series is present") {
+    val n = goldMulti.select("symbol", "timeframe").distinct().count()
+    val symbols = events.select("event_type").distinct().count()
+    assert(n === symbols * Resample.timeframes.length)
+  }
+}
