@@ -50,9 +50,17 @@ object TechIndicators {
     * Indicators.sma's partial-frame semantics).
     */
   def bollinger(candles: DataFrame, n: Int = 20, k: Double = 2.0): DataFrame =
-    candles
-      .withColumn("px", collect_list(col("close_price"))
-        .over(w.rowsBetween(-(n - 1), Window.currentRow)))
+    bandsFromFrame(
+      candles.withColumn("px", collect_list(col("close_price"))
+        .over(w.rowsBetween(-(n - 1), Window.currentRow))), k)
+
+  /** Band math over a prepared `px` frame-list column (time-ordered, last
+    * ≤n closes). Shared by the global-window and chunk-parallel forms —
+    * identical frame lists fold to bit-identical doubles, which is what
+    * lets [[bollingerChunked]] share bollinger's oracle.
+    */
+  private def bandsFromFrame(withPx: DataFrame, k: Double): DataFrame =
+    withPx
       .withColumn("bb_mid",
         foldCol("px", "(acc, x) -> acc + x") / size(col("px")).cast("double"))
       .withColumn("sq", expr("transform(px, x -> (x - bb_mid) * (x - bb_mid))"))
@@ -62,6 +70,42 @@ object TechIndicators {
         graft.Parity.pround(col("bb_mid"), 6).as("bb_mid"),
         graft.Parity.pround(col("bb_mid") + lit(k) * col("bb_sd"), 6).as("bb_upper"),
         graft.Parity.pround(col("bb_mid") - lit(k) * col("bb_sd"), 6).as("bb_lower"))
+
+  /** Chunk-parallel Bollinger (VERDICT r4 nit #2): the 20-row frame is
+    * assembled per chunk from a bounded ≤(n−1)-row carry-in — the
+    * IndicatorsChunked carry pattern, fully declarative. Per chunk, IN
+    * PARALLEL: the within-chunk frame list (a partitioned ROWS window);
+    * per-chunk tails (last ≤n−1 closes) aggregate to a |chunks|-row
+    * relation whose ordered window composes carries (chunk-level, bounded
+    * — same shape as affineScan's incoming fold); each row's frame = last
+    * ≤n of carry ++ within-chunk list. Frame CONTENTS equal the global
+    * window's frame exactly, so the folds are bit-identical and the query
+    * shares bollinger_1h's oracle — the physical strategy must not change
+    * a bit.
+    */
+  def bollingerChunked(candles: DataFrame, n: Int = 20, k: Double = 2.0,
+      candlesPerChunk: Int = 64, gridUs: Long = 3600000000L): DataFrame = {
+    val m = n - 1
+    val c = candles.withColumn("__ck",
+      expr(s"unix_micros(candle_start) DIV ${gridUs * candlesPerChunk}L"))
+    val wIn = Window.partitionBy(col("__ck")).orderBy(col("candle_start"))
+      .rowsBetween(-m, Window.currentRow)
+    val tails = c.groupBy(col("__ck"))
+      .agg(expr(s"reverse(slice(reverse(array_sort(collect_list(struct(candle_start, close_price)))), 1, $m))")
+        .as("tail"))
+    val wPrev = Window.orderBy(col("__ck"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = tails
+      .withColumn("__tails", collect_list(col("tail")).over(wPrev))
+      .withColumn("carry", expr(
+        s"transform(reverse(slice(reverse(array_sort(flatten(__tails))), 1, $m)), t -> t.close_price)"))
+      .select(col("__ck"), col("carry"))
+    val framed = c.join(broadcast(carries), "__ck")
+      .withColumn("__in", collect_list(col("close_price")).over(wIn))
+      .withColumn("__full", concat(col("carry"), col("__in")))
+      .withColumn("px", expr(s"slice(__full, greatest(size(__full) - $m, 1), $n)"))
+    bandsFromFrame(framed, k)
+  }
 
   // ------------------------------------------------------------------ RSI
 
@@ -178,17 +222,44 @@ object TechIndicators {
         graft.Parity.pround(col("ewma_raw"), 6).as("ewma"))
   }
 
+  /** Chunk-parallel price diff: close − previous close with NO row-level
+    * unpartitioned window (VERDICT r4 nit #1). The lag is computed inside
+    * each time-contiguous chunk, and the first row of every chunk is
+    * patched from a carried boundary — the previous chunk's last close,
+    * taken off a per-chunk aggregate relation (|chunks| rows; its ordered
+    * window is chunk-level composition, same bounded shape as affineScan's
+    * incoming-state fold, never row data). The series' first row keeps a
+    * NULL diff, exactly like the global lag.
+    */
+  private[forex] def diffChunked(candles: DataFrame,
+      candlesPerChunk: Int, gridUs: Long): DataFrame = {
+    val ckExpr = expr(s"unix_micros(candle_start) DIV ${gridUs * candlesPerChunk}L")
+    val c = candles.withColumn("__ck", ckExpr)
+    val wc = Window.partitionBy(col("__ck")).orderBy(col("candle_start"))
+    val bounds = c.groupBy(col("__ck"))
+      .agg(max_by(col("close_price"), col("candle_start")).as("__last_close"))
+    val prevB = bounds
+      .withColumn("__prev_close",
+        lag(col("__last_close"), 1).over(Window.orderBy(col("__ck"))))
+      .select(col("__ck"), col("__prev_close"))
+    c.join(broadcast(prevB), "__ck")
+      .withColumn("diff", col("close_price") -
+        coalesce(lag(col("close_price"), 1).over(wc), col("__prev_close")))
+      .drop("__ck", "__prev_close")
+  }
+
   /** RSI with Wilder smoothing via TWO chunk-parallel affine scans (gain
     * and loss; a = (n−1)/n, b = 1/n, a + b = 1 exactly in doubles for
     * n = 14) — the scale-out form of [[rsi]], seeded identically (first
     * gain/loss), so it matches `rsi` up to scan reassociation (spec-
     * bounded); its oracle is written in the same chunked association.
+    * The diff step is [[diffChunked]], so no stage in this path sorts the
+    * whole series in one task.
     */
   def rsiChunked(candles: DataFrame, n: Int = 14,
       candlesPerChunk: Int = 64, gridUs: Long = 3600000000L): DataFrame = {
     require(n == 14, "lambda literals are written for n = 14")
-    val diffed = candles
-      .withColumn("diff", col("close_price") - lag(col("close_price"), 1).over(w))
+    val diffed = diffChunked(candles, candlesPerChunk, gridUs)
       .filter(col("diff").isNotNull)
       .withColumn("gain", greatest(col("diff"), lit(0.0)))
       .withColumn("loss", greatest(lit(0.0) - col("diff"), lit(0.0)))
@@ -214,7 +285,10 @@ object TechIndicators {
     */
   def macdChunked(candles: DataFrame,
       candlesPerChunk: Int = 64, gridUs: Long = 3600000000L): DataFrame = {
-    def ab(n: Int) = (1.0 - 2.0 / (n + 1), 2.0 / (n + 1))
+    // a as the ratio (n−1)/(n+1), NOT 1 − 2/(n+1): the oracle emits the
+    // exact-integer-ratio CAST form (ADVICE r4), and both engines must
+    // perform the identical single IEEE division.
+    def ab(n: Int) = ((n - 1).toDouble / (n + 1), 2.0 / (n + 1))
     val (af, bf) = ab(12)
     val (as_, bs) = ab(26)
     val (ag, bg) = ab(9)

@@ -57,6 +57,13 @@ object IndicatorQueries {
        |       ${graft.Parity.proundSql("bb_mid - 2.0 * bb_sd", 6)} AS bb_lower
        |FROM sd ORDER BY candle_start""".stripMargin
 
+  /** Bollinger through the chunk-parallel frame assembly (bounded
+    * ≤19-row carry-in) — SAME ORACLE as bollinger_1h: frame lists are
+    * identical, so the physical strategy must not change a bit.
+    */
+  val bollingerChunked: Q = (s, dir) =>
+    TechIndicators.bollingerChunked(candles1h(s, dir)).orderBy(col("candle_start"))
+
   // ------------------------------------------------------------------ RSI
 
   val rsi1h: Q = (s, dir) =>
@@ -171,10 +178,15 @@ object IndicatorQueries {
     * chain over `src` (must have `candle_start` and `valCol`; `extraCols`
     * are carried through). Exposes `<p>_res` with column `<p>` = the scan
     * value. Literal arithmetic mirrors the Spark lambdas exactly; a and b
-    * arrive pre-folded as double literals.
+    * arrive as SQL expressions — callers pass exact-integer-ratio CASTs
+    * (e.g. CAST(13 AS DOUBLE) / CAST(14 AS DOUBLE)), never 17-digit
+    * decimal literals: DuckDB types a bare long literal DECIMAL first, and
+    * the decimal→double hop can double-round 1 ulp off Spark's direct
+    * double parse (ADVICE r4). The Scala side computes the same ratio in
+    * doubles, so both engines perform the identical IEEE division.
     */
   private def affineScanSql(p: String, src: String, valCol: String,
-      extraCols: Seq[String], a: Double, b: Double, w: Long): String = {
+      extraCols: Seq[String], aSql: String, bSql: String, w: Long): String = {
     val extra = extraCols.map(c => s"$c, ").mkString
     val extraA = extraCols.map(c => s"ab.$c, ").mkString
     s"""${p}_ck AS (
@@ -188,7 +200,7 @@ object IndicatorQueries {
        |${p}_ab AS (
        |  SELECT $extra candle_start, $valCol, chunk_id,
        |         list_reduce(
-       |           list_transform(px, x -> {'a': CAST($a AS DOUBLE), 'b': CAST($b AS DOUBLE) * x}),
+       |           list_transform(px, x -> {'a': ($aSql), 'b': ($bSql) * x}),
        |           (acc, f) -> {'a': f.a * acc.a, 'b': f.a * acc.b + f.b}) AS abf
        |  FROM ${p}_p),
        |${p}_last AS (SELECT chunk_id, arg_max(abf, candle_start) AS tot FROM ${p}_ab GROUP BY 1),
@@ -219,8 +231,8 @@ object IndicatorQueries {
 
   val rsiChunkedSql: String = {
     val w = 3600000000L * 64
-    val a = 13.0 / 14.0
-    val b = 1.0 / 14.0
+    val a = "CAST(13 AS DOUBLE) / CAST(14 AS DOUBLE)"
+    val b = "CAST(1 AS DOUBLE) / CAST(14 AS DOUBLE)"
     s"""WITH ${ForexQueries.silverSql},
        |$candles1hSql,
        |d AS (
@@ -246,7 +258,9 @@ object IndicatorQueries {
 
   val macdChunkedSql: String = {
     val w = 3600000000L * 64
-    def ab(n: Int) = (1.0 - 2.0 / (n + 1), 2.0 / (n + 1))
+    def ab(n: Int) = (
+      s"CAST(${n - 1} AS DOUBLE) / CAST(${n + 1} AS DOUBLE)",
+      s"CAST(2 AS DOUBLE) / CAST(${n + 1} AS DOUBLE)")
     val (af, bf) = ab(12)
     val (as_, bs) = ab(26)
     val (ag, bg) = ab(9)
@@ -267,6 +281,7 @@ object IndicatorQueries {
 
   val queries: Map[String, Q] = Map(
     "bollinger_1h" -> bollinger1h,
+    "bollinger_chunked" -> bollingerChunked,
     "rsi_1h" -> rsi1h,
     "macd_1h" -> macd1h,
     "ewma_chunked" -> ewmaChunked,
@@ -275,6 +290,7 @@ object IndicatorQueries {
 
   val oracleSql: Map[String, String] = Map(
     "bollinger_1h" -> bollinger1hSql,
+    "bollinger_chunked" -> bollinger1hSql, // same semantics, chunked frame assembly
     "rsi_1h" -> rsi1hSql,
     "macd_1h" -> macd1hSql,
     "ewma_chunked" -> ewmaChunkedSql,

@@ -129,6 +129,38 @@ class TechIndicatorsSpec extends SparkSpec {
     }
   }
 
+  test("bollinger chunked equals the global window BIT-EXACTLY across chunk widths") {
+    // frame lists are identical, so this is exact equality, not tolerance —
+    // tiny chunks make every frame cross a boundary (carry-in exercised)
+    val prices = (0 until 150).map(i => 1.0 + 0.4 * math.sin(i / 3.0) + 0.02 * ((i * 31) % 9))
+    val df = candles(prices: _*)
+    val global = TechIndicators.bollinger(df).orderBy("candle_start").collect()
+    Seq(4, 16, 1 << 20).foreach { cpc =>
+      val chunked = TechIndicators.bollingerChunked(df, candlesPerChunk = cpc)
+        .orderBy("candle_start").collect()
+      assert(chunked.length === global.length, s"cpc=$cpc")
+      chunked.zip(global).zipWithIndex.foreach { case ((c, g), i) =>
+        Seq("bb_mid", "bb_upper", "bb_lower").foreach { f =>
+          assert(c.getAs[Double](f) === g.getAs[Double](f),
+            s"cpc=$cpc row $i $f: chunked=${c.getAs[Double](f)} global=${g.getAs[Double](f)}")
+        }
+      }
+    }
+  }
+
+  test("chunked diff equals the global lag exactly (boundary rows patched from carry)") {
+    val prices = (0 until 100).map(i => 2.0 + 0.1 * ((i * 13) % 17))
+    val df = candles(prices: _*)
+    val diffs = TechIndicators.diffChunked(df, candlesPerChunk = 8, gridUs = 3600000000L)
+      .orderBy("candle_start").collect()
+      .map(r => Option(r.getAs[java.lang.Double]("diff")).map(_.toDouble))
+    assert(diffs.length === 100)
+    assert(diffs.head.isEmpty) // series' first row has no predecessor
+    diffs.tail.zipWithIndex.foreach { case (d, i) =>
+      assert(d.contains(prices(i + 1) - prices(i)), s"row ${i + 1}")
+    }
+  }
+
   test("degenerate series: single-row and empty inputs never throw") {
     val one = candles(1.5)
     assert(TechIndicators.bollinger(one).collect().length === 1)
