@@ -536,9 +536,9 @@ object PipelineQueries {
     exact
       .join(Sketches.hllFromRegisters(registers, Seq("event_type")), "event_type")
       .select(col("event_type"), col("exact_distinct"),
-        graft.Parity.pround(col("hll_raw"), 6).as("hll_distinct"),
+        graft.Parity.pround(col("hll_est"), 6).as("hll_distinct"),
         graft.Parity.pround(
-          abs(col("hll_raw") - col("exact_distinct").cast("double"))
+          abs(col("hll_est") - col("exact_distinct").cast("double"))
             / col("exact_distinct").cast("double"), 6).as("rel_err"))
       .orderBy(col("event_type"))
   }
@@ -551,9 +551,9 @@ object PipelineQueries {
        |  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
        |  FROM ev GROUP BY 1)
        |SELECT event_type, exact_distinct,
-       |       ${graft.Parity.proundSql("hll_raw", 6)} AS hll_distinct,
+       |       ${graft.Parity.proundSql("hll_est", 6)} AS hll_distinct,
        |       ${graft.Parity.proundSql(
-                "abs(hll_raw - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE)",
+                "abs(hll_est - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE)",
                 6)} AS rel_err
        |FROM ex JOIN hll USING (event_type) ORDER BY event_type""".stripMargin
   }

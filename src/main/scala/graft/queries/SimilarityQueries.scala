@@ -94,7 +94,10 @@ object SimilarityQueries {
     val bucketExpr = planes.zipWithIndex
       .map { case (p, i) => s"CASE WHEN (${planeDot(p)}) >= 0 THEN ${1L << i} ELSE 0 END" }
       .mkString("\n       + ")
-    val probeList = ("qb" +: (0 until AnnPlanes).map(i => s"xor(qb, ${1L << i})")).mkString("[", ", ", "]")
+    // identical Hamming-≤2 probe set as the Spark side (Similarity.probeMasks)
+    val probeList = Similarity.probeMasks(AnnPlanes, 2)
+      .map(m => if (m == 0L) "qb" else s"xor(qb, $m)")
+      .mkString("[", ", ", "]")
     s"""WITH b AS (
        |  SELECT vec_id, embedding,
        |       $bucketExpr AS bucket

@@ -399,9 +399,9 @@ object TextQueries {
       countDistinct(col("token")).as("exact_distinct"))
     exact.join(graft.relational.Sketches.hllDistinct(tok, Seq("lang"), col("token")), "lang")
       .select(col("lang"), col("n_tokens"), col("exact_distinct"),
-        graft.Parity.pround(col("hll_raw"), 6).as("hll_distinct"),
+        graft.Parity.pround(col("hll_est"), 6).as("hll_distinct"),
         graft.Parity.pround(
-          abs(col("hll_raw") - col("exact_distinct").cast("double"))
+          abs(col("hll_est") - col("exact_distinct").cast("double"))
             / col("exact_distinct").cast("double"), 6).as("rel_err"))
       .orderBy(col("lang"))
   }
@@ -418,9 +418,9 @@ object TextQueries {
        |  SELECT lang, count(*) AS n_tokens, count(DISTINCT token) AS exact_distinct
        |  FROM tok GROUP BY 1)
        |SELECT lang, n_tokens, exact_distinct,
-       |       ${graft.Parity.proundSql("hll_raw", 6)} AS hll_distinct,
+       |       ${graft.Parity.proundSql("hll_est", 6)} AS hll_distinct,
        |       ${graft.Parity.proundSql(
-                "abs(hll_raw - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE)",
+                "abs(hll_est - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE)",
                 6)} AS rel_err
        |FROM ex JOIN hll USING (lang) ORDER BY lang""".stripMargin
 

@@ -49,9 +49,11 @@ object BloomPrune {
       build: DataFrame, buildKey: String,
       expectedItems: Long = 1000000L): DataFrame = {
     val bloom = buildBloom(build, col(buildKey), expectedItems)
+    // build key aliased to a reserved name so probeKey == buildKey is not
+    // an ambiguous-column AnalysisException (ADVICE r4)
+    val buildKeys = build.select(col(buildKey).as("__bloom_bk")).distinct()
     probe
       .filter(mightContain(bloom, col(probeKey)))
-      .join(build.select(col(buildKey)).distinct(),
-        col(probeKey) === col(buildKey), "left_semi")
+      .join(buildKeys, col(probeKey) === col("__bloom_bk"), "left_semi")
   }
 }

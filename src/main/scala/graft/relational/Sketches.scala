@@ -37,6 +37,21 @@ object Sketches {
     */
   private[graft] val Numerator: Double = 0.709 * (64.0 * 64.0) * 134217728.0
 
+  /** Small-range (linear counting) correction table: m·ln(m/V) for
+    * V = 1..m, PRECOMPUTED once here and embedded as the same 64 double
+    * constants in both engines. `ln` is not IEEE exactly-rounded — JVM and
+    * DuckDB libms may differ in the last ulp — so neither engine ever
+    * calls it: V is an integer in [1, m], which makes the whole correction
+    * a 64-entry literal lookup. Index i holds V = i+1.
+    */
+  private[graft] val LinearCount: IndexedSeq[Double] =
+    (1 to M).map(v => M.toDouble * math.log(M.toDouble / v))
+
+  /** Standard small-range threshold 2.5·m below which the raw estimator is
+    * biased high and linear counting is preferred (Flajolet et al.).
+    */
+  private[graft] val SmallRange: Double = 2.5 * M
+
   /** Per-(group, bucket) HLL registers: `__bucket` ∈ [0, m), `__m` = max
     * rho. Registers are the sketch's MERGEABLE partial state: registers of
     * any partitioning of the input (days, shards, streams) merge by
@@ -65,7 +80,14 @@ object Sketches {
     reg.groupBy(groupCols.map(col) :+ col("__bucket"): _*)
       .agg(max(col("__m")).as("__m"))
 
-  /** Estimate from a register table (integer register sum, one division). */
+  /** Estimate from a register table (integer register sum, one division).
+    * Emits `hll_raw` (uncorrected) and `hll_est` — the raw value with the
+    * standard small-range correction applied: when raw ≤ 2.5·m and some
+    * register is still zero, linear counting m·ln(m/V) (via the shared
+    * [[LinearCount]] literal table, V = zero-register count) replaces the
+    * raw estimate, fixing the raw estimator's large positive bias at low
+    * cardinality (observed 1.07 rel_err at n=31 with m=64 → ~0.03).
+    */
   def hllFromRegisters(reg: DataFrame, groupCols: Seq[String]): DataFrame = {
     val g = groupCols.map(col)
     reg
@@ -76,13 +98,22 @@ object Sketches {
         count(lit(1)).as("__nb"))
       .withColumn("__isum",
         col("__isum_obs") + (lit(M.toLong) - col("__nb")) * lit(1L << (ValueBits + 1)))
-      .select(g :+ (lit(Numerator) / col("__isum").cast("double")).as("hll_raw"): _*)
+      .withColumn("__v", lit(M.toLong) - col("__nb"))
+      .withColumn("__raw", lit(Numerator) / col("__isum").cast("double"))
+      // greatest(v, 1): element_at is eager per-row and 1-based; the v=0
+      // row takes the otherwise() branch anyway
+      .withColumn("__lc", element_at(array(LinearCount.map(lit): _*),
+        greatest(col("__v"), lit(1L)).cast("int")))
+      .select(g ++ Seq(
+        col("__raw").as("hll_raw"),
+        when(col("__raw") <= lit(SmallRange) && col("__v") >= 1, col("__lc"))
+          .otherwise(col("__raw")).as("hll_est")): _*)
   }
 
-  /** Raw HyperLogLog distinct estimate of `key` per group (no small/large
-    * range corrections: linear counting needs `ln`, which is not IEEE
-    * exactly-rounded and so not cross-engine bit-stable; the raw estimate
-    * is the documented contract).
+  /** HyperLogLog distinct estimate of `key` per group: `hll_raw` plus the
+    * small-range-corrected `hll_est`. The correction never calls `ln` at
+    * query time (literal table, see [[LinearCount]]), keeping every float
+    * op bit-identical cross-engine.
     */
   def hllDistinct(df: DataFrame, groupCols: Seq[String], key: Column): DataFrame =
     hllFromRegisters(hllRegisters(df, groupCols, key), groupCols)
@@ -110,7 +141,9 @@ object Sketches {
 
   /** CMS point estimate for each row of `candidates`: min over the d row
     * counters the key hashes into. Never underestimates; collisions only
-    * inflate.
+    * inflate. Counters the key hashes into that are absent from the
+    * counter table count as 0 (left join + coalesce), so a key never seen
+    * by [[cmsCounters]] estimates 0 instead of being dropped (ADVICE r4).
     */
   def cmsEstimate(candidates: DataFrame, key: Column, counters: DataFrame,
       d: Int = 4, w: Int = 256): DataFrame = {
@@ -122,9 +155,9 @@ object Sketches {
       }: _*)).as("rb"))
       .select(col("__key"), col("rb.row_id").as("row_id"), col("rb.bucket").as("bucket"))
     probes
-      .join(broadcast(counters), Seq("row_id", "bucket"))
+      .join(broadcast(counters), Seq("row_id", "bucket"), "left")
       .groupBy(col("__key"))
-      .agg(min(col("n")).as("n_cms"))
+      .agg(min(coalesce(col("n"), lit(0L))).as("n_cms"))
   }
 
   /** DuckDB mirror of the CMS bucket assignment for hash row `i` over
@@ -153,12 +186,25 @@ object Sketches {
   def hllEstimateSql(regRel: String, groupCols: Seq[String],
       out: String = "hll"): String = {
     val g = groupCols.mkString(", ")
-    s"""$out AS (
+    // the 64 correction constants as string-cast double literals: DuckDB
+    // CAST(VARCHAR AS DOUBLE) is a correctly-rounded parse, recovering the
+    // exact Scala double (a bare 17-digit literal would be typed DECIMAL
+    // first and can double-round — ADVICE r4)
+    val lcList = LinearCount.map(d => s"CAST('$d' AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    s"""${out}_raw AS (
        |  SELECT $g,
        |         CAST($Numerator AS DOUBLE) /
        |           CAST(CAST(sum(CAST(1 AS BIGINT) << CAST(${ValueBits + 1} - m AS INTEGER)) AS BIGINT)
-       |                + ($M - count(*)) * ${1L << (ValueBits + 1)} AS DOUBLE) AS hll_raw
-       |  FROM $regRel GROUP BY ALL)""".stripMargin
+       |                + ($M - count(*)) * ${1L << (ValueBits + 1)} AS DOUBLE) AS hll_raw,
+       |         $M - count(*) AS v
+       |  FROM $regRel GROUP BY ALL),
+       |$out AS (
+       |  SELECT $g, hll_raw,
+       |         CASE WHEN hll_raw <= CAST('$SmallRange' AS DOUBLE) AND v >= 1
+       |              THEN list_extract($lcList, CAST(v AS INTEGER))
+       |              ELSE hll_raw END AS hll_est
+       |  FROM ${out}_raw)""".stripMargin
   }
 
   /** DuckDB mirror of [[hllDistinct]] as a CTE pipeline over a `(groupCols,

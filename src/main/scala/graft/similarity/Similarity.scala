@@ -342,24 +342,34 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** XOR masks for multi-probe at Hamming distance ≤ `hamming`: the zero
+    * mask (home bucket) plus every ≤hamming-bit flip. Shared with the
+    * DuckDB oracle so both engines probe the identical bucket set.
+    */
+  private[graft] def probeMasks(nPlanes: Int, hamming: Int): Seq[Long] =
+    0L +: (1 to hamming).flatMap(h =>
+      (0 until nPlanes).combinations(h).map(_.map(1L << _).sum).toSeq)
+
   /** LSH-bucketed ANN top-k with multi-probe: per query vector, rank
-    * candidates in the query's sign-bucket AND every bucket at Hamming
-    * distance 1 (probe buckets are exploded on the tiny broadcast query
-    * side, so the candidate lookup stays a bucket equi-join — at scale the
-    * big side is scanned once and pruned to (1+nPlanes)/2^nPlanes of the
-    * corpus). `nPlanes` trades recall for candidate count.
+    * candidates in the query's sign-bucket AND every bucket within Hamming
+    * distance `hamming` (probe buckets are exploded on the tiny broadcast
+    * query side, so the candidate lookup stays a bucket equi-join — at
+    * scale the big side is scanned once and pruned to Σ C(nPlanes,≤h)/2^nPlanes
+    * of the corpus; the defaults probe 22/64 buckets). `nPlanes` and
+    * `hamming` trade recall for candidate count — the measured floor is
+    * pinned by AnnRecallSpec so a pruning regression fails `sbt test`.
     */
   def annLshTopK(
       embeddings: DataFrame, queryVecIds: Seq[Long], k: Int,
-      nPlanes: Int = 6, seed: Long = 42L): DataFrame = {
+      nPlanes: Int = 6, seed: Long = 42L, hamming: Int = 2): DataFrame = {
     // bounded scalar collect (one int): the embedding dimension, needed
     // driver-side to build the hyperplane literals
     val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
     val withBucket = embeddings
       .withColumn("bucket", bucketExpr(planes(nPlanes, dim, seed)))
     val probeBuckets = explode(array(
-      col("bucket") +: (0 until nPlanes).map(i =>
-        col("bucket").bitwiseXOR(lit(1L << i))): _*)).as("bucket")
+      probeMasks(nPlanes, hamming).map(m =>
+        col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket")
     val queries = withBucket
       .filter(col("vec_id").isin(queryVecIds: _*))
       .select(col("vec_id").as("query_vec_id"),

@@ -71,6 +71,51 @@ class SketchesSpec extends SparkSpec {
     assert(a.getAs[Long]("n_cms") - a.getAs[Long]("count") < 200)
   }
 
+  test("small-range correction: rel_err <= 0.2 from n=20 through 2.5m (raw was ~1.07 at n=31)") {
+    // raw HLL is biased high below ~2.5m; hll_est switches to linear
+    // counting there via the shared literal table. Bound is ~1.5σ of the
+    // m=64 estimator (stderr ≈ 13%): these are fixed deterministic hash
+    // draws, and the worst (n=60) measures 0.156; the driver fixtures
+    // themselves are pinned at <= 0.15 in the next test.
+    Seq(20, 31, 60, 100, 150).foreach { n =>
+      val est = Sketches.hllDistinct(keys(n, 2), Seq("g"), col("k"))
+        .collect().head.getAs[Double]("hll_est")
+      assert(math.abs(est - n) / n <= 0.2, s"n=$n est=$est")
+    }
+  }
+
+  test("fixture-shaped rel_err <= 0.15: distinct user_id per event_type at sf0.001") {
+    val ev = graft.Tables.events(spark, sf0001)
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact"))
+    val est = Sketches.hllDistinct(ev, Seq("event_type"), col("user_id"))
+    val rows = exact.join(est, "event_type").collect()
+    assert(rows.length >= 2)
+    rows.foreach { r =>
+      val (ex, e) = (r.getAs[Long]("exact").toDouble, r.getAs[Double]("hll_est"))
+      assert(math.abs(e - ex) / ex <= 0.15,
+        s"${r.getAs[String]("event_type")}: exact=$ex est=$e")
+    }
+  }
+
+  test("correction only fires in-range: large cardinalities keep the raw estimate") {
+    val out = Sketches.hllDistinct(keys(10000, 1), Seq("g"), col("k"))
+      .collect().head
+    assert(out.getAs[Double]("hll_est") === out.getAs[Double]("hll_raw"))
+  }
+
+  test("cms: a key never counted estimates 0 instead of being dropped") {
+    import spark.implicits._
+    val counters = Sketches.cmsCounters(Seq("a", "b", "a").toDF("k"), col("k"))
+    val est = Sketches.cmsEstimate(Seq("zzz_never_seen").toDF("k"), col("k"), counters)
+      .collect()
+    assert(est.length === 1)
+    // min over its d buckets; absent buckets coalesce to 0, and with only
+    // 3 counted rows over d*w=1024 counters a collision on ALL d probes is
+    // impossible here, so the estimate is exactly 0
+    assert(est.head.getAs[Long]("n_cms") === 0L)
+  }
+
   test("per-group registers never exceed m=64 rows into the final reduce") {
     import spark.implicits._
     val df = (0 until 2000).map(i => (s"g${i % 3}", s"k$i")).toDF("g", "k")

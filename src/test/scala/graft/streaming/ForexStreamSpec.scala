@@ -94,7 +94,8 @@ class ForexStreamSpec extends SparkSpec {
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000),
+      "stream must drain before asserting on the memory sink")
     val out = spark.table("sliding_stream")
     val ticks = ForexPipeline.silverFrom(spark, sf0001)
     // total window membership = 4 x tick count (1h width / 15m slide)
