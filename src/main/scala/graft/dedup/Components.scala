@@ -39,7 +39,16 @@ object Components {
     *                 duplicates don't matter — labels only ever take mins)
     * @return (v, label) with one row per input vertex
     */
-  def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
+  def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame =
+    connectedComponentsCounted(vertices, edges)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds run
+    * (including the final no-change round that proves the fixpoint) — the
+    * spec pins round counts on long-chain graphs so the "near-dup
+    * diameters are shallow" assumption stays a tested boundary.
+    */
+  def connectedComponentsCounted(vertices: DataFrame,
+      edges: DataFrame): (DataFrame, Int) = {
     // The edge relation is re-joined every round: materialize it once so
     // the (possibly expensive — e.g. LSH banded-join) edge derivation runs
     // exactly once, not once per round.
@@ -50,6 +59,7 @@ object Components {
 
     var labels = vertices.select(col("v"), col("v").as("label"))
     var converged = false
+    var rounds = 0
     while (!converged) {
       val neighborMin = bidir
         .join(labels, bidir("src") === labels("v"))
@@ -65,7 +75,74 @@ object Components {
       // just-written labels table)
       converged = mat.filter(col("label") =!= col("old_label")).isEmpty
       labels = mat.select(col("v"), col("label"))
+      rounds += 1
     }
-    labels
+    (labels, rounds)
+  }
+
+  /** Large-star/small-star connected components (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — the O(log n)-round
+    * upgrade this file's scaladoc names for long-chain graphs, where
+    * min-label propagation needs O(diameter) rounds.
+    *
+    * Each round rewrites the EDGE set (labels only materialize at the end):
+    *  - large-star: every node links its strictly-larger neighbors to the
+    *    minimum of its closed neighborhood — long tails collapse toward
+    *    small ids without ever growing the edge count;
+    *  - small-star: every node links its smaller-or-equal neighbors (and
+    *    itself) to that minimum — stars tighten.
+    * The alternation provably converges to one star per component centered
+    * at the component minimum; the loop stops when a round leaves the edge
+    * set unchanged. Same per-round shape as min-propagation (one groupBy
+    * + one join over |E|), so the swap is purely a round-count trade.
+    */
+  def connectedComponentsStar(vertices: DataFrame, edges: DataFrame): DataFrame =
+    connectedComponentsStarCounted(vertices, edges)._1
+
+  def connectedComponentsStarCounted(vertices: DataFrame,
+      edges: DataFrame): (DataFrame, Int) = {
+    var e = DocDedup.scratchTable(
+      edges.select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct(), "ccs-edges")
+    var rounds = 0
+    var done = e.isEmpty
+    while (!done) {
+      // large-star: centers see ALL neighbors, link the strictly larger
+      // ones to m = min(closed neighborhood)
+      val dirAll = e.select(col("u").as("x"), col("v").as("y"))
+        .union(e.select(col("v").as("x"), col("u").as("y")))
+      val minsL = dirAll.groupBy(col("x"))
+        .agg(min(least(col("y"), col("x"))).as("m"))
+      val large = dirAll.join(minsL, "x")
+        .filter(col("y") > col("x"))
+        .select(least(col("y"), col("m")).as("u"),
+          greatest(col("y"), col("m")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: direct larger→smaller; every neighbor and the center
+      // itself links to the minimum
+      val dirDown = large.select(col("v").as("x"), col("u").as("y")) // y < x
+      val minsS = dirDown.groupBy(col("x")).agg(min(col("y")).as("m"))
+      val next = DocDedup.scratchTable(
+        dirDown.join(minsS, "x")
+          .select(least(col("y"), col("m")).as("u"),
+            greatest(col("y"), col("m")).as("v"))
+          .union(minsS.select(least(col("x"), col("m")).as("u"),
+            greatest(col("x"), col("m")).as("v")))
+          .filter(col("u") =!= col("v")).distinct(), "ccs-edges")
+      rounds += 1
+      // fixpoint = edge set unchanged (bounded driver actions: two counts
+      // + an empty-check, each one scan of a scratch table)
+      done = next.count() == e.count() && next.exceptAll(e).isEmpty
+      e = next
+    }
+    // converged edges are one star per non-trivial component, centered at
+    // the component minimum: children take the center's id, everything
+    // else (centers, isolated vertices) labels itself
+    val childLabels = e.select(col("v").as("vert"), col("u").as("lbl"))
+    val labels = vertices
+      .join(childLabels, vertices("v") === childLabels("vert"), "left")
+      .select(col("v"), coalesce(col("lbl"), col("v")).as("label"))
+    (labels, rounds)
   }
 }

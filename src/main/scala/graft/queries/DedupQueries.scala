@@ -226,19 +226,28 @@ object DedupQueries {
     * candidate pairs → similarity gate → transitive closure — is
     * hash-checked end-to-end.
     */
-  val dedupClusters: Q = (s, dir) => {
+  private def clustersVia(
+      cc: (DataFrame, DataFrame) => DataFrame): Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val edges = DocDedup.estimatedJaccardPairs(docs)
       .filter(col("est_jaccard") >= 0.5)
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
-    val labels = Components.connectedComponents(
-      docs.select(col("doc_id").as("v")), edges)
+    val labels = cc(docs.select(col("doc_id").as("v")), edges)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("v").as("doc_id"), col("label").as("cluster_id"),
         col("cluster_size"))
       .orderBy(col("doc_id"))
   }
+
+  val dedupClusters: Q = clustersVia(Components.connectedComponents)
+
+  /** Same clustering through the large-star/small-star algorithm
+    * (O(log n) rounds vs O(diameter)) — identical labels by construction,
+    * so it shares dedup_clusters' oracle: two independent algorithms must
+    * agree bit-for-bit with the recursive-CTE reachability answer.
+    */
+  val dedupClustersStar: Q = clustersVia(Components.connectedComponentsStar)
 
   val dedupClustersSql: String = {
     val eq = (0 until NumHashes)
@@ -367,6 +376,7 @@ object DedupQueries {
     "fuzzy_pairs" -> fuzzyPairs,
     "dedup_keep_docs" -> dedupKeepDocs,
     "dedup_clusters" -> dedupClusters,
+    "dedup_clusters_star" -> dedupClustersStar,
     "dedup_exact_docs" -> dedupExactDocs,
     "minhash_signatures" -> minhashSignatures,
     "lsh_candidate_pairs" -> lshCandidatePairs,
@@ -381,6 +391,7 @@ object DedupQueries {
     "simhash_pairs" -> simhashPairsSql,
     "dedup_keep_docs" -> dedupKeepDocsSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_clusters_star" -> dedupClustersSql, // same labels, O(log n)-round algorithm
     "dedup_exact_docs" -> dedupExactDocsSql,
     "minhash_signatures" -> minhashSignaturesSql,
     "lsh_candidate_pairs" -> lshCandidatePairsSql,

@@ -23,6 +23,43 @@ class ComponentsSpec extends SparkSpec {
       4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("long chain (diameter 32): fixpoint correct; star variant needs O(log n) rounds") {
+    import spark.implicits._
+    // a 33-vertex path 0-1-…-32 — the adversarial shape for min-label
+    // propagation (label 0 travels one hop per round), far beyond the
+    // shallow diameters LSH near-dup graphs produce. This pins the
+    // documented boundary: min-propagation pays O(diameter) rounds and
+    // still reaches the provable fixpoint; large-star/small-star closes
+    // the same graph in O(log n).
+    val n = 33
+    val vertices = (0L until n.toLong).toDF("v")
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+
+    val (lblProp, roundsProp) =
+      Components.connectedComponentsCounted(vertices, edges)
+    val propMap = lblProp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(propMap === (0L until n.toLong).map(_ -> 0L).toMap)
+    // 32 propagation rounds + the final no-change round proving the fixpoint
+    assert(roundsProp === n, s"min-propagation rounds: $roundsProp")
+
+    val (lblStar, roundsStar) =
+      Components.connectedComponentsStarCounted(vertices, edges)
+    val starMap = lblStar.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starMap === propMap)
+    assert(roundsStar <= 8, s"star rounds: $roundsStar (expected O(log n))")
+    assert(roundsStar < roundsProp)
+  }
+
+  test("star variant matches min-propagation on chains, pairs, and singletons") {
+    import spark.implicits._
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 9L).toDF("v")
+    val edges = Seq((2L, 1L), (3L, 2L), (9L, 3L), (5L, 6L)).toDF("a", "b")
+    val got = Components.connectedComponentsStar(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
   test("dedup_clusters: total labeling, pair-consistent, sizes partition the corpus") {
     val docs = Tables.documents(spark, sf0001)
     val out = DedupQueries.dedupClusters(spark, sf0001).collect()

@@ -113,6 +113,60 @@ class ForexStreamSpec extends SparkSpec {
     assert(aligned.toSeq === tumbling.toSeq)
   }
 
+  test("checkpoint recovery: a restarted stream resumes from state and stays exactly-once") {
+    // stream_to_store argues at-least-once replay × idempotent MERGE =
+    // exactly-once table contents; this proves the restart half (VERDICT
+    // r4 item #5). Phase A drains a time-prefix of the source and
+    // terminates — the deterministic stand-in for a crash mid-source (the
+    // stream saw a prefix; the rest arrives while it is down). Phase B
+    // restarts from the SAME checkpoint with the remaining files present.
+    val in = Files.createTempDirectory("graft_ckpt_in").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val store = Files.createTempDirectory("graft_ckpt_store").toString
+    val tf = Resample.byName("1h")
+    val silver = ForexPipeline.silverFrom(spark, sf0001).cache()
+    val bounds = silver.agg(min(col("observed_at")), max(col("observed_at"))).first()
+    val mid = new java.sql.Timestamp(
+      (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
+    val part1 = silver.filter(col("observed_at") <= lit(mid))
+    val part2 = silver.filter(col("observed_at") > lit(mid))
+    part1.write.mode("overwrite").parquet(in)
+
+    def run(): Long = {
+      val q = ForexStream.writeToStore(
+          ForexStream.candlesComplete(ForexStream.ticks(spark, in), tf), store)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "stream must drain before asserting")
+      q.recentProgress.map(_.numInputRows).sum
+    }
+
+    val rows1 = run()
+    assert(rows1 === part1.count(), "first run consumes exactly the prefix")
+    assert(IncrementalStore.readTable(spark, store).count() > 0,
+      "the interrupted run leaves a valid partial store")
+
+    part2.write.mode("append").parquet(in)
+    val rows2 = run()
+    // resume, not reprocess: the checkpoint remembers part1's files, so the
+    // restart reads only the new ones...
+    assert(rows2 === part2.count(),
+      s"restart must read only the new files (read $rows2, expected ${part2.count()})")
+
+    // ...and the recovered aggregation state makes candles spanning the
+    // split boundary correct, while replayed upserts stay idempotent: the
+    // store equals the batch answer over the full input, bit for bit.
+    val cols = Seq("timeframe", "candle_start", "open_price", "high_price",
+      "low_price", "close_price", "ticks_5m_count")
+    val got = IncrementalStore.readTable(spark, store)
+      .select(cols.map(col): _*).collect().map(_.mkString("|")).sorted
+    val want = Ohlc.candles(Resample.fanout(silver, Seq(tf)))
+      .select(cols.map(col): _*).collect().map(_.mkString("|")).sorted
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("foreachBatch sink: streamed candles land in the incremental store") {
     val dir = silverDir()
     val out = Files.createTempDirectory("graft_stream_out").toString
