@@ -31,8 +31,15 @@ import org.apache.spark.sql.functions._
   */
 object TechIndicators {
 
-  private val w = Window.orderBy(col("candle_start"))
-  private val prefix = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  /** Series-key windows: empty keyCols = the single-series global order
+    * (documented candle-level ceiling); the multi-symbol pipeline passes
+    * `symbol`, making every recursive indicator data-parallel per symbol —
+    * the same keying as Indicators.w (VERDICT r4 item #1).
+    */
+  private def w(keyCols: Seq[String] = Nil) =
+    Window.partitionBy(keyCols.map(col): _*).orderBy(col("candle_start"))
+  private def prefix(keyCols: Seq[String] = Nil) =
+    w(keyCols).rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
   /** Sequential left fold over an array COLUMN (referenced by name) matching
     * DuckDB `list_reduce`: seed = first element, fold elements 2..n. The
@@ -49,27 +56,29 @@ object TechIndicators {
     * frames at the series start use the available rows (mirrors
     * Indicators.sma's partial-frame semantics).
     */
-  def bollinger(candles: DataFrame, n: Int = 20, k: Double = 2.0): DataFrame =
+  def bollinger(candles: DataFrame, n: Int = 20, k: Double = 2.0,
+      keyCols: Seq[String] = Nil): DataFrame =
     bandsFromFrame(
       candles.withColumn("px", collect_list(col("close_price"))
-        .over(w.rowsBetween(-(n - 1), Window.currentRow))), k)
+        .over(w(keyCols).rowsBetween(-(n - 1), Window.currentRow))), k, keyCols)
 
   /** Band math over a prepared `px` frame-list column (time-ordered, last
     * ≤n closes). Shared by the global-window and chunk-parallel forms —
     * identical frame lists fold to bit-identical doubles, which is what
     * lets [[bollingerChunked]] share bollinger's oracle.
     */
-  private def bandsFromFrame(withPx: DataFrame, k: Double): DataFrame =
+  private def bandsFromFrame(withPx: DataFrame, k: Double,
+      keyCols: Seq[String] = Nil): DataFrame =
     withPx
       .withColumn("bb_mid",
         foldCol("px", "(acc, x) -> acc + x") / size(col("px")).cast("double"))
       .withColumn("sq", expr("transform(px, x -> (x - bb_mid) * (x - bb_mid))"))
       .withColumn("bb_sd",
         sqrt(foldCol("sq", "(acc, x) -> acc + x") / size(col("px")).cast("double")))
-      .select(col("candle_start"), col("close_price"),
+      .select(keyCols.map(col) ++ Seq(col("candle_start"), col("close_price"),
         graft.Parity.pround(col("bb_mid"), 6).as("bb_mid"),
         graft.Parity.pround(col("bb_mid") + lit(k) * col("bb_sd"), 6).as("bb_upper"),
-        graft.Parity.pround(col("bb_mid") - lit(k) * col("bb_sd"), 6).as("bb_lower"))
+        graft.Parity.pround(col("bb_mid") - lit(k) * col("bb_sd"), 6).as("bb_lower")): _*)
 
   /** Chunk-parallel Bollinger (VERDICT r4 nit #2): the 20-row frame is
     * assembled per chunk from a bounded ≤(n−1)-row carry-in — the
@@ -117,25 +126,25 @@ object TechIndicators {
     * avg_t = (avg_{t-1} · (n−1) + x_t) / n — the fold lambda is written with
     * the identical literal arithmetic in the DuckDB oracle.
     */
-  def rsi(candles: DataFrame, n: Int = 14): DataFrame = {
+  def rsi(candles: DataFrame, n: Int = 14, keyCols: Seq[String] = Nil): DataFrame = {
     val lam = s"(acc, x) -> (acc * ${n - 1}.0 + x) / $n.0"
     candles
-      .withColumn("diff", col("close_price") - lag(col("close_price"), 1).over(w))
+      .withColumn("diff", col("close_price") - lag(col("close_price"), 1).over(w(keyCols)))
       .filter(col("diff").isNotNull)
       // 0.0 - diff, not unary minus: greatest(-0.0, 0.0) is engine-dependent
       // in which zero it returns; 0.0 - (+0.0) is +0.0 everywhere
       .withColumn("gain", greatest(col("diff"), lit(0.0)))
       .withColumn("loss", greatest(lit(0.0) - col("diff"), lit(0.0)))
-      .withColumn("gl", collect_list(col("gain")).over(prefix))
-      .withColumn("ll", collect_list(col("loss")).over(prefix))
+      .withColumn("gl", collect_list(col("gain")).over(prefix(keyCols)))
+      .withColumn("ll", collect_list(col("loss")).over(prefix(keyCols)))
       .withColumn("avg_gain", foldCol("gl", lam))
       .withColumn("avg_loss", foldCol("ll", lam))
-      .select(col("candle_start"), col("close_price"),
+      .select(keyCols.map(col) ++ Seq(col("candle_start"), col("close_price"),
         graft.Parity.pround(
           when(col("avg_loss") === lit(0.0), lit(100.0))
             .otherwise(lit(100.0) -
               lit(100.0) / (lit(1.0) + col("avg_gain") / col("avg_loss"))),
-          6).as(s"rsi_$n"))
+          6).as(s"rsi_$n")): _*)
   }
 
   // --------------------------------------------------- chunk-parallel EWMA
@@ -312,21 +321,22 @@ object TechIndicators {
     * over the computed macd column.
     */
   def macd(candles: DataFrame,
-      fast: Int = 12, slow: Int = 26, sig: Int = 9): DataFrame = {
+      fast: Int = 12, slow: Int = 26, sig: Int = 9,
+      keyCols: Seq[String] = Nil): DataFrame = {
     // α embedded as a pre-divided double literal (D suffix): Spark SQL
     // parses `2.0 / 13.0` as DECIMAL÷DECIMAL and truncates the quotient at
     // scale 6, while DuckDB promotes to DOUBLE — the shortest-round-trip
     // literal of the IEEE quotient is the same double DuckDB computes.
     def emaLam(n: Int) = s"(acc, x) -> acc + ${2.0 / (n + 1)}D * (x - acc)"
     candles
-      .withColumn("px", collect_list(col("close_price")).over(prefix))
+      .withColumn("px", collect_list(col("close_price")).over(prefix(keyCols)))
       .withColumn("macd",
         foldCol("px", emaLam(fast)) - foldCol("px", emaLam(slow)))
-      .withColumn("ml", collect_list(col("macd")).over(prefix))
+      .withColumn("ml", collect_list(col("macd")).over(prefix(keyCols)))
       .withColumn("signal", foldCol("ml", emaLam(sig)))
-      .select(col("candle_start"), col("close_price"),
+      .select(keyCols.map(col) ++ Seq(col("candle_start"), col("close_price"),
         graft.Parity.pround(col("macd"), 6).as("macd"),
         graft.Parity.pround(col("signal"), 6).as("macd_signal"),
-        graft.Parity.pround(col("macd") - col("signal"), 6).as("macd_hist"))
+        graft.Parity.pround(col("macd") - col("signal"), 6).as("macd_hist")): _*)
   }
 }

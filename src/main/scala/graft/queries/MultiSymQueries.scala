@@ -147,15 +147,191 @@ object MultiSymQueries {
        |       ${graft.Parity.proundSql("list_reduce(px, (acc, x) -> 0.2 * x + 0.8 * acc)", 6)} AS ewma
        |FROM pre ORDER BY symbol, candle_start""".stripMargin
 
+  /** Per-symbol 1h close-price candles shared by the recursive-indicator
+    * queries below (Spark side).
+    */
+  private def candles1hMulti(s: SparkSession, dir: String) =
+    graft.forex.Ohlc.candles(
+        Resample.fanout(ForexPipeline.silverMultiFrom(s, dir),
+          Seq(Resample.byName("1h")), Seq("symbol")), Seq("symbol"))
+      .select(col("symbol"), col("candle_start"), col("close_price"))
+
+  /** Matching DuckDB CTE (same shape as IndicatorQueries.candles1hSql with
+    * symbol threaded through).
+    */
+  private val candles1hMultiSql: String =
+    s"""c AS (
+       |  SELECT symbol,
+       |         ${ForexQueries.bucketSql("observed_at", Resample.byName("1h"))} AS candle_start,
+       |         arg_max(close_price, observed_at) AS close_price
+       |  FROM silver GROUP BY 1, 2)""".stripMargin
+
+  /** RSI per symbol: the Wilder recursion's lag and prefix folds all
+    * partition by symbol — recursive indicators parallelize across the
+    * instrument universe with no reassociation (each symbol's fold is the
+    * sequential association).
+    */
+  val rsiMultisym: Q = (s, dir) =>
+    graft.forex.TechIndicators.rsi(candles1hMulti(s, dir), keyCols = Seq("symbol"))
+      .orderBy(col("symbol"), col("candle_start"))
+
+  val rsiMultisymSql: String =
+    s"""WITH $silverMultiSql,
+       |$candles1hMultiSql,
+       |d AS (
+       |  SELECT symbol, candle_start, close_price,
+       |         close_price - lag(close_price) OVER
+       |           (PARTITION BY symbol ORDER BY candle_start) AS diff
+       |  FROM c),
+       |g AS (
+       |  SELECT symbol, candle_start, close_price,
+       |         greatest(diff, 0.0) AS gain, greatest(0.0 - diff, 0.0) AS loss
+       |  FROM d WHERE diff IS NOT NULL),
+       |p AS (
+       |  SELECT symbol, candle_start, close_price,
+       |         list(gain) OVER pw AS gl, list(loss) OVER pw AS ll
+       |  FROM g WINDOW pw AS (PARTITION BY symbol ORDER BY candle_start
+       |    ROWS UNBOUNDED PRECEDING)),
+       |a AS (
+       |  SELECT symbol, candle_start, close_price,
+       |         list_reduce(gl, (acc, x) -> (acc * 13.0 + x) / 14.0) AS avg_gain,
+       |         list_reduce(ll, (acc, x) -> (acc * 13.0 + x) / 14.0) AS avg_loss
+       |  FROM p)
+       |SELECT symbol, candle_start, close_price,
+       |       ${graft.Parity.proundSql(
+               "CASE WHEN avg_loss = 0.0 THEN 100.0 " +
+               "ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss) END", 6)} AS rsi_14
+       |FROM a ORDER BY symbol, candle_start""".stripMargin
+
+  /** Bollinger bands per symbol: frame window partitioned by symbol. */
+  val bollingerMultisym: Q = (s, dir) =>
+    graft.forex.TechIndicators.bollinger(candles1hMulti(s, dir), keyCols = Seq("symbol"))
+      .orderBy(col("symbol"), col("candle_start"))
+
+  val bollingerMultisymSql: String =
+    s"""WITH $silverMultiSql,
+       |$candles1hMultiSql,
+       |p AS (
+       |  SELECT symbol, candle_start, close_price,
+       |         list(close_price) OVER (PARTITION BY symbol ORDER BY candle_start
+       |           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS px
+       |  FROM c),
+       |m AS (
+       |  SELECT symbol, candle_start, close_price, px,
+       |         list_reduce(px, (acc, x) -> acc + x) / CAST(len(px) AS DOUBLE) AS bb_mid
+       |  FROM p),
+       |sd AS (
+       |  SELECT symbol, candle_start, close_price, bb_mid,
+       |         sqrt(list_reduce(list_transform(px, x -> (x - bb_mid) * (x - bb_mid)),
+       |                          (acc, x) -> acc + x) / CAST(len(px) AS DOUBLE)) AS bb_sd
+       |  FROM m)
+       |SELECT symbol, candle_start, close_price,
+       |       ${graft.Parity.proundSql("bb_mid", 6)} AS bb_mid,
+       |       ${graft.Parity.proundSql("bb_mid + 2.0 * bb_sd", 6)} AS bb_upper,
+       |       ${graft.Parity.proundSql("bb_mid - 2.0 * bb_sd", 6)} AS bb_lower
+       |FROM sd ORDER BY symbol, candle_start""".stripMargin
+
+  /** MACD per symbol: both EMA folds and the signal fold partition by
+    * symbol.
+    */
+  val macdMultisym: Q = (s, dir) =>
+    graft.forex.TechIndicators.macd(candles1hMulti(s, dir), keyCols = Seq("symbol"))
+      .orderBy(col("symbol"), col("candle_start"))
+
+  val macdMultisymSql: String =
+    s"""WITH $silverMultiSql,
+       |$candles1hMultiSql,
+       |p AS (
+       |  SELECT symbol, candle_start, close_price,
+       |         list(close_price) OVER (PARTITION BY symbol ORDER BY candle_start
+       |           ROWS UNBOUNDED PRECEDING) AS px
+       |  FROM c),
+       |m AS (
+       |  SELECT symbol, candle_start, close_price,
+       |         list_reduce(px, (acc, x) -> acc + (2.0 / 13.0) * (x - acc))
+       |         - list_reduce(px, (acc, x) -> acc + (2.0 / 27.0) * (x - acc)) AS macd
+       |  FROM p),
+       |ms AS (
+       |  SELECT symbol, candle_start, close_price, macd,
+       |         list(macd) OVER (PARTITION BY symbol ORDER BY candle_start
+       |           ROWS UNBOUNDED PRECEDING) AS ml
+       |  FROM m),
+       |sg AS (
+       |  SELECT symbol, candle_start, close_price, macd,
+       |         list_reduce(ml, (acc, x) -> acc + (2.0 / 10.0) * (x - acc)) AS signal
+       |  FROM ms)
+       |SELECT symbol, candle_start, close_price,
+       |       ${graft.Parity.proundSql("macd", 6)} AS macd,
+       |       ${graft.Parity.proundSql("signal", 6)} AS macd_signal,
+       |       ${graft.Parity.proundSql("macd - signal", 6)} AS macd_hist
+       |FROM sg ORDER BY symbol, candle_start""".stripMargin
+
+  /** Per-symbol gap repair: each symbol gets its own dense hourly grid
+    * (span = that symbol's [min, max]) and its own forward fill — grid
+    * generation is one `sequence` row per symbol (never a cross join) and
+    * the fill window partitions by symbol, the exact shape gap_fill's
+    * scaladoc promises at 100 TB.
+    */
+  val gapFillMultisym: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val candles = candles1hMulti(s, dir)
+      .filter(expr("(unix_micros(candle_start) DIV 3600000000L) % 5 != 3"))
+    val grid = candles
+      .groupBy(col("symbol"))
+      .agg(min(col("candle_start")).as("lo"), max(col("candle_start")).as("hi"))
+      .select(col("symbol"),
+        explode(expr("sequence(lo, hi, interval 1 hour)")).as("candle_start"))
+    val w = Window.partitionBy(col("symbol")).orderBy(col("candle_start"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(candles, Seq("symbol", "candle_start"), "left")
+      .withColumn("close_filled", last(col("close_price"), ignoreNulls = true).over(w))
+      .select(col("symbol"), col("candle_start"), col("close_filled"),
+        col("close_price").isNull.cast("long").as("is_filled"))
+      .orderBy(col("symbol"), col("candle_start"))
+  }
+
+  val gapFillMultisymSql: String =
+    s"""WITH $silverMultiSql,
+       |c0 AS (
+       |  SELECT symbol,
+       |         ${ForexQueries.bucketSql("observed_at", Resample.byName("1h"))} AS candle_start,
+       |         arg_max(close_price, observed_at) AS close_price
+       |  FROM silver GROUP BY 1, 2),
+       |c AS (
+       |  SELECT * FROM c0
+       |  WHERE (epoch_us(candle_start) // 3600000000) % 5 != 3),
+       |spans AS (
+       |  SELECT symbol, min(candle_start) AS lo, max(candle_start) AS hi
+       |  FROM c GROUP BY 1),
+       |grid AS (
+       |  SELECT symbol, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS candle_start
+       |  FROM spans),
+       |j AS (
+       |  SELECT grid.symbol, grid.candle_start, c.close_price
+       |  FROM grid LEFT JOIN c USING (symbol, candle_start))
+       |SELECT symbol, candle_start,
+       |       last_value(close_price IGNORE NULLS) OVER (PARTITION BY symbol
+       |         ORDER BY candle_start ROWS UNBOUNDED PRECEDING) AS close_filled,
+       |       CAST(close_price IS NULL AS BIGINT) AS is_filled
+       |FROM j ORDER BY symbol, candle_start""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "fct_timeframes_multisym" -> fctTimeframesMultisym,
     "indicators_multisym" -> indicatorsMultisym,
-    "ewma_multisym" -> ewmaMultisym)
+    "ewma_multisym" -> ewmaMultisym,
+    "rsi_multisym" -> rsiMultisym,
+    "bollinger_multisym" -> bollingerMultisym,
+    "macd_multisym" -> macdMultisym,
+    "gap_fill_multisym" -> gapFillMultisym)
 
   val oracleSql: Map[String, String] = Map(
     "fct_timeframes_multisym" -> fctTimeframesMultisymSql,
     "indicators_multisym" -> indicatorsMultisymSql,
-    "ewma_multisym" -> ewmaMultisymSql)
+    "ewma_multisym" -> ewmaMultisymSql,
+    "rsi_multisym" -> rsiMultisymSql,
+    "bollinger_multisym" -> bollingerMultisymSql,
+    "macd_multisym" -> macdMultisymSql,
+    "gap_fill_multisym" -> gapFillMultisymSql)
 }
