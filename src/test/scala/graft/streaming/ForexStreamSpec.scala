@@ -30,7 +30,7 @@ class ForexStreamSpec extends SparkSpec {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream must drain before asserting")
 
     val streamed = spark.table("stream_1h")
       .select("timeframe", "candle_start", "open_price", "high_price",
@@ -61,7 +61,7 @@ class ForexStreamSpec extends SparkSpec {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream must drain before asserting")
     val hours = spark.table("stream_4h")
       .select(hour(col("candle_start"))).distinct()
       .collect().map(_.getInt(0)).toSet
@@ -79,7 +79,7 @@ class ForexStreamSpec extends SparkSpec {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream must drain before asserting")
     val out = spark.table("dedup_stream")
     val batch = ForexPipeline.silverFrom(spark, sf0001)
     assert(out.count() === batch.count(),
@@ -175,7 +175,7 @@ class ForexStreamSpec extends SparkSpec {
         ForexStream.candles(ForexStream.ticks(spark, dir), tf), out)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(180000)
+    assert(q.awaitTermination(180000), "stream must drain before asserting")
     val stored = IncrementalStore.readTable(spark, out)
     assert(stored.count() > 0)
     assert(stored.select("timeframe").distinct().first().getString(0) === "1h")

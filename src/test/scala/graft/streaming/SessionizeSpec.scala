@@ -67,7 +67,7 @@ class SessionizeSpec extends SparkSpec {
         timeout = GroupStateTimeout.EventTimeTimeout)
       .writeStream.format("memory").queryName("sessions_stream")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(180000)
+    assert(q.awaitTermination(180000), "stream must drain before asserting")
     // bounded stream: sessions whose timeout predates the final watermark
     // are emitted; the tail may be withheld as open state — that's correct
     // append-mode semantics. The assertion is that the stateful operator
