@@ -66,6 +66,49 @@ object SimilarityQueries {
        |WHERE floor((${cosineSql("a.embedding", "b.embedding")}) * 1e6 + 0.5) / 1e6 >= 0.3
        |ORDER BY vec_id_a, vec_id_b""".stripMargin
 
+  /** Cell-blocked near-dup (SemDeDup shape): the unblocked scale path for
+    * embedding-cosine dedup — coarse-quantize, pair within cells only.
+    * Same centroid set as `ann_ivf_topk`; threshold matches
+    * `neardup_embeddings` so the two variants' outputs are comparable.
+    */
+  val neardupIvfQ: Q = (s, dir) =>
+    Similarity.neardupIvf(Tables.embeddings(s, dir), minCosine = 0.3)
+      .orderBy(col("vec_id_a"), col("vec_id_b"))
+
+  val neardupIvfSql: String = {
+    val centIds = (100L until 116L).mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS c_emb, norm AS c_norm
+       |  FROM e WHERE vec_id IN ($centIds)),
+       |scored AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         (${dotSql("e.embedding", "c.c_emb")}) / (e.norm * c.c_norm) AS c_cos
+       |  FROM e CROSS JOIN cents c),
+       |assign AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY c_cos DESC, cent_id) AS rn
+       |    FROM scored) WHERE rn <= 2),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+       |  FROM assign a JOIN assign b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |cos AS (
+       |  SELECT p.vec_id_a, p.vec_id_b,
+       |         floor(((${dotSql("l.embedding", "r.embedding")})
+       |                / (l.norm * r.norm)) * 1e6 + 0.5) / 1e6 AS cos_sim
+       |  FROM pairs p
+       |  JOIN e l ON p.vec_id_a = l.vec_id
+       |  JOIN e r ON p.vec_id_b = r.vec_id)
+       |SELECT vec_id_a, vec_id_b, cos_sim FROM cos
+       |WHERE cos_sim >= 0.3 ORDER BY vec_id_a, vec_id_b""".stripMargin
+  }
+
   /** Scale-path ANN: LSH sign-buckets with multi-probe, candidates
     * restricted to the query's probe buckets. The seeded hyperplanes are
     * deterministic, so the oracle embeds the exact plane values as SQL
@@ -404,6 +447,7 @@ object SimilarityQueries {
     "embedding_norms" -> embeddingNorms,
     "knn_bruteforce" -> knnBruteForce,
     "neardup_embeddings" -> neardupEmbeddings,
+    "neardup_ivf" -> neardupIvfQ,
     "ann_lsh_topk" -> annLshTopK,
     "ann_ivf_topk" -> annIvfTopK,
     "ann_recall" -> annRecall,
@@ -417,6 +461,7 @@ object SimilarityQueries {
     "embedding_norms" -> embeddingNormsSql,
     "knn_bruteforce" -> knnBruteForceSql,
     "neardup_embeddings" -> neardupEmbeddingsSql,
+    "neardup_ivf" -> neardupIvfSql,
     "ann_lsh_topk" -> annLshTopKSql,
     "ann_ivf_topk" -> annIvfTopKSql,
     "ann_recall" -> annRecallSql,

@@ -98,6 +98,52 @@ object Similarity {
       .filter(col("cos_sim") >= minCosine)
   }
 
+  /** Cell-blocked embedding near-dup — the SemDeDup shape and the unblocked
+    * scale path that [[neardupPairs]]' metadata blocking is not: assign
+    * every vector to its `nAssign` nearest coarse cells (one corpus scan ×
+    * broadcast centroids, same quantizer as [[annIvfTopK]]), then pair only
+    * within a cell. Pair space is Σ_cell n_cell² — bounded by the largest
+    * cell and shrinking with the centroid count (which scales with n at
+    * 100 TB), never the n² all-pairs stream. nAssign > 1 is the standard
+    * recall fix for near-boundary pairs split across cells; pairs found in
+    * both shared cells collapse via `distinct` on the id pair BEFORE the
+    * cosine join, so each surviving pair costs exactly one codegen'd dot.
+    *
+    * By construction this reports the within-cell SUBSET of ≥`minCosine`
+    * pairs (the SemDeDup trade); the oracle computes the identical subset
+    * because assignment is deterministic (cosine ties break to the smaller
+    * cent_id on both engines).
+    */
+  def neardupIvf(embeddings: DataFrame, minCosine: Double,
+      centroidVecIds: Seq[Long] = (100L until 116L),
+      nAssign: Int = 2): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"),
+      l2Norm("embedding").as("norm"))
+    val cents = e.filter(col("vec_id").isin(centroidVecIds: _*))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (dot("embedding", "c_emb") / (col("norm") * col("c_norm"))).as("c_cos"))
+    val assign = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cent_id"))))
+      .filter(col("rn") <= nAssign)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val pairs = assign.as("a")
+      .join(assign.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id_a"), col("b.vec_id").as("vec_id_b"))
+      .distinct()
+    val cos = dot("l.embedding", "r.embedding") / (col("l.norm") * col("r.norm"))
+    pairs
+      .join(e.as("l"), col("vec_id_a") === col("l.vec_id"))
+      .join(e.as("r"), col("vec_id_b") === col("r.vec_id"))
+      .select(col("vec_id_a"), col("vec_id_b"),
+        graft.Parity.pround(cos, 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCosine)
+  }
+
   /** Deterministic random-hyperplane set (seeded), as literal arrays.
     * Exposed within graft so the DuckDB oracle can embed the exact same
     * plane values as SQL literals.
