@@ -315,6 +315,54 @@ object MultiSymQueries {
        |       CAST(close_price IS NULL AS BIGINT) AS is_filled
        |FROM j ORDER BY symbol, candle_start""".stripMargin
 
+  /** STREAMING multi-symbol candles at the gate: the silver multi-symbol
+    * ticks flow as a file stream through the (symbol, window) grouped OHLC —
+    * streaming state and shuffle key on the instrument universe, the same
+    * parallelism story as the batch multisym pipeline — and the bounded
+    * complete-mode run must equal the batch per-symbol candle query
+    * bit-for-bit.
+    */
+  val streamOhlcMultisym: Q = (s, dir) => {
+    val base = PipelineQueries.ensureFixture(s, "stream_ohlc_multisym", dir) { b =>
+      ForexPipeline.silverMultiFrom(s, dir)
+        .coalesce(8) // bounded source file count for the stream listing
+        .write.mode("overwrite").parquet(b)
+    }
+    val name = "graft_stream_ohlc_multisym"
+    s.streams.active.filter(_.name == name).foreach(_.stop())
+    // one state-store instance per shuffle partition (see stream_ohlc_1h)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = graft.streaming.ForexStream
+        .candlesComplete(graft.streaming.ForexStream.ticksMulti(s, base),
+          Resample.byName("1h"), keyCols = Seq("symbol"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000)) {
+        q.stop() // never leak a running stream into later queries' conf changes
+        throw new IllegalStateException(
+          s"stream_ohlc_multisym did not finish within 300s (a timed-out run " +
+            "would otherwise return a silently partial memory-sink table)")
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(name).orderBy(col("symbol"), col("candle_start"))
+  }
+
+  val streamOhlcMultisymSql: String =
+    s"""WITH $silverMultiSql
+       |SELECT symbol, '1h' AS timeframe,
+       |       ${ForexQueries.bucketSql("observed_at", Resample.byName("1h"))} AS candle_start,
+       |       arg_min(open_price, observed_at)  AS open_price,
+       |       max(high_price)                   AS high_price,
+       |       min(low_price)                    AS low_price,
+       |       arg_max(close_price, observed_at) AS close_price,
+       |       count(*)                          AS ticks_5m_count
+       |FROM silver GROUP BY 1, 2, 3
+       |ORDER BY symbol, candle_start""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -324,7 +372,8 @@ object MultiSymQueries {
     "rsi_multisym" -> rsiMultisym,
     "bollinger_multisym" -> bollingerMultisym,
     "macd_multisym" -> macdMultisym,
-    "gap_fill_multisym" -> gapFillMultisym)
+    "gap_fill_multisym" -> gapFillMultisym,
+    "stream_ohlc_multisym" -> streamOhlcMultisym)
 
   val oracleSql: Map[String, String] = Map(
     "fct_timeframes_multisym" -> fctTimeframesMultisymSql,
@@ -333,5 +382,6 @@ object MultiSymQueries {
     "rsi_multisym" -> rsiMultisymSql,
     "bollinger_multisym" -> bollingerMultisymSql,
     "macd_multisym" -> macdMultisymSql,
-    "gap_fill_multisym" -> gapFillMultisymSql)
+    "gap_fill_multisym" -> gapFillMultisymSql,
+    "stream_ohlc_multisym" -> streamOhlcMultisymSql)
 }

@@ -43,7 +43,7 @@ object PipelineQueries {
     * fresh JVM) rebuilds from scratch.
     */
   private val fixtureBuilt = scala.collection.mutable.Map[String, String]()
-  private def ensureFixture(spark: SparkSession, name: String, dir: String)(
+  private[queries] def ensureFixture(spark: SparkSession, name: String, dir: String)(
       build: String => Unit): String = fixtureBuilt.synchronized {
     val base = s"${sys.props("java.io.tmpdir")}/graft_pipeline/$name"
     val p = new org.apache.hadoop.fs.Path(base)

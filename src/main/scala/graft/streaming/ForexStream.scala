@@ -38,6 +38,15 @@ object ForexStream {
   def ticks(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(tickSchema).parquet(dir)
 
+  /** Multi-symbol silver ticks: the same stream with the instrument key
+    * (the reference stamps `symbol` on every tick, extract_forex.py:138).
+    */
+  val multiTickSchema: StructType =
+    StructType(StructField("symbol", StringType) +: tickSchema.fields.toSeq)
+
+  def ticksMulti(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(multiTickSchema).parquet(dir)
+
   /** `window()` parameters reproducing Resample.bucket's grid: width =
     * timeframe width, startTime = anchor shift so boundaries land on the
     * −2h-shifted grid (only 4h/12h have a nonzero anchor; sub-day frames
@@ -50,7 +59,7 @@ object ForexStream {
   }
 
   private def ohlcOverWindow(grouped: org.apache.spark.sql.RelationalGroupedDataset,
-      tf: Resample.Timeframe): DataFrame =
+      tf: Resample.Timeframe, keyCols: Seq[String] = Nil): DataFrame =
     grouped
       .agg(
         min_by(col("open_price"), col("observed_at")).as("open_price"),
@@ -58,19 +67,23 @@ object ForexStream {
         min(col("low_price")).as("low_price"),
         max_by(col("close_price"), col("observed_at")).as("close_price"),
         count(lit(1)).as("ticks_5m_count"))
-      .select(lit(tf.name).as("timeframe"), col("w.start").as("candle_start"),
+      .select(keyCols.map(col) ++ Seq(
+        lit(tf.name).as("timeframe"), col("w.start").as("candle_start"),
         col("open_price"), col("high_price"), col("low_price"),
-        col("close_price"), col("ticks_5m_count"))
+        col("close_price"), col("ticks_5m_count")): _*)
 
   /** Streaming OHLC candles for one timeframe (append mode once the
-    * watermark passes the window end).
+    * watermark passes the window end). `keyCols` adds series keys (symbol)
+    * to the grouping — streaming state and shuffle then key on
+    * (symbol, window), the same parallelism story as the batch multisym
+    * pipeline.
     */
   def candles(ticksStream: DataFrame, tf: Resample.Timeframe,
-      lateness: String = "1 hour"): DataFrame =
+      lateness: String = "1 hour", keyCols: Seq[String] = Nil): DataFrame =
     ohlcOverWindow(
       ticksStream
         .withWatermark("observed_at", lateness)
-        .groupBy(windowFor(tf).as("w")), tf)
+        .groupBy(keyCols.map(col) :+ windowFor(tf).as("w"): _*), tf, keyCols)
 
   /** Complete-mode variant: every window re-emitted per trigger, none
     * withheld behind a watermark — the form whose bounded run is exactly
@@ -78,8 +91,11 @@ object ForexStream {
     * State grows with window count, so it is for bounded replays/backfills,
     * not unbounded streams; `candles` is the production append path.
     */
-  def candlesComplete(ticksStream: DataFrame, tf: Resample.Timeframe): DataFrame =
-    ohlcOverWindow(ticksStream.groupBy(windowFor(tf).as("w")), tf)
+  def candlesComplete(ticksStream: DataFrame, tf: Resample.Timeframe,
+      keyCols: Seq[String] = Nil): DataFrame =
+    ohlcOverWindow(
+      ticksStream.groupBy(keyCols.map(col) :+ windowFor(tf).as("w"): _*),
+      tf, keyCols)
 
   /** SLIDING-window OHLC: overlapping windows (width > slide), each tick
     * contributing to width/slide windows — the streaming form of a moving

@@ -35,6 +35,32 @@ class MultiSymbolSpec extends SparkSpec {
     }
   }
 
+  test("keyed recursive indicators: per-symbol slice equals single-series run") {
+    val candles = Ohlc.candles(
+        Resample.fanout(ForexPipeline.silverMulti(events),
+          Seq(Resample.byName("1h")), Seq("symbol")), Seq("symbol"))
+      .select(col("symbol"), col("candle_start"), col("close_price")).cache()
+    val symbols = events.select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted
+    val keyed = Seq(
+      TechIndicators.rsi(candles, keyCols = Seq("symbol")),
+      TechIndicators.bollinger(candles, keyCols = Seq("symbol")),
+      TechIndicators.macd(candles, keyCols = Seq("symbol"))).map(_.cache())
+    symbols.foreach { sym =>
+      val solo = candles.filter(col("symbol") === sym).drop("symbol")
+      val single = Seq(
+        TechIndicators.rsi(solo),
+        TechIndicators.bollinger(solo),
+        TechIndicators.macd(solo))
+      keyed.zip(single).zip(Seq("rsi", "bollinger", "macd")).foreach {
+        case ((m, s0), name) =>
+          val slice = m.filter(col("symbol") === sym).drop("symbol")
+          assert(slice.exceptAll(s0).isEmpty && s0.exceptAll(slice).isEmpty,
+            s"$name for symbol $sym diverges from its single-series run")
+      }
+    }
+  }
+
   test("unique_id stays unique across symbols (symbol is in the hash)") {
     val dups = goldMulti.groupBy("unique_id").count()
       .filter(col("count") > 1).count()
