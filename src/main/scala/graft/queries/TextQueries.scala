@@ -143,6 +143,33 @@ object TextQueries {
       |       CAST(max(n_tokens) AS BIGINT) AS max_tokens
       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Mergeable histogram quantiles over token counts — the 100 TB sibling
+    * of `token_quantiles`: exact `percentile` buffers every value per group
+    * (whale-group memory), while the histogram sketch shuffles ≤
+    * range/binWidth rows per group and merges across partitions/days by
+    * integer addition. Estimates are bin upper bounds (true quantile within
+    * binWidth below); SketchesSpec pins the bound and merge exactness.
+    */
+  val histQuantilesQ: Q = (s, dir) => {
+    val binW = 16L
+    val t = Tables.documents(s, dir)
+      .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    graft.relational.Sketches.histQuantiles(
+        graft.relational.Sketches.histCounts(t, Seq("lang"), col("n_tokens"), binW),
+        Seq("lang"), binW, Seq(0.5, 0.9, 0.99))
+      .orderBy(col("lang"))
+  }
+
+  val histQuantilesSql: String =
+    s"""WITH t AS (
+       |  SELECT lang,
+       |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]|\\s+')) AS n_tokens
+       |  FROM documents),
+       |${graft.relational.Sketches.histQuantilesSql(
+            "t", Seq("lang"), "n_tokens", 16L, Seq(0.5, 0.9, 0.99))}
+       |SELECT lang, n_rows, p50_ub, p90_ub, p99_ub
+       |FROM hq ORDER BY lang""".stripMargin
+
   /** Within-document repetition (Gopher/C4-style quality signal): the
     * fraction of a doc's word 3-grams that are duplicates of an earlier
     * 3-gram. High ratios mark boilerplate/spam for curation filters. Pure
@@ -534,6 +561,7 @@ object TextQueries {
     "lang_id" -> langId,
     "doc_fingerprint" -> docFingerprint,
     "token_quantiles" -> tokenQuantiles,
+    "hist_quantiles" -> histQuantilesQ,
     "dup_ngram_ratio" -> dupNgramRatio,
     "vocab_topk" -> vocabTopK,
     "tfidf_topk" -> tfidfTopK,
@@ -550,6 +578,7 @@ object TextQueries {
     "lang_id" -> langIdSql,
     "doc_fingerprint" -> docFingerprintSql,
     "token_quantiles" -> tokenQuantilesSql,
+    "hist_quantiles" -> histQuantilesSql,
     "dup_ngram_ratio" -> dupNgramRatioSql,
     "vocab_topk" -> vocabTopKSql,
     "tfidf_topk" -> tfidfTopKSql,

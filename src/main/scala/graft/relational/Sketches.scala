@@ -1,6 +1,7 @@
 package graft.relational
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash
@@ -213,4 +214,83 @@ object Sketches {
   def hllDistinctSql(rel: String, groupCols: Seq[String], keyExpr: String): String =
     s"""${hllRegistersSql(rel, groupCols, keyExpr)},
        |${hllEstimateSql("reg", groupCols)}""".stripMargin
+
+  // ---------------------------------------------------- histogram quantiles
+
+  /** Fixed-bin histogram of an integer-valued column: the MERGEABLE quantile
+    * sketch. Exact `percentile` buffers every value per group — memory grows
+    * with group size, the classic whale-group failure at 100 TB. The
+    * histogram is one hash aggregate (map-side combined; the shuffle carries
+    * ≤ range/binWidth rows per group regardless of input size), and two
+    * histograms merge by summing counts per (group, bin) — per-day/partition
+    * histograms serve any date range, exactly like the HLL registers above.
+    *
+    * Bin assignment is pure integer division — zero float ops, so
+    * mergeability and cross-engine parity are exact by construction.
+    */
+  def histCounts(df: DataFrame, groupCols: Seq[String], value: Column,
+      binWidth: Long): DataFrame =
+    df.withColumn("__v", value.cast("long"))
+      .groupBy(groupCols.map(col) :+
+        expr(s"__v DIV ${binWidth}L").as("bin"): _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** Merge partial histograms (same groupCols/binWidth): sum counts per
+    * (group, bin). Exact — integer addition commutes.
+    */
+  def histMerge(parts: DataFrame*): DataFrame =
+    parts.reduce(_ unionByName _)
+      .groupBy(parts.head.columns.dropRight(1).map(col): _*)
+      .agg(sum(col("n")).as("n"))
+
+  /** Quantile UPPER BOUNDS from a histogram: for each q, the upper edge of
+    * the bin holding the rank-⌈q·n⌉ value — a deterministic estimate that
+    * over-reports the true quantile by at most binWidth. The only float op
+    * is the q·n product of the same double literal in both engines; rank
+    * comparison and the edge arithmetic are integers.
+    *
+    * Scale shape: the cumulative window runs over ≤ range/binWidth bin rows
+    * per group (sketch-sized, not data-sized), then one hash aggregate.
+    */
+  def histQuantiles(counts: DataFrame, groupCols: Seq[String],
+      binWidth: Long, qs: Seq[Double]): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("total",
+        sum(col("n")).over(Window.partitionBy(groupCols.map(col): _*)))
+    val ests = qs.map { q =>
+      min(when(col("cum") >= ceil(lit(q) * col("total")),
+        (col("bin") + 1) * binWidth)).as(s"p${(q * 100).round}_ub")
+    }
+    cum.groupBy(groupCols.map(col): _*)
+      .agg(max(col("total")).cast("long").as("n_rows"), ests: _*)
+  }
+
+  /** DuckDB mirror of [[histCounts]] + [[histQuantiles]] over a relation
+    * `rel` with the integer value expression `valueExpr`.
+    */
+  def histQuantilesSql(rel: String, groupCols: Seq[String], valueExpr: String,
+      binWidth: Long, qs: Seq[Double]): String = {
+    val g = groupCols.mkString(", ")
+    val ests = qs.map { q =>
+      s"""CAST(min(CASE WHEN cum >= ceil($q * total)
+         |           THEN (bin + 1) * $binWidth END) AS BIGINT) AS p${(q * 100).round}_ub""".stripMargin
+    }.mkString(",\n       ")
+    s"""hist AS (
+       |  SELECT $g, CAST($valueExpr AS BIGINT) // $binWidth AS bin,
+       |         count(*) AS n
+       |  FROM $rel GROUP BY ALL),
+       |hcum AS (
+       |  SELECT $g, bin, n,
+       |         sum(n) OVER (PARTITION BY $g ORDER BY bin
+       |           ROWS UNBOUNDED PRECEDING) AS cum,
+       |         sum(n) OVER (PARTITION BY $g) AS total
+       |  FROM hist),
+       |hq AS (
+       |  SELECT $g, CAST(max(total) AS BIGINT) AS n_rows,
+       |       $ests
+       |  FROM hcum GROUP BY $g)""".stripMargin
+  }
 }

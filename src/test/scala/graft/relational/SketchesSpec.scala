@@ -116,6 +116,38 @@ class SketchesSpec extends SparkSpec {
     assert(est.head.getAs[Long]("n_cms") === 0L)
   }
 
+  test("histogram quantiles: merged partials equal the direct sketch exactly") {
+    import spark.implicits._
+    val df = (0 until 3000).map(i => (s"g${i % 2}", (i * 7919) % 997)).toDF("g", "v")
+    val direct = Sketches.histQuantiles(
+      Sketches.histCounts(df, Seq("g"), col("v"), 16L), Seq("g"), 16L, Seq(0.5, 0.9, 0.99))
+    // split on an arbitrary predicate, sketch each half, merge — integer
+    // counts sum exactly, so the estimates must be identical, not close
+    val h1 = Sketches.histCounts(df.filter(col("v") % 3 === 0), Seq("g"), col("v"), 16L)
+    val h2 = Sketches.histCounts(df.filter(col("v") % 3 =!= 0), Seq("g"), col("v"), 16L)
+    val merged = Sketches.histQuantiles(
+      Sketches.histMerge(h1, h2), Seq("g"), 16L, Seq(0.5, 0.9, 0.99))
+    assert(direct.exceptAll(merged).isEmpty && merged.exceptAll(direct).isEmpty)
+  }
+
+  test("histogram quantile bound: true rank-ceil(q*n) value within binWidth below the estimate") {
+    import spark.implicits._
+    val binW = 16L
+    val vals = (0 until 2500).map(i => (i * 104729) % 4093)
+    val df = vals.map(("all", _)).toDF("g", "v")
+    val est = Sketches.histQuantiles(
+        Sketches.histCounts(df, Seq("g"), col("v"), binW), Seq("g"), binW,
+        Seq(0.5, 0.9, 0.99))
+      .collect().head
+    val sorted = vals.sorted
+    Seq(0.5 -> "p50_ub", 0.9 -> "p90_ub", 0.99 -> "p99_ub").foreach { case (q, c) =>
+      val trueV = sorted(math.ceil(q * sorted.length).toInt - 1)
+      val ub = est.getAs[Long](c)
+      assert(trueV < ub && ub <= trueV + binW,
+        s"$c: true=$trueV estimate=$ub binWidth=$binW")
+    }
+  }
+
   test("per-group registers never exceed m=64 rows into the final reduce") {
     import spark.implicits._
     val df = (0 until 2000).map(i => (s"g${i % 3}", s"k$i")).toDF("g", "k")
