@@ -558,6 +558,37 @@ object PipelineQueries {
        |FROM ex JOIN hll USING (event_type) ORDER BY event_type""".stripMargin
   }
 
+  /** STREAMING histogram maintenance: the fixed-bin token-count histogram
+    * as streaming aggregation state — bounded at groups × (range/binWidth)
+    * rows regardless of stream length, the same state argument as the HLL
+    * registers and CMS counters. The bounded complete-mode run's counts
+    * must equal the batch histogram bin-for-bin (integer counts, no float
+    * tolerance), so the quantile read-out off the final counts shares
+    * hist_quantiles' oracle.
+    */
+  val streamHist: Q = (s, dir) => {
+    import graft.relational.Sketches
+    import graft.text.TextAnalysis
+    val binW = 16L
+    val base = ensureFixture(s, "stream_hist", dir) { b =>
+      Tables.documents(s, dir)
+        .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .coalesce(8).write.mode("overwrite").parquet(b)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.IntegerType)))
+    val counts = runBoundedStream(s, "graft_stream_hist",
+      () => Sketches.histCounts(
+        s.readStream.schema(schema).parquet(base),
+        Seq("lang"), col("n_tokens"), binW),
+      "complete")
+    Sketches.histQuantiles(counts, Seq("lang"), binW, Seq(0.5, 0.9, 0.99))
+      .orderBy(col("lang"))
+  }
+
   /** STREAMING count-min maintenance: the d×w counter table as streaming
     * aggregation state (bounded at d·w rows regardless of stream length —
     * same argument as stream_hll's registers). The bounded run's counters
@@ -597,6 +628,7 @@ object PipelineQueries {
     "stream_sliding_ohlc" -> streamSlidingOhlc,
     "stream_dedup" -> streamDedup,
     "stream_hll" -> streamHll,
+    "stream_hist" -> streamHist,
     "staging_view" -> stagingView,
     "backfill_day" -> backfillDay,
     "ingest_bronze" -> ingestBronze,
@@ -611,6 +643,7 @@ object PipelineQueries {
     "stream_sliding_ohlc" -> streamSlidingOhlcSql, // streaming vs batch explode
     "stream_dedup" -> streamDedupSql, // streaming dedup vs batch DISTINCT
     "stream_hll" -> streamHllSql, // streaming register state vs batch sketch
+    "stream_hist" -> TextQueries.histQuantilesSql, // streaming bin state vs batch sketch
     "staging_view" -> goldTableSql,
     "backfill_day" -> goldTableSql,
     "ingest_bronze" -> ingestBronzeSql,
