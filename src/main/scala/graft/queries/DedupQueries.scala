@@ -277,6 +277,80 @@ object DedupQueries {
        |ORDER BY l.doc_id""".stripMargin
   }
 
+  /** Quality-aware canonical selection: per near-dup cluster, keep the
+    * HIGHEST-QUALITY member (tie → min doc_id) instead of the min-id one —
+    * what a curation pipeline actually wants when one copy of a template
+    * is cleaner than the rest. Output is the per-doc keep/drop labeling:
+    * cluster id, quality score, and the keep flag. Scale shape: clustering
+    * as in dedup_clusters, quality is per-row arithmetic, and the winner
+    * pick is a row_number window over cluster-sized partitions (bounded by
+    * the largest near-dup group, which LSH banding keeps small).
+    */
+  val dedupKeepBest: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val edges = DocDedup.estimatedJaccardPairs(docs)
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    val labels = Components.connectedComponents(
+      docs.select(col("doc_id").as("v")), edges)
+    val qual = graft.text.TextAnalysis.qualityScore(docs)
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
+      .join(qual, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("quality_score"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupKeepBestSql: String = {
+    val eq = (0 until NumHashes)
+      .map(j => s"CASE WHEN sa.mh_$j = sb.mh_$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val stopCnt = TextQueries.stopCountSql(TextQueries.stopEn)
+    s"""WITH RECURSIVE $sigsSql,
+       |$bandsSql,
+       |$pairsSql,
+       |simp AS (
+       |  SELECT c.doc_id_a, c.doc_id_b
+       |  FROM cand c
+       |  JOIN sigs sa ON c.doc_id_a = sa.doc_id
+       |  JOIN sigs sb ON c.doc_id_b = sb.doc_id
+       |  WHERE floor((CAST($eq AS DOUBLE) / $NumHashes) * 1e6 + 0.5) / 1e6 >= 0.5),
+       |cedges AS (
+       |  SELECT doc_id_a AS s, doc_id_b AS d FROM simp
+       |  UNION ALL
+       |  SELECT doc_id_b AS s, doc_id_a AS d FROM simp),
+       |reach AS (
+       |  SELECT doc_id AS v, doc_id AS u FROM documents
+       |  UNION
+       |  SELECT r.v, e.d FROM reach r JOIN cedges e ON r.u = e.s),
+       |lbl AS (SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v),
+       |qw AS (
+       |  SELECT doc_id, text,
+       |         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+       |  FROM documents),
+       |qstats AS (
+       |  SELECT doc_id,
+       |         len(ws) AS word_count,
+       |         len(regexp_extract_all(text, '[.,;:!?]')) AS punct_count,
+       |         floor((CAST($stopCnt AS DOUBLE) / len(ws)) * 1e6 + 0.5) / 1e6 AS stopword_ratio
+       |  FROM qw),
+       |qual AS (
+       |  SELECT doc_id,
+       |         floor((0.4 * least(CAST(word_count AS DOUBLE) / 50, 1.0)
+       |             + 0.3 * least(stopword_ratio * 5, 1.0)
+       |             + 0.3 * greatest(0.0, 1.0 - CAST(punct_count AS DOUBLE) / greatest(word_count, 1))) * 1e6 + 0.5) / 1e6
+       |           AS quality_score
+       |  FROM qstats)
+       |SELECT l.doc_id, l.cluster_id, q.quality_score,
+       |       (row_number() OVER (PARTITION BY l.cluster_id
+       |          ORDER BY q.quality_score DESC, l.doc_id) = 1) AS keep
+       |FROM lbl l JOIN qual q USING (doc_id)
+       |ORDER BY l.doc_id""".stripMargin
+  }
+
   /** Benchmark decontamination: flag corpus documents that share any word
     * 8-gram with a held-out benchmark set — the standard eval-leakage
     * guard before training (n-gram collision, not exact match, because
@@ -377,6 +451,7 @@ object DedupQueries {
     "dedup_keep_docs" -> dedupKeepDocs,
     "dedup_clusters" -> dedupClusters,
     "dedup_clusters_star" -> dedupClustersStar,
+    "dedup_keep_best" -> dedupKeepBest,
     "dedup_exact_docs" -> dedupExactDocs,
     "minhash_signatures" -> minhashSignatures,
     "lsh_candidate_pairs" -> lshCandidatePairs,
@@ -392,6 +467,7 @@ object DedupQueries {
     "dedup_keep_docs" -> dedupKeepDocsSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_clusters_star" -> dedupClustersSql, // same labels, O(log n)-round algorithm
+    "dedup_keep_best" -> dedupKeepBestSql,
     "dedup_exact_docs" -> dedupExactDocsSql,
     "minhash_signatures" -> minhashSignaturesSql,
     "lsh_candidate_pairs" -> lshCandidatePairsSql,

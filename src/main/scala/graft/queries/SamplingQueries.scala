@@ -96,15 +96,48 @@ object SamplingQueries {
        |WHERE (${PortableHash.hash32Sql("doc_id")}) % 10000 < 1000
        |ORDER BY doc_id""".stripMargin
 
+  /** Concat-and-chunk sequence packing into 512-token training sequences,
+    * packed per source shard (see Sampling.packSequences for the scale
+    * story). Every doc's (seq_id, seq_offset, end_seq_id) coordinates are
+    * pure integer prefix-sum arithmetic — hash-checked bit-exact.
+    */
+  val seqPack: Q = (s, dir) => {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Sampling.packSequences(t, "doc_id", "n_tokens", 512L, Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("seq_id"), col("seq_offset"), col("end_seq_id"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val seqPackSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]|\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM t)
+       |SELECT doc_id, source, n_tokens,
+       |       CAST(cum_before // 512 AS BIGINT) AS seq_id,
+       |       CAST(cum_before % 512 AS BIGINT) AS seq_offset,
+       |       CAST((cum_before + greatest(n_tokens, 1) - 1) // 512 AS BIGINT) AS end_seq_id
+       |FROM p ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "train_test_split" -> trainTestSplit,
     "split_summary" -> splitSummary,
     "corpus_stats" -> corpusStats,
-    "sample_by_key" -> sampleByKey)
+    "sample_by_key" -> sampleByKey,
+    "seq_pack" -> seqPack)
 
   val oracleSql: Map[String, String] = Map(
     "train_test_split" -> trainTestSplitSql,
     "split_summary" -> splitSummarySql,
     "corpus_stats" -> corpusStatsSql,
-    "sample_by_key" -> sampleByKeySql)
+    "sample_by_key" -> sampleByKeySql,
+    "seq_pack" -> seqPackSql)
 }

@@ -37,4 +37,32 @@ object Sampling {
         when(acc.isNotNull, acc).when(b < cut, name).otherwise(lit(null))
     }
   }
+
+  /** Concat-and-chunk sequence packing — the GPT-style pretraining layout:
+    * documents concatenate in a fixed deterministic order and the token
+    * stream is cut every `seqLen` tokens, so no padding waste anywhere and
+    * a doc may span a sequence boundary. Each doc gets the sequence id and
+    * offset where it starts plus the sequence where it ends; the writer
+    * that materializes training shards needs exactly these coordinates.
+    *
+    * Unlike first-fit bin packing (inherently sequential, order-dependent
+    * output), concat-and-chunk is a pure prefix sum — deterministic and
+    * window-parallel. The prefix sum partitions by `keyCols` (pack within
+    * source/shard): parallelism = |sources|, the same keying story as the
+    * multi-symbol windows, with the chunked-scan machinery as the fallback
+    * for one whale source. All integer arithmetic — bit-exact cross-engine.
+    */
+  def packSequences(docs: DataFrame, orderCol: String, tokensCol: String,
+      seqLen: Long, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("cum_before", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"cum_before DIV $seqLen"))
+      .withColumn("seq_offset", expr(s"cum_before % $seqLen"))
+      // empty docs occupy no tokens: they "end" where they start
+      .withColumn("end_seq_id",
+        expr(s"(cum_before + greatest($tokensCol, 1L) - 1L) DIV $seqLen"))
+  }
 }
