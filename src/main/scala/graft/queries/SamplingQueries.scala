@@ -127,7 +127,52 @@ object SamplingQueries {
        |       CAST((cum_before + greatest(n_tokens, 1) - 1) // 512 AS BIGINT) AS end_seq_id
        |FROM p ORDER BY source, doc_id""".stripMargin
 
+  /** Data-mixing report: a 4-rate mixture (src0 100%, src1 75%, src2 50%,
+    * src3 25%, everything else 10%) evaluated as keep flags in ONE corpus
+    * scan — per source: total docs, kept docs, kept tokens, achieved
+    * fraction. Deterministic hash sampling means the achieved mixture is a
+    * pure function of the weight config, reproducible across runs/engines.
+    */
+  private val MixRates = Map("src0" -> 1.0, "src1" -> 0.75,
+    "src2" -> 0.5, "src3" -> 0.25)
+  private val MixDefault = 0.1
+
+  val sourceMixture: Q = (s, dir) => {
+    val keep = Sampling.bucket(col("doc_id")) <
+      Sampling.mixtureCutoff(col("source"), MixRates, MixDefault, buckets = 100)
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(keep, col("n_tokens")).otherwise(0L)).as("tokens_kept"),
+        graft.Parity.pround(
+          sum(when(keep, 1L).otherwise(0L)).cast("double") / count(lit(1)), 6)
+          .as("achieved_frac"))
+      .orderBy(col("source"))
+  }
+
+  val sourceMixtureSql: String = {
+    val cutoff = MixRates.toSeq.sortBy(_._1).reverse
+      .foldLeft(s"${(MixDefault * 100).toLong}") { case (acc, (src, r)) =>
+        s"CASE WHEN source = '$src' THEN ${(r * 100).toLong} ELSE $acc END"
+      }
+    s"""WITH t AS (
+       |  SELECT source,
+       |         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]|\\s+')) AS BIGINT) AS n_tokens,
+       |         ((${PortableHash.hash32Sql("doc_id")}) % 100) < ($cutoff) AS keep
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+       |       ${graft.Parity.proundSql(
+              "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS achieved_frac
+       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "source_mixture" -> sourceMixture,
     "train_test_split" -> trainTestSplit,
     "split_summary" -> splitSummary,
     "corpus_stats" -> corpusStats,
@@ -135,6 +180,7 @@ object SamplingQueries {
     "seq_pack" -> seqPack)
 
   val oracleSql: Map[String, String] = Map(
+    "source_mixture" -> sourceMixtureSql,
     "train_test_split" -> trainTestSplitSql,
     "split_summary" -> splitSummarySql,
     "corpus_stats" -> corpusStatsSql,

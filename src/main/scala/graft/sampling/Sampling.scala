@@ -38,6 +38,33 @@ object Sampling {
     }
   }
 
+  /** Per-source mixture sampling — the data-mixing op that turns raw corpus
+    * proportions into a training mixture: each source keeps a deterministic
+    * hash fraction of its documents at that source's configured rate
+    * (unlisted sources fall back to `defaultRate`). Same stability story as
+    * [[sampleByKey]] (never `rand()`), plus the monotone-prefix property
+    * per source: raising one source's rate only ADDS documents, so mixture
+    * re-weighting between training runs reuses everything already selected.
+    *
+    * Rates compile to a literal CASE chain — right for O(100) named
+    * sources; a mixture over unbounded source cardinality would broadcast-
+    * join a weights dimension instead (same per-row work after the join).
+    */
+  def mixtureSample(df: DataFrame, key: Column, sourceCol: Column,
+      rates: Map[String, Double], defaultRate: Double,
+      buckets: Int = 10000): DataFrame =
+    df.filter(bucket(key, buckets) < mixtureCutoff(sourceCol, rates, defaultRate, buckets))
+
+  /** The per-row bucket cutoff implementing a mixture's rates (exposed so
+    * reporting queries can compute keep flags without filtering).
+    */
+  def mixtureCutoff(sourceCol: Column, rates: Map[String, Double],
+      defaultRate: Double, buckets: Int = 10000): Column =
+    rates.toSeq.sortBy(_._1).foldLeft(lit((defaultRate * buckets).toLong)) {
+      case (acc, (src, r)) =>
+        when(sourceCol === src, lit((r * buckets).toLong)).otherwise(acc)
+    }
+
   /** Concat-and-chunk sequence packing — the GPT-style pretraining layout:
     * documents concatenate in a fixed deterministic order and the token
     * stream is cut every `seqLen` tokens, so no padding waste anywhere and

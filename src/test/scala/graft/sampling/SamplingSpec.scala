@@ -34,4 +34,40 @@ class SamplingSpec extends SparkSpec {
     val big = Sampling.sampleByKey(docs, col("doc_id"), 0.5)
     assert(a.select("doc_id").exceptAll(big.select("doc_id")).count() === 0)
   }
+
+  test("packSequences: gapless concat-and-chunk coordinates per shard") {
+    import graft.text.TextAnalysis
+    val L = 512L
+    val t = docs.select(col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val packed = Sampling.packSequences(t, "doc_id", "n_tokens", L, Seq("source"))
+      .select("doc_id", "source", "n_tokens", "cum_before",
+        "seq_id", "seq_offset", "end_seq_id")
+      .collect()
+      .groupBy(_.getAs[String]("source"))
+    assert(packed.size > 1, "fixture must have multiple sources")
+    packed.foreach { case (src, rows) =>
+      val ordered = rows.sortBy(_.getAs[Long]("doc_id"))
+      // gapless: each doc starts exactly where the previous one ended —
+      // zero padding waste anywhere in the token stream
+      ordered.foldLeft(0L) { (expect, r) =>
+        assert(r.getAs[Long]("cum_before") === expect,
+          s"$src doc ${r.getAs[Long]("doc_id")} starts at " +
+            s"${r.getAs[Long]("cum_before")}, expected $expect")
+        expect + r.getAs[Long]("n_tokens")
+      }
+      ordered.foreach { r =>
+        val (cum, n) = (r.getAs[Long]("cum_before"), r.getAs[Long]("n_tokens"))
+        assert(r.getAs[Long]("seq_id") === cum / L)
+        assert(r.getAs[Long]("seq_offset") === cum % L)
+        assert(r.getAs[Long]("end_seq_id") === (cum + math.max(n, 1) - 1) / L)
+      }
+      // every sequence index up to the last is occupied (chunking leaves
+      // no empty training sequence)
+      val lastSeq = ordered.map(_.getAs[Long]("end_seq_id")).max
+      val covered = ordered.flatMap(r =>
+        r.getAs[Long]("seq_id") to r.getAs[Long]("end_seq_id")).toSet
+      assert(covered === (0L to lastSeq).toSet, s"$src has empty sequences")
+    }
+  }
 }
