@@ -35,6 +35,23 @@ class SamplingSpec extends SparkSpec {
     assert(a.select("doc_id").exceptAll(big.select("doc_id")).count() === 0)
   }
 
+  test("mixtureSample: per-source rates honored, monotone under re-weighting") {
+    val low = Sampling.mixtureSample(docs, col("doc_id"), col("source"),
+      Map("src0" -> 1.0, "src1" -> 0.2), defaultRate = 0.1)
+    val high = Sampling.mixtureSample(docs, col("doc_id"), col("source"),
+      Map("src0" -> 1.0, "src1" -> 0.8), defaultRate = 0.1)
+    // rate-1.0 source keeps everything
+    val src0Total = docs.filter(col("source") === "src0").count()
+    assert(low.filter(col("source") === "src0").count() === src0Total)
+    // raising src1's rate only ADDS docs (monotone prefix) and leaves
+    // every other source's selection untouched
+    assert(low.select("doc_id").exceptAll(high.select("doc_id")).count() === 0)
+    assert(low.filter(col("source") =!= "src1").select("doc_id").exceptAll(
+      high.filter(col("source") =!= "src1").select("doc_id")).count() === 0)
+    assert(high.filter(col("source") === "src1").count() >
+      low.filter(col("source") === "src1").count())
+  }
+
   test("packSequences: gapless concat-and-chunk coordinates per shard") {
     import graft.text.TextAnalysis
     val L = 512L
