@@ -13,7 +13,7 @@ import graft.{SparkSpec, Tables}
   * random 64-dim embeddings — an adversarially unclustered corpus; real
   * embedding corpora cluster and recall is higher): LSH Hamming-≤2
   * multi-probe measures mean 0.52 / min 0.2, IVF nProbe=4 measures mean
-  * 0.44 / min 0.2. Floors leave one query-vector step (0.1) of slack.
+  * 0.44 / min 0.2. Floors sit one query-vector step (0.1) below measured.
   */
 class AnnRecallSpec extends SparkSpec {
 
