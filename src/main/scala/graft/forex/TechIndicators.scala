@@ -188,7 +188,8 @@ object TechIndicators {
     * query (see rsi_chunked: Wilder gain and loss scans side by side).
     */
   private[forex] def affineScan(df: DataFrame, valueCol: String, outCol: String,
-      a: Double, b: Double, candlesPerChunk: Int, gridUs: Long): DataFrame = {
+      a: Double, b: Double, candlesPerChunk: Int, gridUs: Long,
+      keyCols: Seq[String] = Nil): DataFrame = {
     require(math.abs(a + b - 1.0) < 1e-15, "seeding needs a + b = 1")
     val w = gridUs * candlesPerChunk
     val ck = s"${outCol}_chunk"
@@ -196,7 +197,8 @@ object TechIndicators {
     val fs = s"${outCol}_fs"
     val ab = s"${outCol}_ab"
     val c = df.withColumn(ck, expr(s"unix_micros(candle_start) DIV ${w}L"))
-    val wPre = Window.partitionBy(col(ck)).orderBy(col("candle_start"))
+    val wPre = Window.partitionBy((keyCols :+ ck).map(col): _*)
+      .orderBy(col("candle_start"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withAb = c
       .withColumn(px, collect_list(col(valueCol)).over(wPre))
@@ -204,31 +206,40 @@ object TechIndicators {
       .withColumn(ab, expr(
         s"aggregate(slice($fs, 2, size($fs) - 1), $fs[0], " +
           "(acc, f) -> named_struct('a', f.a * acc.a, 'b', f.a * acc.b + f.b))"))
-    val first = df.agg(
-      min_by(col(valueCol), col("candle_start")).as(s"${outCol}_first"))
-    val wPrev = Window.orderBy(col(ck))
+    // per-series seed: one row (global) or one per key — broadcast either way
+    val first =
+      if (keyCols.isEmpty)
+        df.agg(min_by(col(valueCol), col("candle_start")).as(s"${outCol}_first"))
+      else df.groupBy(keyCols.map(col): _*)
+        .agg(min_by(col(valueCol), col("candle_start")).as(s"${outCol}_first"))
+    // chunk-level composition: |chunks| rows per series, keyed windows
+    val wPrev = Window.partitionBy(keyCols.map(col): _*).orderBy(col(ck))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val incoming = withAb
-      .groupBy(col(ck))
+    val totals = withAb
+      .groupBy((keyCols :+ ck).map(col): _*)
       .agg(max_by(col(ab), col("candle_start")).as(s"${outCol}_tot"))
-      .crossJoin(broadcast(first))
+    val seeded =
+      if (keyCols.isEmpty) totals.crossJoin(broadcast(first))
+      else totals.join(broadcast(first), keyCols)
+    val incoming = seeded
       .withColumn(s"${outCol}_prev", collect_list(col(s"${outCol}_tot")).over(wPrev))
       .withColumn(s"${outCol}_sin", expr(
         s"aggregate(${outCol}_prev, named_struct('a', 1.0D, 'b', ${outCol}_first), " +
           s"(acc, f) -> named_struct('a', 1.0D, 'b', f.a * acc.b + f.b)).b"))
-      .select(col(ck), col(s"${outCol}_sin"))
-    withAb.join(incoming, ck)
+      .select((keyCols :+ ck).map(col) :+ col(s"${outCol}_sin"): _*)
+    withAb.join(incoming, keyCols :+ ck)
       .withColumn(outCol, expr(s"$ab.a * ${outCol}_sin + $ab.b"))
       .drop(ck, px, fs, ab, s"${outCol}_sin")
   }
 
   def ewmaChunked(candles: DataFrame, alpha: Double = 0.2,
-      candlesPerChunk: Int = 64, gridUs: Long = 3600000000L): DataFrame = {
+      candlesPerChunk: Int = 64, gridUs: Long = 3600000000L,
+      keyCols: Seq[String] = Nil): DataFrame = {
     require(alpha == 0.2, "lambda literals are written for alpha = 0.2")
     affineScan(candles, "close_price", "ewma_raw",
-        a = 0.8, b = 0.2, candlesPerChunk, gridUs)
-      .select(col("candle_start"), col("close_price"),
-        graft.Parity.pround(col("ewma_raw"), 6).as("ewma"))
+        a = 0.8, b = 0.2, candlesPerChunk, gridUs, keyCols)
+      .select(keyCols.map(col) ++ Seq(col("candle_start"), col("close_price"),
+        graft.Parity.pround(col("ewma_raw"), 6).as("ewma")): _*)
   }
 
   /** Chunk-parallel price diff: close − previous close with NO row-level

@@ -315,6 +315,60 @@ object MultiSymQueries {
        |       CAST(close_price IS NULL AS BIGINT) AS is_filled
        |FROM j ORDER BY symbol, candle_start""".stripMargin
 
+  /** Chunk-parallel EWMA per symbol — chunking COMPOSED with the series
+    * key, the whale-symbol case: one instrument's series too long for a
+    * single sorted task splits into time chunks WITHIN its symbol
+    * partition, so parallelism is |symbols| × |chunks| and no task ever
+    * sees a whole series. Same reassociated affine-scan arithmetic as
+    * ewma_chunked, so it carries its own chunked-association oracle with
+    * every window partitioned by symbol and a per-symbol seed.
+    */
+  val ewmaChunkedMultisym: Q = (s, dir) =>
+    graft.forex.TechIndicators.ewmaChunked(
+        candles1hMulti(s, dir), keyCols = Seq("symbol"))
+      .orderBy(col("symbol"), col("candle_start"))
+
+  val ewmaChunkedMultisymSql: String = {
+    val w = 3600000000L * 64
+    s"""WITH $silverMultiSql,
+       |$candles1hMultiSql,
+       |ck AS (
+       |  SELECT symbol, candle_start, close_price,
+       |         epoch_us(candle_start) // $w AS chunk_id
+       |  FROM c),
+       |p AS (
+       |  SELECT *, list(close_price) OVER (PARTITION BY symbol, chunk_id
+       |    ORDER BY candle_start ROWS UNBOUNDED PRECEDING) AS px
+       |  FROM ck),
+       |ab AS (
+       |  SELECT symbol, candle_start, close_price, chunk_id,
+       |         list_reduce(
+       |           list_transform(px, x -> {'a': CAST(0.8 AS DOUBLE), 'b': 0.2 * x}),
+       |           (acc, f) -> {'a': f.a * acc.a, 'b': f.a * acc.b + f.b}) AS abf
+       |  FROM p),
+       |lastc AS (
+       |  SELECT symbol, chunk_id, arg_max(abf, candle_start) AS tot
+       |  FROM ab GROUP BY 1, 2),
+       |firsts AS (
+       |  SELECT symbol, arg_min(close_price, candle_start) AS first_close
+       |  FROM c GROUP BY 1),
+       |pv AS (
+       |  SELECT symbol, chunk_id,
+       |         coalesce(list(tot) OVER (PARTITION BY symbol ORDER BY chunk_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), []) AS prev
+       |  FROM lastc),
+       |si AS (
+       |  SELECT pv.symbol, pv.chunk_id,
+       |         list_reduce(
+       |           list_prepend({'a': CAST(1.0 AS DOUBLE), 'b': fc.first_close}, prev),
+       |           (acc, f) -> {'a': CAST(1.0 AS DOUBLE), 'b': f.a * acc.b + f.b}).b AS s_in
+       |  FROM pv JOIN firsts fc USING (symbol))
+       |SELECT ab.symbol, ab.candle_start, ab.close_price,
+       |       ${graft.Parity.proundSql("ab.abf.a * si.s_in + ab.abf.b", 6)} AS ewma
+       |FROM ab JOIN si ON ab.symbol = si.symbol AND ab.chunk_id = si.chunk_id
+       |ORDER BY ab.symbol, ab.candle_start""".stripMargin
+  }
+
   /** STREAMING multi-symbol candles at the gate: the silver multi-symbol
     * ticks flow as a file stream through the (symbol, window) grouped OHLC —
     * streaming state and shuffle key on the instrument universe, the same
@@ -373,6 +427,7 @@ object MultiSymQueries {
     "bollinger_multisym" -> bollingerMultisym,
     "macd_multisym" -> macdMultisym,
     "gap_fill_multisym" -> gapFillMultisym,
+    "ewma_chunked_multisym" -> ewmaChunkedMultisym,
     "stream_ohlc_multisym" -> streamOhlcMultisym)
 
   val oracleSql: Map[String, String] = Map(
@@ -383,5 +438,6 @@ object MultiSymQueries {
     "bollinger_multisym" -> bollingerMultisymSql,
     "macd_multisym" -> macdMultisymSql,
     "gap_fill_multisym" -> gapFillMultisymSql,
+    "ewma_chunked_multisym" -> ewmaChunkedMultisymSql,
     "stream_ohlc_multisym" -> streamOhlcMultisymSql)
 }

@@ -59,6 +59,18 @@ class MultiSymbolSpec extends SparkSpec {
             s"$name for symbol $sym diverges from its single-series run")
       }
     }
+    // chunking composed with the key: the keyed chunked scan's per-symbol
+    // slice is bit-identical to the single-series chunked scan (same
+    // chunked association per symbol, nothing leaks across partitions)
+    val chunkedKeyed =
+      TechIndicators.ewmaChunked(candles, keyCols = Seq("symbol")).cache()
+    symbols.foreach { sym =>
+      val solo = TechIndicators.ewmaChunked(
+        candles.filter(col("symbol") === sym).drop("symbol"))
+      val slice = chunkedKeyed.filter(col("symbol") === sym).drop("symbol")
+      assert(slice.exceptAll(solo).isEmpty && solo.exceptAll(slice).isEmpty,
+        s"chunked ewma for symbol $sym diverges from its single-series run")
+    }
   }
 
   test("unique_id stays unique across symbols (symbol is in the hash)") {
