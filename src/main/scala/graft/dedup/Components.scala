@@ -106,7 +106,8 @@ object Components {
           greatest(col("a"), col("b")).as("v"))
         .filter(col("u") =!= col("v")).distinct(), "ccs-edges")
     var rounds = 0
-    var done = e.isEmpty
+    var eCount = e.count() // carried across rounds: one scan, not two
+    var done = eCount == 0L
     while (!done) {
       // large-star: centers see ALL neighbors, link the strictly larger
       // ones to m = min(closed neighborhood)
@@ -131,10 +132,12 @@ object Components {
             greatest(col("x"), col("m")).as("v")))
           .filter(col("u") =!= col("v")).distinct(), "ccs-edges")
       rounds += 1
-      // fixpoint = edge set unchanged (bounded driver actions: two counts
-      // + an empty-check, each one scan of a scratch table)
-      done = next.count() == e.count() && next.exceptAll(e).isEmpty
+      // fixpoint = edge set unchanged (bounded driver actions: one count +
+      // an empty-check per round; the previous round's count is carried)
+      val nextCount = next.count()
+      done = nextCount == eCount && next.exceptAll(e).isEmpty
       e = next
+      eCount = nextCount
     }
     // converged edges are one star per non-trivial component, centered at
     // the component minimum: children take the center's id, everything

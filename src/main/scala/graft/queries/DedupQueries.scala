@@ -226,17 +226,26 @@ object DedupQueries {
     * candidate pairs → similarity gate → transitive closure — is
     * hash-checked end-to-end.
     */
-  private def clustersVia(
-      cc: (DataFrame, DataFrame) => DataFrame): Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
+  /** Shared (docs → per-doc cluster label) derivation: est-Jaccard ≥ 0.5
+    * pair edges into the given connected-components algorithm. The single
+    * definition keeps the clustering threshold and edge derivation
+    * identical across every cluster-consuming query.
+    */
+  private def clusterLabels(docs: DataFrame,
+      cc: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val edges = DocDedup.estimatedJaccardPairs(docs)
       .filter(col("est_jaccard") >= 0.5)
       .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
-    val labels = cc(docs.select(col("doc_id").as("v")), edges)
-    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
-      .select(col("v").as("doc_id"), col("label").as("cluster_id"),
-        col("cluster_size"))
+    cc(docs.select(col("doc_id").as("v")), edges)
+      .select(col("v").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  private def clustersVia(
+      cc: (DataFrame, DataFrame) => DataFrame): Q = (s, dir) => {
+    val labels = clusterLabels(Tables.documents(s, dir), cc)
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
       .orderBy(col("doc_id"))
   }
 
@@ -289,15 +298,11 @@ object DedupQueries {
   val dedupKeepBest: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val edges = DocDedup.estimatedJaccardPairs(docs)
-      .filter(col("est_jaccard") >= 0.5)
-      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
-    val labels = Components.connectedComponents(
-      docs.select(col("doc_id").as("v")), edges)
+    val labels = clusterLabels(docs, Components.connectedComponents)
     val qual = graft.text.TextAnalysis.qualityScore(docs)
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("quality_score").desc, col("doc_id"))
-    labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
+    labels
       .join(qual, "doc_id")
       .withColumn("keep", row_number().over(w) === 1)
       .select(col("doc_id"), col("cluster_id"), col("quality_score"), col("keep"))

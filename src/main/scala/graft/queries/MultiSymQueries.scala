@@ -108,6 +108,27 @@ object MultiSymQueries {
   val indicatorsMultisymSql: String =
     indicatorsMultiSql(Seq(Resample.byName("1h")), "symbol, candle_start")
 
+  /** Per-symbol 1h close-price candles shared by the recursive-indicator
+    * queries below (Spark side).
+    */
+  private def candles1hMulti(s: SparkSession, dir: String) =
+    graft.forex.Ohlc.candles(
+        Resample.fanout(ForexPipeline.silverMultiFrom(s, dir),
+          Seq(Resample.byName("1h")), Seq("symbol")), Seq("symbol"))
+      .select(col("symbol"), col("candle_start"), col("close_price"))
+
+  /** Matching DuckDB CTE `c` (same shape as IndicatorQueries.candles1hSql
+    * with symbol threaded through) — the ONE definition every multisym
+    * indicator oracle composes, so a fix to the bucket or tie-break
+    * reaches all of them.
+    */
+  private val candles1hMultiSql: String =
+    s"""c AS (
+       |  SELECT symbol,
+       |         ${ForexQueries.bucketSql("observed_at", Resample.byName("1h"))} AS candle_start,
+       |         arg_max(close_price, observed_at) AS close_price
+       |  FROM silver GROUP BY 1, 2)""".stripMargin
+
   /** Recursive EWMA per symbol — the prefix-fold recurrence of ewma_1h with
     * the fold window partitioned by symbol: recursion parallelizes across
     * symbols with no reassociation (each symbol's fold is the sequential
@@ -115,14 +136,9 @@ object MultiSymQueries {
     */
   val ewmaMultisym: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val key = Seq("symbol")
-    val candles = graft.forex.Ohlc.candles(
-        Resample.fanout(ForexPipeline.silverMultiFrom(s, dir),
-          Seq(Resample.byName("1h")), key), key)
-      .select(col("symbol"), col("candle_start"), col("close_price"))
     val w = Window.partitionBy(col("symbol")).orderBy(col("candle_start"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    candles
+    candles1hMulti(s, dir)
       .withColumn("px", collect_list(col("close_price")).over(w))
       .select(col("symbol"), col("candle_start"), col("close_price"),
         graft.Parity.pround(
@@ -133,11 +149,7 @@ object MultiSymQueries {
 
   val ewmaMultisymSql: String =
     s"""WITH $silverMultiSql,
-       |c AS (
-       |  SELECT symbol,
-       |         ${ForexQueries.bucketSql("observed_at", Resample.byName("1h"))} AS candle_start,
-       |         arg_max(close_price, observed_at) AS close_price
-       |  FROM silver GROUP BY 1, 2),
+       |$candles1hMultiSql,
        |pre AS (
        |  SELECT symbol, candle_start, close_price,
        |         list(close_price) OVER (PARTITION BY symbol ORDER BY candle_start
@@ -146,25 +158,6 @@ object MultiSymQueries {
        |SELECT symbol, candle_start, close_price,
        |       ${graft.Parity.proundSql("list_reduce(px, (acc, x) -> 0.2 * x + 0.8 * acc)", 6)} AS ewma
        |FROM pre ORDER BY symbol, candle_start""".stripMargin
-
-  /** Per-symbol 1h close-price candles shared by the recursive-indicator
-    * queries below (Spark side).
-    */
-  private def candles1hMulti(s: SparkSession, dir: String) =
-    graft.forex.Ohlc.candles(
-        Resample.fanout(ForexPipeline.silverMultiFrom(s, dir),
-          Seq(Resample.byName("1h")), Seq("symbol")), Seq("symbol"))
-      .select(col("symbol"), col("candle_start"), col("close_price"))
-
-  /** Matching DuckDB CTE (same shape as IndicatorQueries.candles1hSql with
-    * symbol threaded through).
-    */
-  private val candles1hMultiSql: String =
-    s"""c AS (
-       |  SELECT symbol,
-       |         ${ForexQueries.bucketSql("observed_at", Resample.byName("1h"))} AS candle_start,
-       |         arg_max(close_price, observed_at) AS close_price
-       |  FROM silver GROUP BY 1, 2)""".stripMargin
 
   /** RSI per symbol: the Wilder recursion's lag and prefix folds all
     * partition by symbol — recursive indicators parallelize across the
@@ -292,23 +285,19 @@ object MultiSymQueries {
 
   val gapFillMultisymSql: String =
     s"""WITH $silverMultiSql,
-       |c0 AS (
-       |  SELECT symbol,
-       |         ${ForexQueries.bucketSql("observed_at", Resample.byName("1h"))} AS candle_start,
-       |         arg_max(close_price, observed_at) AS close_price
-       |  FROM silver GROUP BY 1, 2),
-       |c AS (
-       |  SELECT * FROM c0
+       |$candles1hMultiSql,
+       |cf AS (
+       |  SELECT * FROM c
        |  WHERE (epoch_us(candle_start) // 3600000000) % 5 != 3),
        |spans AS (
        |  SELECT symbol, min(candle_start) AS lo, max(candle_start) AS hi
-       |  FROM c GROUP BY 1),
+       |  FROM cf GROUP BY 1),
        |grid AS (
        |  SELECT symbol, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS candle_start
        |  FROM spans),
        |j AS (
-       |  SELECT grid.symbol, grid.candle_start, c.close_price
-       |  FROM grid LEFT JOIN c USING (symbol, candle_start))
+       |  SELECT grid.symbol, grid.candle_start, cf.close_price
+       |  FROM grid LEFT JOIN cf USING (symbol, candle_start))
        |SELECT symbol, candle_start,
        |       last_value(close_price IGNORE NULLS) OVER (PARTITION BY symbol
        |         ORDER BY candle_start ROWS UNBOUNDED PRECEDING) AS close_filled,
@@ -382,27 +371,11 @@ object MultiSymQueries {
         .coalesce(8) // bounded source file count for the stream listing
         .write.mode("overwrite").parquet(b)
     }
-    val name = "graft_stream_ohlc_multisym"
-    s.streams.active.filter(_.name == name).foreach(_.stop())
-    // one state-store instance per shuffle partition (see stream_ohlc_1h)
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = graft.streaming.ForexStream
+    PipelineQueries.runBoundedStream(s, "graft_stream_ohlc_multisym",
+      () => graft.streaming.ForexStream
         .candlesComplete(graft.streaming.ForexStream.ticksMulti(s, base),
-          Resample.byName("1h"), keyCols = Seq("symbol"))
-        .writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      if (!q.awaitTermination(300000)) {
-        q.stop() // never leak a running stream into later queries' conf changes
-        throw new IllegalStateException(
-          s"stream_ohlc_multisym did not finish within 300s (a timed-out run " +
-            "would otherwise return a silently partial memory-sink table)")
-      }
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    s.table(name).orderBy(col("symbol"), col("candle_start"))
+          Resample.byName("1h"), keyCols = Seq("symbol")),
+      "complete").orderBy(col("symbol"), col("candle_start"))
   }
 
   val streamOhlcMultisymSql: String =

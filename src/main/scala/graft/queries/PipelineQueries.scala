@@ -426,7 +426,7 @@ object PipelineQueries {
     * disables AQE; 32 state stores for a few hundred windows is pure
     * overhead), run to completion under AvailableNow, restore the conf.
     */
-  private def runBoundedStream(s: SparkSession, name: String,
+  private[queries] def runBoundedStream(s: SparkSession, name: String,
       build: () => DataFrame, mode: String): DataFrame = {
     s.streams.active.filter(_.name == name).foreach(_.stop())
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")

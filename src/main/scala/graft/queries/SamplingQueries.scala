@@ -155,8 +155,8 @@ object SamplingQueries {
 
   val sourceMixtureSql: String = {
     val cutoff = MixRates.toSeq.sortBy(_._1).reverse
-      .foldLeft(s"${(MixDefault * 100).toLong}") { case (acc, (src, r)) =>
-        s"CASE WHEN source = '$src' THEN ${(r * 100).toLong} ELSE $acc END"
+      .foldLeft(s"${math.round(MixDefault * 100)}") { case (acc, (src, r)) =>
+        s"CASE WHEN source = '$src' THEN ${math.round(r * 100)} ELSE $acc END"
       }
     s"""WITH t AS (
        |  SELECT source,

@@ -60,9 +60,12 @@ object Sampling {
     */
   def mixtureCutoff(sourceCol: Column, rates: Map[String, Double],
       defaultRate: Double, buckets: Int = 10000): Column =
-    rates.toSeq.sortBy(_._1).foldLeft(lit((defaultRate * buckets).toLong)) {
+    // round, not truncate: 0.57 * 100 is 56.999… in doubles, and truncation
+    // would silently shave a full bucket off any rate that is not exactly
+    // representable
+    rates.toSeq.sortBy(_._1).foldLeft(lit(math.round(defaultRate * buckets))) {
       case (acc, (src, r)) =>
-        when(sourceCol === src, lit((r * buckets).toLong)).otherwise(acc)
+        when(sourceCol === src, lit(math.round(r * buckets))).otherwise(acc)
     }
 
   /** Concat-and-chunk sequence packing — the GPT-style pretraining layout:
