@@ -193,6 +193,68 @@ object RelationalQueries {
        |FROM events
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** CDC snapshot diff — the warehouse change-feed primitive: two per-key
+    * snapshot aggregates (key = (user_id, event_type); month halves as the
+    * two snapshot states), one FULL OUTER join on the key, and a four-way
+    * added / removed / changed / unchanged classification with the numeric
+    * delta. The key is (user, type) and the snapshots are two single DAYS —
+    * sparse enough (≲1 event per key-day) that keys genuinely appear and
+    * disappear between snapshots, populating added/removed/changed at any
+    * sf; 'unchanged' additionally needs a bit-equal payload (equal count AND
+    * equal rounded total), naturally rare for float payloads but kept in the
+    * rule because it is the class a real CDC feed suppresses.
+    *
+    * Scale shape: each snapshot is one hash aggregate partitioned by the
+    * key; the diff is one co-partitioned shuffle join — no driver state, no
+    * window. Totals go through exact DECIMAL then pround, so 'unchanged'
+    * (equality on count AND total) and `delta` (one IEEE subtraction on
+    * identical doubles) are deterministic cross-engine.
+    */
+  val snapshotDiff: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    def snap(p: String, day: String): DataFrame =
+      ev.filter(to_date(col("ts")) === lit(java.sql.Date.valueOf(day)))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as(s"${p}_n"),
+          graft.Parity.pround(sumExact(col("value")), 2).as(s"${p}_total"))
+    val a = snap("a", "2024-01-05")
+    val b = snap("b", "2024-01-20")
+    a.join(b, Seq("user_id", "event_type"), "full_outer")
+      .withColumn("status",
+        when(col("a_n").isNull, lit("added"))
+          .when(col("b_n").isNull, lit("removed"))
+          .when(col("a_n") === col("b_n") && col("a_total") === col("b_total"),
+            lit("unchanged"))
+          .otherwise(lit("changed")))
+      .withColumn("delta",
+        coalesce(col("b_total"), lit(0.0)) - coalesce(col("a_total"), lit(0.0)))
+      .select(col("user_id"), col("event_type"), col("status"),
+        col("a_n"), col("b_n"), col("a_total"), col("b_total"), col("delta"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val snapshotDiffSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+       |  FROM events),
+       |a AS (
+       |  SELECT user_id, event_type, count(*) AS a_n,
+       |         ${graft.Parity.proundSql(sumExactSql("value"), 2)} AS a_total
+       |  FROM ev WHERE CAST(ts AS DATE) = DATE '2024-01-05' GROUP BY 1, 2),
+       |b AS (
+       |  SELECT user_id, event_type, count(*) AS b_n,
+       |         ${graft.Parity.proundSql(sumExactSql("value"), 2)} AS b_total
+       |  FROM ev WHERE CAST(ts AS DATE) = DATE '2024-01-20' GROUP BY 1, 2)
+       |SELECT user_id, event_type,
+       |       CASE WHEN a_n IS NULL THEN 'added'
+       |            WHEN b_n IS NULL THEN 'removed'
+       |            WHEN a_n = b_n AND a_total = b_total THEN 'unchanged'
+       |            ELSE 'changed' END AS status,
+       |       a_n, b_n, a_total, b_total,
+       |       coalesce(b_total, 0.0) - coalesce(a_total, 0.0) AS delta
+       |FROM a FULL JOIN b USING (user_id, event_type)
+       |ORDER BY user_id, event_type""".stripMargin
+
   /** Gap-based sessionization (30 min) via the custom-state
     * flatMapGroupsWithState operator, batch-executed; the oracle is the
     * classic lag + cumulative-flag SQL sessionization.
@@ -586,6 +648,7 @@ object RelationalQueries {
     "q5_nation_revenue" -> q5NationRevenue,
     "topk_orders_per_customer" -> topOrdersPerCustomer,
     "asof_join" -> asofJoin,
+    "snapshot_diff" -> snapshotDiff,
     "events_kpi" -> eventsKpi)
 
   val oracleSql: Map[String, String] = Map(
@@ -608,5 +671,6 @@ object RelationalQueries {
     "q5_nation_revenue" -> q5NationRevenueSql,
     "topk_orders_per_customer" -> topOrdersPerCustomerSql,
     "asof_join" -> asofJoinSql,
+    "snapshot_diff" -> snapshotDiffSql,
     "events_kpi" -> eventsKpiSql)
 }

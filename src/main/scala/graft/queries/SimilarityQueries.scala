@@ -109,6 +109,44 @@ object SimilarityQueries {
        |WHERE cos_sim >= 0.3 ORDER BY vec_id_a, vec_id_b""".stripMargin
   }
 
+  /** Cluster-balanced diversity subsample over IVF cells
+    * (Similarity.clusterSample): cap each cell at 5 vectors by portable
+    * hash so dense clusters are trimmed and rare clusters survive.
+    */
+  val diversitySample: Q = (s, dir) =>
+    Similarity.clusterSample(Tables.embeddings(s, dir), perCell = 5)
+      .orderBy(col("cell"), col("rank"))
+
+  val diversitySampleSql: String = {
+    val centIds = (100L until 116L).mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS c_emb, norm AS c_norm
+       |  FROM e WHERE vec_id IN ($centIds)),
+       |scored AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         (${dotSql("e.embedding", "c.c_emb")}) / (e.norm * c.c_norm) AS c_cos
+       |  FROM e CROSS JOIN cents c),
+       |assign AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY c_cos DESC, cent_id) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |sizes AS (SELECT cell, count(*) AS cell_size FROM assign GROUP BY cell),
+       |ranked AS (
+       |  SELECT cell, vec_id,
+       |         row_number() OVER (PARTITION BY cell
+       |                            ORDER BY ${graft.functions.PortableHash.hash32Sql("vec_id")}, vec_id) AS rank
+       |  FROM assign)
+       |SELECT r.cell, CAST(r.rank AS BIGINT) AS rank, r.vec_id, s.cell_size
+       |FROM ranked r JOIN sizes s USING (cell)
+       |WHERE r.rank <= 5 ORDER BY r.cell, r.rank""".stripMargin
+  }
+
   /** Scale-path ANN: LSH sign-buckets with multi-probe, candidates
     * restricted to the query's probe buckets. The seeded hyperplanes are
     * deterministic, so the oracle embeds the exact plane values as SQL
@@ -452,6 +490,7 @@ object SimilarityQueries {
     "ann_ivf_topk" -> annIvfTopK,
     "ann_recall" -> annRecall,
     "ivf_train" -> ivfTrain,
+    "diversity_sample" -> diversitySample,
     "embed_quantize" -> embedQuantize)
 
   val oracleSql: Map[String, String] = Map(
@@ -465,5 +504,6 @@ object SimilarityQueries {
     "ann_lsh_topk" -> annLshTopKSql,
     "ann_ivf_topk" -> annIvfTopKSql,
     "ann_recall" -> annRecallSql,
+    "diversity_sample" -> diversitySampleSql,
     "embed_quantize" -> embedQuantizeSql)
 }

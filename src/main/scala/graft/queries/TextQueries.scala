@@ -551,7 +551,119 @@ object TextQueries {
        |SELECT doc_id, lang, n_hits FROM m WHERE n_terms = 2
        |ORDER BY doc_id""".stripMargin
 
+  /** BM25 ranking over the same posting-list relation as [[indexSearch]] —
+    * the lexical-retrieval scoring standard (Robertson/Spärck Jones; the
+    * function Lucene, Elasticsearch, and every large-scale search stack
+    * defaults to). Disjunctive query: docs matching ANY query term score
+    * `Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`, k1 = 1.2,
+    * b = 0.75.
+    *
+    * Cross-engine parity choices, same rationale as [[tfidfTopK]]:
+    *  - idf is the RAW Robertson ratio (N − df + 0.5)/(df + 0.5), not its
+    *    ln: every op is a single correctly-rounded IEEE op, whereas ln may
+    *    differ in the last ulp between libm implementations. ln is monotone,
+    *    so per-term ranking is unchanged; only the inter-term mix shifts —
+    *    acceptable for a parity-checked fixture, swap in `log` when
+    *    cross-engine bit-parity is not required.
+    *  - constants fold to exact double literals (0.25 = 1 − b exactly;
+    *    k1 and k1+1 emitted as exact-integer CAST divisions on the oracle
+    *    side per the decimal-literal-parity rule).
+    *  - the per-doc term-score sum folds in token order (sorted struct
+    *    list), never via float `sum()` — aggregation order is otherwise
+    *    engine-dependent and float addition is not associative.
+    *
+    * Scale shape: two hash aggregates (tf, dl) over one posting explode,
+    * query terms and their df broadcast (|terms| rows), one shuffle on
+    * doc_id to assemble per-doc scores, then TakeOrdered top-10 — no full
+    * sort, no all-pairs. Query terms are corpus-derived (frequency ranks
+    * 5–8: below the ubiquitous stopword head, so df — and therefore idf —
+    * actually varies across terms).
+    */
+  val bm25TopK: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count() // bounded driver-side scalar: corpus size
+    val tok = docs
+      .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+    val totalToks = tok.count() // second bounded scalar: avgdl numerator
+    val avgdl = totalToks.toDouble / n.toDouble
+    // ranks 5–8 WITHOUT Dataset.offset: an upstream offset has been observed
+    // (Spark 4.1.2, AQE on) to silently drop the query's final GlobalLimit
+    // in the WRITE path while count() still honors it — top-8 via limit
+    // (TakeOrdered, parallel) then row_number over those 8 rows instead
+    val terms = tok.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(8)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("n").desc, col("token"))))
+      .filter(col("rn") > 4)
+      .select(col("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // df computed on the 4 query terms only (semi-joined tf), tiny relation
+    val dfreq = tf.join(broadcast(terms), "token")
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "token").join(dl, "doc_id")
+      .withColumn("idf",
+        (lit(n.toDouble) - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("norm",
+        lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl)))
+      .withColumn("sc", col("idf") *
+        ((col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) * col("norm"))))
+    scored
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sort_array(collect_list(struct(col("token"), col("sc")))).as("ts"))
+      .withColumn("score", graft.Parity.pround(
+        expr("aggregate(ts, CAST(0 AS DOUBLE), (acc, x) -> acc + x.sc)"), 6))
+      .select(col("doc_id"), col("n_terms"), col("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+  }
+
+  val bm25TopKSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, token FROM (
+       |    SELECT doc_id,
+       |           unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+       |    FROM documents)
+       |  WHERE length(token) > 0),
+       |consts AS (
+       |  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+       |         CAST((SELECT count(*) FROM tok) AS DOUBLE) /
+       |           CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl,
+       |         CAST(6 AS DOUBLE) / CAST(5 AS DOUBLE) AS k1,
+       |         CAST(11 AS DOUBLE) / CAST(5 AS DOUBLE) AS k1p1),
+       |terms AS (
+       |  SELECT token FROM tok GROUP BY token
+       |  ORDER BY count(*) DESC, token LIMIT 4 OFFSET 4),
+       |tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |dfreq AS (
+       |  SELECT token, count(*) AS df FROM tf JOIN terms USING (token)
+       |  GROUP BY token),
+       |scored AS (
+       |  SELECT t.doc_id, t.token,
+       |         ((c.n - CAST(d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5)) *
+       |         ((CAST(t.tf AS DOUBLE) * c.k1p1) /
+       |          (CAST(t.tf AS DOUBLE) + c.k1 *
+       |           (0.25 + 0.75 * (CAST(l.dl AS DOUBLE) / c.avgdl)))) AS sc
+       |  FROM tf t
+       |  JOIN dfreq d USING (token)
+       |  JOIN dl l USING (doc_id)
+       |  CROSS JOIN consts c),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |         ${graft.Parity.proundSql(
+                   "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+                     "list(sc ORDER BY token)), (acc, x) -> acc + x)", 6)} AS score
+       |  FROM scored GROUP BY doc_id)
+       |SELECT doc_id, n_terms, score FROM perdoc
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "bm25_topk" -> bm25TopK,
     "index_search" -> indexSearch,
     "cms_topk" -> cmsTopK,
     "hll_tokens" -> hllTokens,
@@ -569,6 +681,7 @@ object TextQueries {
     "pii_scrub" -> piiScrub)
 
   val oracleSql: Map[String, String] = Map(
+    "bm25_topk" -> bm25TopKSql,
     "index_search" -> indexSearchSql,
     "cms_topk" -> cmsTopKSql,
     "hll_tokens" -> hllTokensSql,

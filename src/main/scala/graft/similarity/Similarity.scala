@@ -144,6 +144,43 @@ object Similarity {
       .filter(col("cos_sim") >= minCosine)
   }
 
+  /** Cluster-balanced diversity subsample (the SemDeDup/DC-style curation
+    * step AFTER near-dup removal): coarse-quantize every vector to its
+    * nearest centroid cell, then keep at most `perCell` vectors per cell,
+    * chosen by portable hash — dense clusters (over-represented content)
+    * are capped while sparse clusters (rare content) survive intact, which
+    * is the diversity-preserving property plain uniform sampling lacks.
+    *
+    * Scale shape: one corpus scan × broadcast centroids with a map-side
+    * `max_by` for assignment (same as [[annIvfTopK]]); the per-cell cap is
+    * a window partitioned BY CELL (parallel across cells; WindowGroupLimit
+    * prunes to perCell rows per cell before the sort spills); cell sizes
+    * are a K-row aggregate broadcast back. Selection is hash-of-key, never
+    * rand(), so the sample is stable across runs, retries, and engines.
+    */
+  def clusterSample(embeddings: DataFrame, perCell: Int = 5,
+      centroidVecIds: Seq[Long] = (100L until 116L)): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"),
+      l2Norm("embedding").as("norm"))
+    val cents = e.filter(col("vec_id").isin(centroidVecIds: _*))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (dot("embedding", "c_emb") / (col("norm") * col("c_norm"))).as("c_cos"))
+    val assign = scored.groupBy("vec_id")
+      .agg(max_by(col("cent_id"),
+        struct(col("c_cos"), (-col("cent_id")).as("tb"))).as("cell"))
+    val sizes = assign.groupBy("cell").agg(count(lit(1)).as("cell_size"))
+    assign
+      .withColumn("h", graft.functions.PortableHash.hash32(col("vec_id")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("cell").orderBy(col("h"), col("vec_id"))))
+      .filter(col("rank") <= perCell)
+      .join(broadcast(sizes), "cell")
+      .select(col("cell"), col("rank"), col("vec_id"), col("cell_size"))
+  }
+
   /** Deterministic random-hyperplane set (seeded), as literal arrays.
     * Exposed within graft so the DuckDB oracle can embed the exact same
     * plane values as SQL literals.
