@@ -213,6 +213,79 @@ object TextQueries {
        |            ELSE 0.0 END AS dup_ratio
        |FROM sh ORDER BY doc_id""".stripMargin
 
+  /** Cross-document boilerplate filter (the C4/RefinedWeb step that drops
+    * template text appearing across MANY documents — navigation chrome,
+    * license blocks, share buttons): a shingle is "boilerplate" when it
+    * occurs in ≥ max(3, N/200) distinct docs (relative floor keeps the
+    * threshold scale-free), and each doc reports what fraction of its
+    * shingle positions that covers, plus the keep gate (ratio ≤ 0.5).
+    * Complements [[dupNgramRatio]], which only sees repetition WITHIN one
+    * doc.
+    *
+    * Scale shape: one shingle explode → one hash aggregate for df
+    * (map-side partial distinct), then the position stream joins the
+    * flagged-shingle relation on the shingle key — token-keyed shuffle,
+    * exactly the inverted-index shape, never doc×doc — and one per-doc
+    * aggregate. Docs too short to shingle keep ratio 0 (nothing to be
+    * boilerplate of).
+    */
+  val boilerplateNgrams: Q = (s, dir) => {
+    val n = 3
+    val docs = Tables.documents(s, dir).withColumn("w", TextAnalysis.words(col("text")))
+    val nDocs = docs.count() // bounded driver scalar: threshold denominator
+    val thresh = math.max(3L, nDocs / 200L)
+    val parts = (0 until n).map(i => if (i == 0) "w[i]" else s"w[i+$i]").mkString(", ")
+    val base = docs.select(col("doc_id"),
+      greatest(size(col("w")) - (n - 1), lit(0)).cast("long").as("n_shingles"))
+    val pos = docs.filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', $parts))")).as("sh"))
+    val flagged = pos.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= thresh)
+      .select(col("sh"))
+    val perDoc = pos.join(flagged, "sh")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
+      .withColumn("boiler_ratio",
+        when(col("n_shingles") > 0, graft.Parity.pround(
+          col("n_boiler").cast("double") / col("n_shingles").cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("keep", col("boiler_ratio") <= 0.5)
+      .orderBy(col("doc_id"))
+  }
+
+  val boilerplateNgramsSql: String =
+    s"""WITH $normedSql,
+       |base AS (
+       |  SELECT doc_id, CAST(greatest(len(ws) - 2, 0) AS BIGINT) AS n_shingles, ws
+       |  FROM w),
+       |pos AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(0, len(ws) - 2),
+       |           i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+       |  FROM base WHERE len(ws) >= 3),
+       |flagged AS (
+       |  SELECT sh FROM pos GROUP BY sh
+       |  HAVING count(DISTINCT doc_id) >=
+       |    greatest(3, (SELECT count(*) FROM documents) // 200)),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+       |  FROM pos JOIN flagged USING (sh) GROUP BY doc_id)
+       |SELECT b.doc_id, b.n_shingles,
+       |       coalesce(p.n_boiler, 0) AS n_boiler,
+       |       CASE WHEN b.n_shingles > 0
+       |            THEN ${graft.Parity.proundSql(
+                     "CAST(coalesce(p.n_boiler, 0) AS DOUBLE) / CAST(b.n_shingles AS DOUBLE)", 6)}
+       |            ELSE 0.0 END AS boiler_ratio,
+       |       (CASE WHEN b.n_shingles > 0
+       |             THEN ${graft.Parity.proundSql(
+                      "CAST(coalesce(p.n_boiler, 0) AS DOUBLE) / CAST(b.n_shingles AS DOUBLE)", 6)}
+       |             ELSE 0.0 END) <= 0.5 AS keep
+       |FROM base b LEFT JOIN perdoc p USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+
   /** Corpus vocabulary head: top-100 tokens by frequency with a total
     * deterministic tie-break — the first step of tokenizer/vocab
     * construction. One explode + one hash aggregate with map-side partial
@@ -664,6 +737,7 @@ object TextQueries {
 
   val queries: Map[String, Q] = Map(
     "bm25_topk" -> bm25TopK,
+    "boilerplate_ngrams" -> boilerplateNgrams,
     "index_search" -> indexSearch,
     "cms_topk" -> cmsTopK,
     "hll_tokens" -> hllTokens,
@@ -682,6 +756,7 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "bm25_topk" -> bm25TopKSql,
+    "boilerplate_ngrams" -> boilerplateNgramsSql,
     "index_search" -> indexSearchSql,
     "cms_topk" -> cmsTopKSql,
     "hll_tokens" -> hllTokensSql,

@@ -53,6 +53,20 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate_ngrams: ratio bounded, both gate outcomes, nulls impossible") {
+    val rows = TextQueries.boilerplateNgrams(spark, sf001).collect()
+    assert(rows.length === 500, "one row per input doc, short docs included")
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("boiler_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(r.getAs[Long]("n_boiler") <= r.getAs[Long]("n_shingles"))
+      assert(r.getAs[Boolean]("keep") === (ratio <= 0.5))
+    }
+    val kept = rows.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < rows.length,
+      "threshold must exercise both outcomes on the fixture")
+  }
+
   test("zorder_layout: boxes cover the probe answer exactly where touched") {
     val files = StoreQueries.zorderLayout(spark, sf001).collect()
     assert(files.map(_.getAs[Long]("n_rows")).sum === 15000L)
