@@ -654,11 +654,15 @@ object TextQueries {
     */
   val bm25TopK: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val n = docs.count() // bounded driver-side scalar: corpus size
+    // both corpus scalars (N, Σdl) in ONE bounded driver action — a size()
+    // sum over the word arrays, no explode and no second scan
+    val cr = docs.agg(count(lit(1)),
+      sum(size(filter(TextAnalysis.words(col("text")),
+        w => length(w) > 0)).cast("long"))).head()
+    val (n, totalToks) = (cr.getLong(0), cr.getLong(1))
     val tok = docs
       .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("token"))
       .filter(length(col("token")) > 0)
-    val totalToks = tok.count() // second bounded scalar: avgdl numerator
     val avgdl = totalToks.toDouble / n.toDouble
     // ranks 5–8 WITHOUT Dataset.offset: an upstream offset has been observed
     // (Spark 4.1.2, AQE on) to silently drop the query's final GlobalLimit

@@ -60,6 +60,33 @@ class ComponentsSpec extends SparkSpec {
       4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("seeded random graph: both algorithms match a local union-find oracle") {
+    import spark.implicits._
+    // 200 vertices, 180 random edges (seed 7): sparse enough for many
+    // components of varied shape, dense enough for multi-edge merges.
+    // Ground truth is an in-memory union-find with min-root labels — an
+    // independent third implementation both distributed variants must match.
+    val rng = new scala.util.Random(7)
+    val n = 200
+    val edges = Seq.fill(180)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = (0 until n).map(v => v.toLong -> find(v).toLong).toMap
+    val vertices = (0L until n.toLong).toDF("v")
+    val edgesDf = edges.toDF("a", "b")
+    val gotProp = Components.connectedComponents(vertices, edgesDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotStar = Components.connectedComponentsStar(vertices, edgesDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotProp === want)
+    assert(gotStar === want)
+  }
+
   test("dedup_clusters: total labeling, pair-consistent, sizes partition the corpus") {
     val docs = Tables.documents(spark, sf0001)
     val out = DedupQueries.dedupClusters(spark, sf0001).collect()
