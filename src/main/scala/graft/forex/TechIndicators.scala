@@ -201,7 +201,7 @@ object TechIndicators {
     * per-chunk prefix window, one chunk-totals aggregation, one chunk-level
     * composition window, one join back — instead of N of each when single
     * scans compose (each nesting re-sorts and re-shuffles the whole plan;
-    * measured 2.8 s → 1.6 s on rsi_chunked at sf0.1). The N recurrences fold
+    * measured 2.8 s → 1.5 s on rsi_chunked at sf0.1). The N recurrences fold
     * SIDE BY SIDE in one struct: each field's operation sequence — per-row
     * pair build, left-fold composition, seed, incoming-state fold, finish —
     * is exactly the single-scan sequence over that field alone, so outputs

@@ -660,9 +660,13 @@ object TextQueries {
       sum(size(filter(TextAnalysis.words(col("text")),
         w => length(w) > 0)).cast("long"))).head()
     val (n, totalToks) = (cr.getLong(0), cr.getLong(1))
-    val tok = docs
+    // the posting relation feeds FOUR consumers (tf, dl, terms, df) —
+    // scratch-materialize it once so the corpus is tokenized once, not per
+    // consumer subtree (at 100 TB this relation persists bucketed by token
+    // and the explode never re-runs at all)
+    val tok = graft.Scratch.table(docs
       .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("token"))
-      .filter(length(col("token")) > 0)
+      .filter(length(col("token")) > 0), "bm25-tok")
     val avgdl = totalToks.toDouble / n.toDouble
     // ranks 5–8 WITHOUT Dataset.offset: an upstream offset has been observed
     // (Spark 4.1.2, AQE on) to silently drop the query's final GlobalLimit

@@ -67,20 +67,41 @@ class CurationOpsSpec extends SparkSpec {
       "threshold must exercise both outcomes on the fixture")
   }
 
-  test("zorder_layout: boxes cover the probe answer exactly where touched") {
+  test("zorder_layout: skipped files provably lose no probe rows") {
     val files = StoreQueries.zorderLayout(spark, sf001).collect()
     assert(files.map(_.getAs[Long]("n_rows")).sum === 15000L)
-    // every row of the probe-box answer must live in a touched file:
-    // skipping untouched files loses nothing (the correctness property of
-    // min/max pruning), and touching under ~1/4 of files is the layout win
     val touched = files.count(_.getAs[Boolean]("touched"))
     assert(touched > 0 && touched.toDouble / files.length < 0.25,
       s"probe touched $touched/${files.length} files — z-order should prune")
-    files.filterNot(_.getAs[Boolean]("touched")).foreach { f =>
-      val disjoint =
-        f.getAs[Long]("max_ck") < 300 || f.getAs[Long]("min_ck") >= 600 ||
-          f.getAs[Long]("max_day") < 9862 || f.getAs[Long]("min_day") >= 10592
-      assert(disjoint, "an untouched file must be disjoint from the probe box")
+    // INDEPENDENT row-level reimplementation (plain Scala bit math, not the
+    // query's SQL expressions): recompute every order's file assignment and
+    // assert each probe-box row landed in a file the query marks touched —
+    // the actual correctness property of min/max skipping. A bug in the
+    // interleave or the touch test makes the two sides disagree here.
+    val rows = graft.Tables.orders(spark, sf001)
+      .select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")),
+          lit(java.sql.Date.valueOf("1970-01-01"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (ckLo, ckHi) = (rows.map(_._1).min, rows.map(_._1).max)
+    val (dLo, dHi) = (rows.map(_._2).min, rows.map(_._2).max)
+    def fileId(ck: Long, day: Long): Long = {
+      val bx = (ck - ckLo) * 256 / (ckHi - ckLo + 1)
+      val by = (day - dLo) * 256 / (dHi - dLo + 1)
+      val z = (0 until 8).map { i =>
+        (((bx >> i) & 1L) << (2 * i)) | (((by >> i) & 1L) << (2 * i + 1))
+      }.sum
+      z / 1024
+    }
+    val touchedIds = files.filter(_.getAs[Boolean]("touched"))
+      .map(_.getAs[Long]("file_id")).toSet
+    val probeRows = rows.filter { case (ck, day) =>
+      ck >= 300 && ck < 600 && day >= 9862 && day < 10592
+    }
+    assert(probeRows.nonEmpty, "probe box must select real rows")
+    probeRows.foreach { case (ck, day) =>
+      assert(touchedIds.contains(fileId(ck, day)),
+        s"probe row (ck=$ck, day=$day) lives in an untouched file — skipping would lose it")
     }
   }
 }
