@@ -24,6 +24,23 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** events restricted to one UTC day, with the range predicate applied to
+    * the RAW nanos long BEFORE the ns→µs conversion — a predicate on the
+    * converted column is a DataFilter evaluated after the read, but a plain
+    * long comparison on the stored column reaches parquet as a pushed
+    * filter and prunes row groups by their ts min/max stats. On a
+    * time-partitioned 100 TB events table this is the difference between
+    * scanning one day and scanning everything.
+    */
+  def eventsDay(spark: SparkSession, dir: String, day: java.time.LocalDate): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val startNs = day.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000000L
+    val endNs = startNs + 86400L * 1000000000L
+    read(spark, dir, "events")
+      .filter(col("ts") >= startNs && col("ts") < endNs)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")

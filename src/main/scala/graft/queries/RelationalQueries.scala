@@ -211,9 +211,11 @@ object RelationalQueries {
     * identical doubles) are deterministic cross-engine.
     */
   val snapshotDiff: Q = (s, dir) => {
-    val ev = Tables.events(s, dir)
+    // day restriction via Tables.eventsDay: the range predicate lands on
+    // the RAW nanos column, so it reaches the parquet scan as a pushed
+    // filter (row-group pruning) instead of a post-read DataFilter
     def snap(p: String, day: String): DataFrame =
-      ev.filter(to_date(col("ts")) === lit(java.sql.Date.valueOf(day)))
+      Tables.eventsDay(s, dir, java.time.LocalDate.parse(day))
         .groupBy(col("user_id"), col("event_type"))
         .agg(count(lit(1)).as(s"${p}_n"),
           graft.Parity.pround(sumExact(col("value")), 2).as(s"${p}_total"))

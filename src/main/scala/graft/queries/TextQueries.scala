@@ -213,6 +213,57 @@ object TextQueries {
        |            ELSE 0.0 END AS dup_ratio
        |FROM sh ORDER BY doc_id""".stripMargin
 
+  /** Overlapping-window document chunking — the retrieval/context-prep op
+    * every RAG and long-context training pipeline runs before embedding:
+    * size-32 word windows at stride 24 (8 words of overlap so no phrase is
+    * ever split across a boundary without a copy that contains it whole).
+    * The last window of a doc is the remainder (≥ 1 word, shorter than
+    * size); a non-empty doc shorter than one window yields exactly one
+    * chunk, and an empty doc yields none. Output
+    * carries (doc_id, chunk_id, chunk start, word count, text) — chunk_id
+    * is globally reconstructible as doc-local ordinal, so downstream
+    * embedding tables join back without a shuffle on anything but doc_id.
+    *
+    * Scale shape: pure per-row array math (slice over the word array) plus
+    * one explode — no shuffle at all until a consumer aggregates; the
+    * chunk count per doc is ⌈max(len−overlap, 1)/stride⌉, linear in corpus
+    * size. The ORDER BY is presentation-only.
+    */
+  val docChunks: Q = (s, dir) => {
+    val (winSize, winStride) = (32, 24)
+    Tables.documents(s, dir)
+      .withColumn("w", TextAnalysis.words(col("text")))
+      .withColumn("w", filter(col("w"), x => length(x) > 0))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, CAST(greatest(ceil((size(w) - $winSize) / $winStride.0), 0) AS INT)),
+           |  i -> slice(w, i * $winStride + 1, $winSize))""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        (col("pos").cast("long") * winStride).as("chunk_start"),
+        size(col("col")).cast("long").as("n_words"),
+        concat_ws(" ", col("col")).as("chunk_text"))
+      .filter(col("n_words") > 0)
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val docChunksSql: String =
+    s"""WITH $normedSql,
+       |wf AS (
+       |  SELECT doc_id, list_filter(ws, x -> length(x) > 0) AS w FROM w),
+       |ch AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(
+       |           range(0, CAST(greatest(ceil((len(w) - 32) / 24.0), 0) AS BIGINT) + 1),
+       |           i -> {'chunk_id': i, 'words': w[i * 24 + 1 : i * 24 + 32]})) AS c
+       |  FROM wf)
+       |SELECT doc_id,
+       |       CAST(c.chunk_id AS BIGINT) AS chunk_id,
+       |       CAST(c.chunk_id * 24 AS BIGINT) AS chunk_start,
+       |       CAST(len(c.words) AS BIGINT) AS n_words,
+       |       list_aggregate(c.words, 'string_agg', ' ') AS chunk_text
+       |FROM ch WHERE len(c.words) > 0
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   /** Cross-document boilerplate filter (the C4/RefinedWeb step that drops
     * template text appearing across MANY documents — navigation chrome,
     * license blocks, share buttons): a shingle is "boilerplate" when it
@@ -746,6 +797,7 @@ object TextQueries {
   val queries: Map[String, Q] = Map(
     "bm25_topk" -> bm25TopK,
     "boilerplate_ngrams" -> boilerplateNgrams,
+    "doc_chunks" -> docChunks,
     "index_search" -> indexSearch,
     "cms_topk" -> cmsTopK,
     "hll_tokens" -> hllTokens,
@@ -765,6 +817,7 @@ object TextQueries {
   val oracleSql: Map[String, String] = Map(
     "bm25_topk" -> bm25TopKSql,
     "boilerplate_ngrams" -> boilerplateNgramsSql,
+    "doc_chunks" -> docChunksSql,
     "index_search" -> indexSearchSql,
     "cms_topk" -> cmsTopKSql,
     "hll_tokens" -> hllTokensSql,

@@ -67,6 +67,31 @@ class CurationOpsSpec extends SparkSpec {
       "threshold must exercise both outcomes on the fixture")
   }
 
+  test("doc_chunks: stride-prefixes reconstruct every doc exactly") {
+    val chunks = TextQueries.docChunks(spark, sf001).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val docs = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"),
+        filter(graft.text.TextAnalysis.words(col("text")), w => length(w) > 0))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    docs.filter(_._2.nonEmpty).foreach { case (docId, words) =>
+      val cs = chunks(docId).sortBy(_.getAs[Long]("chunk_id"))
+      cs.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getAs[Long]("chunk_id") === i.toLong, "gapless ordinals")
+        assert(c.getAs[Long]("chunk_start") === i.toLong * 24)
+        assert(c.getAs[Long]("n_words") <= 32)
+      }
+      // all but the last chunk contribute their first 24 words (the stride);
+      // the last contributes all — concatenation must equal the original
+      val rebuilt = cs.init.flatMap(_.getAs[String]("chunk_text").split(" ").take(24)) ++
+        cs.last.getAs[String]("chunk_text").split(" ")
+      assert(rebuilt.toSeq === words,
+        s"doc $docId: chunk windows must tile the document")
+    }
+    assert(chunks.keySet === docs.filter(_._2.nonEmpty).keySet,
+      "every non-empty doc chunks; empty docs do not")
+  }
+
   test("zorder_layout: skipped files provably lose no probe rows") {
     val files = StoreQueries.zorderLayout(spark, sf001).collect()
     assert(files.map(_.getAs[Long]("n_rows")).sum === 15000L)
