@@ -703,7 +703,14 @@ object TextQueries {
     * 5–8: below the ubiquitous stopword head, so df — and therefore idf —
     * actually varies across terms).
     */
-  val bm25TopK: Q = (s, dir) => {
+  val bm25TopK: Q = (s, dir) =>
+    bm25PerDoc(s, dir).orderBy(col("score").desc, col("doc_id")).limit(10)
+
+  /** Per-doc BM25 scores over the corpus-derived query terms — the shared
+    * scoring relation behind [[bm25TopK]] and the lexical leg of
+    * [[hybridRrf]].
+    */
+  private[queries] def bm25PerDoc(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     // both corpus scalars (N, Σdl) in ONE bounded driver action — a size()
     // sum over the word arrays, no explode and no second scan
@@ -750,11 +757,18 @@ object TextQueries {
       .withColumn("score", graft.Parity.pround(
         expr("aggregate(ts, CAST(0 AS DOUBLE), (acc, x) -> acc + x.sc)"), 6))
       .select(col("doc_id"), col("n_terms"), col("score"))
-      .orderBy(col("score").desc, col("doc_id")).limit(10)
   }
 
   val bm25TopKSql: String =
-    s"""WITH tok AS (
+    s"""WITH $bm25PerDocCtesSql
+       |SELECT doc_id, n_terms, score FROM perdoc
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  /** The CTE chain producing `perdoc(doc_id, n_terms, score)` — shared by
+    * [[bm25TopKSql]] and [[hybridRrfSql]].
+    */
+  private def bm25PerDocCtesSql: String =
+    s"""tok AS (
        |  SELECT doc_id, token FROM (
        |    SELECT doc_id,
        |           unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
@@ -790,12 +804,88 @@ object TextQueries {
        |         ${graft.Parity.proundSql(
                    "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
                      "list(sc ORDER BY token)), (acc, x) -> acc + x)", 6)} AS score
-       |  FROM scored GROUP BY doc_id)
-       |SELECT doc_id, n_terms, score FROM perdoc
-       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+       |  FROM scored GROUP BY doc_id)""".stripMargin
+
+  /** Hybrid retrieval via reciprocal-rank fusion (RRF) — the standard way
+    * modern search stacks combine a lexical ranking (BM25) with a semantic
+    * one (embedding cosine): each leg contributes `1/(60 + rank)` for the
+    * docs it ranks in its top-20, and docs surfacing in both lists rise to
+    * the top. Rank fusion needs no score calibration across legs — only
+    * the rank ORDER of each leg — which is why RRF won out over score
+    * interpolation in practice (and why it is parity-safe here: the fused
+    * score is built from small-integer ranks, every IEEE op exact or
+    * correctly rounded once, no cross-engine float drift).
+    *
+    * The doc↔vector correspondence is positional (doc_id = vec_id, how the
+    * testdata embeds `documents`); the query is embedding 0 on the
+    * semantic leg and the corpus-derived BM25 terms on the lexical leg.
+    *
+    * Scale shape: each leg is its own already-scale-shaped pipeline
+    * ([[bm25PerDoc]]: broadcast terms + one doc_id shuffle + TakeOrdered
+    * top-k; kNN: one corpus scan × broadcast query). The fusion itself
+    * joins two ≤ k-row relations — trivial at any corpus size; the rank
+    * windows run AFTER the TakeOrdered top-k, so no global sort anywhere.
+    */
+  val hybridRrf: Q = (s, dir) => {
+    val k = 20
+    val lex = bm25PerDoc(s, dir)
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).as("lex_rank"))
+    val sem = graft.similarity.Similarity
+      .knnBruteForce(Tables.embeddings(s, dir), queryVecId = 0L, k = k)
+      .select(col("vec_id"), row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("vec_id"))).as("sem_rank"))
+    lex.join(sem, lex("doc_id") === sem("vec_id"), "full_outer")
+      .select(
+        coalesce(lex("doc_id"), sem("vec_id")).as("doc_id"),
+        lex("lex_rank").cast("long").as("lex_rank"),
+        sem("sem_rank").cast("long").as("sem_rank"),
+        graft.Parity.pround(
+          coalesce(lit(1.0) / (lit(60.0) + lex("lex_rank").cast("double")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + sem("sem_rank").cast("double")), lit(0.0)),
+          6).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+  }
+
+  /** DuckDB cosine of a row embedding vs the broadcast query embedding —
+    * the same sequential left-fold dot product the similarity oracles use
+    * (0.0-seeded so the fold is exact); local twin of SimilarityQueries'
+    * private helper.
+    */
+  private def cosVsQuerySql(a: String, b: String): String = {
+    def dot(x: String, y: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(range(1, len($x) + 1),
+         |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))), (u, v) -> u + v)""".stripMargin
+    s"(${dot(a, b)}) / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  val hybridRrfSql: String =
+    s"""WITH $bm25PerDocCtesSql,
+       |lex AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+       |  FROM (SELECT doc_id, score FROM perdoc ORDER BY score DESC, doc_id LIMIT 20)),
+       |sem0 AS (
+       |  SELECT e.vec_id,
+       |         floor((${cosVsQuerySql("e.embedding", "q.qe")}) * 1e6 + 0.5) / 1e6 AS cos_sim
+       |  FROM embeddings e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+       |  WHERE e.vec_id <> 0),
+       |sem AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS sem_rank
+       |  FROM (SELECT vec_id, cos_sim FROM sem0 ORDER BY cos_sim DESC, vec_id LIMIT 20))
+       |SELECT coalesce(l.doc_id, s.vec_id) AS doc_id,
+       |       l.lex_rank AS lex_rank,
+       |       s.sem_rank AS sem_rank,
+       |       ${graft.Parity.proundSql(
+                 "coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(l.lex_rank AS DOUBLE)), CAST(0 AS DOUBLE)) + " +
+                   "coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(s.sem_rank AS DOUBLE)), CAST(0 AS DOUBLE))", 6)} AS rrf_score
+       |FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.vec_id
+       |ORDER BY rrf_score DESC, doc_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "bm25_topk" -> bm25TopK,
+    "hybrid_rrf" -> hybridRrf,
     "boilerplate_ngrams" -> boilerplateNgrams,
     "doc_chunks" -> docChunks,
     "index_search" -> indexSearch,
@@ -816,6 +906,7 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "bm25_topk" -> bm25TopKSql,
+    "hybrid_rrf" -> hybridRrfSql,
     "boilerplate_ngrams" -> boilerplateNgramsSql,
     "doc_chunks" -> docChunksSql,
     "index_search" -> indexSearchSql,

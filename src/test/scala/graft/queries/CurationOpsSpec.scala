@@ -20,6 +20,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("n_terms") <= 4), "at most 4 query terms")
   }
 
+  test("hybrid_rrf: fusion score is exactly the rank formula; legs dedup") {
+    val rows = TextQueries.hybridRrf(spark, sf001).collect()
+    // each leg contributes at most 20 docs; the union at least 20
+    assert(rows.length >= 20 && rows.length <= 40)
+    def ranks(c: String) = rows.flatMap(r => Option(r.getAs[Long](c)))
+    Seq("lex_rank", "sem_rank").foreach { c =>
+      val rs = ranks(c)
+      assert(rs.length === 20, s"$c leg must rank exactly 20 docs")
+      assert(rs.sorted.toSeq === (1L to 20L), s"$c must be a permutation of 1..20")
+    }
+    // rrf_score is a pure function of the two ranks — recompute exactly
+    rows.foreach { r =>
+      val exp = Seq("lex_rank", "sem_rank")
+        .flatMap(c => Option(r.getAs[Long](c)))
+        .map(rk => 1.0 / (60.0 + rk.toDouble)).sum
+      assert(r.getAs[Double]("rrf_score") === math.floor(exp * 1e6 + 0.5) / 1e6,
+        s"doc ${r.getAs[Long]("doc_id")}: rrf must equal the rank formula")
+    }
+    // docs surfacing in both legs must outrank a same-rank single-leg doc
+    val both = rows.filter(r => !r.isNullAt(r.fieldIndex("lex_rank")) &&
+      !r.isNullAt(r.fieldIndex("sem_rank")))
+    assert(both.nonEmpty, "fixture must have overlap between the two legs")
+  }
+
   test("snapshot_diff: statuses partition the keys and deltas are consistent") {
     val rows = RelationalQueries.snapshotDiff(spark, sf001).collect()
     val byStatus = rows.groupBy(_.getAs[String]("status"))
