@@ -106,8 +106,7 @@ object Components {
           greatest(col("a"), col("b")).as("v"))
         .filter(col("u") =!= col("v")).distinct(), "ccs-edges")
     var rounds = 0
-    var eCount = e.count() // carried across rounds: one scan, not two
-    var done = eCount == 0L
+    var done = e.isEmpty
     while (!done) {
       // large-star: centers see ALL neighbors, link the strictly larger
       // ones to m = min(closed neighborhood)
@@ -132,12 +131,21 @@ object Components {
             greatest(col("x"), col("m")).as("v")))
           .filter(col("u") =!= col("v")).distinct(), "ccs-edges")
       rounds += 1
-      // fixpoint = edge set unchanged (bounded driver actions: one count +
-      // an empty-check per round; the previous round's count is carried)
-      val nextCount = next.count()
-      done = nextCount == eCount && next.exceptAll(e).isEmpty
+      // Convergence = the edge set is a star forest with centers below
+      // children: every child v appears in exactly one edge and no vertex
+      // is both a center and a child. Star forests are exactly the
+      // alternation's fixpoints (Kiveris et al. §3; both steps map a star
+      // forest to itself, and the alternation preserves connectivity, so a
+      // star-forest state already carries the final components) — checking
+      // the PROPERTY on `next` alone stops one round earlier than
+      // edge-set-stabilization and replaces the old count + exceptAll
+      // (a full two-sided shuffle per round) with one aggregate and one
+      // semi-join empty-probe over the materialized round output.
+      val st = next.agg(count(lit(1)), count_distinct(col("v"))).head()
+      done = st.getLong(0) == st.getLong(1) &&
+        next.join(next.select(col("u").as("v")).distinct(), Seq("v"), "left_semi")
+          .isEmpty
       e = next
-      eCount = nextCount
     }
     // converged edges are one star per non-trivial component, centered at
     // the component minimum: children take the center's id, everything
