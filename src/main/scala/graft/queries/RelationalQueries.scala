@@ -630,7 +630,98 @@ object RelationalQueries {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** PageRank authority over the customer↔supplier trade graph — the
+    * iterative whole-graph operator curation stacks run for authority
+    * weighting (OPIC-style seed ranking over a link graph). The graph is
+    * bipartite and undirected (each distinct customer–supplier pair from
+    * orders⋈lineitem contributes both directions; supplier ids offset to
+    * their own id space), so every vertex has out-degree ≥ 1 and the
+    * damped update needs no dangling-mass term:
+    * `r'(v) = 0.15 + 0.85 · Σ_{u→v} r(u)/outdeg(u)`, five rounds from
+    * r₀ = 1.
+    *
+    * Cross-engine parity: the damping constants are emitted as exact
+    * integer divisions on both sides (17/20, 3/20 — each one correctly
+    * rounded IEEE op), per-edge contributions are a double division, and
+    * the per-vertex sum folds in sorted src order (sorted struct list,
+    * same pattern as BM25) — float addition is not associative, so an
+    * unordered `sum()` would be engine-dependent. Only the final rank is
+    * rounded; intermediates stay full-precision in both engines.
+    *
+    * Scale shape: edges + out-degrees are derived once and
+    * scratch-materialized (at 100 TB: a bucketed table partitioned by
+    * src); each round is one src-keyed join of the rank vector (|V| rows,
+    * co-partitioned) plus one dst-keyed aggregate over |E| — no
+    * broadcast of anything vertex-sized, no driver-side graph. The sorted
+    * fold bounds per-task state by max in-degree; the documented scale
+    * alternative for whale vertices is exact-DECIMAL partial sums
+    * (order-free), traded here for the provably bit-equal fold.
+    */
+  val pagerankAuthority: Q = (s, dir) => {
+    val damp = lit(17.0 / 20.0)
+    val base = lit(3.0 / 20.0)
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + lit(10000000L)).as("p"))
+      .distinct()
+    val eo = graft.Scratch.table({
+      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+        .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+      edges.join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+    }, "pr-edges")
+    var ranks = eo.select(col("src").as("v")).distinct()
+      .withColumn("rank", lit(1.0))
+    for (_ <- 1 to 5) {
+      ranks = eo.join(ranks, eo("src") === ranks("v"))
+        .select(col("dst"), col("src"),
+          (col("rank") / col("outdeg").cast("double")).as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sort_array(collect_list(struct(col("src"), col("contrib")))).as("cs"))
+        .select(col("dst").as("v"),
+          (base + damp * expr(
+            "aggregate(cs, CAST(0 AS DOUBLE), (acc, x) -> acc + x.contrib)"))
+            .as("rank"))
+    }
+    ranks.select(col("v"),
+        when(col("v") >= 10000000L, lit("supplier")).otherwise(lit("customer"))
+          .as("node_type"),
+        graft.Parity.pround(col("rank"), 6).as("rank"))
+      .orderBy(col("v"))
+  }
+
+  val pagerankAuthoritySql: String = {
+    def fold(prev: String): String =
+      s"""SELECT eo.dst AS v,
+         |       CAST(3 AS DOUBLE) / CAST(20 AS DOUBLE) +
+         |       (CAST(17 AS DOUBLE) / CAST(20 AS DOUBLE)) *
+         |       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |         list(r.rank / CAST(eo.outdeg AS DOUBLE) ORDER BY eo.src)),
+         |         (acc, x) -> acc + x) AS rank
+         |FROM eo JOIN $prev r ON eo.src = r.v
+         |GROUP BY eo.dst""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS p
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (
+       |  SELECT c AS src, p AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT p AS src, c AS dst FROM pairs),
+       |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |eo AS (SELECT e.src, e.dst, o.outdeg FROM edges e JOIN outdeg o USING (src)),
+       |r0 AS (SELECT DISTINCT src AS v, CAST(1 AS DOUBLE) AS rank FROM edges),
+       |r1 AS (${fold("r0")}),
+       |r2 AS (${fold("r1")}),
+       |r3 AS (${fold("r2")}),
+       |r4 AS (${fold("r3")}),
+       |r5 AS (${fold("r4")})
+       |SELECT v,
+       |       CASE WHEN v >= 10000000 THEN 'supplier' ELSE 'customer' END AS node_type,
+       |       ${graft.Parity.proundSql("rank", 6)} AS rank
+       |FROM r5 ORDER BY v""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "pagerank_authority" -> pagerankAuthority,
     "hll_merge_days" -> hllMergeDays,
     "bloom_semi_join" -> bloomSemiJoin,
     "range_join_sessions" -> rangeJoinSessions,
@@ -654,6 +745,7 @@ object RelationalQueries {
     "events_kpi" -> eventsKpi)
 
   val oracleSql: Map[String, String] = Map(
+    "pagerank_authority" -> pagerankAuthoritySql,
     "hll_merge_days" -> hllMergeDaysSql,
     "bloom_semi_join" -> bloomSemiJoinSql,
     "range_join_sessions" -> rangeJoinSessionsSql,
