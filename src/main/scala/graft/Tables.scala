@@ -41,6 +41,17 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** events strictly before a UTC day, raw-nanos predicate for pushdown —
+    * same rationale as [[eventsDay]].
+    */
+  def eventsBefore(spark: SparkSession, dir: String, day: java.time.LocalDate): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val startNs = day.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000000L
+    read(spark, dir, "events")
+      .filter(col("ts") < startNs)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")

@@ -390,9 +390,44 @@ object MultiSymQueries {
        |FROM silver GROUP BY 1, 2, 3
        |ORDER BY symbol, candle_start""".stripMargin
 
+  /** STREAMING stateful EWMA: the per-symbol recurrence maintained as
+    * custom flatMapGroupsWithState state (O(1) per symbol — last ts +
+    * current ewma), the operator shape for recursive indicators over
+    * unbounded streams where no window frame can express the update. The
+    * bounded AvailableNow run must emit the batch prefix fold bit-for-bit,
+    * so it shares `ewma_multisym`'s oracle.
+    */
+  val streamEwma: Q = (s, dir) => {
+    val base = PipelineQueries.ensureFixture(s, "stream_ewma", dir) { b =>
+      candles1hMulti(s, dir)
+        .coalesce(4) // bounded source file count for the stream listing
+        .write.mode("overwrite").parquet(b)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("symbol",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("candle_start",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("close_price",
+        org.apache.spark.sql.types.DoubleType)))
+    PipelineQueries.runBoundedStream(s, "graft_stream_ewma",
+      () => {
+        import s.implicits._
+        graft.streaming.StatefulEwma.ewma(
+          s.readStream.schema(schema).parquet(base)
+            .as[graft.streaming.StatefulEwma.Candle],
+          alpha = 0.2, beta = 0.8).toDF()
+      },
+      "append")
+      .select(col("symbol"), col("candle_start"), col("close_price"),
+        graft.Parity.pround(col("ewma"), 6).as("ewma"))
+      .orderBy(col("symbol"), col("candle_start"))
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
+    "stream_ewma" -> streamEwma,
     "fct_timeframes_multisym" -> fctTimeframesMultisym,
     "indicators_multisym" -> indicatorsMultisym,
     "ewma_multisym" -> ewmaMultisym,
@@ -407,6 +442,7 @@ object MultiSymQueries {
     "fct_timeframes_multisym" -> fctTimeframesMultisymSql,
     "indicators_multisym" -> indicatorsMultisymSql,
     "ewma_multisym" -> ewmaMultisymSql,
+    "stream_ewma" -> ewmaMultisymSql, // stateful stream == batch prefix fold
     "rsi_multisym" -> rsiMultisymSql,
     "bollinger_multisym" -> bollingerMultisymSql,
     "macd_multisym" -> macdMultisymSql,

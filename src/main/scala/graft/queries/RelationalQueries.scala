@@ -235,6 +235,52 @@ object RelationalQueries {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Incremental materialized-view maintenance: the per-(user, event_type)
+    * aggregate is maintained by applying ONE day's delta to the base
+    * aggregate (full outer join + additive merge) instead of recomputing
+    * over history — the core pattern behind every incremental pipeline at
+    * 100 TB, where the base is a stored table and only the delta is
+    * scanned. The ORACLE is the full recompute over the whole range, so
+    * the hash gate literally proves incremental == recompute.
+    *
+    * Exactness: counts add as longs; value totals stay DECIMAL(38,10)
+    * through the merge (decimal addition is associative — splitting the
+    * sum at the day boundary cannot change it) and only the merged total
+    * is cast to double and rounded. Merging double partials instead would
+    * NOT equal the one-shot sum (float addition is not associative).
+    *
+    * Scale shape: base and delta each aggregate with map-side partials
+    * and shuffle once on the compound key; the merge join reuses that
+    * partitioning (both sides hash-partitioned identically). The delta
+    * side's day restriction lands on the raw nanos column → pushed
+    * parquet filter ([[Tables.eventsDay]]).
+    */
+  val incrementalMv: Q = (s, dir) => {
+    val day = java.time.LocalDate.parse("2024-01-20")
+    def agg(df: DataFrame, p: String): DataFrame =
+      df.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as(s"${p}_n"),
+          sum(col("value").cast(DecimalType(30, 10))).as(s"${p}_t"))
+    val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 10))
+    agg(Tables.eventsBefore(s, dir, day), "b")
+      .join(agg(Tables.eventsDay(s, dir, day), "d"),
+        Seq("user_id", "event_type"), "full_outer")
+      .select(col("user_id"), col("event_type"),
+        (coalesce(col("b_n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n"),
+        graft.Parity.pround(
+          (coalesce(col("b_t"), zero) + coalesce(col("d_t"), zero)).cast("double"),
+          2).as("total"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val incrementalMvSql: String =
+    s"""SELECT user_id, event_type, count(*) AS n,
+       |       ${graft.Parity.proundSql(sumExactSql("value"), 2)} AS total
+       |FROM events
+       |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) <= DATE '2024-01-20'
+       |GROUP BY user_id, event_type
+       |ORDER BY user_id, event_type""".stripMargin
+
   val snapshotDiffSql: String =
     s"""WITH ev AS (
        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
@@ -742,6 +788,7 @@ object RelationalQueries {
     "topk_orders_per_customer" -> topOrdersPerCustomer,
     "asof_join" -> asofJoin,
     "snapshot_diff" -> snapshotDiff,
+    "incremental_mv" -> incrementalMv,
     "events_kpi" -> eventsKpi)
 
   val oracleSql: Map[String, String] = Map(
@@ -766,5 +813,6 @@ object RelationalQueries {
     "topk_orders_per_customer" -> topOrdersPerCustomerSql,
     "asof_join" -> asofJoinSql,
     "snapshot_diff" -> snapshotDiffSql,
+    "incremental_mv" -> incrementalMvSql,
     "events_kpi" -> eventsKpiSql)
 }
