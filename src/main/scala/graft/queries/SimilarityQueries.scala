@@ -75,9 +75,17 @@ object SimilarityQueries {
     Similarity.neardupIvf(Tables.embeddings(s, dir), minCosine = 0.3)
       .orderBy(col("vec_id_a"), col("vec_id_b"))
 
-  val neardupIvfSql: String = {
+  val neardupIvfSql: String =
+    s"""WITH $neardupIvfCtesSql
+       |SELECT vec_id_a, vec_id_b, cos_sim FROM cos
+       |WHERE cos_sim >= 0.3 ORDER BY vec_id_a, vec_id_b""".stripMargin
+
+  /** CTE chain through `cos(vec_id_a, vec_id_b, cos_sim)` — shared by
+    * [[neardupIvfSql]] and [[semanticDedupSql]].
+    */
+  private def neardupIvfCtesSql: String = {
     val centIds = (100L until 116L).mkString(", ")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, embedding,
        |         sqrt(${dotSql("embedding", "embedding")}) AS norm
        |  FROM embeddings),
@@ -104,10 +112,54 @@ object SimilarityQueries {
        |                / (l.norm * r.norm)) * 1e6 + 0.5) / 1e6 AS cos_sim
        |  FROM pairs p
        |  JOIN e l ON p.vec_id_a = l.vec_id
-       |  JOIN e r ON p.vec_id_b = r.vec_id)
-       |SELECT vec_id_a, vec_id_b, cos_sim FROM cos
-       |WHERE cos_sim >= 0.3 ORDER BY vec_id_a, vec_id_b""".stripMargin
+       |  JOIN e r ON p.vec_id_b = r.vec_id)""".stripMargin
   }
+
+  /** SemDeDup end-to-end: embedding near-dup pairs from IVF-cell blocking
+    * (same pairs as `neardup_ivf`), connected components over that graph,
+    * and a canonical keep flag (cluster representative = min vec_id — the
+    * label min-propagation already computes, so keep is `vec_id ==
+    * cluster_id` with no extra pass). This is the semantic twin of the
+    * MinHash curation chain: the cosine graph replaces the shingle graph,
+    * everything downstream is the same bucketed machinery.
+    *
+    * Scale shape: pair space is bounded by IVF cells (never all-pairs),
+    * CC is the per-round single-shuffle min-propagation, and the keep
+    * flag is a projection — no window, no global sort except presentation.
+    */
+  val semanticDedup: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val pairs = Similarity.neardupIvf(emb, minCosine = 0.3)
+      .select(col("vec_id_a").as("a"), col("vec_id_b").as("b"))
+    val labels = graft.dedup.Components
+      .connectedComponents(emb.select(col("vec_id").as("v")), pairs)
+      .select(col("v").as("vec_id"), col("label").as("cluster_id"))
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+        (col("vec_id") === col("cluster_id")).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  val semanticDedupSql: String =
+    s"""WITH RECURSIVE $neardupIvfCtesSql,
+       |sd AS (
+       |  SELECT vec_id_a, vec_id_b FROM cos WHERE cos_sim >= 0.3),
+       |cedges AS (
+       |  SELECT vec_id_a AS s, vec_id_b AS d FROM sd
+       |  UNION ALL
+       |  SELECT vec_id_b AS s, vec_id_a AS d FROM sd),
+       |reach AS (
+       |  SELECT vec_id AS v, vec_id AS u FROM embeddings
+       |  UNION
+       |  SELECT r.v, ce.d FROM reach r JOIN cedges ce ON r.u = ce.s),
+       |lbl AS (SELECT v AS vec_id, min(u) AS cluster_id FROM reach GROUP BY v),
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY 1)
+       |SELECT l.vec_id, l.cluster_id, s.cluster_size,
+       |       (l.vec_id = l.cluster_id) AS keep
+       |FROM lbl l JOIN sizes s USING (cluster_id)
+       |ORDER BY l.vec_id""".stripMargin
 
   /** Cluster-balanced diversity subsample over IVF cells
     * (Similarity.clusterSample): cap each cell at 5 vectors by portable
@@ -486,6 +538,7 @@ object SimilarityQueries {
     "knn_bruteforce" -> knnBruteForce,
     "neardup_embeddings" -> neardupEmbeddings,
     "neardup_ivf" -> neardupIvfQ,
+    "semantic_dedup" -> semanticDedup,
     "ann_lsh_topk" -> annLshTopK,
     "ann_ivf_topk" -> annIvfTopK,
     "ann_recall" -> annRecall,
@@ -501,6 +554,7 @@ object SimilarityQueries {
     "knn_bruteforce" -> knnBruteForceSql,
     "neardup_embeddings" -> neardupEmbeddingsSql,
     "neardup_ivf" -> neardupIvfSql,
+    "semantic_dedup" -> semanticDedupSql,
     "ann_lsh_topk" -> annLshTopKSql,
     "ann_ivf_topk" -> annIvfTopKSql,
     "ann_recall" -> annRecallSql,

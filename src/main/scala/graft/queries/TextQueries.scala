@@ -883,8 +883,49 @@ object TextQueries {
        |FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.vec_id
        |ORDER BY rrf_score DESC, doc_id""".stripMargin
 
+  /** Hashing-trick featurizer: each token hashes into one of 16 buckets
+    * and the per-doc bucket counts are the feature vector — the fixed-width
+    * text featurization (Weinberger et al.'s hashing trick) that needs no
+    * vocabulary pass, no broadcast dictionary, and no OOV handling, which
+    * is exactly why it is the featurizer that survives 100 TB. Output is
+    * the sparse COO form (doc_id, feature, n) — the representation that
+    * stays linear in nonzeros; densifying is a per-row transform for
+    * whoever needs it.
+    *
+    * Scale shape: one tokenize + explode, one shuffle on (doc_id, feature)
+    * with map-side combine. The bucket hash is the engine-portable md5
+    * parse so the oracle reproduces it; at 100 TB with no oracle in the
+    * loop, swap xxhash64 (PortableHash scaladoc).
+    */
+  val featureHash: Q = (s, dir) => {
+    val dims = 16L
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .withColumn("feature",
+        pmod(graft.functions.PortableHash.hash32(col("token")), lit(dims)))
+      .groupBy(col("doc_id"), col("feature"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("doc_id"), col("feature"))
+  }
+
+  val featureHashSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, token FROM (
+       |    SELECT doc_id,
+       |           unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+       |    FROM documents)
+       |  WHERE length(token) > 0)
+       |SELECT doc_id,
+       |       ${graft.functions.PortableHash.hash32Sql("token")} % 16 AS feature,
+       |       count(*) AS n
+       |FROM tok
+       |GROUP BY doc_id, feature
+       |ORDER BY doc_id, feature""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "bm25_topk" -> bm25TopK,
+    "feature_hash" -> featureHash,
     "hybrid_rrf" -> hybridRrf,
     "boilerplate_ngrams" -> boilerplateNgrams,
     "doc_chunks" -> docChunks,
@@ -906,6 +947,7 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "bm25_topk" -> bm25TopKSql,
+    "feature_hash" -> featureHashSql,
     "hybrid_rrf" -> hybridRrfSql,
     "boilerplate_ngrams" -> boilerplateNgramsSql,
     "doc_chunks" -> docChunksSql,
