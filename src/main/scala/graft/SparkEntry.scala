@@ -49,7 +49,7 @@ object SparkEntry {
       DedupQueries.queries ++ SimilarityQueries.queries ++ MediaQueries.queries ++
       RelationalQueries.queries ++ SamplingQueries.queries ++
       StoreQueries.queries ++ PipelineQueries.queries ++ CurationQueries.queries ++
-      MultiSymQueries.queries)
+      MultiSymQueries.queries ++ DriftQueries.queries)
       .map { case (name, fn) =>
         name -> ((s: SparkSession, dir: String) => normalizeOutputs(fn(s, dir)))
       }
@@ -62,5 +62,6 @@ object SparkEntry {
       SimilarityQueries.oracleSql ++ MediaQueries.oracleSql ++
       RelationalQueries.oracleSql ++ SamplingQueries.oracleSql ++
       StoreQueries.oracleSql ++ PipelineQueries.oracleSql ++
-      CurationQueries.oracleSql ++ MultiSymQueries.oracleSql
+      CurationQueries.oracleSql ++ MultiSymQueries.oracleSql ++
+      DriftQueries.oracleSql
 }

@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Data-quality monitoring over `events`: outlier flagging and
+  * distribution-drift measurement — the checks a training-data pipeline
+  * runs per ingestion batch to catch broken sources BEFORE they poison a
+  * corpus (a sensor stuck at 1e9, a schema change shifting a value scale).
+  *
+  * Parity notes: all moments accumulate in exact DECIMAL and convert to
+  * double once; every derived expression (mean, variance, z) is written
+  * with the SAME operation order on both engines; bin-indexed sums fold in
+  * sorted bin order (float addition is not associative).
+  */
+object DriftQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def sumDec(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(30, 10)))
+
+  /** Z-score outliers per event_type: rows with |value − mean| > 3σ under
+    * the per-type sample statistics. The stats pass is one map-side-
+    * combined aggregate (count + two exact-DECIMAL moments per type — a
+    * few rows total at any scale); the flag pass re-scans with the tiny
+    * stats relation broadcast. Two scans, zero windows — the stats never
+    * sit in a window frame, so no per-type sort and no whale-type
+    * single-task stage.
+    *
+    * Variance is the textbook `(Σx² − n·mean²)/(n−1)` with mean and both
+    * sums fixed to doubles first — the exact same op sequence as the
+    * oracle, so z matches bitwise.
+    */
+  val valueOutliers: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sumDec(col("value")).cast("double").as("sx"),
+        sumDec(col("value") * col("value")).cast("double").as("sxx"))
+      .withColumn("mean", col("sx") / col("n").cast("double"))
+      .withColumn("std", sqrt(
+        (col("sxx") - col("n").cast("double") * col("mean") * col("mean"))
+          / (col("n").cast("double") - lit(1.0))))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("z", (col("value") - col("mean")) / col("std"))
+      .filter(abs(col("z")) > lit(3.0))
+      .select(col("event_id"), col("event_type"), col("value"),
+        graft.Parity.pround(col("z"), 6).as("z"))
+      .orderBy(col("event_id"))
+  }
+
+  val valueOutliersSql: String =
+    s"""WITH stats AS (
+       |  SELECT event_type, count(*) AS n,
+       |         CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+       |         CAST(sum(CAST(value * value AS DECIMAL(30,10))) AS DOUBLE) AS sxx
+       |  FROM events GROUP BY 1),
+       |ms AS (
+       |  SELECT event_type, n, sx / CAST(n AS DOUBLE) AS mean,
+       |         sqrt((sxx - CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)))
+       |              / (CAST(n AS DOUBLE) - 1.0)) AS std
+       |  FROM stats)
+       |SELECT e.event_id, e.event_type, e.value,
+       |       ${graft.Parity.proundSql("(e.value - m.mean) / m.std", 6)} AS z
+       |FROM events e JOIN ms m USING (event_type)
+       |WHERE abs((e.value - m.mean) / m.std) > 3.0
+       |ORDER BY e.event_id""".stripMargin
+
+  /** Distribution drift between two snapshot days as total variation
+    * distance: per event_type, histogram `value` into width-5 bins for
+    * each day, then `tvd = 0.5 · Σ_bins |f_a − f_b|`. TVD over a shared
+    * binning is the drift metric that needs one pass per side and merges
+    * by bin — unlike KS it never needs a global sort of either sample.
+    *
+    * Scale shape: each day is a pushed-filter scan (raw-nanos predicate →
+    * parquet row-group pruning) + one (type, bin) aggregate; the bin table
+    * is bounded by types × occupied bins regardless of row count. The
+    * per-type fold runs over that bounded bin list in sorted order —
+    * deterministic, and never a whale partition.
+    */
+  val distDrift: Q = (s, dir) => {
+    def binCounts(day: String, p: String): DataFrame =
+      Tables.eventsDay(s, dir, java.time.LocalDate.parse(day))
+        .select(col("event_type"), floor(col("value") / lit(5.0)).as("bin"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as(s"${p}_n"))
+    val a = binCounts("2024-01-05", "a")
+    val b = binCounts("2024-01-20", "b")
+    val joined = a.join(b, Seq("event_type", "bin"), "full_outer")
+      .select(col("event_type"), col("bin"),
+        coalesce(col("a_n"), lit(0L)).as("a_n"),
+        coalesce(col("b_n"), lit(0L)).as("b_n"))
+    val totals = joined.groupBy(col("event_type"))
+      .agg(sum(col("a_n")).as("na"), sum(col("b_n")).as("nb"))
+    joined.join(broadcast(totals), "event_type")
+      .withColumn("d", abs(
+        col("a_n").cast("double") / col("na").cast("double")
+          - col("b_n").cast("double") / col("nb").cast("double")))
+      .groupBy(col("event_type"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sort_array(collect_list(struct(col("bin"), col("d")))).as("ds"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        graft.Parity.pround(
+          lit(0.5) * expr("aggregate(ds, CAST(0 AS DOUBLE), (acc, x) -> acc + x.d)"),
+          6).as("tvd"))
+      .orderBy(col("event_type"))
+  }
+
+  val distDriftSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, value
+       |  FROM events),
+       |a AS (
+       |  SELECT event_type, floor(value / 5.0) AS bin, count(*) AS a_n
+       |  FROM ev WHERE d = DATE '2024-01-05' GROUP BY 1, 2),
+       |b AS (
+       |  SELECT event_type, floor(value / 5.0) AS bin, count(*) AS b_n
+       |  FROM ev WHERE d = DATE '2024-01-20' GROUP BY 1, 2),
+       |j AS (
+       |  SELECT event_type, bin,
+       |         coalesce(a_n, 0) AS a_n, coalesce(b_n, 0) AS b_n
+       |  FROM a FULL JOIN b USING (event_type, bin)),
+       |t AS (
+       |  SELECT event_type, sum(a_n) AS na, sum(b_n) AS nb
+       |  FROM j GROUP BY 1),
+       |d AS (
+       |  SELECT j.event_type, j.bin,
+       |         abs(CAST(j.a_n AS DOUBLE) / CAST(t.na AS DOUBLE)
+       |             - CAST(j.b_n AS DOUBLE) / CAST(t.nb AS DOUBLE)) AS d
+       |  FROM j JOIN t USING (event_type))
+       |SELECT event_type,
+       |       CAST(max(na_) AS BIGINT) AS n_a, CAST(max(nb_) AS BIGINT) AS n_b,
+       |       ${graft.Parity.proundSql(
+                 "0.5 * list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d ORDER BY bin)), (acc, x) -> acc + x)",
+                 6)} AS tvd
+       |FROM (SELECT d.event_type, d.bin, d.d, t.na AS na_, t.nb AS nb_
+       |      FROM d JOIN t USING (event_type))
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "value_outliers" -> valueOutliers,
+    "dist_drift" -> distDrift)
+
+  val oracleSql: Map[String, String] = Map(
+    "value_outliers" -> valueOutliersSql,
+    "dist_drift" -> distDriftSql)
+}
