@@ -235,6 +235,92 @@ object RelationalQueries {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Sequential conversion funnel view → click → purchase: a user counts
+    * for step k only with a step-k event strictly AFTER their step-(k−1)
+    * entry time — the time-ordered semantics that separates a funnel from
+    * three independent counts (a purchase before the first view must NOT
+    * count). Each stage is a user-keyed aggregate joined to the previous
+    * stage's entry times; all three stages hash-partition on user_id, so
+    * the chain reuses one partitioning end-to-end and the final rollup is
+    * three scalar counts. Conversion rate is each step's user count over
+    * the previous step's (exact long counts, one double division).
+    */
+  val funnelSteps: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val u1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val u2 = ev.filter(col("event_type") === "click")
+      .join(u1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val u3 = ev.filter(col("event_type") === "purchase")
+      .join(u2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val counts = Seq(("1_view", u1), ("2_click", u2), ("3_purchase", u3))
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("step"), col("n_users"))
+      }.reduce(_.unionAll(_))
+    val w = Window.orderBy(col("step"))
+    counts
+      .withColumn("conv_rate", graft.Parity.pround(
+        col("n_users").cast("double")
+          / coalesce(lag(col("n_users"), 1).over(w), col("n_users")).cast("double"),
+        6))
+      .orderBy(col("step"))
+  }
+
+  val funnelStepsSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+       |u1 AS (
+       |  SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+       |u2 AS (
+       |  SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN u1 USING (user_id)
+       |  WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY 1),
+       |u3 AS (
+       |  SELECT e.user_id, min(e.ts) AS t3 FROM ev e JOIN u2 USING (user_id)
+       |  WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY 1),
+       |steps AS (
+       |  SELECT '1_view' AS step, count(*) AS n_users FROM u1
+       |  UNION ALL
+       |  SELECT '2_click', count(*) FROM u2
+       |  UNION ALL
+       |  SELECT '3_purchase', count(*) FROM u3)
+       |SELECT step, n_users,
+       |       ${graft.Parity.proundSql(
+                 "CAST(n_users AS DOUBLE) / CAST(coalesce(lag(n_users) OVER (ORDER BY step), n_users) AS DOUBLE)",
+                 6)} AS conv_rate
+       |FROM steps ORDER BY step""".stripMargin
+
+  /** Cohort retention matrix: users grouped by first-seen day (cohort),
+    * activity counted as distinct active users per (cohort, day-offset) —
+    * the standard retention triangle. Two user-keyed aggregates (first
+    * seen; distinct active days) share one hash partitioning; the matrix
+    * itself is bounded by days² regardless of user count.
+    */
+  val retentionCohorts: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val firstSeen = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+    ev.distinct()
+      .join(firstSeen, "user_id")
+      .select(col("cohort_day"), datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val retentionCohortsSql: String =
+    s"""WITH ev AS (
+       |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+       |fs AS (
+       |  SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY 1)
+       |SELECT fs.cohort_day, CAST(ev.d - fs.cohort_day AS BIGINT) AS day_offset,
+       |       count(*) AS n_users
+       |FROM ev JOIN fs USING (user_id)
+       |GROUP BY 1, 2
+       |ORDER BY cohort_day, day_offset""".stripMargin
+
   /** Incremental materialized-view maintenance: the per-(user, event_type)
     * aggregate is maintained by applying ONE day's delta to the base
     * aggregate (full outer join + additive merge) instead of recomputing
@@ -789,6 +875,8 @@ object RelationalQueries {
     "asof_join" -> asofJoin,
     "snapshot_diff" -> snapshotDiff,
     "incremental_mv" -> incrementalMv,
+    "funnel_steps" -> funnelSteps,
+    "retention_cohorts" -> retentionCohorts,
     "events_kpi" -> eventsKpi)
 
   val oracleSql: Map[String, String] = Map(
@@ -814,5 +902,7 @@ object RelationalQueries {
     "asof_join" -> asofJoinSql,
     "snapshot_diff" -> snapshotDiffSql,
     "incremental_mv" -> incrementalMvSql,
+    "funnel_steps" -> funnelStepsSql,
+    "retention_cohorts" -> retentionCohortsSql,
     "events_kpi" -> eventsKpiSql)
 }

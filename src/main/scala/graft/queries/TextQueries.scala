@@ -923,8 +923,77 @@ object TextQueries {
        |GROUP BY doc_id, feature
        |ORDER BY doc_id, feature""".stripMargin
 
+  /** Collocation (phrase) mining: adjacent-token bigrams scored by lift —
+    * `P(xy) / (P(x)·P(y))` — the PMI-without-the-log form (log is monotone,
+    * and libm `ln` is not bit-portable across engines, so ranking by the
+    * raw ratio is the parity-safe choice). Bigrams occurring ≥ 5 times
+    * rank by lift: high-lift pairs are the multi-word expressions a
+    * tokenizer or vocab builder should treat as units.
+    *
+    * Scale shape: unigram and bigram counts are two map-side-combined
+    * aggregates over one tokenize pass each (the token stream is
+    * scratch-materialized once and feeds both the count and the corpus
+    * total); the lift join keys on tokens (vocab-sized relations), and the
+    * result is TakeOrdered top-20 — no global sort. The corpus totals are
+    * two bounded driver scalars.
+    */
+  val collocations: Q = (s, dir) => {
+    val w = Tables.documents(s, dir)
+      .select(TextAnalysis.words(col("text")).as("w"))
+      .withColumn("w", filter(col("w"), x => length(x) > 0))
+    val uni = graft.Scratch.table(w.select(explode(col("w")).as("tok")), "colloc-uni")
+    val bi = graft.Scratch.table(
+      w.filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS a, w[i + 1] AS b))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b")), "colloc-bi")
+    val nTok = uni.count().toDouble
+    val mBi = bi.count().toDouble
+    val nx = uni.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val nxy = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= 5)
+    nxy
+      .join(nx.select(col("tok").as("a"), col("n").as("n_a")), "a")
+      .join(nx.select(col("tok").as("b"), col("n").as("n_b")), "b")
+      .select(col("a").as("token_a"), col("b").as("token_b"), col("n_xy"),
+        graft.Parity.pround(
+          (col("n_xy").cast("double") / lit(mBi))
+            / ((col("n_a").cast("double") / lit(nTok))
+              * (col("n_b").cast("double") / lit(nTok))), 6).as("lift"))
+      .orderBy(col("lift").desc, col("token_a"), col("token_b"))
+      .limit(20)
+  }
+
+  val collocationsSql: String =
+    s"""WITH $normedSql,
+       |wf AS (SELECT doc_id, list_filter(ws, x -> length(x) > 0) AS w FROM w),
+       |uni AS (SELECT unnest(w) AS tok FROM wf),
+       |bp AS (
+       |  SELECT p.a AS a, p.b AS b FROM (
+       |    SELECT unnest(list_transform(range(1, len(w)),
+       |      i -> {'a': w[i], 'b': w[i + 1]})) AS p
+       |    FROM wf WHERE len(w) >= 2)),
+       |consts AS (
+       |  SELECT CAST((SELECT count(*) FROM uni) AS DOUBLE) AS n_tok,
+       |         CAST((SELECT count(*) FROM bp) AS DOUBLE) AS m_bi),
+       |nx AS (SELECT tok, count(*) AS n FROM uni GROUP BY 1),
+       |nxy AS (
+       |  SELECT a, b, count(*) AS n_xy FROM bp GROUP BY 1, 2
+       |  HAVING count(*) >= 5)
+       |SELECT nxy.a AS token_a, nxy.b AS token_b, n_xy,
+       |       ${graft.Parity.proundSql(
+                 "(CAST(n_xy AS DOUBLE) / c.m_bi) / ((CAST(xa.n AS DOUBLE) / c.n_tok) * (CAST(xb.n AS DOUBLE) / c.n_tok))",
+                 6)} AS lift
+       |FROM nxy
+       |JOIN nx xa ON nxy.a = xa.tok
+       |JOIN nx xb ON nxy.b = xb.tok
+       |CROSS JOIN consts c
+       |ORDER BY lift DESC, token_a, token_b
+       |LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "bm25_topk" -> bm25TopK,
+    "collocations" -> collocations,
     "feature_hash" -> featureHash,
     "hybrid_rrf" -> hybridRrf,
     "boilerplate_ngrams" -> boilerplateNgrams,
@@ -947,6 +1016,7 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "bm25_topk" -> bm25TopKSql,
+    "collocations" -> collocationsSql,
     "feature_hash" -> featureHashSql,
     "hybrid_rrf" -> hybridRrfSql,
     "boilerplate_ngrams" -> boilerplateNgramsSql,
