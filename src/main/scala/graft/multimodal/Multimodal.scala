@@ -65,6 +65,82 @@ object Multimodal {
     }
   }
 
+  final case class MediaHash(media_id: Long, phash: Long)
+
+  /** STUB perceptual hash: a 32-bit simhash over the payload's byte
+    * 4-grams — each 4-gram hashes to 32 bits (first four md5 bytes, the
+    * same digest-prefix contract as PortableHash so the oracle reproduces
+    * it), and phash bit b is the majority vote of gram bit b. Byte-n-gram
+    * simhash is a REAL binary-similarity fingerprint (binary diffing /
+    * malware clustering); for images a codec pHash (DCT of a downscaled
+    * grayscale) drops in with the same signature, and everything
+    * downstream — blocking, Hamming confirm — stays identical. Payloads
+    * under 4 bytes hash to 0.
+    */
+  def phashStub(media: DataFrame): Dataset[MediaHash] = {
+    implicit val enc = Encoders.product[MediaHash]
+    implicit val inEnc = Encoders.product[MediaRow]
+    media.as[MediaRow].mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val n = r.payload.length
+        val votes = new Array[Int](32)
+        var grams = 0
+        var i = 0
+        while (i + 4 <= n) {
+          md.reset()
+          val d = md.digest(java.util.Arrays.copyOfRange(r.payload, i, i + 4))
+          val g = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          var b = 0
+          while (b < 32) {
+            if (((g >> b) & 1L) == 1L) votes(b) += 1
+            b += 1
+          }
+          grams += 1
+          i += 1
+        }
+        var h = 0L
+        var b = 0
+        while (b < 32) {
+          if (2 * votes(b) > grams) h |= 1L << b
+          b += 1
+        }
+        MediaHash(r.media_id, h)
+      }
+    }
+  }
+
+  /** Near-duplicate media pairs: two-band blocking over the phash (low and
+    * high 16 bits — pairs only form inside a band bucket, never
+    * all-pairs), confirmed by full 32-bit Hamming distance ≤ `maxHamming`.
+    * Banding guarantees recall only for pairs whose diffs fall entirely in
+    * one half; more bands / Hamming multi-probe is the recall upgrade,
+    * exactly as on the text simhash side. At 100 TB each band join is one
+    * hash shuffle on the band value, and the pair space is bounded by
+    * bucket occupancy.
+    */
+  def phashPairs(hashes: Dataset[MediaHash], maxHamming: Int): DataFrame = {
+    val h = hashes.toDF()
+    def side(p: String) = h.select(col("media_id").as(s"media_id_$p"),
+      col("phash").as(s"ph_$p"),
+      (col("phash") % lit(65536L)).as("blk_lo"),
+      expr("phash DIV 65536").as("blk_hi"))
+    val a = side("a")
+    val b = side("b")
+    // two equi-joins + union, NOT one OR-join (an OR disjunction would
+    // plan as a nested-loop cross product; per-band equi-joins stay hash)
+    val lo = a.drop("blk_hi").join(b.drop("blk_hi"), Seq("blk_lo"))
+    val hi = a.drop("blk_lo").join(b.drop("blk_lo"), Seq("blk_hi"))
+    lo.select(col("media_id_a"), col("ph_a"), col("media_id_b"), col("ph_b"))
+      .union(hi.select(col("media_id_a"), col("ph_a"), col("media_id_b"), col("ph_b")))
+      .filter(col("media_id_a") < col("media_id_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ph_a ^ ph_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("media_id_a"), col("media_id_b"), col("hamming"))
+  }
+
   /** Frame sampling for video rows: one output row per sampled frame offset
     * (explode over a generated sequence — the distributed shape of
     * frame-extraction jobs; the pixel decode itself is the stub above).

@@ -83,12 +83,58 @@ object MediaQueries {
        |FROM decoded WHERE kind = 'video'
        |ORDER BY media_id, frame_offset_ms""".stripMargin
 
+  /** Media near-dup pairs via the stub perceptual hash (byte-4-gram
+    * simhash, Multimodal.phashStub): two-band 16-bit blocking, full 32-bit
+    * Hamming ≤ 3 confirm — the image-dedup pipeline shape with the codec
+    * stubbed and the blocking/Hamming machinery real. The stub hashes the
+    * payload BYTES; the ASCII corpus makes that SQL-expressible
+    * (byte 4-gram == substr(text, i, 4), gram hash == first 8 md5 hex
+    * digits — the PortableHash digest-prefix contract).
+    */
+  val mediaPhashPairs: Q = (s, dir) =>
+    Multimodal.phashPairs(
+        Multimodal.phashStub(Multimodal.fromDocuments(Tables.documents(s, dir))),
+        maxHamming = 3)
+      .orderBy(col("media_id_a"), col("media_id_b"))
+
+  val mediaPhashPairsSql: String = {
+    // outer lambda variable MUST NOT be `i` — hash32Sql's inner
+    // list_transform binds `i` and would shadow the gram position
+    val gramHash = graft.functions.PortableHash.hash32Sql("substr(d.text, CAST(gp AS INTEGER), 4)")
+    s"""WITH hs AS (
+       |  SELECT doc_id AS media_id,
+       |         list_transform(range(1, octet_length(encode(text)) - 2),
+       |           gp -> ($gramHash)) AS grams
+       |  FROM documents d
+       |  WHERE octet_length(encode(text)) >= 4),
+       |ph AS (
+       |  SELECT media_id, CAST(list_sum(list_transform(range(0, 32),
+       |           b -> CASE WHEN 2 * len(list_filter(grams,
+       |                       g -> (g >> CAST(b AS INTEGER)) % 2 = 1)) > len(grams)
+       |                THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+       |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+       |  FROM hs
+       |  UNION ALL
+       |  SELECT doc_id AS media_id, CAST(0 AS BIGINT) AS phash
+       |  FROM documents WHERE octet_length(encode(text)) < 4)
+       |SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+       |       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+       |FROM ph a JOIN ph b
+       |  ON a.media_id < b.media_id
+       | AND (a.phash % 65536 = b.phash % 65536
+       |      OR a.phash // 65536 = b.phash // 65536)
+       |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+       |ORDER BY media_id_a, media_id_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "media_phash_pairs" -> mediaPhashPairs,
     "media_meta" -> mediaMeta,
     "media_decode_stub" -> mediaDecode,
     "media_frame_sample" -> mediaFrames)
 
   val oracleSql: Map[String, String] = Map(
+    "media_phash_pairs" -> mediaPhashPairsSql,
     "media_meta" -> mediaMetaSql,
     "media_decode_stub" -> mediaDecodeSql,
     "media_frame_sample" -> mediaFramesSql)
