@@ -92,9 +92,12 @@ object Components {
     *  - small-star: every node links its smaller-or-equal neighbors (and
     *    itself) to that minimum — stars tighten.
     * The alternation provably converges to one star per component centered
-    * at the component minimum; the loop stops when a round leaves the edge
-    * set unchanged. Same per-round shape as min-propagation (one groupBy
-    * + one join over |E|), so the swap is purely a round-count trade.
+    * at the component minimum; the loop stops as soon as the round output
+    * IS a star forest with centers below children (checked directly —
+    * star forests are exactly the alternation's fixpoints, so the property
+    * test stops one round earlier than waiting for the edge set to
+    * repeat). Same per-round shape as min-propagation (one groupBy + one
+    * join over |E|), so the swap is purely a round-count trade.
     */
   def connectedComponentsStar(vertices: DataFrame, edges: DataFrame): DataFrame =
     connectedComponentsStarCounted(vertices, edges)._1

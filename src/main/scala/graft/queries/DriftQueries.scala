@@ -38,14 +38,21 @@ object DriftQueries {
   val valueOutliers: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("event_type"), col("value"))
+    // ANSI guards (default ANSI mode throws on double division by zero):
+    // a single-row type has no sample variance (n-1 = 0), a constant type
+    // has std = 0 and no outliers by definition, and float cancellation
+    // can push the variance numerator a hair negative (DuckDB sqrt errors
+    // on negatives) — clamp at 0 and gate every division.
     val stats = ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sumDec(col("value")).cast("double").as("sx"),
         sumDec(col("value") * col("value")).cast("double").as("sxx"))
+      .filter(col("n") > 1L)
       .withColumn("mean", col("sx") / col("n").cast("double"))
-      .withColumn("std", sqrt(
+      .withColumn("std", sqrt(greatest(
         (col("sxx") - col("n").cast("double") * col("mean") * col("mean"))
-          / (col("n").cast("double") - lit(1.0))))
+          / (col("n").cast("double") - lit(1.0)), lit(0.0))))
+      .filter(col("std") > lit(0.0))
     ev.join(broadcast(stats), "event_type")
       .withColumn("z", (col("value") - col("mean")) / col("std"))
       .filter(abs(col("z")) > lit(3.0))
@@ -59,15 +66,18 @@ object DriftQueries {
        |  SELECT event_type, count(*) AS n,
        |         CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS sx,
        |         CAST(sum(CAST(value * value AS DECIMAL(30,10))) AS DOUBLE) AS sxx
-       |  FROM events GROUP BY 1),
+       |  FROM events GROUP BY 1
+       |  HAVING count(*) > 1),
        |ms AS (
        |  SELECT event_type, n, sx / CAST(n AS DOUBLE) AS mean,
-       |         sqrt((sxx - CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)))
-       |              / (CAST(n AS DOUBLE) - 1.0)) AS std
-       |  FROM stats)
+       |         sqrt(greatest(
+       |           (sxx - CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)))
+       |              / (CAST(n AS DOUBLE) - 1.0), 0.0)) AS std
+       |  FROM stats),
+       |msp AS (SELECT * FROM ms WHERE std > 0.0)
        |SELECT e.event_id, e.event_type, e.value,
        |       ${graft.Parity.proundSql("(e.value - m.mean) / m.std", 6)} AS z
-       |FROM events e JOIN ms m USING (event_type)
+       |FROM events e JOIN msp m USING (event_type)
        |WHERE abs((e.value - m.mean) / m.std) > 3.0
        |ORDER BY e.event_id""".stripMargin
 
@@ -97,17 +107,24 @@ object DriftQueries {
         coalesce(col("b_n"), lit(0L)).as("b_n"))
     val totals = joined.groupBy(col("event_type"))
       .agg(sum(col("a_n")).as("na"), sum(col("b_n")).as("nb"))
+    // ANSI guard: a type present in only ONE of the two days has a zero
+    // total on the other side — exactly the drift a monitor must surface.
+    // Disjoint support is maximal drift by definition (TVD = 1), so emit
+    // that directly instead of letting 0/0 throw under default ANSI mode.
     joined.join(broadcast(totals), "event_type")
-      .withColumn("d", abs(
+      .withColumn("d", when(col("na") > 0L && col("nb") > 0L, abs(
         col("a_n").cast("double") / col("na").cast("double")
           - col("b_n").cast("double") / col("nb").cast("double")))
+        .otherwise(lit(0.0)))
       .groupBy(col("event_type"))
       .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
         sort_array(collect_list(struct(col("bin"), col("d")))).as("ds"))
       .select(col("event_type"), col("n_a"), col("n_b"),
-        graft.Parity.pround(
-          lit(0.5) * expr("aggregate(ds, CAST(0 AS DOUBLE), (acc, x) -> acc + x.d)"),
-          6).as("tvd"))
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          graft.Parity.pround(
+            lit(0.5) * expr("aggregate(ds, CAST(0 AS DOUBLE), (acc, x) -> acc + x.d)"),
+            6))
+          .otherwise(lit(1.0)).as("tvd"))
       .orderBy(col("event_type"))
   }
 
@@ -130,14 +147,18 @@ object DriftQueries {
        |  FROM j GROUP BY 1),
        |d AS (
        |  SELECT j.event_type, j.bin,
-       |         abs(CAST(j.a_n AS DOUBLE) / CAST(t.na AS DOUBLE)
-       |             - CAST(j.b_n AS DOUBLE) / CAST(t.nb AS DOUBLE)) AS d
+       |         CASE WHEN t.na > 0 AND t.nb > 0
+       |              THEN abs(CAST(j.a_n AS DOUBLE) / CAST(t.na AS DOUBLE)
+       |                       - CAST(j.b_n AS DOUBLE) / CAST(t.nb AS DOUBLE))
+       |              ELSE 0.0 END AS d
        |  FROM j JOIN t USING (event_type))
        |SELECT event_type,
        |       CAST(max(na_) AS BIGINT) AS n_a, CAST(max(nb_) AS BIGINT) AS n_b,
-       |       ${graft.Parity.proundSql(
-                 "0.5 * list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d ORDER BY bin)), (acc, x) -> acc + x)",
-                 6)} AS tvd
+       |       CASE WHEN max(na_) > 0 AND max(nb_) > 0
+       |            THEN ${graft.Parity.proundSql(
+                      "0.5 * list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d ORDER BY bin)), (acc, x) -> acc + x)",
+                      6)}
+       |            ELSE 1.0 END AS tvd
        |FROM (SELECT d.event_type, d.bin, d.d, t.na AS na_, t.nb AS nb_
        |      FROM d JOIN t USING (event_type))
        |GROUP BY event_type

@@ -261,10 +261,13 @@ object RelationalQueries {
         df.agg(count(lit(1)).as("n_users")).select(lit(name).as("step"), col("n_users"))
       }.reduce(_.unionAll(_))
     val w = Window.orderBy(col("step"))
+    // ANSI guard: an empty previous step must yield rate 0, not 0/0
+    // (default ANSI mode throws on double division by zero)
+    val prev = coalesce(lag(col("n_users"), 1).over(w), col("n_users")).cast("double")
     counts
       .withColumn("conv_rate", graft.Parity.pround(
-        col("n_users").cast("double")
-          / coalesce(lag(col("n_users"), 1).over(w), col("n_users")).cast("double"),
+        when(prev > lit(0.0), col("n_users").cast("double") / prev)
+          .otherwise(lit(0.0)),
         6))
       .orderBy(col("step"))
   }
@@ -288,7 +291,9 @@ object RelationalQueries {
        |  SELECT '3_purchase', count(*) FROM u3)
        |SELECT step, n_users,
        |       ${graft.Parity.proundSql(
-                 "CAST(n_users AS DOUBLE) / CAST(coalesce(lag(n_users) OVER (ORDER BY step), n_users) AS DOUBLE)",
+                 "CASE WHEN CAST(coalesce(lag(n_users) OVER (ORDER BY step), n_users) AS DOUBLE) > 0.0 " +
+                   "THEN CAST(n_users AS DOUBLE) / CAST(coalesce(lag(n_users) OVER (ORDER BY step), n_users) AS DOUBLE) " +
+                   "ELSE 0.0 END",
                  6)} AS conv_rate
        |FROM steps ORDER BY step""".stripMargin
 
@@ -766,8 +771,8 @@ object RelationalQueries {
     * iterative whole-graph operator curation stacks run for authority
     * weighting (OPIC-style seed ranking over a link graph). The graph is
     * bipartite and undirected (each distinct customer–supplier pair from
-    * orders⋈lineitem contributes both directions; supplier ids offset to
-    * their own id space), so every vertex has out-degree ≥ 1 and the
+    * orders⋈lineitem contributes both directions; supplier ids NEGATED so
+    * the two key spaces cannot collide at any scale factor), so every vertex has out-degree ≥ 1 and the
     * damped update needs no dangling-mass term:
     * `r'(v) = 0.15 + 0.85 · Σ_{u→v} r(u)/outdeg(u)`, five rounds from
     * r₀ = 1.
@@ -794,7 +799,7 @@ object RelationalQueries {
     val base = lit(3.0 / 20.0)
     val pairs = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), (col("l_suppkey") + lit(10000000L)).as("p"))
+      .select(col("o_custkey").as("c"), (-col("l_suppkey")).as("p"))
       .distinct()
     val eo = graft.Scratch.table({
       val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
@@ -815,7 +820,7 @@ object RelationalQueries {
             .as("rank"))
     }
     ranks.select(col("v"),
-        when(col("v") >= 10000000L, lit("supplier")).otherwise(lit("customer"))
+        when(col("v") < 0L, lit("supplier")).otherwise(lit("customer"))
           .as("node_type"),
         graft.Parity.pround(col("rank"), 6).as("rank"))
       .orderBy(col("v"))
@@ -832,7 +837,7 @@ object RelationalQueries {
          |FROM eo JOIN $prev r ON eo.src = r.v
          |GROUP BY eo.dst""".stripMargin
     s"""WITH pairs AS (
-       |  SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS p
+       |  SELECT DISTINCT o_custkey AS c, -l_suppkey AS p
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
        |edges AS (
        |  SELECT c AS src, p AS dst FROM pairs
@@ -847,7 +852,7 @@ object RelationalQueries {
        |r4 AS (${fold("r3")}),
        |r5 AS (${fold("r4")})
        |SELECT v,
-       |       CASE WHEN v >= 10000000 THEN 'supplier' ELSE 'customer' END AS node_type,
+       |       CASE WHEN v < 0 THEN 'supplier' ELSE 'customer' END AS node_type,
        |       ${graft.Parity.proundSql("rank", 6)} AS rank
        |FROM r5 ORDER BY v""".stripMargin
   }

@@ -25,12 +25,12 @@ object SimilarityQueries {
     * aggregate; 0.0 + x == x exactly so list_reduce over the transformed
     * products matches).
     */
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |  list_transform(range(1, len($a) + 1),
        |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)""".stripMargin
 
-  private def cosineSql(a: String, b: String): String =
+  private[queries] def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
   val embeddingNorms: Q = (s, dir) =>

@@ -848,19 +848,6 @@ object TextQueries {
       .orderBy(col("rrf_score").desc, col("doc_id"))
   }
 
-  /** DuckDB cosine of a row embedding vs the broadcast query embedding —
-    * the same sequential left-fold dot product the similarity oracles use
-    * (0.0-seeded so the fold is exact); local twin of SimilarityQueries'
-    * private helper.
-    */
-  private def cosVsQuerySql(a: String, b: String): String = {
-    def dot(x: String, y: String): String =
-      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |  list_transform(range(1, len($x) + 1),
-         |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))), (u, v) -> u + v)""".stripMargin
-    s"(${dot(a, b)}) / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
-  }
-
   val hybridRrfSql: String =
     s"""WITH $bm25PerDocCtesSql,
        |lex AS (
@@ -868,7 +855,7 @@ object TextQueries {
        |  FROM (SELECT doc_id, score FROM perdoc ORDER BY score DESC, doc_id LIMIT 20)),
        |sem0 AS (
        |  SELECT e.vec_id,
-       |         floor((${cosVsQuerySql("e.embedding", "q.qe")}) * 1e6 + 0.5) / 1e6 AS cos_sim
+       |         floor((${SimilarityQueries.cosineSql("e.embedding", "q.qe")}) * 1e6 + 0.5) / 1e6 AS cos_sim
        |  FROM embeddings e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
        |  WHERE e.vec_id <> 0),
        |sem AS (
