@@ -235,6 +235,51 @@ object RelationalQueries {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Day-partition MERGE of the histogram-quantile sketch — the
+    * `hll_merge_days` twin for quantiles: per-day (type, bin) histograms
+    * merge by integer addition into exactly the whole-range histogram, so
+    * quantile read-outs off merged counts equal the direct ones BIN-EXACT
+    * (asserted in the `merge_exact` column). This is what makes the
+    * sketch a valid per-partition/per-day artifact at 100 TB: build small
+    * histograms near the data, store them, answer any date range by
+    * integer summation — no re-scan. The value is floored BEFORE the long
+    * cast on both engines (Spark's double→long cast truncates while
+    * DuckDB's rounds, so an explicit floor is the only portable binning).
+    */
+  val histMergeDays: Q = (s, dir) => {
+    import graft.relational.Sketches
+    val binW = 5L
+    val qs = Seq(0.5, 0.9, 0.99)
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value")).as("v"))
+    val direct = Sketches.histQuantiles(
+      Sketches.histCounts(ev, Seq("event_type"), col("v"), binW),
+      Seq("event_type"), binW, qs)
+    val mergedCounts = Sketches
+      .histCounts(ev, Seq("event_type", "day"), col("v"), binW)
+      .groupBy(col("event_type"), col("bin")).agg(sum(col("n")).as("n"))
+    val merged = Sketches.histQuantiles(mergedCounts, Seq("event_type"), binW, qs)
+      .select(col("event_type"), col("p50_ub").as("m50"),
+        col("p90_ub").as("m90"), col("p99_ub").as("m99"))
+    direct.join(merged, "event_type")
+      .select(col("event_type"), col("n_rows"),
+        col("p50_ub"), col("p90_ub"), col("p99_ub"),
+        (col("p50_ub") === col("m50") && col("p90_ub") === col("m90") &&
+          col("p99_ub") === col("m99")).cast("long").as("merge_exact"))
+      .orderBy(col("event_type"))
+  }
+
+  val histMergeDaysSql: String = {
+    import graft.relational.Sketches
+    s"""WITH ev AS (
+       |  SELECT event_type, floor(value) AS v FROM events),
+       |${Sketches.histQuantilesSql("ev", Seq("event_type"), "v", 5L, Seq(0.5, 0.9, 0.99))}
+       |SELECT event_type, n_rows, p50_ub, p90_ub, p99_ub,
+       |       CAST(1 AS BIGINT) AS merge_exact
+       |FROM hq ORDER BY event_type""".stripMargin
+  }
+
   /** Sequential conversion funnel view → click → purchase: a user counts
     * for step k only with a step-k event strictly AFTER their step-(k−1)
     * entry time — the time-ordered semantics that separates a funnel from
@@ -881,6 +926,7 @@ object RelationalQueries {
     "snapshot_diff" -> snapshotDiff,
     "incremental_mv" -> incrementalMv,
     "funnel_steps" -> funnelSteps,
+    "hist_merge_days" -> histMergeDays,
     "retention_cohorts" -> retentionCohorts,
     "events_kpi" -> eventsKpi)
 
@@ -908,6 +954,7 @@ object RelationalQueries {
     "snapshot_diff" -> snapshotDiffSql,
     "incremental_mv" -> incrementalMvSql,
     "funnel_steps" -> funnelStepsSql,
+    "hist_merge_days" -> histMergeDaysSql,
     "retention_cohorts" -> retentionCohortsSql,
     "events_kpi" -> eventsKpiSql)
 }
