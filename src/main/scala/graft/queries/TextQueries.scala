@@ -978,8 +978,101 @@ object TextQueries {
        |ORDER BY lift DESC, token_a, token_b
        |LIMIT 20""".stripMargin
 
+  /** BPE tokenizer training, five merge rounds — the vocabulary-learning
+    * step of every LLM data pipeline, as a distributed computation: words
+    * (with corpus frequency) start as space-separated character sequences;
+    * each round counts ADJACENT symbol pairs corpus-wide (one explode +
+    * one map-side-combined aggregate, weighted by word frequency), adopts
+    * the most frequent pair as a merge (ties broken lexicographically),
+    * and rewrites every word with the merged symbol. Output is the learned
+    * merge table (round, pair, support) — the artifact a tokenizer ships.
+    *
+    * The per-round argmax is a 1-row bounded collect (the watermark
+    * pattern); the rewrite is a per-row string replace whose left-to-right
+    * non-overlapping semantics agree between Spark and DuckDB (probed:
+    * ' l l l ' → ' ll l ' in both). Symbols are [a-z0-9] by
+    * normalization, so pattern literals need no escaping.
+    *
+    * Scale shape per round: one scan of the (scratch-materialized) word
+    * relation + one pair-count shuffle; the working set is the DISTINCT
+    * word list with frequencies — orders of magnitude smaller than the
+    * corpus, which is exactly how production BPE trainers run. Five
+    * rounds = five such passes; the real trainer's thousands of rounds
+    * change the constant, not the shape.
+    */
+  val bpeTrain: Q = (s, dir) => {
+    val rounds = 5
+    val words = graft.Scratch.table(
+      Tables.documents(s, dir)
+        .select(explode(TextAnalysis.words(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("freq")), "bpe-words")
+    var sym = words.select(concat_ws(" ", split(col("word"), "")).as("s"), col("freq"))
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val best = sym
+        .select(col("freq"), split(col("s"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS a, w[i + 1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).head()
+      val (a, b) = (best.getAs[String]("a"), best.getAs[String]("b"))
+      merges += ((r.toLong, a, b, best.getAs[Long]("n")))
+      sym = sym.select(
+        trim(expr(s"replace(concat(' ', s, ' '), ' $a $b ', ' $a$b ')")).as("s"),
+        col("freq"))
+    }
+    import s.implicits._
+    merges.result().toDF("merge_round", "a", "b", "n")
+      .orderBy(col("merge_round"))
+  }
+
+  val bpeTrainSql: String = {
+    def pairCte(prev: String, name: String): String =
+      s"""$name AS (
+         |  SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS n FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(ws)),
+         |      i -> {'a': ws[CAST(i AS INTEGER)], 'b': ws[CAST(i AS INTEGER) + 1]})) AS p
+         |    FROM (SELECT string_split(s, ' ') AS ws, freq FROM $prev) x
+         |    WHERE len(ws) >= 2)
+         |  GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1)""".stripMargin
+    def mergeCte(prev: String, pair: String, name: String): String =
+      s"""$name AS (
+         |  SELECT trim(replace(' ' || s || ' ',
+         |           ' ' || (SELECT a FROM $pair) || ' ' || (SELECT b FROM $pair) || ' ',
+         |           ' ' || (SELECT a FROM $pair) || (SELECT b FROM $pair) || ' ')) AS s,
+         |         freq
+         |  FROM $prev)""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT word FROM (
+       |    SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+       |    FROM documents)
+       |  WHERE length(word) > 0),
+       |wf AS (SELECT word, count(*) AS freq FROM tok GROUP BY 1),
+       |s0 AS (SELECT array_to_string(string_split(word, ''), ' ') AS s, freq FROM wf),
+       |${pairCte("s0", "p1")},
+       |${mergeCte("s0", "p1", "s1")},
+       |${pairCte("s1", "p2")},
+       |${mergeCte("s1", "p2", "s2")},
+       |${pairCte("s2", "p3")},
+       |${mergeCte("s2", "p3", "s3")},
+       |${pairCte("s3", "p4")},
+       |${mergeCte("s3", "p4", "s4")},
+       |${pairCte("s4", "p5")}
+       |SELECT CAST(1 AS BIGINT) AS merge_round, a, b, n FROM p1
+       |UNION ALL SELECT CAST(2 AS BIGINT), a, b, n FROM p2
+       |UNION ALL SELECT CAST(3 AS BIGINT), a, b, n FROM p3
+       |UNION ALL SELECT CAST(4 AS BIGINT), a, b, n FROM p4
+       |UNION ALL SELECT CAST(5 AS BIGINT), a, b, n FROM p5
+       |ORDER BY merge_round""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "bm25_topk" -> bm25TopK,
+    "bpe_train" -> bpeTrain,
     "collocations" -> collocations,
     "feature_hash" -> featureHash,
     "hybrid_rrf" -> hybridRrf,
@@ -1003,6 +1096,7 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "bm25_topk" -> bm25TopKSql,
+    "bpe_train" -> bpeTrainSql,
     "collocations" -> collocationsSql,
     "feature_hash" -> featureHashSql,
     "hybrid_rrf" -> hybridRrfSql,
