@@ -106,7 +106,13 @@ object MediaQueries {
        |         list_transform(range(1, octet_length(encode(text)) - 2),
        |           gp -> ($gramHash)) AS grams
        |  FROM documents d
-       |  WHERE octet_length(encode(text)) >= 4),
+       |  -- byte grams are read with character substr, and gram positions
+       |  -- with octet_length: valid ONLY for pure-ASCII text. Assert the
+       |  -- invariant per row so a multi-byte fixture fails loudly instead
+       |  -- of silently desynchronizing positions (ADVICE r5).
+       |  WHERE CASE WHEN octet_length(encode(d.text)) = length(d.text) THEN TRUE
+       |             ELSE error('non-ASCII document breaks byte-gram phash oracle') END
+       |    AND octet_length(encode(text)) >= 4),
        |ph AS (
        |  SELECT media_id, CAST(list_sum(list_transform(range(0, 32),
        |           b -> CASE WHEN 2 * len(list_filter(grams,

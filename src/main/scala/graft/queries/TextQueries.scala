@@ -978,30 +978,47 @@ object TextQueries {
        |ORDER BY lift DESC, token_a, token_b
        |LIMIT 20""".stripMargin
 
-  /** BPE tokenizer training, five merge rounds — the vocabulary-learning
-    * step of every LLM data pipeline, as a distributed computation: words
-    * (with corpus frequency) start as space-separated character sequences;
-    * each round counts ADJACENT symbol pairs corpus-wide (one explode +
-    * one map-side-combined aggregate, weighted by word frequency), adopts
-    * the most frequent pair as a merge (ties broken lexicographically),
-    * and rewrites every word with the merged symbol. Output is the learned
-    * merge table (round, pair, support) — the artifact a tokenizer ships.
+  /** Canonical BPE pair-merge over one word's symbol sequence, as a pure
+    * fold: scan tokens left to right; when the running sequence ends in
+    * `a` and the next token is `b`, fuse them (consuming both — the fused
+    * symbol cannot re-match as a bare `a`), else append. This is exactly
+    * the non-overlapping left-to-right merge HF tokenizers / sentencepiece
+    * apply, including repeated-pair words ('a b a b' → 'ab ab',
+    * 'a a a a' with merge (a,a) → 'aa aa') where a single-pass string
+    * replace under-merges by consuming the shared delimiter (ADVICE r5).
+    * Symbols are [a-z0-9] by normalization, so literals need no escaping.
+    */
+  private[queries] def bpeMergeExpr(a: String, b: String): String =
+    s"""array_join(aggregate(split(s, ' '), cast(array() as array<string>),
+       |  (acc, t) -> IF(size(acc) > 0 AND element_at(acc, -1) = '$a' AND t = '$b',
+       |    concat(slice(acc, 1, size(acc) - 1), array('$a$b')),
+       |    concat(acc, array(t)))), ' ')""".stripMargin
+
+  /** BPE tokenizer training, `rounds` merge rounds — the vocabulary-
+    * learning step of every LLM data pipeline, as a distributed
+    * computation: words (with corpus frequency) start as space-separated
+    * character sequences; each round counts ADJACENT symbol pairs
+    * corpus-wide (one explode + one map-side-combined aggregate, weighted
+    * by word frequency), adopts the most frequent pair as a merge (ties
+    * broken lexicographically), and rewrites every word with the CANONICAL
+    * left-to-right fold ([[bpeMergeExpr]]). Output is the learned merge
+    * table (round, pair, support) — the artifact a tokenizer ships.
     *
     * The per-round argmax is a 1-row bounded collect (the watermark
-    * pattern); the rewrite is a per-row string replace whose left-to-right
-    * non-overlapping semantics agree between Spark and DuckDB (probed:
-    * ' l l l ' → ' ll l ' in both). Symbols are [a-z0-9] by
-    * normalization, so pattern literals need no escaping.
-    *
-    * Scale shape per round: one scan of the (scratch-materialized) word
-    * relation + one pair-count shuffle; the working set is the DISTINCT
-    * word list with frequencies — orders of magnitude smaller than the
-    * corpus, which is exactly how production BPE trainers run. Five
-    * rounds = five such passes; the real trainer's thousands of rounds
-    * change the constant, not the shape.
+    * pattern). Scale shape per round: one scan of the (scratch-
+    * materialized) word relation + one pair-count shuffle; the working set
+    * is the DISTINCT word list with frequencies — orders of magnitude
+    * smaller than the corpus, which is exactly how production BPE trainers
+    * run. Because every round's argmax is an action replaying the symbol
+    * relation's lineage, the rewritten relation is re-materialized to
+    * scratch every `rematEvery` rounds — per-round cost stays bounded by
+    * ≤ rematEvery fold applications over one parquet scan no matter how
+    * many total rounds run (a real trainer runs thousands), instead of
+    * round r re-paying all r rewrites. BpeScalingSpec pins the flat
+    * per-round plan at 20 rounds.
     */
-  val bpeTrain: Q = (s, dir) => {
-    val rounds = 5
+  def bpeTrainRounds(s: SparkSession, dir: String, rounds: Int,
+      rematEvery: Int = 5, onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
     val words = graft.Scratch.table(
       Tables.documents(s, dir)
         .select(explode(TextAnalysis.words(col("text"))).as("word"))
@@ -1010,6 +1027,7 @@ object TextQueries {
     var sym = words.select(concat_ws(" ", split(col("word"), "")).as("s"), col("freq"))
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     for (r <- 1 to rounds) {
+      val t0 = System.nanoTime()
       val best = sym
         .select(col("freq"), split(col("s"), " ").as("w"))
         .filter(size(col("w")) >= 2)
@@ -1021,18 +1039,40 @@ object TextQueries {
         .limit(1).head()
       val (a, b) = (best.getAs[String]("a"), best.getAs[String]("b"))
       merges += ((r.toLong, a, b, best.getAs[Long]("n")))
-      sym = sym.select(
-        trim(expr(s"replace(concat(' ', s, ' '), ' $a $b ', ' $a$b ')")).as("s"),
-        col("freq"))
+      sym = sym.select(expr(bpeMergeExpr(a, b)).as("s"), col("freq"))
+      if (r % rematEvery == 0 && r < rounds)
+        sym = graft.Scratch.table(sym, s"bpe-sym-r$r")
+      onRound(r, (System.nanoTime() - t0) / 1000000L)
     }
     import s.implicits._
     merges.result().toDF("merge_round", "a", "b", "n")
       .orderBy(col("merge_round"))
   }
 
-  val bpeTrainSql: String = {
+  val bpeTrain: Q = (s, dir) => bpeTrainRounds(s, dir, rounds = 5)
+
+  /** 20-round BPE training — the round-count-realism form: same algorithm,
+    * with the per-5-round scratch re-materialization actually exercised
+    * (3 remat points), oracle-checked against a 20-CTE DuckDB chain.
+    */
+  val bpeTrain20: Q = (s, dir) => bpeTrainRounds(s, dir, rounds = 20)
+
+  /** `rounds`-round DuckDB mirror of [[bpeTrainRounds]]: a generated
+    * pair-argmax / canonical-fold CTE chain. The merge CTE is the same
+    * left-to-right fold as [[bpeMergeExpr]] — `list_reduce` over singleton
+    * token lists (first element seeds the accumulator), fusing when the
+    * accumulated tail is `a` and the next token is `b`. DuckDB lambdas
+    * cannot contain subqueries, so the chosen pair arrives via a 1-row
+    * CROSS JOIN and is referenced as correlated columns. Every chain CTE
+    * is MATERIALIZED: DuckDB inlines CTEs by default, and with each round
+    * referencing the previous one twice (pair count + rewrite) inlining
+    * expands the chain to 2^rounds scans — materialization keeps the
+    * oracle linear in rounds, the same contract as the Spark side's
+    * Scratch re-materialization.
+    */
+  private def bpeTrainSqlRounds(rounds: Int): String = {
     def pairCte(prev: String, name: String): String =
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
          |  SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS n FROM (
          |    SELECT freq, unnest(list_transform(range(1, len(ws)),
          |      i -> {'a': ws[CAST(i AS INTEGER)], 'b': ws[CAST(i AS INTEGER) + 1]})) AS p
@@ -1040,39 +1080,43 @@ object TextQueries {
          |    WHERE len(ws) >= 2)
          |  GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1)""".stripMargin
     def mergeCte(prev: String, pair: String, name: String): String =
-      s"""$name AS (
-         |  SELECT trim(replace(' ' || s || ' ',
-         |           ' ' || (SELECT a FROM $pair) || ' ' || (SELECT b FROM $pair) || ' ',
-         |           ' ' || (SELECT a FROM $pair) || (SELECT b FROM $pair) || ' ')) AS s,
-         |         freq
-         |  FROM $prev)""".stripMargin
+      s"""$name AS MATERIALIZED (
+         |  SELECT array_to_string(
+         |           list_reduce(
+         |             list_transform(string_split(t.s, ' '), tk -> [tk]),
+         |             (acc, nx) -> CASE WHEN len(acc) > 0 AND acc[-1] = pr.a AND nx[1] = pr.b
+         |                               THEN list_append(acc[:len(acc) - 1], pr.a || pr.b)
+         |                               ELSE list_append(acc, nx[1]) END),
+         |           ' ') AS s,
+         |         t.freq
+         |  FROM $prev t CROSS JOIN $pair pr)""".stripMargin
+    val chain = (1 to rounds).map { r =>
+      pairCte(s"s${r - 1}", s"p$r") +
+        (if (r < rounds) ",\n" + mergeCte(s"s${r - 1}", s"p$r", s"s$r") else "")
+    }.mkString(",\n")
+    val union = (1 to rounds).map { r =>
+      if (r == 1) s"SELECT CAST(1 AS BIGINT) AS merge_round, a, b, n FROM p1"
+      else s"UNION ALL SELECT CAST($r AS BIGINT), a, b, n FROM p$r"
+    }.mkString("\n")
     s"""WITH tok AS (
        |  SELECT word FROM (
        |    SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
        |    FROM documents)
        |  WHERE length(word) > 0),
        |wf AS (SELECT word, count(*) AS freq FROM tok GROUP BY 1),
-       |s0 AS (SELECT array_to_string(string_split(word, ''), ' ') AS s, freq FROM wf),
-       |${pairCte("s0", "p1")},
-       |${mergeCte("s0", "p1", "s1")},
-       |${pairCte("s1", "p2")},
-       |${mergeCte("s1", "p2", "s2")},
-       |${pairCte("s2", "p3")},
-       |${mergeCte("s2", "p3", "s3")},
-       |${pairCte("s3", "p4")},
-       |${mergeCte("s3", "p4", "s4")},
-       |${pairCte("s4", "p5")}
-       |SELECT CAST(1 AS BIGINT) AS merge_round, a, b, n FROM p1
-       |UNION ALL SELECT CAST(2 AS BIGINT), a, b, n FROM p2
-       |UNION ALL SELECT CAST(3 AS BIGINT), a, b, n FROM p3
-       |UNION ALL SELECT CAST(4 AS BIGINT), a, b, n FROM p4
-       |UNION ALL SELECT CAST(5 AS BIGINT), a, b, n FROM p5
+       |s0 AS MATERIALIZED (SELECT array_to_string(string_split(word, ''), ' ') AS s, freq FROM wf),
+       |$chain
+       |$union
        |ORDER BY merge_round""".stripMargin
   }
+
+  val bpeTrainSql: String = bpeTrainSqlRounds(5)
+  val bpeTrain20Sql: String = bpeTrainSqlRounds(20)
 
   val queries: Map[String, Q] = Map(
     "bm25_topk" -> bm25TopK,
     "bpe_train" -> bpeTrain,
+    "bpe_train20" -> bpeTrain20,
     "collocations" -> collocations,
     "feature_hash" -> featureHash,
     "hybrid_rrf" -> hybridRrf,
@@ -1097,6 +1141,7 @@ object TextQueries {
   val oracleSql: Map[String, String] = Map(
     "bm25_topk" -> bm25TopKSql,
     "bpe_train" -> bpeTrainSql,
+    "bpe_train20" -> bpeTrain20Sql,
     "collocations" -> collocationsSql,
     "feature_hash" -> featureHashSql,
     "hybrid_rrf" -> hybridRrfSql,

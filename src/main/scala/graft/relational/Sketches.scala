@@ -225,14 +225,19 @@ object Sketches {
     * histograms merge by summing counts per (group, bin) — per-day/partition
     * histograms serve any date range, exactly like the HLL registers above.
     *
-    * Bin assignment is pure integer division — zero float ops, so
+    * Bin assignment is pure integer FLOOR division — zero float ops, so
     * mergeability and cross-engine parity are exact by construction.
+    * Truncating division (Spark DIV / DuckDB //) would collapse the two
+    * bins around zero into one on negative domains and shift every
+    * negative bin edge, breaking the "over-reports by at most binWidth"
+    * quantile contract (ADVICE r5); `(v - pmod(v, w)) DIV w` floors
+    * exactly in integers for any sign, since pmod is non-negative.
     */
   def histCounts(df: DataFrame, groupCols: Seq[String], value: Column,
       binWidth: Long): DataFrame =
     df.withColumn("__v", value.cast("long"))
       .groupBy(groupCols.map(col) :+
-        expr(s"__v DIV ${binWidth}L").as("bin"): _*)
+        expr(s"(__v - pmod(__v, ${binWidth}L)) DIV ${binWidth}L").as("bin"): _*)
       .agg(count(lit(1)).as("n"))
 
   /** Merge partial histograms (same groupCols/binWidth): sum counts per
@@ -279,7 +284,12 @@ object Sketches {
          |           THEN (bin + 1) * $binWidth END) AS BIGINT) AS p${(q * 100).round}_ub""".stripMargin
     }.mkString(",\n       ")
     s"""hist AS (
-       |  SELECT $g, CAST($valueExpr AS BIGINT) // $binWidth AS bin,
+       |  -- floor division via the non-negative remainder, sign-safe like
+       |  -- the Spark side's (v - pmod(v, w)) DIV w
+       |  SELECT $g,
+       |         (CAST($valueExpr AS BIGINT)
+       |            - ((CAST($valueExpr AS BIGINT) % $binWidth + $binWidth) % $binWidth))
+       |           // $binWidth AS bin,
        |         count(*) AS n
        |  FROM $rel GROUP BY ALL),
        |hcum AS (

@@ -148,6 +148,27 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("histogram quantile bound holds on negative domains (floor binning)") {
+    // truncating division (DIV / //) collapses the two bins around zero and
+    // shifts every negative bin edge; floor binning keeps the upper-bound
+    // contract valid for any sign (ADVICE r5)
+    import spark.implicits._
+    val binW = 16L
+    val vals = (0 until 2500).map(i => ((i * 104729) % 4093) - 2000)
+    val df = vals.map(("all", _)).toDF("g", "v")
+    val est = Sketches.histQuantiles(
+        Sketches.histCounts(df, Seq("g"), col("v"), binW), Seq("g"), binW,
+        Seq(0.5, 0.9, 0.99))
+      .collect().head
+    val sorted = vals.sorted
+    Seq(0.5 -> "p50_ub", 0.9 -> "p90_ub", 0.99 -> "p99_ub").foreach { case (q, c) =>
+      val trueV = sorted(math.ceil(q * sorted.length).toInt - 1)
+      val ub = est.getAs[Long](c)
+      assert(trueV < ub && ub <= trueV + binW,
+        s"$c: true=$trueV estimate=$ub binWidth=$binW")
+    }
+  }
+
   test("per-group registers never exceed m=64 rows into the final reduce") {
     import spark.implicits._
     val df = (0 until 2000).map(i => (s"g${i % 3}", s"k$i")).toDF("g", "k")
