@@ -130,6 +130,77 @@ object IncrementalStore {
     write(arranged, target)
   }
 
+  /** Coordinate of a z-order dimension as a double: timestamps map to epoch
+    * micros, every numeric type casts directly. Only the LAYOUT depends on
+    * this value, never a query result, so double arithmetic needs no
+    * cross-engine parity story (the oracle-checked integer form of the same
+    * math lives in the `zorder_layout` query).
+    */
+  private def zCoord(df: DataFrame, name: String): org.apache.spark.sql.Column =
+    df.schema(name).dataType match {
+      case _: org.apache.spark.sql.types.TimestampType => unix_micros(col(name)).cast("double")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(name).cast("timestamp")).cast("double")
+      case _ => col(name).cast("double")
+    }
+
+  /** Linear bucket of `c` into [0, 256) against scalar bounds (clamped so
+    * c == hi lands in the top bucket; a degenerate dimension collapses to 0).
+    */
+  private def zBucket(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
+    if (hi <= lo) lit(0L)
+    else least(lit(255L), floor((c - lit(lo)) * 256.0 / (hi - lo)).cast("long"))
+
+  /** Morton interleave of two 8-bit bucket columns → 16-bit z-value.
+    * Pure long bit arithmetic (shift + mask), whole-stage-codegen friendly.
+    */
+  private def zInterleave(bx: org.apache.spark.sql.Column,
+      by: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 8).map { i =>
+      shiftright(bx, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(by, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  /** Z-ORDER rewrite of the given day-partitions — the store's
+    * multi-dimensional clustering maintenance op (the OPTIMIZE ZORDER BY of
+    * Delta / Iceberg sort orders, and the reference's BigQuery `cluster_by`
+    * generalized to two dimensions): rewrite each day's files so every
+    * file's (dimX, dimY) bounding box is tight in BOTH dims at once, making
+    * file-level min/max statistics prune two-dimensional probe boxes that a
+    * single-dim sort cannot (sort by time and key pruning dies; sort by key
+    * and time pruning dies).
+    *
+    * Shape: one bounded 4-scalar collect for the dim bounds (the watermark
+    * pattern), each dim linearly bucketed to 8 bits, Morton-interleaved to a
+    * 16-bit z-value, then `repartitionByRange` on (day, z) +
+    * `sortWithinPartitions` — contiguous z-runs per file, so each file is a
+    * near-square tile of the (dimX, dimY) plane. Value-invisible by
+    * construction (a pure re-arrangement; proven by the `zorder_store`
+    * oracle row) and bounded by the touched days like compaction. At 100 TB
+    * this runs day-by-day behind ingest exactly like [[compactDays]];
+    * `filesPerDay` trades file count against tile size (pick by target file
+    * bytes in production).
+    */
+  def zorderDays(
+      spark: SparkSession, target: String, days: Seq[java.sql.Date],
+      dimX: String, dimY: String, filesPerDay: Int = 4): Unit = {
+    if (days.isEmpty) return
+    val pruned = readTable(spark, target)
+      .filter(col(PartitionCol).isin(days: _*))
+    val (cx, cy) = (zCoord(pruned, dimX), zCoord(pruned, dimY))
+    val r = pruned.agg(min(cx), max(cx), min(cy), max(cy)).head()
+    if (r.isNullAt(0)) return // no rows in the given days
+    val z = zInterleave(
+      zBucket(cx, r.getDouble(0), r.getDouble(1)),
+      zBucket(cy, r.getDouble(2), r.getDouble(3)))
+    val arranged = pruned
+      .withColumn("__z", z)
+      .repartitionByRange(days.size * filesPerDay, col(PartitionCol), col("__z"))
+      .sortWithinPartitions(col(PartitionCol), col("__z"))
+      .drop("__z")
+    write(arranged, target)
+  }
+
   /** MERGE upsert on `keyCols` bounded to the batch's day-partitions
     * (silver path: existing rows of touched days survive unless replaced by
     * a batch row with the same key).
