@@ -1,55 +1,98 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver testdata tables (`/root/testdata/sf*`).
   *
   * All readers are pure `(spark, sfDir) => DataFrame` and normalize types so
-  * downstream operators and the DuckDB oracle agree:
-  *  - `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot represent
-  *    (µs-native). We read it as a long (`spark.sql.legacy.parquet.nanosAsLong`)
-  *    and floor-divide to µs — identical to DuckDB's `CAST(ts AS TIMESTAMP)`
-  *    ns→µs truncation for positive epochs.
+  * downstream operators and the DuckDB oracle agree.
+  *
+  * ==The dual-schema contract for `events.ts`==
+  * The Bronze boundary is schema-on-read (the reference declares no columns
+  * for its raw source — `models/staging/src_forex.yml:4-8` — and defensively
+  * casts at the Silver boundary, `models/staging/stg_eurusd.sql:27-31`).
+  * Physical writers have shipped `ts` two ways, and this loader must accept
+  * both WITHOUT recompilation:
+  *
+  *  - parquet `TIMESTAMP(NANOS)`: Spark is µs-native and cannot represent it;
+  *    with `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a raw
+  *    epoch-ns `LongType` and we floor-divide to µs — identical to DuckDB's
+  *    `CAST(ts AS TIMESTAMP)` ns→µs truncation for positive epochs.
+  *  - parquet `TIMESTAMP(MICROS)` (adjusted-to-UTC or NTZ): arrives as
+  *    `TimestampType` / `TimestampNTZType` and passes through (NTZ wall-clock
+  *    is UTC by the data contract; every session pins
+  *    `spark.sql.session.timeZone=UTC`, so the NTZ→TZ cast is value-exact).
+  *
+  * Dispatch is on the OBSERVED `schema("ts").dataType` after the read — never
+  * on an assumed physical type — so the next writer-side schema drift degrades
+  * to an explicit error here instead of 60 downstream `AnalysisException`s.
   */
 object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events with `ts` converted ns→µs TimestampType. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    // Runtime-settable legacy conf; also set in Verify/Bench/test sessions.
+  /** Raw events read with the legacy-nanos conf set (harmless for µs files;
+    * required so NANOS files surface as LongType instead of erroring).
+    */
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
-  /** events restricted to one UTC day, with the range predicate applied to
-    * the RAW nanos long BEFORE the ns→µs conversion — a predicate on the
-    * converted column is a DataFilter evaluated after the read, but a plain
-    * long comparison on the stored column reaches parquet as a pushed
-    * filter and prunes row groups by their ts min/max stats. On a
-    * time-partitioned 100 TB events table this is the difference between
-    * scanning one day and scanning everything.
+  /** Normalize `ts` to session-UTC TimestampType per the dual-schema contract. */
+  private def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    case TimestampType    => df
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case other => throw new IllegalStateException(
+      s"events.ts has unsupported type $other; expected ns-long or µs timestamp")
+  }
+
+  /** Range predicate on the RAW `ts` column, typed to match its physical
+    * representation, applied BEFORE normalization: a predicate on the stored
+    * column reaches parquet as a pushed filter and prunes row groups by their
+    * min/max stats (long comparison for the ns-long layout, native timestamp
+    * stats for the µs layout), whereas a predicate on the converted column is
+    * a DataFilter evaluated after the read. On a time-partitioned 100 TB
+    * events table this is the difference between scanning one day and
+    * scanning everything.
+    */
+  private def rawTsPredicate(dt: DataType, lowerInclusive: Option[java.time.Instant],
+                             upperExclusive: Option[java.time.Instant]): Column = {
+    def bound(i: java.time.Instant): Any = dt match {
+      case LongType         => i.getEpochSecond * 1000000000L + i.getNano
+      case TimestampType    => java.sql.Timestamp.from(i)
+      case TimestampNTZType => java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+      case other => throw new IllegalStateException(s"unsupported events.ts type $other")
+    }
+    val lo = lowerInclusive.map(i => col("ts") >= lit(bound(i)))
+    val hi = upperExclusive.map(i => col("ts") < lit(bound(i)))
+    (lo ++ hi).reduce(_ && _)
+  }
+
+  /** events with `ts` normalized to TimestampType (µs, session-UTC). */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(eventsRaw(spark, dir))
+
+  /** events restricted to one UTC day — pushed-down raw-column predicate,
+    * see [[rawTsPredicate]].
     */
   def eventsDay(spark: SparkSession, dir: String, day: java.time.LocalDate): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val startNs = day.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000000L
-    val endNs = startNs + 86400L * 1000000000L
-    read(spark, dir, "events")
-      .filter(col("ts") >= startNs && col("ts") < endNs)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = eventsRaw(spark, dir)
+    val start = day.atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+    val end = day.plusDays(1).atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+    normalizeTs(raw.filter(rawTsPredicate(raw.schema("ts").dataType, Some(start), Some(end))))
   }
 
-  /** events strictly before a UTC day, raw-nanos predicate for pushdown —
+  /** events strictly before a UTC day — pushed-down raw-column predicate,
     * same rationale as [[eventsDay]].
     */
   def eventsBefore(spark: SparkSession, dir: String, day: java.time.LocalDate): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val startNs = day.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000000L
-    read(spark, dir, "events")
-      .filter(col("ts") < startNs)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = eventsRaw(spark, dir)
+    val start = day.atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+    normalizeTs(raw.filter(rawTsPredicate(raw.schema("ts").dataType, None, Some(start))))
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")

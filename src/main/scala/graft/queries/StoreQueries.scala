@@ -329,6 +329,40 @@ object StoreQueries {
         s" + ((($by) $div ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
     }.mkString(" + ")
 
+  /** End-to-end z-order maintenance on the STORE (the runnable op behind the
+    * `zorder_layout` model): build the silver store, then
+    * [[IncrementalStore.zorderDays]] rewrites every day's files clustered on
+    * (observed_at, close_price) Morton order. The rewrite is value-invisible
+    * by contract — a pure re-arrangement of bytes across files — so the
+    * oracle is simply the silver table itself (plus the derived partition
+    * date): any row lost, duplicated, or altered by the rewrite breaks the
+    * hash. The file-level 2-D pruning win is asserted in ZorderSpec (file
+    * min/max boxes vs a probe box), which needs `input_file_name`, not SQL.
+    */
+  val zorderStore: Q = (s, dir) => {
+    val silver = graft.Scratch.table(ForexPipeline.silverFrom(s, dir), "zorder-silver")
+    val target = s"${sys.props("java.io.tmpdir")}/graft_store/zorder_store"
+    val p = new org.apache.hadoop.fs.Path(target)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // idempotent scratch table
+    IncrementalStore.overwriteDayPartitions(silver, target, "observed_at")
+    // bounded day-list collect (the compaction pattern: days, never rows)
+    val days = IncrementalStore.readTable(s, target)
+      .select(col(IncrementalStore.PartitionCol)).distinct()
+      .collect().map(_.getDate(0)).sortBy(_.getTime).toSeq
+    IncrementalStore.zorderDays(s, target, days, "observed_at", "close_price")
+    IncrementalStore.readTable(s, target)
+      .select(col("observed_at"), col("open_price"), col("high_price"),
+        col("low_price"), col("close_price"), col("p_date"))
+      .orderBy(col("observed_at"))
+  }
+
+  val zorderStoreSql: String =
+    s"""WITH $silverSql
+       |SELECT observed_at, open_price, high_price, low_price, close_price,
+       |       CAST(observed_at AS DATE) AS p_date
+       |FROM silver ORDER BY observed_at""".stripMargin
+
   val zorderLayoutSql: String =
     s"""WITH o AS (
        |  SELECT o_custkey AS ck,
@@ -358,11 +392,13 @@ object StoreQueries {
     "merge_upsert_multisym" -> mergeUpsertMultisym,
     "scd2_snapshot" -> scd2Snapshot,
     "zorder_layout" -> zorderLayout,
+    "zorder_store" -> zorderStore,
     "bucketed_join" -> bucketedJoin)
   val oracleSql: Map[String, String] = Map(
     "merge_upsert" -> mergeUpsertSql,
     "merge_upsert_multisym" -> mergeUpsertMultisymSql,
     "scd2_snapshot" -> scd2SnapshotSql,
     "zorder_layout" -> zorderLayoutSql,
+    "zorder_store" -> zorderStoreSql,
     "bucketed_join" -> bucketedJoinSql)
 }

@@ -145,11 +145,15 @@ object IncrementalStore {
     }
 
   /** Linear bucket of `c` into [0, 256) against scalar bounds (clamped so
-    * c == hi lands in the top bucket; a degenerate dimension collapses to 0).
+    * c == hi lands in the top bucket; a degenerate dimension collapses to 0,
+    * and a NULL coordinate buckets to 0 the same way — `least` skips nulls,
+    * so without the coalesce a null row would silently land in bucket 255,
+    * asymmetric with the degenerate-dimension convention).
     */
   private def zBucket(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
     if (hi <= lo) lit(0L)
-    else least(lit(255L), floor((c - lit(lo)) * 256.0 / (hi - lo)).cast("long"))
+    else least(lit(255L),
+      coalesce(floor((c - lit(lo)) * 256.0 / (hi - lo)).cast("long"), lit(0L)))
 
   /** Morton interleave of two 8-bit bucket columns → 16-bit z-value.
     * Pure long bit arithmetic (shift + mask), whole-stage-codegen friendly.
@@ -188,11 +192,16 @@ object IncrementalStore {
     val pruned = readTable(spark, target)
       .filter(col(PartitionCol).isin(days: _*))
     val (cx, cy) = (zCoord(pruned, dimX), zCoord(pruned, dimY))
-    val r = pruned.agg(min(cx), max(cx), min(cy), max(cy)).head()
-    if (r.isNullAt(0)) return // no rows in the given days
-    val z = zInterleave(
-      zBucket(cx, r.getDouble(0), r.getDouble(1)),
-      zBucket(cy, r.getDouble(2), r.getDouble(3)))
+    val r = pruned.agg(count(lit(1)), min(cx), max(cx), min(cy), max(cy)).head()
+    if (r.getLong(0) == 0L) return // truly no rows in the given days
+    // an all-null dimension yields null bounds — treat it as degenerate
+    // (every row buckets to 0 via zBucket's hi<=lo path) and still rewrite,
+    // so the OTHER dimension's clustering is not silently skipped
+    def bounds(i: Int): (Double, Double) =
+      if (r.isNullAt(i)) (0.0, 0.0) else (r.getDouble(i), r.getDouble(i + 1))
+    val (xLo, xHi) = bounds(1)
+    val (yLo, yHi) = bounds(3)
+    val z = zInterleave(zBucket(cx, xLo, xHi), zBucket(cy, yLo, yHi))
     val arranged = pruned
       .withColumn("__z", z)
       .repartitionByRange(days.size * filesPerDay, col(PartitionCol), col("__z"))
