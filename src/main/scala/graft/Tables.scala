@@ -28,6 +28,14 @@ import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, Timesta
   * Dispatch is on the OBSERVED `schema("ts").dataType` after the read — never
   * on an assumed physical type — so the next writer-side schema drift degrades
   * to an explicit error here instead of 60 downstream `AnalysisException`s.
+  *
+  * Known limitation of the contract: a LongType `ts` is ASSUMED to be
+  * epoch-ns (the only INT64 layout any writer has shipped). A writer
+  * shipping un-annotated plain epoch-µs longs would be silently divided by
+  * 1000 — dispatch sees only the type, and a value-range heuristic cannot
+  * distinguish 1970s-era ns from 2020s-era µs reliably. If a µs-long writer
+  * ever appears, it must annotate (TIMESTAMP(MICROS) is the parquet-native
+  * spelling) or the contract here must grow an explicit schema flag.
   */
 object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -69,7 +77,7 @@ object Tables {
     }
     val lo = lowerInclusive.map(i => col("ts") >= lit(bound(i)))
     val hi = upperExclusive.map(i => col("ts") < lit(bound(i)))
-    (lo ++ hi).reduce(_ && _)
+    (lo ++ hi).reduceOption(_ && _).getOrElse(lit(true)) // no bounds = no-op filter
   }
 
   /** events with `ts` normalized to TimestampType (µs, session-UTC). */

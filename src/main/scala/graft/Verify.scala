@@ -16,7 +16,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // testdata events.ts is parquet TIMESTAMP(NANOS): read as long, see Tables
+      // harmless guard: lets TIMESTAMP(NANOS)-layout events files surface as
+      // LongType instead of erroring (Tables.scala dual-schema contract);
+      // a no-op for the µs layout current testdata ships
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // µs timestamps on write so DuckDB reads what Spark computed
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

@@ -10,8 +10,11 @@ import graft.forex.{Dedup, ForexPipeline, Indicators, IndicatorsChunked, Ohlc, R
   * each with a DuckDB oracle over the same parquet tables.
   *
   * Oracle-parity rules (SURVEY §7.4/§7.5):
-  *  - events.ts is ns in parquet: Spark floor-divides to µs, DuckDB
-  *    `CAST(ts AS TIMESTAMP)` truncates ns→µs — identical for positive epochs;
+  *  - events.ts is dual-schema at the Bronze boundary (ns-long or µs
+  *    timestamp — see Tables.scala's contract): Spark normalizes to µs
+  *    TimestampType, DuckDB `CAST(ts AS TIMESTAMP)` lands on the same µs
+  *    value for every supported layout (ns→µs truncation for positive
+  *    epochs, identity for µs);
   *  - every aggregate/computed column is aliased to the same name on both
   *    sides (driver sorts columns by name before hashing);
   *  - every output has a total ORDER BY on both sides;

@@ -417,6 +417,59 @@ object RelationalQueries {
        |GROUP BY user_id, event_type
        |ORDER BY user_id, event_type""".stripMargin
 
+  /** Incremental MV maintenance under RETRACTIONS: corrections / late
+    * deletes are the first thing a real incremental-pipeline user hits
+    * after inserts (the reference's whole materialization model is
+    * incremental MERGE, stg_eurusd.sql:3-10 — a correction batch is the
+    * other half of that contract). The MV state (per-(user, event_type)
+    * count + exact-decimal total, as maintained by [[incrementalMv]]) is
+    * updated by a DELETE batch — here "all `error` events of 2024-01-10
+    * were bogus" — as keyed NEGATIVE deltas: `n' = n − d_n`,
+    * `total' = total − d_total`, groups draining to zero rows drop out.
+    * No recompute over history: the base side is the stored aggregate and
+    * only the retraction batch is scanned (day-pruned pushed filter via
+    * [[Tables.eventsDay]]).
+    *
+    * The ORACLE is the full recompute over base-minus-deleted, so the hash
+    * gate literally proves retraction == recompute. Exactness: counts
+    * subtract as longs; totals subtract in DECIMAL(38,10) (exact,
+    * associative — removing a subset's exact sum equals summing the
+    * remaining rows) and only the final value is cast to double + rounded.
+    *
+    * Scale shape: identical to [[incrementalMv]] — two one-shuffle
+    * aggregates co-partitioned on the compound key, merge join reuses the
+    * partitioning; the delta side is one day-partition.
+    */
+  val incrementalMvDeletes: Q = (s, dir) => {
+    val asOf = java.time.LocalDate.parse("2024-01-20")
+    val delDay = java.time.LocalDate.parse("2024-01-10")
+    def agg(df: DataFrame, p: String): DataFrame =
+      df.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as(s"${p}_n"),
+          sum(col("value").cast(DecimalType(30, 10))).as(s"${p}_t"))
+    val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 10))
+    agg(Tables.eventsBefore(s, dir, asOf.plusDays(1)), "b")
+      .join(agg(Tables.eventsDay(s, dir, delDay)
+        .filter(col("event_type") === lit("error")), "d"),
+        Seq("user_id", "event_type"), "left_outer")
+      .select(col("user_id"), col("event_type"),
+        (col("b_n") - coalesce(col("d_n"), lit(0L))).as("n"),
+        graft.Parity.pround(
+          (col("b_t") - coalesce(col("d_t"), zero)).cast("double"), 2).as("total"))
+      .filter(col("n") > 0L)
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val incrementalMvDeletesSql: String =
+    s"""SELECT user_id, event_type, count(*) AS n,
+       |       ${graft.Parity.proundSql(sumExactSql("value"), 2)} AS total
+       |FROM events
+       |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) <= DATE '2024-01-20'
+       |  AND NOT (CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-10'
+       |           AND event_type = 'error')
+       |GROUP BY user_id, event_type
+       |ORDER BY user_id, event_type""".stripMargin
+
   val snapshotDiffSql: String =
     s"""WITH ev AS (
        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
@@ -445,6 +498,16 @@ object RelationalQueries {
     */
   val sessionizeEvents: Q = (s, dir) =>
     graft.streaming.Sessionize.sessionizeBatch(
+        Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
+        gapMs = 30L * 60000L)
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Same sessionization via the built-in `session_window` grouping
+    * (engine-maintained merge state — see Sessionize.sessionizeWindowed);
+    * all three forms share one oracle.
+    */
+  val sessionizeWindow: Q = (s, dir) =>
+    graft.streaming.Sessionize.sessionizeWindowed(
         Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
         gapMs = 30L * 60000L)
       .orderBy(col("user_id"), col("session_start"))
@@ -819,27 +882,35 @@ object RelationalQueries {
     * orders⋈lineitem contributes both directions; supplier ids NEGATED so
     * the two key spaces cannot collide at any scale factor), so every vertex has out-degree ≥ 1 and the
     * damped update needs no dangling-mass term:
-    * `r'(v) = 0.15 + 0.85 · Σ_{u→v} r(u)/outdeg(u)`, five rounds from
+    * `r'(v) = 0.15 + 0.85 · Σ_{u→v} r(u)/outdeg(u)`, `rounds` rounds from
     * r₀ = 1.
     *
-    * Cross-engine parity: the damping constants are emitted as exact
-    * integer divisions on both sides (17/20, 3/20 — each one correctly
-    * rounded IEEE op), per-edge contributions are a double division, and
-    * the per-vertex sum folds in sorted src order (sorted struct list,
-    * same pattern as BM25) — float addition is not associative, so an
-    * unordered `sum()` would be engine-dependent. Only the final rank is
-    * rounded; intermediates stay full-precision in both engines.
+    * Cross-engine parity WITHOUT a per-group fold: each per-edge
+    * contribution (a double division — identical IEEE op on identical
+    * inputs) is quantized to an exact INTEGER in tenth-of-nano units via
+    * `floor(contrib·1e10 + 0.5)` — the [[graft.Parity.pround]] expression,
+    * bit-identical on both engines — and the per-vertex sum runs over those
+    * integers in DECIMAL(20,0): exact, associative, order-FREE. (A direct
+    * `CAST(contrib AS DECIMAL(p,s))` would NOT be portable: Spark rounds
+    * the shortest decimal representation, DuckDB the full binary expansion
+    * — they disagree whenever the repr ends in '5' at the rounding digit.)
+    * The integer sum converts back exactly (per-vertex in-mass < total
+    * mass ≈ |V|, so the scaled sum stays < 2⁵³ for any graph below ~10¹²
+    * vertices); base + damp·sum are then identical IEEE ops. Only the
+    * final rank is rounded further.
     *
     * Scale shape: edges + out-degrees are derived once and
     * scratch-materialized (at 100 TB: a bucketed table partitioned by
     * src); each round is one src-keyed join of the rank vector (|V| rows,
-    * co-partitioned) plus one dst-keyed aggregate over |E| — no
-    * broadcast of anything vertex-sized, no driver-side graph. The sorted
-    * fold bounds per-task state by max in-degree; the documented scale
-    * alternative for whale vertices is exact-DECIMAL partial sums
-    * (order-free), traded here for the provably bit-equal fold.
+    * co-partitioned) plus one dst-keyed `sum` over |E| with MAP-SIDE
+    * partial aggregation — per-task state is O(1) per distinct dst, so a
+    * whale vertex with a billion in-edges costs nothing beyond its share
+    * of the shuffle (unlike a collect_list fold, whose per-group state is
+    * O(in-degree)). Ranks re-materialize through scratch every 5 rounds
+    * (the `bpe_train` lineage-bound pattern, TextQueries), keeping plan
+    * depth flat for any round count.
     */
-  val pagerankAuthority: Q = (s, dir) => {
+  private def pagerankRanks(s: SparkSession, dir: String, rounds: Int): DataFrame = {
     val damp = lit(17.0 / 20.0)
     val base = lit(3.0 / 20.0)
     val pairs = Tables.orders(s, dir)
@@ -853,16 +924,19 @@ object RelationalQueries {
     }, "pr-edges")
     var ranks = eo.select(col("src").as("v")).distinct()
       .withColumn("rank", lit(1.0))
-    for (_ <- 1 to 5) {
+    for (round <- 1 to rounds) {
       ranks = eo.join(ranks, eo("src") === ranks("v"))
-        .select(col("dst"), col("src"),
+        .select(col("dst"),
           (col("rank") / col("outdeg").cast("double")).as("contrib"))
         .groupBy(col("dst"))
-        .agg(sort_array(collect_list(struct(col("src"), col("contrib")))).as("cs"))
+        // floor() on a double is LongType in Spark; DECIMAL(20,0) partials
+        // keep the sum exact past BIGINT range at any scale
+        .agg(sum(floor(col("contrib") * lit(1e10) + lit(0.5))
+          .cast(DecimalType(20, 0))).as("si"))
         .select(col("dst").as("v"),
-          (base + damp * expr(
-            "aggregate(cs, CAST(0 AS DOUBLE), (acc, x) -> acc + x.contrib)"))
-            .as("rank"))
+          (base + damp * (col("si").cast("double") / lit(1e10))).as("rank"))
+      if (round % 5 == 0 && round < rounds)
+        ranks = graft.Scratch.table(ranks, "pr-ranks")
     }
     ranks.select(col("v"),
         when(col("v") < 0L, lit("supplier")).otherwise(lit("customer"))
@@ -871,16 +945,26 @@ object RelationalQueries {
       .orderBy(col("v"))
   }
 
-  val pagerankAuthoritySql: String = {
+  val pagerankAuthority: Q = (s, dir) => pagerankRanks(s, dir, 5)
+
+  /** 4× the rounds of [[pagerankAuthority]] — the scaling row that pins
+    * near-flat per-round cost (the `bpe_train20` pattern): wall time should
+    * stay ≲4× the 5-round query because every round is the same
+    * one-join-one-sum shape and lineage is re-materialized every 5 rounds.
+    */
+  val pagerankAuthority20: Q = (s, dir) => pagerankRanks(s, dir, 20)
+
+  private def pagerankSql(rounds: Int): String = {
     def fold(prev: String): String =
       s"""SELECT eo.dst AS v,
          |       CAST(3 AS DOUBLE) / CAST(20 AS DOUBLE) +
          |       (CAST(17 AS DOUBLE) / CAST(20 AS DOUBLE)) *
-         |       list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |         list(r.rank / CAST(eo.outdeg AS DOUBLE) ORDER BY eo.src)),
-         |         (acc, x) -> acc + x) AS rank
+         |       (CAST(sum(CAST(floor((r.rank / CAST(eo.outdeg AS DOUBLE)) * 1e10 + 0.5)
+         |                      AS DECIMAL(20,0))) AS DOUBLE) / 1e10) AS rank
          |FROM eo JOIN $prev r ON eo.src = r.v
          |GROUP BY eo.dst""".stripMargin
+    val folds = (1 to rounds)
+      .map(i => s"r$i AS (${fold(s"r${i - 1}")})").mkString(",\n")
     s"""WITH pairs AS (
        |  SELECT DISTINCT o_custkey AS c, -l_suppkey AS p
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -891,19 +975,19 @@ object RelationalQueries {
        |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
        |eo AS (SELECT e.src, e.dst, o.outdeg FROM edges e JOIN outdeg o USING (src)),
        |r0 AS (SELECT DISTINCT src AS v, CAST(1 AS DOUBLE) AS rank FROM edges),
-       |r1 AS (${fold("r0")}),
-       |r2 AS (${fold("r1")}),
-       |r3 AS (${fold("r2")}),
-       |r4 AS (${fold("r3")}),
-       |r5 AS (${fold("r4")})
+       |$folds
        |SELECT v,
        |       CASE WHEN v < 0 THEN 'supplier' ELSE 'customer' END AS node_type,
        |       ${graft.Parity.proundSql("rank", 6)} AS rank
-       |FROM r5 ORDER BY v""".stripMargin
+       |FROM r$rounds ORDER BY v""".stripMargin
   }
+
+  val pagerankAuthoritySql: String = pagerankSql(5)
+  val pagerankAuthority20Sql: String = pagerankSql(20)
 
   val queries: Map[String, Q] = Map(
     "pagerank_authority" -> pagerankAuthority,
+    "pagerank_authority20" -> pagerankAuthority20,
     "hll_merge_days" -> hllMergeDays,
     "bloom_semi_join" -> bloomSemiJoin,
     "range_join_sessions" -> rangeJoinSessions,
@@ -918,6 +1002,7 @@ object RelationalQueries {
     "json_props_kpi" -> jsonPropsKpi,
     "window_ranks" -> windowRanks,
     "sessionize_events" -> sessionizeEvents,
+    "sessionize_window" -> sessionizeWindow,
     "q1_pricing" -> q1Pricing,
     "q3_top_orders" -> q3TopOrders,
     "q5_nation_revenue" -> q5NationRevenue,
@@ -925,6 +1010,7 @@ object RelationalQueries {
     "asof_join" -> asofJoin,
     "snapshot_diff" -> snapshotDiff,
     "incremental_mv" -> incrementalMv,
+    "incremental_mv_deletes" -> incrementalMvDeletes,
     "funnel_steps" -> funnelSteps,
     "hist_merge_days" -> histMergeDays,
     "retention_cohorts" -> retentionCohorts,
@@ -932,6 +1018,7 @@ object RelationalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "pagerank_authority" -> pagerankAuthoritySql,
+    "pagerank_authority20" -> pagerankAuthority20Sql,
     "hll_merge_days" -> hllMergeDaysSql,
     "bloom_semi_join" -> bloomSemiJoinSql,
     "range_join_sessions" -> rangeJoinSessionsSql,
@@ -946,6 +1033,7 @@ object RelationalQueries {
     "json_props_kpi" -> jsonPropsKpiSql,
     "window_ranks" -> windowRanksSql,
     "sessionize_events" -> sessionizeEventsSql,
+    "sessionize_window" -> sessionizeEventsSql, // same semantics, engine-managed state
     "q1_pricing" -> q1PricingSql,
     "q3_top_orders" -> q3TopOrdersSql,
     "q5_nation_revenue" -> q5NationRevenueSql,
@@ -953,6 +1041,7 @@ object RelationalQueries {
     "asof_join" -> asofJoinSql,
     "snapshot_diff" -> snapshotDiffSql,
     "incremental_mv" -> incrementalMvSql,
+    "incremental_mv_deletes" -> incrementalMvDeletesSql,
     "funnel_steps" -> funnelStepsSql,
     "hist_merge_days" -> histMergeDaysSql,
     "retention_cohorts" -> retentionCohortsSql,

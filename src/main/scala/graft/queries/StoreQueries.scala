@@ -336,8 +336,11 @@ object StoreQueries {
     * by contract — a pure re-arrangement of bytes across files — so the
     * oracle is simply the silver table itself (plus the derived partition
     * date): any row lost, duplicated, or altered by the rewrite breaks the
-    * hash. The file-level 2-D pruning win is asserted in ZorderSpec (file
-    * min/max boxes vs a probe box), which needs `input_file_name`, not SQL.
+    * hash. The file-level 2-D pruning win is asserted in ZorderSpec
+    * (src/test/scala/graft/store/ZorderSpec.scala: per-file min/max boxes
+    * via `input_file_name` — a 2-D probe box touches strictly fewer files
+    * than a same-file-count 1-D time sort, and the rewrite is
+    * byte-identical), which needs file-level introspection, not SQL.
     */
   val zorderStore: Q = (s, dir) => {
     val silver = graft.Scratch.table(ForexPipeline.silverFrom(s, dir), "zorder-silver")

@@ -142,4 +142,39 @@ object Sessionize extends Serializable {
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), col("value_sum"))
   }
+
+  /** Gap-based sessionization via the BUILT-IN `session_window` grouping —
+    * the engine-maintained form of the same operator: Spark's
+    * MergingSessions aggregation maintains the merge state, the plan is a
+    * plain groupBy (no user-code state), and under `readStream` the exact
+    * same expression runs as a streaming session aggregation (watermark +
+    * append/update mode, state evicted by the engine). Batch execution is
+    * what makes a bounded run oracle-comparable: append mode necessarily
+    * withholds each user's final still-open session past the watermark.
+    *
+    * Boundary semantics are identical to [[sessionize]]'s inclusive rule —
+    * Spark merges two events iff their gap is <= the session gap (asserted
+    * boundary-exact in SessionizeSpec) — and the output timestamps are
+    * min/max(ts), not the padded window struct bounds, so all three
+    * sessionization forms share one DuckDB oracle. Exact-DECIMAL value
+    * sums as everywhere (order-free; see Parity).
+    *
+    * Scale shape: one shuffle on user_id; the engine's session merge sort
+    * is the spillable external sorter, so a whale user cannot OOM a task
+    * (same bound as [[sessionizeRelational]], without the two window
+    * passes).
+    */
+  def sessionizeWindowed(df: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    df.selectExpr("user_id", "ts", "value")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMs milliseconds"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(30, 10))).cast("double").as("value_sum"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("value_sum"))
+  }
 }

@@ -40,6 +40,44 @@ class SessionizeSpec extends SparkSpec {
     assert(relational === stateful)
   }
 
+  test("session_window form equals the stateful operator on real events") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"user_id", $"ts", $"value")
+    val gap = 30L * 60000L
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select($"user_id", $"session_start", $"session_end", $"n_events", $"value_sum")
+        .collect().map(_.mkString("|")).sorted.toSeq
+    val stateful = canon(Sessionize.sessionizeBatch(ev, gap))
+    val windowed = canon(Sessionize.sessionizeWindowed(ev, gap))
+    assert(windowed.nonEmpty)
+    assert(windowed === stateful)
+  }
+
+  test("session_window merges at exactly-gap like the stateful operator") {
+    import spark.implicits._
+    val gap = 30L * 60000L
+    def t(us: Long) = {
+      val ts = new Timestamp(us / 1000000L * 1000L)
+      ts.setNanos((us % 1000000L).toInt * 1000)
+      ts
+    }
+    val base = 1700000000000000L // µs
+    // user 1: diff == gap exactly (must merge — inclusive rule);
+    // user 2: diff == gap + 1ms (must split)
+    val ev = Seq(
+      (1L, t(base), 1.0), (1L, t(base + gap * 1000L), 2.0),
+      (2L, t(base), 4.0), (2L, t(base + gap * 1000L + 1000L), 8.0)
+    ).toDF("user_id", "ts", "value")
+    def sessions(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.groupBy("user_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val win = sessions(Sessionize.sessionizeWindowed(ev, gap))
+    val st = sessions(Sessionize.sessionizeBatch(ev, gap))
+    assert(win === Map(1L -> 1L, 2L -> 2L))
+    assert(st === win)
+  }
+
   test("relational sessionization adds no exchange after the window shuffle") {
     import spark.implicits._
     val ev = graft.Tables.events(spark, sf0001)
