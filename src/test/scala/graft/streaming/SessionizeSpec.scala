@@ -89,6 +89,36 @@ class SessionizeSpec extends SparkSpec {
     assert(plan.split("Exchange hashpartitioning").length - 1 === 1, plan)
   }
 
+  test("session_window form runs as a streaming aggregation end-to-end") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sessw_in").toString
+    graft.Tables.events(spark, sf0001)
+      .select($"user_id", $"ts", $"value")
+      .write.mode("overwrite").parquet(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", "1 minute")
+    val q = Sessionize.sessionizeWindowed(stream, gapMs = 30L * 60000L)
+      .writeStream.format("memory").queryName("sessions_window_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(180000), "stream must drain before asserting")
+    // append mode emits sessions finalized by the watermark; each emitted
+    // session must match the batch answer exactly (the tail may be
+    // withheld as open state — correct append-mode semantics)
+    val emitted = spark.table("sessions_window_stream")
+      .collect().map(_.mkString("|")).toSet
+    val batch = Sessionize.sessionizeWindowed(
+        graft.Tables.events(spark, sf0001).select($"user_id", $"ts", $"value"),
+        gapMs = 30L * 60000L)
+      .collect().map(_.mkString("|")).toSet
+    assert(emitted.nonEmpty, "bounded run emitted no closed sessions")
+    assert(emitted.subsetOf(batch),
+      s"streamed sessions diverge from batch: ${(emitted -- batch).take(3)}")
+  }
+
   test("streaming sessionization with event-time timeout runs end-to-end") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sess_in").toString
