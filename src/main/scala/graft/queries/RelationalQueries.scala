@@ -440,24 +440,34 @@ object RelationalQueries {
     * aggregates co-partitioned on the compound key, merge join reuses the
     * partitioning; the delta side is one day-partition.
     */
-  val incrementalMvDeletes: Q = (s, dir) => {
-    val asOf = java.time.LocalDate.parse("2024-01-20")
-    val delDay = java.time.LocalDate.parse("2024-01-10")
+  /** Core of [[incrementalMvDeletes]]: MV state minus a retraction batch,
+    * as keyed negative deltas; groups draining to zero rows drop out.
+    * Exposed package-wide because the drop-out arm needs a synthetic
+    * fixture — no group in the driver data ever fully drains, so without
+    * IncrementalMvSpec that branch would be exercised by zero tests.
+    */
+  private[graft] def mvApplyRetractions(base: DataFrame, deletes: DataFrame): DataFrame = {
     def agg(df: DataFrame, p: String): DataFrame =
       df.groupBy(col("user_id"), col("event_type"))
         .agg(count(lit(1)).as(s"${p}_n"),
           sum(col("value").cast(DecimalType(30, 10))).as(s"${p}_t"))
     val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 10))
-    agg(Tables.eventsBefore(s, dir, asOf.plusDays(1)), "b")
-      .join(agg(Tables.eventsDay(s, dir, delDay)
-        .filter(col("event_type") === lit("error")), "d"),
-        Seq("user_id", "event_type"), "left_outer")
+    agg(base, "b")
+      .join(agg(deletes, "d"), Seq("user_id", "event_type"), "left_outer")
       .select(col("user_id"), col("event_type"),
         (col("b_n") - coalesce(col("d_n"), lit(0L))).as("n"),
         graft.Parity.pround(
           (col("b_t") - coalesce(col("d_t"), zero)).cast("double"), 2).as("total"))
       .filter(col("n") > 0L)
       .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val incrementalMvDeletes: Q = (s, dir) => {
+    val asOf = java.time.LocalDate.parse("2024-01-20")
+    val delDay = java.time.LocalDate.parse("2024-01-10")
+    mvApplyRetractions(
+      Tables.eventsBefore(s, dir, asOf.plusDays(1)),
+      Tables.eventsDay(s, dir, delDay).filter(col("event_type") === lit("error")))
   }
 
   val incrementalMvDeletesSql: String =
