@@ -89,6 +89,20 @@ class SessionizeSpec extends SparkSpec {
     assert(plan.split("Exchange hashpartitioning").length - 1 === 1, plan)
   }
 
+  test("session_window form shuffles once with map-side partial aggregation") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"user_id", $"ts", $"value")
+    val plan = Sessionize.sessionizeWindowed(ev, 30L * 60000L)
+      .queryExecution.executedPlan.toString
+    // one hash exchange on user_id; sessions merge through the spillable
+    // sort AFTER a partial aggregate (the shuffle carries per-window
+    // partials, not the event stream)
+    assert(plan.split("Exchange hashpartitioning").length - 1 === 1, plan)
+    assert(plan.contains("partial_min"), plan)
+    assert(plan.contains("MergingSessions"), plan)
+  }
+
   test("session_window form runs as a streaming aggregation end-to-end") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sessw_in").toString
