@@ -442,6 +442,10 @@ object RelationalQueries {
     */
   /** Core of [[incrementalMvDeletes]]: MV state minus a retraction batch,
     * as keyed negative deltas; groups draining to zero rows drop out.
+    * Contract: the retraction batch must be a subset of the rows the base
+    * aggregate saw (callers guarantee it by deriving deletes from a
+    * day-slice of the base range) — a non-subset batch would push `n`
+    * negative and the drained-group filter would silently drop it.
     * Exposed package-wide because the drop-out arm needs a synthetic
     * fixture — no group in the driver data ever fully drains, so without
     * IncrementalMvSpec that branch would be exercised by zero tests.
@@ -904,10 +908,14 @@ object RelationalQueries {
     * `CAST(contrib AS DECIMAL(p,s))` would NOT be portable: Spark rounds
     * the shortest decimal representation, DuckDB the full binary expansion
     * — they disagree whenever the repr ends in '5' at the rounding digit.)
-    * The integer sum converts back exactly (per-vertex in-mass < total
-    * mass ≈ |V|, so the scaled sum stays < 2⁵³ for any graph below ~10¹²
-    * vertices); base + damp·sum are then identical IEEE ops. Only the
-    * final rank is rounded further.
+    * The integer sum converts back exactly while the scaled per-vertex
+    * sum stays < 2⁵³ — i.e. per-vertex in-mass < ~9·10⁵ rank units. Real
+    * hub in-mass is O(in-degree · avg rank/outdeg), far below that at
+    * bench scales (≈1.6·10⁴ worst-case at sf0.1); an adversarial
+    * giant-star graph at ≥10⁶ vertices would need a smaller quantization
+    * scale (1e8) or acceptance of correctly-rounded (not bit-guaranteed)
+    * int→double conversion on both engines. base + damp·sum are then
+    * identical IEEE ops. Only the final rank is rounded further.
     *
     * Scale shape: edges + out-degrees are derived once and
     * scratch-materialized (at 100 TB: a bucketed table partitioned by
