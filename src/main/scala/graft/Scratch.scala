@@ -14,14 +14,28 @@ import org.apache.spark.sql.DataFrame
   */
 object Scratch {
 
+  // ONE shutdown hook draining a shared dir list — a hook per table() call
+  // would spawn a JVM thread per scratch table at exit (a long bench run
+  // creates thousands of scratch tables in one JVM)
+  private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val hook: Unit = {
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      dirs.iterator().asScala.foreach { dir =>
+        if (java.nio.file.Files.exists(dir))
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+    ()
+  }
+
   def table(df: DataFrame, tag: String): DataFrame = {
     val spark = df.sparkSession
     val dir = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
-    sys.addShutdownHook {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    hook
+    dirs.add(dir)
     val path = dir.resolve("data").toString
     df.write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
