@@ -38,7 +38,7 @@ object AsOfJoin {
     val rAligned = leftCols.filterNot(keys.contains).foldLeft(r)((df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
 
-    val unioned = lAligned.unionByName(rAligned.select(lAligned.columns.map(col): _*))
+    val unioned = lAligned.unionByName(rAligned.select(lAligned.columns.toIndexedSeq.map(col): _*))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

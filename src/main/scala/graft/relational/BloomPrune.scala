@@ -31,7 +31,7 @@ object BloomPrune {
       Literal(expectedItems))
     build
       .select(GraftSqlBridge.column(agg.toAggregateExpression()).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
+      .head().getAs[Array[Byte]]("bf")
   }
 
   /** Probe-side predicate: true iff `key` MIGHT be in the sketch. */

@@ -245,7 +245,7 @@ object Sketches {
     */
   def histMerge(parts: DataFrame*): DataFrame =
     parts.reduce(_ unionByName _)
-      .groupBy(parts.head.columns.dropRight(1).map(col): _*)
+      .groupBy(parts.head.columns.dropRight(1).toIndexedSeq.map(col): _*)
       .agg(sum(col("n")).as("n"))
 
   /** Quantile UPPER BOUNDS from a histogram: for each q, the upper edge of

@@ -230,7 +230,7 @@ object IncrementalStore {
         val days = cached.select(PartitionCol).distinct().collect().map(_.getDate(0))
         val old = readTable(spark, target)
           .filter(col(PartitionCol).isin(days.toIndexedSeq: _*))
-          .select(cached.columns.map(col): _*) // align column order
+          .select(cached.columns.toIndexedSeq.map(col): _*) // align column order
         val merged = old.join(cached, keyCols, "left_anti").unionByName(cached)
         write(rangeLayout(merged, tsCol, clusterBy), target)
       } finally cached.unpersist(blocking = false)
