@@ -379,11 +379,17 @@ object RelationalQueries {
     * scanned. The ORACLE is the full recompute over the whole range, so
     * the hash gate literally proves incremental == recompute.
     *
-    * Exactness: counts add as longs; value totals stay DECIMAL(38,10)
-    * through the merge (decimal addition is associative — splitting the
-    * sum at the day boundary cannot change it) and only the merged total
-    * is cast to double and rounded. Merging double partials instead would
-    * NOT equal the one-shot sum (float addition is not associative).
+    * Exactness: counts add as longs; per-row values quantize to
+    * DECIMAL(30,10), Spark's `sum` accumulates them in DECIMAL(38,10), and
+    * each side's total is cast back DOWN to DECIMAL(30,10) (exact while
+    * |total| < 10²⁰) before the merge add — so the add is typed
+    * DECIMAL(31,10) with no precision-loss rescale (a direct
+    * (38,10)+(38,10) would exceed precision 38 and Spark would re-scale the
+    * result to (38,9), silently rounding the 10th digit). Decimal addition
+    * is associative — splitting the sum at the day boundary cannot change
+    * it — and only the merged total is cast to double and rounded. Merging
+    * double partials instead would NOT equal the one-shot sum (float
+    * addition is not associative).
     *
     * Scale shape: base and delta each aggregate with map-side partials
     * and shuffle once on the compound key; the merge join reuses that
@@ -393,13 +399,9 @@ object RelationalQueries {
     */
   val incrementalMv: Q = (s, dir) => {
     val day = java.time.LocalDate.parse("2024-01-20")
-    def agg(df: DataFrame, p: String): DataFrame =
-      df.groupBy(col("user_id"), col("event_type"))
-        .agg(count(lit(1)).as(s"${p}_n"),
-          sum(col("value").cast(DecimalType(30, 10))).as(s"${p}_t"))
-    val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 10))
-    agg(Tables.eventsBefore(s, dir, day), "b")
-      .join(agg(Tables.eventsDay(s, dir, day), "d"),
+    val zero = lit(java.math.BigDecimal.ZERO).cast(MvDec)
+    mvAgg(Tables.eventsBefore(s, dir, day), "b")
+      .join(mvAgg(Tables.eventsDay(s, dir, day), "d"),
         Seq("user_id", "event_type"), "full_outer")
       .select(col("user_id"), col("event_type"),
         (coalesce(col("b_n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n"),
@@ -408,6 +410,22 @@ object RelationalQueries {
           2).as("total"))
       .orderBy(col("user_id"), col("event_type"))
   }
+
+  /** Scale every MV total lives at: per-row values quantize here, every
+    * aggregate's DECIMAL(38,10) sum is cast back down to this before any
+    * merge arithmetic (exact while |total| < 10²⁰), keeping merge adds at
+    * DECIMAL(31,10) — under precision 38, so Spark never takes the
+    * precision-loss path that re-scales (38,10)+(38,10) to (38,9).
+    */
+  private val MvDec = DecimalType(30, 10)
+
+  /** The shared MV aggregate: per-key count + exact-decimal value total
+    * (map-side partials, one shuffle on the compound key).
+    */
+  private def mvAgg(df: DataFrame, p: String): DataFrame =
+    df.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as(s"${p}_n"),
+        sum(col("value").cast(MvDec)).cast(MvDec).as(s"${p}_t"))
 
   val incrementalMvSql: String =
     s"""SELECT user_id, event_type, count(*) AS n,
@@ -432,9 +450,10 @@ object RelationalQueries {
     *
     * The ORACLE is the full recompute over base-minus-deleted, so the hash
     * gate literally proves retraction == recompute. Exactness: counts
-    * subtract as longs; totals subtract in DECIMAL(38,10) (exact,
-    * associative — removing a subset's exact sum equals summing the
-    * remaining rows) and only the final value is cast to double + rounded.
+    * subtract as longs; totals subtract in DECIMAL(31,10) (both sides'
+    * sums downcast to [[MvDec]] first — exact, associative: removing a
+    * subset's exact sum equals summing the remaining rows) and only the
+    * final value is cast to double + rounded.
     *
     * Scale shape: identical to [[incrementalMv]] — two one-shuffle
     * aggregates co-partitioned on the compound key, merge join reuses the
@@ -444,22 +463,25 @@ object RelationalQueries {
     * as keyed negative deltas; groups draining to zero rows drop out.
     * Contract: the retraction batch must be a subset of the rows the base
     * aggregate saw (callers guarantee it by deriving deletes from a
-    * day-slice of the base range) — a non-subset batch would push `n`
-    * negative and the drained-group filter would silently drop it.
-    * Exposed package-wide because the drop-out arm needs a synthetic
-    * fixture — no group in the driver data ever fully drains, so without
-    * IncrementalMvSpec that branch would be exercised by zero tests.
+    * day-slice of the base range). A non-subset batch fails LOUDLY: any
+    * key whose count would go negative hits `raise_error` at execution
+    * time, so a caller contract violation is distinguishable from a
+    * legitimately drained group (which exits silently via the `n > 0`
+    * filter). Exposed package-wide because the drop-out and error arms
+    * need synthetic fixtures — no group in the driver data ever fully
+    * drains, so without IncrementalMvSpec those branches would be
+    * exercised by zero tests.
     */
   private[graft] def mvApplyRetractions(base: DataFrame, deletes: DataFrame): DataFrame = {
-    def agg(df: DataFrame, p: String): DataFrame =
-      df.groupBy(col("user_id"), col("event_type"))
-        .agg(count(lit(1)).as(s"${p}_n"),
-          sum(col("value").cast(DecimalType(30, 10))).as(s"${p}_t"))
-    val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 10))
-    agg(base, "b")
-      .join(agg(deletes, "d"), Seq("user_id", "event_type"), "left_outer")
+    val zero = lit(java.math.BigDecimal.ZERO).cast(MvDec)
+    val n = col("b_n") - coalesce(col("d_n"), lit(0L))
+    mvAgg(base, "b")
+      .join(mvAgg(deletes, "d"), Seq("user_id", "event_type"), "left_outer")
       .select(col("user_id"), col("event_type"),
-        (col("b_n") - coalesce(col("d_n"), lit(0L))).as("n"),
+        when(n < 0L, raise_error(concat(
+          lit("mvApplyRetractions: retraction batch is not a subset of base for ("),
+          col("user_id").cast("string"), lit(", "), col("event_type"), lit(")"))))
+          .otherwise(n).as("n"),
         graft.Parity.pround(
           (col("b_t") - coalesce(col("d_t"), zero)).cast("double"), 2).as("total"))
       .filter(col("n") > 0L)
@@ -481,6 +503,75 @@ object RelationalQueries {
        |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) <= DATE '2024-01-20'
        |  AND NOT (CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-10'
        |           AND event_type = 'error')
+       |GROUP BY user_id, event_type
+       |ORDER BY user_id, event_type""".stripMargin
+
+  /** Core of [[incrementalMvUpdates]]: MV state plus an UPDATE batch — the
+    * third arm of the CDC triad and the reference's own materialization
+    * contract (dbt incremental MERGE compiles to `WHEN MATCHED THEN
+    * UPDATE`, stg_eurusd.sql:3-10): a correction that *changes* a row's
+    * value rather than removing it. The batch carries (key, value,
+    * new_value) per corrected row and applies as a keyed delta in ONE
+    * pass: `Δn = 0`, `Δtotal = Σ dec(new_value) − Σ dec(value)` — exactly
+    * the retract-then-insert composition, fused (IncrementalMvSpec proves
+    * the equivalence against a row-level recompute). Both per-key sums are
+    * [[MvDec]]-quantized and downcast before the subtraction, so the delta
+    * and the merge add stay ≤ DECIMAL(31,10) — exact, no precision-loss
+    * rescale, which is what makes `stored + Δ = full recompute` hold
+    * bit-for-bit (the driver's oracle hash proves it).
+    *
+    * Contract: every update key must exist in base (callers guarantee it
+    * by deriving the batch from a day-slice of the base range); an
+    * unmatched key fails loudly via `raise_error` instead of being
+    * silently dropped.
+    *
+    * Scale shape: identical to [[incrementalMv]] — two one-shuffle
+    * aggregates co-partitioned on the compound key, merge join reuses the
+    * partitioning; the update side is one pushed-filter day-partition.
+    */
+  private[graft] def mvApplyUpdates(base: DataFrame, updates: DataFrame): DataFrame = {
+    val zero = lit(java.math.BigDecimal.ZERO).cast(MvDec)
+    val delta = updates.groupBy(col("user_id"), col("event_type"))
+      .agg((sum(col("new_value").cast(MvDec)).cast(MvDec) -
+        sum(col("value").cast(MvDec)).cast(MvDec)).as("u_dt"))
+    mvAgg(base, "b")
+      .join(delta, Seq("user_id", "event_type"), "full_outer")
+      .select(col("user_id"), col("event_type"),
+        when(col("b_n").isNull, raise_error(concat(
+          lit("mvApplyUpdates: update batch references a key absent from base ("),
+          col("user_id").cast("string"), lit(", "), col("event_type"), lit(")"))))
+          .otherwise(col("b_n")).as("n"),
+        graft.Parity.pround(
+          (col("b_t") + coalesce(col("u_dt"), zero)).cast("double"), 2).as("total"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** Incremental MV maintenance under UPDATES — "all `error` events of
+    * 2024-01-10 had their value re-stated ×0.5". The restated value is
+    * computed in DOUBLE (`value * 0.5` — halving a double is exact, and
+    * the identical IEEE op runs on both engines) and quantizes to
+    * [[MvDec]] like any inserted row, so update == retract+insert by
+    * construction. The ORACLE is the full recompute over the corrected
+    * base, so the hash gate literally proves update == recompute.
+    */
+  val incrementalMvUpdates: Q = (s, dir) => {
+    val asOf = java.time.LocalDate.parse("2024-01-20")
+    val updDay = java.time.LocalDate.parse("2024-01-10")
+    mvApplyUpdates(
+      Tables.eventsBefore(s, dir, asOf.plusDays(1)),
+      Tables.eventsDay(s, dir, updDay)
+        .filter(col("event_type") === lit("error"))
+        .select(col("user_id"), col("event_type"), col("value"),
+          (col("value") * lit(0.5)).as("new_value")))
+  }
+
+  val incrementalMvUpdatesSql: String =
+    s"""SELECT user_id, event_type, count(*) AS n,
+       |       ${graft.Parity.proundSql(sumExactSql(
+             "CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-10' " +
+               "AND event_type = 'error' THEN value * 0.5 ELSE value END"), 2)} AS total
+       |FROM events
+       |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) <= DATE '2024-01-20'
        |GROUP BY user_id, event_type
        |ORDER BY user_id, event_type""".stripMargin
 
@@ -1031,6 +1122,7 @@ object RelationalQueries {
     "snapshot_diff" -> snapshotDiff,
     "incremental_mv" -> incrementalMv,
     "incremental_mv_deletes" -> incrementalMvDeletes,
+    "incremental_mv_updates" -> incrementalMvUpdates,
     "funnel_steps" -> funnelSteps,
     "hist_merge_days" -> histMergeDays,
     "retention_cohorts" -> retentionCohorts,
@@ -1062,6 +1154,7 @@ object RelationalQueries {
     "snapshot_diff" -> snapshotDiffSql,
     "incremental_mv" -> incrementalMvSql,
     "incremental_mv_deletes" -> incrementalMvDeletesSql,
+    "incremental_mv_updates" -> incrementalMvUpdatesSql,
     "funnel_steps" -> funnelStepsSql,
     "hist_merge_days" -> histMergeDaysSql,
     "retention_cohorts" -> retentionCohortsSql,

@@ -4,20 +4,27 @@ import org.apache.spark.sql.Row
 
 import graft.SparkSpec
 
-/** mvApplyRetractions: the zero-drain arm. The driver's `incremental_mv_deletes`
-  * oracle row proves retraction == recompute on real data, but no group in
-  * the testdata ever loses ALL its rows — so the `n > 0` drop-out branch is
-  * pinned here on a synthetic fixture where one group fully drains.
+/** mvApplyRetractions / mvApplyUpdates: the arms the driver data cannot
+  * reach. The `incremental_mv_deletes` / `incremental_mv_updates` oracle
+  * rows prove delta == recompute on real data, but (a) no group in the
+  * testdata ever loses ALL its rows, (b) no driver batch ever violates the
+  * subset/known-key contract, and (c) the update==retract+insert
+  * equivalence needs a row-level recompute to compare against — so those
+  * branches are pinned here on synthetic fixtures.
   */
 class IncrementalMvSpec extends SparkSpec {
 
-  test("retractions subtract exactly and fully-drained groups drop out") {
+  private def base = {
     import spark.implicits._
-    val base = Seq(
+    Seq(
       (1L, "error", 1.25), (1L, "error", 2.50), // fully deleted below
       (1L, "click", 3.00), (1L, "click", 0.75),
       (2L, "error", 1.00), (2L, "error", 4.00), (2L, "error", 0.50)
     ).toDF("user_id", "event_type", "value")
+  }
+
+  test("retractions subtract exactly and fully-drained groups drop out") {
+    import spark.implicits._
     val deletes = Seq(
       (1L, "error", 1.25), (1L, "error", 2.50), // drains (1, error) to zero
       (2L, "error", 4.00)
@@ -31,5 +38,68 @@ class IncrementalMvSpec extends SparkSpec {
       Row(2L, "error", 2L, 1.50)))
     // the drained group is gone entirely, not present with n=0
     assert(!out.exists(r => r.getLong(0) == 1L && r.getString(1) == "error"))
+  }
+
+  private def rootMessages(t: Throwable): String =
+    if (t == null) "" else s"${t.getMessage}\n${rootMessages(t.getCause)}"
+
+  test("over-retraction fails loudly instead of vanishing as a drained group") {
+    import spark.implicits._
+    // three deletes against a group that only has two rows: a caller
+    // contract violation, indistinguishable from a drain under a silent
+    // n > 0 filter — must raise instead
+    val over = Seq(
+      (1L, "error", 1.25), (1L, "error", 2.50), (1L, "error", 9.99)
+    ).toDF("user_id", "event_type", "value")
+
+    val e = intercept[Exception] {
+      graft.queries.RelationalQueries.mvApplyRetractions(base, over).collect()
+    }
+    assert(rootMessages(e).contains("not a subset"),
+      s"expected the subset-contract error, got: ${rootMessages(e)}")
+  }
+
+  test("an update batch equals retract-then-insert at the row level") {
+    import spark.implicits._
+    // re-state two rows' values; (1, error) corrected up, (2, error) down
+    val updates = Seq(
+      (1L, "error", 1.25, 10.00),
+      (2L, "error", 4.00, 2.00)
+    ).toDF("user_id", "event_type", "value", "new_value")
+    val noUpdates =
+      Seq.empty[(Long, String, Double, Double)]
+        .toDF("user_id", "event_type", "value", "new_value")
+
+    // row-level retract+insert: base minus the old rows, plus the new rows
+    val corrected = Seq(
+      (1L, "error", 10.00), (1L, "error", 2.50),
+      (1L, "click", 3.00), (1L, "click", 0.75),
+      (2L, "error", 1.00), (2L, "error", 2.00), (2L, "error", 0.50)
+    ).toDF("user_id", "event_type", "value")
+
+    val viaDelta = graft.queries.RelationalQueries
+      .mvApplyUpdates(base, updates).collect().toSeq
+    // empty update batch ⇒ mvApplyUpdates is the plain MV aggregate
+    val recompute = graft.queries.RelationalQueries
+      .mvApplyUpdates(corrected, noUpdates).collect().toSeq
+
+    assert(viaDelta === recompute)
+    assert(viaDelta === Seq(
+      Row(1L, "click", 2L, 3.75),
+      Row(1L, "error", 2L, 12.50),
+      Row(2L, "error", 3L, 3.50)))
+  }
+
+  test("an update for a key absent from base fails loudly") {
+    import spark.implicits._
+    val unknown = Seq(
+      (9L, "error", 1.00, 2.00) // no (9, error) group in base
+    ).toDF("user_id", "event_type", "value", "new_value")
+
+    val e = intercept[Exception] {
+      graft.queries.RelationalQueries.mvApplyUpdates(base, unknown).collect()
+    }
+    assert(rootMessages(e).contains("absent from base"),
+      s"expected the known-key-contract error, got: ${rootMessages(e)}")
   }
 }
