@@ -992,21 +992,25 @@ object RelationalQueries {
     *
     * Cross-engine parity WITHOUT a per-group fold: each per-edge
     * contribution (a double division — identical IEEE op on identical
-    * inputs) is quantized to an exact INTEGER in tenth-of-nano units via
-    * `floor(contrib·1e10 + 0.5)` — the [[graft.Parity.pround]] expression,
-    * bit-identical on both engines — and the per-vertex sum runs over those
-    * integers in DECIMAL(20,0): exact, associative, order-FREE. (A direct
+    * inputs) is quantized to an exact INTEGER via `floor(contrib·scale +
+    * 0.5)` — the [[graft.Parity.pround]] expression, bit-identical on both
+    * engines — and the per-vertex sum runs over those integers in
+    * DECIMAL(20,0): exact, associative, order-FREE. (A direct
     * `CAST(contrib AS DECIMAL(p,s))` would NOT be portable: Spark rounds
     * the shortest decimal representation, DuckDB the full binary expansion
     * — they disagree whenever the repr ends in '5' at the rounding digit.)
-    * The integer sum converts back exactly while the scaled per-vertex
-    * sum stays < 2⁵³ — i.e. per-vertex in-mass < ~9·10⁵ rank units. Real
-    * hub in-mass is O(in-degree · avg rank/outdeg), far below that at
-    * bench scales (≈1.6·10⁴ worst-case at sf0.1); an adversarial
-    * giant-star graph at ≥10⁶ vertices would need a smaller quantization
-    * scale (1e8) or acceptance of correctly-rounded (not bit-guaranteed)
-    * int→double conversion on both engines. base + damp·sum are then
-    * identical IEEE ops. Only the final rank is rounded further.
+    *
+    * The quantization scale is AUTO-SIZED from |V| ([[prQuantScale]]) so
+    * the integer sum converts back to double exactly — scaled per-vertex
+    * in-mass < 2⁵³ — for ALL graph shapes: total rank mass is invariantly
+    * ≤ 2|V| (proof in [[prQuantScale]]), per-vertex in-mass is at most the
+    * total mass, and the scale is the largest power of 10 with
+    * scale·2|V| ≤ 2⁵³. At every bench scale factor this yields the same
+    * 1e10 the DuckDB oracle hard-codes (|V| ≤ ~4.5·10⁵ ⇒ scale = 1e10, the
+    * cap); an adversarial giant-star graph no longer breaks the bit
+    * guarantee — it just gets a coarser (still exact) quantization.
+    * base + damp·sum are then identical IEEE ops. Only the final rank is
+    * rounded further.
     *
     * Scale shape: edges + out-degrees are derived once and
     * scratch-materialized (at 100 TB: a bucketed table partitioned by
@@ -1021,39 +1025,130 @@ object RelationalQueries {
     * materializations outweigh the deeper per-job plan), keeping plan
     * depth bounded for any round count.
     */
-  private def pagerankRanks(s: SparkSession, dir: String, rounds: Int): DataFrame = {
-    val damp = lit(17.0 / 20.0)
-    val base = lit(3.0 / 20.0)
+  /** The scratch-materialized (src, dst, outdeg) edge table of the
+    * customer↔supplier trade graph (at 100 TB: a bucketed table
+    * partitioned by src).
+    */
+  private def pagerankEdges(s: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), (-col("l_suppkey")).as("p"))
       .distinct()
-    val eo = graft.Scratch.table({
+    graft.Scratch.table({
       val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
         .union(pairs.select(col("p").as("src"), col("c").as("dst")))
       edges.join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
     }, "pr-edges")
-    var ranks = eo.select(col("src").as("v")).distinct()
-      .withColumn("rank", lit(1.0))
-    for (round <- 1 to rounds) {
-      ranks = eo.join(ranks, eo("src") === ranks("v"))
-        .select(col("dst"),
-          (col("rank") / col("outdeg").cast("double")).as("contrib"))
-        .groupBy(col("dst"))
-        // floor() on a double is LongType in Spark; DECIMAL(20,0) partials
-        // keep the sum exact past BIGINT range at any scale
-        .agg(sum(floor(col("contrib") * lit(1e10) + lit(0.5))
-          .cast(DecimalType(20, 0))).as("si"))
-        .select(col("dst").as("v"),
-          (base + damp * (col("si").cast("double") / lit(1e10))).as("rank"))
-      if (round % 10 == 0 && round < rounds)
-        ranks = graft.Scratch.table(ranks, "pr-ranks")
-    }
+  }
+
+  /** Largest power-of-10 quantization scale whose per-vertex integer sums
+    * provably fit in 2⁵³ (so DECIMAL(20,0)→double converts exactly), for
+    * ANY graph shape up to |E| ≤ 2⁵²/29 ≈ 1.5·10¹⁴ edges (≫ 100 TB of
+    * edge data).
+    *
+    * Bound: per-vertex in-mass ≤ total rank mass T (every term of one
+    * vertex's in-sum appears in T's edge decomposition with non-negative
+    * coefficients), and T stays ≤ 2|V|: each round
+    * T' = 0.15|V| + 0.85·(T + q), where q ≤ |E|/(2·scale) is the worst-case
+    * total quantization drift (each per-edge contribution rounds to the
+    * nearest scale⁻¹, error ≤ ½·scale⁻¹). From T₀ = |V| the iteration
+    * approaches its fixpoint monotonically, so
+    * T ≤ |V| + (0.85/0.15)·|E|/(2·scale) < |V| + 2.9·|E|/scale. The chosen
+    * scale is within 10× of 2⁵²/|V| (or the 1e10 cap, which is smaller),
+    * so 2.9·|E|/scale ≤ 29·|E|·|V|/2⁵² ≤ |V| whenever |E| ≤ 2⁵²/29 —
+    * giving T ≤ 2|V| and scale·in-mass ≤ scale·2|V| ≤ 2⁵³ since
+    * scale ≤ 2⁵²/|V|. Capped at 1e10 — the value the DuckDB oracle
+    * hard-codes, unchanged whenever |V| ≤ 2⁵²/10¹⁰ ≈ 4.5·10⁵ (all bench
+    * scale factors; at the cap the drift term is microscopic and the same
+    * argument closes trivially).
+    */
+  private def prQuantScale(nVertices: Long): Double = {
+    val maxScale = math.pow(2, 52) / math.max(1L, nVertices).toDouble
+    math.pow(10, math.min(10, math.floor(math.log10(maxScale)).toInt))
+  }
+
+  /** One damped PageRank round: src-keyed join of the rank vector against
+    * the edge table, then a dst-keyed exact integer-quantized sum with
+    * map-side partials (per-task state O(1) per distinct dst — a whale
+    * vertex with a billion in-edges costs only its shuffle share, unlike a
+    * collect_list fold whose per-group state is O(in-degree)).
+    */
+  private def prRound(eo: DataFrame, ranks: DataFrame, scale: Double): DataFrame =
+    eo.join(ranks, eo("src") === ranks("v"))
+      .select(col("dst"),
+        (col("rank") / col("outdeg").cast("double")).as("contrib"))
+      .groupBy(col("dst"))
+      // floor() on a double is LongType in Spark; DECIMAL(20,0) partials
+      // keep the sum exact past BIGINT range at any scale
+      .agg(sum(floor(col("contrib") * lit(scale) + lit(0.5))
+        .cast(DecimalType(20, 0))).as("si"))
+      .select(col("dst").as("v"),
+        (lit(3.0 / 20.0) + lit(17.0 / 20.0) *
+          (col("si").cast("double") / lit(scale))).as("rank"))
+
+  private def prFinish(ranks: DataFrame): DataFrame =
     ranks.select(col("v"),
         when(col("v") < 0L, lit("supplier")).otherwise(lit("customer"))
           .as("node_type"),
         graft.Parity.pround(col("rank"), 6).as("rank"))
       .orderBy(col("v"))
+
+  private[graft] def pagerankRanks(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    val eo = pagerankEdges(s, dir)
+    val verts = eo.select(col("src").as("v")).distinct()
+    val scale = prQuantScale(verts.count())
+    var ranks = verts.withColumn("rank", lit(1.0))
+    for (round <- 1 to rounds) {
+      ranks = prRound(eo, ranks, scale)
+      if (round % 10 == 0 && round < rounds)
+        ranks = graft.Scratch.table(ranks, "pr-ranks")
+    }
+    prFinish(ranks)
+  }
+
+  /** Convergence-terminated PageRank: iterate until the EXACT quantized L1
+    * rank delta drops below `eps` (or `maxRounds` as a cap) and report how
+    * many rounds ran. The stop test has no doubles in it: per-vertex ranks
+    * are re-quantized to scale-integers (`floor(r·scale + 0.5)`, exact —
+    * that is the grid the ranks already live on up to the base/damp affine
+    * map) and Σ|Δ| accumulates in DECIMAL(20,0); the loop stops when
+    * Σ|Δ|/scale < eps. Deterministic on every engine and partitioning —
+    * the same property that makes the fixed-round oracle hash-stable.
+    *
+    * Each round's rank vector is scratch-materialized before the delta
+    * action — the delta is a second consumer of the same round, and
+    * without materialization each round's action would replay the whole
+    * lineage (O(rounds²) work); with it, plan depth stays O(1) per round
+    * at any round count.
+    *
+    * Scale shape per round: identical to [[pagerankRanks]] (one
+    * co-partitioned join + one map-side-partial sum) plus one |V|-row
+    * co-partitioned self-join for the delta — still no per-group state
+    * anywhere. The returned frame is formatted exactly like the
+    * fixed-round queries, and PagerankSpec pins
+    * `pagerankRanksUntil(...) == pagerankRanks(_, _, roundsRun)`.
+    */
+  def pagerankRanksUntil(
+      s: SparkSession, dir: String, eps: Double, maxRounds: Int): (DataFrame, Int) = {
+    val eo = pagerankEdges(s, dir)
+    val verts = eo.select(col("src").as("v")).distinct()
+    val scale = prQuantScale(verts.count())
+    def q(c: org.apache.spark.sql.Column) =
+      floor(c * lit(scale) + lit(0.5)).cast(DecimalType(20, 0))
+    var ranks = graft.Scratch.table(verts.withColumn("rank", lit(1.0)), "pr-r0")
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = graft.Scratch.table(prRound(eo, ranks, scale), "pr-it")
+      rounds += 1
+      val l1Scaled = next.select(col("v"), col("rank").as("r_new"))
+        .join(ranks.select(col("v"), col("rank").as("r_old")), "v")
+        .agg(sum(abs(q(col("r_new")) - q(col("r_old")))).as("d"))
+        .head().getDecimal(0)
+      converged = l1Scaled.doubleValue() / scale < eps
+      ranks = next
+    }
+    (prFinish(ranks), rounds)
   }
 
   val pagerankAuthority: Q = (s, dir) => pagerankRanks(s, dir, 5)

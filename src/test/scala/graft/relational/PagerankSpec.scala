@@ -1,33 +1,56 @@
 package graft.relational
 
 import graft.SparkSpec
+import graft.queries.RelationalQueries
 
 /** pagerank_authority: the whale-vertex scale property is a PLAN property —
   * per-vertex sums must aggregate with map-side partials (per-group state =
   * one decimal), never buffer the in-edge list per dst. The oracle row proves
   * values; this pins the shape so a refactor back to a collect_list fold
-  * fails a test, not a scale review.
+  * fails a test, not a scale review. Plus the round-count and convergence
+  * properties the oracle rows cannot see.
   */
 class PagerankSpec extends SparkSpec {
 
+  private def rankMap(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+    df.select("v", "rank").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
   test("rank rounds aggregate with map-side partial sums, no per-group lists") {
-    val plan = graft.queries.RelationalQueries.pagerankAuthority(spark, sf0001)
+    val plan = RelationalQueries.pagerankAuthority(spark, sf0001)
       .queryExecution.executedPlan.toString
     assert(plan.contains("partial_sum"), plan.linesIterator.take(5).mkString("\n"))
     assert(!plan.contains("collect_list"),
       "whale-vertex fold reintroduced: per-dst state would be O(in-degree)")
   }
 
-  test("20-round variant equals 5-round ranks when run at 5 rounds") {
-    // pagerankRanks is shared; the public surface proof: both queries agree
-    // on the graph and differ only in round count — the 5-round prefix of
-    // the damped iteration is identical by construction, so the two queries
-    // must differ (20 rounds move the ranks) while sharing vertex sets.
-    val r5 = graft.queries.RelationalQueries.pagerankAuthority(spark, sf0001)
-    val r20 = graft.queries.RelationalQueries.pagerankAuthority20(spark, sf0001)
-    val v5 = r5.select("v").collect().map(_.getLong(0)).toSet
-    val v20 = r20.select("v").collect().map(_.getLong(0)).toSet
-    assert(v5 === v20, "round count must not change the vertex set")
-    assert(v5.nonEmpty)
+  test("20-round variant actually iterates further: same vertices, moved ranks") {
+    val r5 = rankMap(RelationalQueries.pagerankAuthority(spark, sf0001))
+    val r20 = rankMap(RelationalQueries.pagerankAuthority20(spark, sf0001))
+    assert(r5.nonEmpty)
+    assert(r5.keySet === r20.keySet, "round count must not change the vertex set")
+    // a regression where the 20-round query silently runs 5 rounds would
+    // make the maps identical; 15 extra damped rounds must move some rank
+    assert(r5 !== r20, "20 rounds produced bit-identical ranks to 5 rounds")
+    // and both must match the shared implementation run at their count
+    assert(r5 === rankMap(RelationalQueries.pagerankRanks(spark, sf0001, 5)))
+    assert(r20 === rankMap(RelationalQueries.pagerankRanks(spark, sf0001, 20)))
+  }
+
+  test("convergence termination stops before the cap and equals the fixed-round run") {
+    val (df, rounds) =
+      RelationalQueries.pagerankRanksUntil(spark, sf0001, eps = 2.0, maxRounds = 40)
+    assert(rounds < 40, s"L1 delta never dropped below eps within $rounds rounds")
+    assert(rounds > 1, "eps so loose the loop is vacuous")
+    // the converged frame IS the fixed-round frame of the same length —
+    // same quantized iteration, bit-for-bit (node_type and pround included)
+    val fixed = RelationalQueries.pagerankRanks(spark, sf0001, rounds)
+    assert(df.collect().map(_.mkString("|")).toSeq ===
+      fixed.collect().map(_.mkString("|")).toSeq)
+    // monotonicity: a looser eps can only stop at or before this round
+    val (_, loose) =
+      RelationalQueries.pagerankRanksUntil(spark, sf0001, eps = 10.0, maxRounds = 40)
+    assert(loose <= rounds,
+      s"loose eps stopped at $loose rounds, after tight eps at $rounds")
   }
 }
