@@ -16,6 +16,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * passes last_ts + gap. Also runs on a batch Dataset (Spark executes
   * flatMapGroupsWithState in batch with NoTimeout), which is how the spec
   * asserts session shapes deterministically.
+  *
+  * MEMORY BOUND (the one non-streaming-shaped cost in this file): the
+  * group iterator arrives in no guaranteed order, so [[sessionize]] buffers
+  * and sorts ONE (user, trigger) group per task at a time — working memory
+  * is O(max events of a single user within a single trigger) ≈ 56 bytes/
+  * event (Event = 8B long + 24B Timestamp ref + 8B double + object
+  * headers), NOT O(users) and NOT O(total events): kept state between
+  * triggers is one fixed-size SessionState per live user. Under streaming
+  * that per-trigger slice is capped by the source trigger size
+  * (maxFilesPerTrigger / maxOffsetsPerTrigger), so a whale user costs at
+  * most one trigger's worth of their events (~56 MB per million —
+  * SessionizeSpec pins a 10⁶-event single-user batch end-to-end). In BATCH
+  * execution there is no trigger cap and a whale user's entire history is
+  * one group — for that path use [[sessionizeRelational]] or
+  * [[sessionizeWindowed]], whose sorts run through Spark's spillable
+  * external sorter (both share this operator's oracle).
   */
 object Sessionize extends Serializable {
 

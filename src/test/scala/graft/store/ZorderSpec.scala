@@ -33,6 +33,9 @@ class ZorderSpec extends SparkSpec {
 
   /** Per-file bounding boxes via input_file_name; counts files whose box
     * intersects the probe (timeLo ≤ t < timeHi, priceLo ≤ p < priceHi).
+    * Probe bounds are session-TZ string casts (UTC, pinned by SparkSpec) —
+    * a java.sql.Timestamp.valueOf literal would parse in the JVM default
+    * timezone and shift the probe box on a non-UTC JVM.
     */
   private def touchedFiles(
       df: DataFrame, timeLo: String, timeHi: String,
@@ -42,18 +45,23 @@ class ZorderSpec extends SparkSpec {
       .agg(min(col("observed_at")).as("t_lo"), max(col("observed_at")).as("t_hi"),
         min(col("close_price")).as("p_lo"), max(col("close_price")).as("p_hi"))
     val touched = boxes.filter(
-      !(col("t_hi") < lit(java.sql.Timestamp.valueOf(timeLo)) ||
-        col("t_lo") >= lit(java.sql.Timestamp.valueOf(timeHi)) ||
+      !(col("t_hi") < lit(timeLo).cast("timestamp") ||
+        col("t_lo") >= lit(timeHi).cast("timestamp") ||
         col("p_hi") < lit(priceLo) || col("p_lo") >= lit(priceHi))).count()
     (touched, boxes.count())
   }
 
   test("z-order layout prunes a 2-D probe box better than a 1-D time sort") {
     val n = 16384L
-    // one day of timestamps, uniformly spaced; price decorrelated from time
+    // one UTC day of timestamps, uniformly spaced; price decorrelated from
+    // time. Base epoch from Instant.parse so the fixture is
+    // timezone-independent (Timestamp.valueOf would parse in the JVM
+    // default TZ and straddle two p_date partitions on a non-UTC JVM).
+    val epochUs = java.time.Instant.parse("2024-03-01T00:00:00Z")
+      .getEpochSecond * 1000000L
     val base = spark.range(n).select(
-      timestamp_micros(lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
-          .getTime * 1000L) + col("id") * lit(86400000000L / n)).as("observed_at"),
+      timestamp_micros(lit(epochUs) + col("id") * lit(86400000000L / n))
+        .as("observed_at"),
       (pmod(xxhash64(col("id")), lit(1000000L)).cast("double") / lit(1e6))
         .as("close_price"))
 
@@ -73,8 +81,9 @@ class ZorderSpec extends SparkSpec {
     assert(after === before)
 
     // 1-D comparison layout: same rows, same file count, sorted by time only
+    // (µs-on-write is a session-wide conf set once in SparkSpec — no
+    // per-test mutation of shared-session state here)
     val sDir = Files.createTempDirectory("graft_zorder_sort").toString + "/store"
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     base.withColumn(IncrementalStore.PartitionCol, to_date(col("observed_at")))
       .repartitionByRange(nFiles, col("observed_at"))
       .sortWithinPartitions(col("observed_at"))

@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
 import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
 
 import graft.SparkSpec
@@ -24,6 +25,28 @@ class SessionizeSpec extends SparkSpec {
     assert(sessions(0).n_events === 2 && sessions(0).value_sum === 3.0)
     assert(sessions(1).n_events === 1 && sessions(1).value_sum === 4.0)
     assert(sessions(2).user_id === 2L)
+  }
+
+  test("a 10^6-event single-user batch completes with correct session shape") {
+    import spark.implicits._
+    // the documented worst case for the custom-state path: ONE user whose
+    // whole history lands in one group — the sort buffer holds all 10^6
+    // events (~56 MB) and must complete, not OOM. Events alternate inside/
+    // outside the gap so the fold also closes sessions while scanning.
+    val n = 1000000L
+    val gapMs = 60000L
+    // every 1000th event jumps 2×gap (forces a session break), others +1s
+    val ev = spark.range(n).select(
+      lit(7L).as("user_id"),
+      timestamp_micros(lit(1700000000000000L) +
+        (col("id") * lit(1000000L)) +
+        (col("id") / lit(1000L)).cast("long") * lit(2L * gapMs * 1000L)).as("ts"),
+      lit(0.5).as("value")).as[Event]
+    val sessions = sessionize(ev, gapMs).collect()
+    assert(sessions.length === 1000, s"got ${sessions.length} sessions")
+    assert(sessions.map(_.n_events).sum === n)
+    assert(sessions.forall(s => s.user_id == 7L && s.n_events == 1000L))
+    assert(sessions.forall(s => math.abs(s.value_sum - 500.0) < 1e-9))
   }
 
   test("relational sessionization equals the stateful operator on real events") {
