@@ -575,6 +575,99 @@ object RelationalQueries {
        |GROUP BY user_id, event_type
        |ORDER BY user_id, event_type""".stripMargin
 
+  /** The full MERGE contract in ONE pass: a mixed CDC batch of tagged
+    * rows — `op ∈ {insert, delete, update}` with (key, value[, new_value])
+    * — applied to the MV state as a single keyed delta, exactly what the
+    * reference's incremental MERGE does per run (dbt-bigquery compiles
+    * `WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT`,
+    * stg_eurusd.sql:3-10; retractions are the CDC completion of that
+    * contract). Per key:
+    * `Δn = #inserts − #deletes`,
+    * `Δtotal = Σ dec(ins.value) − Σ dec(del.value) + Σ (dec(upd.new) − dec(upd.old))`
+    * — one aggregate over the batch, one co-partitioned merge join, all
+    * arithmetic in [[MvDec]]-downcast decimals (exact, ≤ DECIMAL(31,10),
+    * no precision-loss rescale). New keys may appear (net inserts);
+    * drained keys drop out; contract violations fail loudly — an unknown
+    * `op`, an over-delete, or a delete/update touching a key absent from
+    * base all `raise_error` instead of producing silently wrong state.
+    * IncrementalMvSpec proves batch == row-level recompute on a fixture
+    * exercising all three ops at once; the driver oracle proves it on
+    * real data (full recompute over corrected base).
+    *
+    * Scale shape: identical to [[incrementalMv]] — the batch aggregates
+    * with map-side partials and shuffles once on the compound key; the
+    * base side is the stored aggregate; at 100 TB the batch is the day's
+    * CDC feed, never a history rescan.
+    */
+  private[graft] def mvApplyCdc(base: DataFrame, batch: DataFrame): DataFrame = {
+    val zero = lit(java.math.BigDecimal.ZERO).cast(MvDec)
+    val dv = col("value").cast(MvDec)
+    val signed = when(col("op") === lit("insert"), dv)
+      .when(col("op") === lit("delete"), -dv)
+      .when(col("op") === lit("update"), col("new_value").cast(MvDec) - dv)
+      .otherwise(raise_error(concat(lit("mvApplyCdc: unknown op '"),
+        col("op"), lit("'"))))
+    val delta = batch.groupBy(col("user_id"), col("event_type"))
+      .agg(
+        sum(when(col("op") === lit("insert"), 1L)
+          .when(col("op") === lit("delete"), -1L).otherwise(0L)).as("c_dn"),
+        sum(signed).cast(MvDec).as("c_dt"))
+    val n = coalesce(col("b_n"), lit(0L)) + coalesce(col("c_dn"), lit(0L))
+    mvAgg(base, "b")
+      .join(delta, Seq("user_id", "event_type"), "full_outer")
+      .select(col("user_id"), col("event_type"),
+        when(n < 0L, raise_error(concat(
+          lit("mvApplyCdc: deletes exceed base rows for ("),
+          col("user_id").cast("string"), lit(", "), col("event_type"), lit(")"))))
+          .when(col("b_n").isNull && coalesce(col("c_dn"), lit(0L)) <= 0L,
+            raise_error(concat(
+              lit("mvApplyCdc: delete/update on a key absent from base ("),
+              col("user_id").cast("string"), lit(", "), col("event_type"), lit(")"))))
+          .otherwise(n).as("n"),
+        graft.Parity.pround(
+          (coalesce(col("b_t"), zero) + coalesce(col("c_dt"), zero)).cast("double"),
+          2).as("total"))
+      .filter(col("n") > 0L)
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** One CDC run over the MV: day 2024-01-20 arrives as INSERTS, the
+    * `error` events of 2024-01-10 are DELETED, and the `click` events of
+    * 2024-01-05 are re-stated ×0.5 as UPDATES — all applied in one pass by
+    * [[mvApplyCdc]]. The ORACLE is the full recompute over the corrected
+    * range, so the hash gate proves the one-pass mixed apply equals the
+    * recompute.
+    */
+  val incrementalMvCdc: Q = (s, dir) => {
+    val baseEnd = java.time.LocalDate.parse("2024-01-19")
+    val nn = lit(null).cast("double")
+    val inserts = Tables.eventsDay(s, dir, java.time.LocalDate.parse("2024-01-20"))
+      .select(col("user_id"), col("event_type"), lit("insert").as("op"),
+        col("value"), nn.as("new_value"))
+    val deletes = Tables.eventsDay(s, dir, java.time.LocalDate.parse("2024-01-10"))
+      .filter(col("event_type") === lit("error"))
+      .select(col("user_id"), col("event_type"), lit("delete").as("op"),
+        col("value"), nn.as("new_value"))
+    val updates = Tables.eventsDay(s, dir, java.time.LocalDate.parse("2024-01-05"))
+      .filter(col("event_type") === lit("click"))
+      .select(col("user_id"), col("event_type"), lit("update").as("op"),
+        col("value"), (col("value") * lit(0.5)).as("new_value"))
+    mvApplyCdc(Tables.eventsBefore(s, dir, baseEnd.plusDays(1)),
+      inserts.unionAll(deletes).unionAll(updates))
+  }
+
+  val incrementalMvCdcSql: String =
+    s"""SELECT user_id, event_type, count(*) AS n,
+       |       ${graft.Parity.proundSql(sumExactSql(
+             "CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-05' " +
+               "AND event_type = 'click' THEN value * 0.5 ELSE value END"), 2)} AS total
+       |FROM events
+       |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) <= DATE '2024-01-20'
+       |  AND NOT (CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-10'
+       |           AND event_type = 'error')
+       |GROUP BY user_id, event_type
+       |ORDER BY user_id, event_type""".stripMargin
+
   val snapshotDiffSql: String =
     s"""WITH ev AS (
        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
@@ -1218,6 +1311,7 @@ object RelationalQueries {
     "incremental_mv" -> incrementalMv,
     "incremental_mv_deletes" -> incrementalMvDeletes,
     "incremental_mv_updates" -> incrementalMvUpdates,
+    "incremental_mv_cdc" -> incrementalMvCdc,
     "funnel_steps" -> funnelSteps,
     "hist_merge_days" -> histMergeDays,
     "retention_cohorts" -> retentionCohorts,
@@ -1250,6 +1344,7 @@ object RelationalQueries {
     "incremental_mv" -> incrementalMvSql,
     "incremental_mv_deletes" -> incrementalMvDeletesSql,
     "incremental_mv_updates" -> incrementalMvUpdatesSql,
+    "incremental_mv_cdc" -> incrementalMvCdcSql,
     "funnel_steps" -> funnelStepsSql,
     "hist_merge_days" -> histMergeDaysSql,
     "retention_cohorts" -> retentionCohortsSql,

@@ -90,6 +90,59 @@ class IncrementalMvSpec extends SparkSpec {
       Row(2L, "error", 3L, 3.50)))
   }
 
+  test("a mixed CDC batch equals the row-level recompute") {
+    import spark.implicits._
+    // one pass: insert a brand-new key, insert onto an existing key,
+    // delete one row, update one row
+    val batch = Seq(
+      (5L, "view", "insert", 7.00, Double.NaN),   // new key
+      (1L, "click", "insert", 1.00, Double.NaN),  // existing key grows
+      (2L, "error", "delete", 4.00, Double.NaN),  // one row removed
+      (1L, "error", "update", 1.25, 10.00)        // one row re-stated
+    ).toDF("user_id", "event_type", "op", "value", "new_value")
+
+    // the same change applied at the row level
+    val corrected = Seq(
+      (1L, "error", 10.00), (1L, "error", 2.50),
+      (1L, "click", 3.00), (1L, "click", 0.75), (1L, "click", 1.00),
+      (2L, "error", 1.00), (2L, "error", 0.50),
+      (5L, "view", 7.00)
+    ).toDF("user_id", "event_type", "value")
+    val noUpdates =
+      Seq.empty[(Long, String, Double, Double)]
+        .toDF("user_id", "event_type", "value", "new_value")
+
+    val viaCdc = graft.queries.RelationalQueries
+      .mvApplyCdc(base, batch).collect().toSeq
+    val recompute = graft.queries.RelationalQueries
+      .mvApplyUpdates(corrected, noUpdates).collect().toSeq
+    assert(viaCdc === recompute)
+    assert(viaCdc.exists(r => r.getLong(0) == 5L && r.getString(1) == "view"))
+  }
+
+  test("CDC contract violations fail loudly") {
+    import spark.implicits._
+    // update on a key absent from base, with no net insert for it
+    val orphanUpdate = Seq(
+      (9L, "error", "update", 1.00, 2.00)
+    ).toDF("user_id", "event_type", "op", "value", "new_value")
+    val e1 = intercept[Exception] {
+      graft.queries.RelationalQueries.mvApplyCdc(base, orphanUpdate).collect()
+    }
+    assert(rootMessages(e1).contains("absent from base"),
+      s"expected the absent-key error, got: ${rootMessages(e1)}")
+
+    // a batch with an op tag outside {insert, delete, update}
+    val badOp = Seq(
+      (1L, "error", "upsert", 1.00, 2.00)
+    ).toDF("user_id", "event_type", "op", "value", "new_value")
+    val e2 = intercept[Exception] {
+      graft.queries.RelationalQueries.mvApplyCdc(base, badOp).collect()
+    }
+    assert(rootMessages(e2).contains("unknown op"),
+      s"expected the unknown-op error, got: ${rootMessages(e2)}")
+  }
+
   test("an update for a key absent from base fails loudly") {
     import spark.implicits._
     val unknown = Seq(
