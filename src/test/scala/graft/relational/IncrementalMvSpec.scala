@@ -143,6 +143,18 @@ class IncrementalMvSpec extends SparkSpec {
       s"expected the unknown-op error, got: ${rootMessages(e2)}")
   }
 
+  test("the CDC merge join reuses the aggregate partitioning: two hash exchanges total") {
+    // the scale property of the whole MV family: base and batch each
+    // shuffle ONCE (map-side partials first), and the full-outer merge
+    // join runs on those partitionings with no third exchange — a
+    // refactor that breaks partition reuse fails here, not in a review
+    val plan = graft.queries.RelationalQueries
+      .incrementalMvCdc(spark, sf0001).queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning").length - 1 === 2, plan)
+    assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"), plan)
+    assert(plan.contains("partial_sum"), plan)
+  }
+
   test("an update for a key absent from base fails loudly") {
     import spark.implicits._
     val unknown = Seq(
