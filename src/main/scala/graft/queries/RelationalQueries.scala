@@ -1234,11 +1234,12 @@ object RelationalQueries {
     while (!converged && rounds < maxRounds) {
       val next = graft.Scratch.table(prRound(eo, ranks, scale), "pr-it")
       rounds += 1
-      val l1Scaled = next.select(col("v"), col("rank").as("r_new"))
+      val l1Scaled = Option(next.select(col("v"), col("rank").as("r_new"))
         .join(ranks.select(col("v"), col("rank").as("r_old")), "v")
         .agg(sum(abs(q(col("r_new")) - q(col("r_old")))).as("d"))
-        .head().getDecimal(0)
-      converged = l1Scaled.doubleValue() / scale < eps
+        .head().getDecimal(0))
+      // sum over zero vertices is NULL ⇒ empty graph ⇒ trivially converged
+      converged = l1Scaled.forall(_.doubleValue() / scale < eps)
       ranks = next
     }
     (prFinish(ranks), rounds)
