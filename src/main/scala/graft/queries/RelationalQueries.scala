@@ -1285,6 +1285,143 @@ object RelationalQueries {
   val pagerankAuthoritySql: String = pagerankSql(5)
   val pagerankAuthority20Sql: String = pagerankSql(20)
 
+  /** Association-rule mining (market-basket support/confidence/lift) over
+    * order baskets — the classic co-occurrence analysis a curation pipeline
+    * runs to find correlated attributes. Baskets are orders; items are the
+    * part BRANDS in the order (25 distinct, so pair space is bounded at
+    * 600 directed pairs regardless of corpus size — the item-vocabulary
+    * bound every production basket miner relies on).
+    *
+    * Shape: one broadcast join to the part dimension, one distinct
+    * (basket, item) projection, then a SELF-JOIN ON THE BASKET KEY —
+    * co-partitioned, one shuffle on o_orderkey, never item×item across
+    * baskets. Item frequencies and the basket count ride in as broadcast
+    * relations; support/confidence/lift are per-row arithmetic after that.
+    * At 100 TB the pair aggregate is map-side combined into ≤600 groups.
+    */
+  val assocRules: Q = (s, dir) => {
+    val items = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
+      .distinct()
+    val consts = items.agg(countDistinct(col("ok")).as("n_baskets"))
+    val itemN = items.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val a = items.select(col("ok"), col("item").as("antecedent"))
+    val b = items.select(col("ok"), col("item").as("consequent"))
+    a.join(b, Seq("ok"))
+      .filter(col("antecedent") =!= col("consequent"))
+      .groupBy(col("antecedent"), col("consequent"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+      .join(broadcast(itemN.withColumnRenamed("item", "antecedent")
+        .withColumnRenamed("n_item", "n_a")), Seq("antecedent"))
+      .join(broadcast(itemN.withColumnRenamed("item", "consequent")
+        .withColumnRenamed("n_item", "n_b")), Seq("consequent"))
+      .crossJoin(broadcast(consts))
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        graft.Parity.pround(
+          col("n_ab").cast("double") / col("n_baskets").cast("double"), 6).as("support"),
+        graft.Parity.pround(
+          col("n_ab").cast("double") / col("n_a").cast("double"), 6).as("confidence"),
+        graft.Parity.pround(
+          (col("n_ab").cast("double") / col("n_a").cast("double")) /
+            (col("n_b").cast("double") / col("n_baskets").cast("double")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+      .limit(20)
+  }
+
+  val assocRulesSql: String =
+    s"""WITH d AS (
+       |  SELECT DISTINCT l_orderkey AS ok, p_brand AS item
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |consts AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM d),
+       |ni AS (SELECT item, count(*) AS n_item FROM d GROUP BY 1),
+       |pairs AS (
+       |  SELECT d1.item AS antecedent, d2.item AS consequent, count(*) AS n_ab
+       |  FROM d d1 JOIN d d2 ON d1.ok = d2.ok AND d1.item <> d2.item
+       |  GROUP BY 1, 2 HAVING count(*) >= 5)
+       |SELECT antecedent, consequent, n_ab,
+       |       ${graft.Parity.proundSql(
+                 "CAST(n_ab AS DOUBLE) / CAST(c.n_baskets AS DOUBLE)", 6)} AS support,
+       |       ${graft.Parity.proundSql(
+                 "CAST(n_ab AS DOUBLE) / CAST(na.n_item AS DOUBLE)", 6)} AS confidence,
+       |       ${graft.Parity.proundSql(
+                 "(CAST(n_ab AS DOUBLE) / CAST(na.n_item AS DOUBLE)) / (CAST(nb.n_item AS DOUBLE) / CAST(c.n_baskets AS DOUBLE))",
+                 6)} AS lift
+       |FROM pairs
+       |JOIN ni na ON pairs.antecedent = na.item
+       |JOIN ni nb ON pairs.consequent = nb.item
+       |CROSS JOIN consts c
+       |ORDER BY lift DESC, antecedent, consequent
+       |LIMIT 20""".stripMargin
+
+  /** Per-vertex triangle counting on the parts-co-ordered graph (two parts
+    * are adjacent when some order contains both) — the local clustering
+    * signal dedup/community pipelines use to separate clique-like duplicate
+    * clusters from star-like hub artifacts.
+    *
+    * The enumeration is DEGREE-ORDERED ORIENTATION (the standard
+    * MapReduce/GraphX formulation): each undirected edge is directed from
+    * its lower-(degree, id) endpoint to the higher, making out-degrees
+    * bounded by O(√m) on any graph, so the wedge join `o(a,b) ⋈ o(b,c)`
+    * generates O(m^1.5) candidates worst-case — the known optimal bound —
+    * instead of Σ deg² (which a hub vertex makes quadratic). Wedges are
+    * closed by one join against the oriented edge set; each triangle is
+    * found exactly once and credits all three corners via explode. Three
+    * shuffles total (edge distinct, wedge join, closing join), all on
+    * vertex keys.
+    *
+    * Oracle note: the DuckDB mirror enumerates by id order (u<v<w), which
+    * finds the same triangle set — orientation only changes WHICH copy of
+    * each triangle is generated, not the multiset of corners credited.
+    */
+  val graphTriangles: Q = (s, dir) => {
+    val d = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("it"))
+      .distinct()
+    val edges = d.as("d1").join(d.as("d2"), Seq("ok"))
+      .filter(col("d1.it") < col("d2.it"))
+      .select(col("d1.it").as("u"), col("d2.it").as("v"))
+      .distinct()
+    val deg = edges.select(col("u").as("x")).unionAll(edges.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val ranked = edges
+      .join(deg.select(col("x").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("deg").as("dv")), Seq("v"))
+    val oriented = ranked.select(
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("src"), col("v").as("dst")))
+        .otherwise(struct(col("v").as("src"), col("u").as("dst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val tris = wedges.join(
+      oriented.select(col("src").as("a"), col("dst").as("c")).as("e3"),
+      Seq("a", "c"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("p_partkey"))
+      .groupBy(col("p_partkey")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("p_partkey"))
+      .limit(20)
+  }
+
+  val graphTrianglesSql: String =
+    s"""WITH d AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS it FROM lineitem),
+       |ed AS (
+       |  SELECT DISTINCT d1.it AS u, d2.it AS v
+       |  FROM d d1 JOIN d d2 ON d1.ok = d2.ok AND d1.it < d2.it),
+       |tri AS (
+       |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM ed e1 JOIN ed e2 ON e1.v = e2.u
+       |  JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |corners AS (
+       |  SELECT unnest([a, b, c]) AS p_partkey FROM tri)
+       |SELECT p_partkey, count(*) AS n_triangles
+       |FROM corners GROUP BY 1
+       |ORDER BY n_triangles DESC, p_partkey
+       |LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "pagerank_authority" -> pagerankAuthority,
     "pagerank_authority20" -> pagerankAuthority20,
@@ -1316,6 +1453,8 @@ object RelationalQueries {
     "funnel_steps" -> funnelSteps,
     "hist_merge_days" -> histMergeDays,
     "retention_cohorts" -> retentionCohorts,
+    "assoc_rules" -> assocRules,
+    "graph_triangles" -> graphTriangles,
     "events_kpi" -> eventsKpi)
 
   val oracleSql: Map[String, String] = Map(
@@ -1349,5 +1488,7 @@ object RelationalQueries {
     "funnel_steps" -> funnelStepsSql,
     "hist_merge_days" -> histMergeDaysSql,
     "retention_cohorts" -> retentionCohortsSql,
+    "assoc_rules" -> assocRulesSql,
+    "graph_triangles" -> graphTrianglesSql,
     "events_kpi" -> eventsKpiSql)
 }
