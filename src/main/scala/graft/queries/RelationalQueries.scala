@@ -1367,9 +1367,11 @@ object RelationalQueries {
     * generates O(m^1.5) candidates worst-case — the known optimal bound —
     * instead of Σ deg² (which a hub vertex makes quadratic). Wedges are
     * closed by one join against the oriented edge set; each triangle is
-    * found exactly once and credits all three corners via explode. Three
-    * shuffles total (edge distinct, wedge join, closing join), all on
-    * vertex keys.
+    * found exactly once and credits all three corners via explode. The
+    * only shuffles are the edge-distinct and the final 20k-group
+    * aggregate: the edge list is vocabulary-bounded, so the wedge and
+    * closing joins run as broadcast-hash probes and the wedge stream is
+    * never materialized or exchanged.
     *
     * Oracle note: the DuckDB mirror enumerates by id order (u<v<w), which
     * finds the same triangle set — orientation only changes WHICH copy of
@@ -1383,21 +1385,29 @@ object RelationalQueries {
       .filter(col("d1.it") < col("d2.it"))
       .select(col("d1.it").as("u"), col("d2.it").as("v"))
       .distinct()
+    // the part-pair edge list is VOCABULARY-bounded (O(|parts|·avg-deg),
+    // not corpus-bounded): degrees and the oriented edge set broadcast, so
+    // the 60M-wedge stream below never hits a shuffle — it flows through
+    // one codegen'd pipeline of two broadcast-hash probes straight into the
+    // per-vertex aggregate's map-side partials
     val deg = edges.select(col("u").as("x")).unionAll(edges.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("deg"))
     val ranked = edges
-      .join(deg.select(col("x").as("u"), col("deg").as("du")), Seq("u"))
-      .join(deg.select(col("x").as("v"), col("deg").as("dv")), Seq("v"))
-    val oriented = ranked.select(
+      .join(broadcast(deg.select(col("x").as("u"), col("deg").as("du"))), Seq("u"))
+      .join(broadcast(deg.select(col("x").as("v"), col("deg").as("dv"))), Seq("v"))
+    // scratch-materialized: three consumers below (probe side + two
+    // broadcasts) would otherwise each re-derive the scan→self-join→
+    // distinct→degree lineage
+    val oriented = graft.Scratch.table(ranked.select(
       when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
         struct(col("u").as("src"), col("v").as("dst")))
         .otherwise(struct(col("v").as("src"), col("u").as("dst"))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")), "tri-oriented")
     val wedges = oriented.as("e1")
-      .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(broadcast(oriented).as("e2"), col("e1.dst") === col("e2.src"))
       .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
     val tris = wedges.join(
-      oriented.select(col("src").as("a"), col("dst").as("c")).as("e3"),
+      broadcast(oriented.select(col("src").as("a"), col("dst").as("c"))).as("e3"),
       Seq("a", "c"))
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("p_partkey"))
       .groupBy(col("p_partkey")).agg(count(lit(1)).as("n_triangles"))

@@ -1113,10 +1113,215 @@ object TextQueries {
   val bpeTrainSql: String = bpeTrainSqlRounds(5)
   val bpeTrain20Sql: String = bpeTrainSqlRounds(20)
 
+  /** BPE tokenizer APPLICATION — the encode half that [[bpeTrainRounds]]
+    * trains for, closing the pipeline's train → encode → pack loop: learn
+    * the merge table, tokenize every document with it, report per-doc
+    * token/word/char counts and the compression ratio (chars per BPE
+    * token) a data-mixture planner budgets by.
+    *
+    * Scale shape — the production-tokenizer decomposition: merges are
+    * applied to the DISTINCT WORD VOCABULARY (one fold per merge over a
+    * vocab-sized relation, exactly like training), never to the corpus;
+    * the corpus pass is then one explode + one word-keyed join of doc
+    * words against the encoded vocabulary (the inverted-index shuffle) +
+    * one per-doc aggregate with map-side partials. Encode cost grows with
+    * |vocab|, not corpus bytes. The merge table itself is the bounded
+    * trainer artifact (5 rows here) — collecting it is the watermark
+    * pattern, not a data collect.
+    */
+  def bpeEncodeRounds(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    val merges =
+      if (rounds == 0) Array.empty[(String, String)]
+      else bpeTrainRounds(s, dir, rounds).collect()
+        .map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
+    val vocab0 = Tables.documents(s, dir)
+      .select(explode(TextAnalysis.words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0).distinct()
+      .select(col("word"), concat_ws(" ", split(col("word"), "")).as("s"))
+    val enc = merges.foldLeft(vocab0) { case (df, (a, b)) =>
+      df.select(col("word"), expr(bpeMergeExpr(a, b)).as("s"))
+    }.select(col("word"), size(split(col("s"), " ")).cast("long").as("n_word_tokens"))
+    val docWords = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+    val perDoc = docWords.join(enc, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_word_tokens")).as("n_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"))
+      .withColumn("chars_per_token",
+        when(col("n_tokens") > 0, graft.Parity.pround(
+          col("n_chars").cast("double") / col("n_tokens").cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
+  val bpeEncode: Q = (s, dir) => bpeEncodeRounds(s, dir, rounds = 5)
+
+  /** DuckDB mirror of [[bpeEncode]]: the same materialized train chain as
+    * [[bpeTrainSqlRounds]] but carrying word identity through every merge
+    * CTE (the encode needs word → encoded-symbols, which training drops),
+    * including the FINAL merge (training's argmax doesn't need it; the
+    * encoded vocabulary does), then the explode + vocab-join + per-doc
+    * rollup.
+    */
+  private def bpeEncodeSqlRounds(rounds: Int): String = {
+    def pairCte(prev: String, name: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT p.a AS a, p.b AS b FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(ws)),
+         |      i -> {'a': ws[CAST(i AS INTEGER)], 'b': ws[CAST(i AS INTEGER) + 1]})) AS p
+         |    FROM (SELECT string_split(s, ' ') AS ws, freq FROM $prev) x
+         |    WHERE len(ws) >= 2)
+         |  GROUP BY 1, 2 ORDER BY CAST(sum(freq) AS BIGINT) DESC, a, b LIMIT 1)""".stripMargin
+    def mergeCte(prev: String, pair: String, name: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT t.word,
+         |         array_to_string(
+         |           list_reduce(
+         |             list_transform(string_split(t.s, ' '), tk -> [tk]),
+         |             (acc, nx) -> CASE WHEN len(acc) > 0 AND acc[-1] = pr.a AND nx[1] = pr.b
+         |                               THEN list_append(acc[:len(acc) - 1], pr.a || pr.b)
+         |                               ELSE list_append(acc, nx[1]) END),
+         |           ' ') AS s,
+         |         t.freq
+         |  FROM $prev t CROSS JOIN $pair pr)""".stripMargin
+    val chain = (1 to rounds).map { r =>
+      pairCte(s"e${r - 1}", s"q$r") + ",\n" + mergeCte(s"e${r - 1}", s"q$r", s"e$r")
+    }.mkString(",\n")
+    s"""WITH tok AS (
+       |  SELECT word FROM (
+       |    SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+       |    FROM documents)
+       |  WHERE length(word) > 0),
+       |wf AS (SELECT word, count(*) AS freq FROM tok GROUP BY 1),
+       |e0 AS MATERIALIZED (
+       |  SELECT word, array_to_string(string_split(word, ''), ' ') AS s, freq FROM wf),
+       |$chain,
+       |enc AS (SELECT word, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_word_tokens FROM e$rounds),
+       |$normedSql,
+       |dw AS (
+       |  SELECT doc_id, unnest(ws) AS word FROM w),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(n_word_tokens) AS BIGINT) AS n_tokens,
+       |         CAST(sum(length(dw.word)) AS BIGINT) AS n_chars
+       |  FROM dw JOIN enc USING (word)
+       |  WHERE length(dw.word) > 0
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |       coalesce(a.n_words, 0) AS n_words,
+       |       coalesce(a.n_tokens, 0) AS n_tokens,
+       |       coalesce(a.n_chars, 0) AS n_chars,
+       |       CASE WHEN coalesce(a.n_tokens, 0) > 0
+       |            THEN ${graft.Parity.proundSql(
+                      "CAST(a.n_chars AS DOUBLE) / CAST(a.n_tokens AS DOUBLE)", 6)}
+       |            ELSE 0.0 END AS chars_per_token
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  val bpeEncodeSql: String = bpeEncodeSqlRounds(5)
+
+  /** Exact-substring deduplication (the Lee et al. 2022 "Deduplicating
+    * Training Data" operator): any 5-word span that also appears in
+    * another document is duplicated text; every copy EXCEPT the one in the
+    * lowest-doc_id holder is marked for removal, and each doc reports its
+    * duplicated-position count, ratio, and the md5 of its CLEANED text
+    * (duplicated word positions dropped) — the artifact a downstream
+    * training-data writer would emit. Differs from [[boilerplateNgrams]]
+    * (df-threshold flagging only) by actual span-level removal semantics
+    * with a deterministic canonical-copy rule.
+    *
+    * Scale shape: one shingle explode → one shingle-keyed aggregate
+    * (min-doc keeper + distinct-doc df, map-side partials) → one join of
+    * the position stream against the flagged relation (token-keyed
+    * shuffle, the inverted-index shape — never doc×doc) → one per-doc
+    * start-list aggregate (bounded by the doc's own length, the same
+    * per-row bound as the word array itself). Position-coverage expansion
+    * and cleaned-text rebuild are pure per-row array math.
+    */
+  val substringDedup: Q = (s, dir) => {
+    val k = 5
+    val docs = Tables.documents(s, dir)
+      .withColumn("w", TextAnalysis.words(col("text")))
+      .withColumn("w", filter(col("w"), x => length(x) > 0))
+    val parts = (0 until k).map(i => if (i == 0) "w[i]" else s"w[i+$i]").mkString(", ")
+    val pos = docs.filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $k), i -> concat_ws(' ', $parts))")))
+      .select(col("doc_id"), col("pos").cast("long").as("start"), col("col").as("sh"))
+    val flagged = pos.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("df"), min(col("doc_id")).as("keeper"))
+      .filter(col("df") >= 2)
+      .select(col("sh"), col("keeper"))
+    val dupStarts = pos.join(flagged, "sh")
+      .filter(col("doc_id") =!= col("keeper"))
+      .groupBy(col("doc_id")).agg(collect_list(col("start")).as("starts"))
+    docs.select(col("doc_id"), col("w"))
+      .join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("starts", coalesce(col("starts"), expr("CAST(array() AS ARRAY<BIGINT>)")))
+      .withColumn("dups", expr(
+        s"array_distinct(flatten(transform(starts, st -> sequence(st, st + ${k - 1}))))"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        size(col("dups")).cast("long").as("n_dup"),
+        when(size(col("w")) > 0, graft.Parity.pround(
+          size(col("dups")).cast("double") / size(col("w")).cast("double"), 6))
+          .otherwise(lit(0.0)).as("dup_ratio"),
+        md5(when(size(col("w")) > 0, expr(
+          """concat_ws(' ', filter(
+            |  transform(sequence(0, size(w) - 1), i -> IF(array_contains(dups, CAST(i AS BIGINT)), NULL, w[i])),
+            |  x -> x IS NOT NULL))""".stripMargin))
+          .otherwise(lit(""))).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val substringDedupSql: String =
+    s"""WITH $normedSql,
+       |wl AS (SELECT doc_id, list_filter(ws, x -> length(x) > 0) AS w FROM w),
+       |pos AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(0, len(w) - 4),
+       |           i -> {'start': i, 'sh': array_to_string(w[CAST(i AS INTEGER) + 1 : CAST(i AS INTEGER) + 5], ' ')})) AS p
+       |  FROM wl WHERE len(w) >= 5),
+       |flagged AS (
+       |  SELECT p.sh AS sh, min(doc_id) AS keeper FROM pos
+       |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+       |ds AS (
+       |  SELECT doc_id, list(p.start) AS starts
+       |  FROM pos JOIN flagged ON pos.p.sh = flagged.sh
+       |  WHERE doc_id <> keeper GROUP BY 1),
+       |cov AS (
+       |  SELECT wl.doc_id, wl.w,
+       |         list_distinct(flatten(list_transform(coalesce(ds.starts, []),
+       |           st -> range(st, st + 5)))) AS dups
+       |  FROM wl LEFT JOIN ds USING (doc_id))
+       |SELECT doc_id,
+       |       CAST(len(w) AS BIGINT) AS n_words,
+       |       CAST(len(dups) AS BIGINT) AS n_dup,
+       |       CASE WHEN len(w) > 0
+       |            THEN ${graft.Parity.proundSql(
+                      "CAST(len(dups) AS DOUBLE) / CAST(len(w) AS DOUBLE)", 6)}
+       |            ELSE 0.0 END AS dup_ratio,
+       |       md5(CASE WHEN len(w) > 0
+       |                -- coalesce: DuckDB array_to_string([]) is NULL, not ''
+       |                THEN coalesce(array_to_string(
+       |                       list_filter(w, (x, i) -> NOT list_contains(dups, i - 1)), ' '), '')
+       |                ELSE '' END) AS clean_md5
+       |FROM cov ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "bm25_topk" -> bm25TopK,
     "bpe_train" -> bpeTrain,
     "bpe_train20" -> bpeTrain20,
+    "bpe_encode" -> bpeEncode,
     "collocations" -> collocations,
     "feature_hash" -> featureHash,
     "hybrid_rrf" -> hybridRrf,
@@ -1127,6 +1332,7 @@ object TextQueries {
     "hll_tokens" -> hllTokens,
     "text_stats" -> textStats,
     "text_quality" -> qualityScore,
+    "substring_dedup" -> substringDedup,
     "token_count" -> tokenCount,
     "lang_id" -> langId,
     "doc_fingerprint" -> docFingerprint,
@@ -1142,6 +1348,7 @@ object TextQueries {
     "bm25_topk" -> bm25TopKSql,
     "bpe_train" -> bpeTrainSql,
     "bpe_train20" -> bpeTrain20Sql,
+    "bpe_encode" -> bpeEncodeSql,
     "collocations" -> collocationsSql,
     "feature_hash" -> featureHashSql,
     "hybrid_rrf" -> hybridRrfSql,
@@ -1152,6 +1359,7 @@ object TextQueries {
     "hll_tokens" -> hllTokensSql,
     "text_stats" -> textStatsSql,
     "text_quality" -> qualityScoreSql,
+    "substring_dedup" -> substringDedupSql,
     "token_count" -> tokenCountSql,
     "lang_id" -> langIdSql,
     "doc_fingerprint" -> docFingerprintSql,
