@@ -1432,7 +1432,100 @@ object RelationalQueries {
        |ORDER BY n_triangles DESC, p_partkey
        |LIMIT 20""".stripMargin
 
+  /** k-core decomposition of the parts-co-ordered graph by iterative
+    * peeling — the degeneracy structure community/dedup pipelines use to
+    * find the dense "always bought together" backbone and discard
+    * peripheral vertices. k is derived from the graph itself in exact
+    * integer arithmetic (k = ⌊0.65 · 2m/n⌋ = 13m DIV 10n — scale-free,
+    * and comfortably below this graph family's sharp core-collapse
+    * threshold, measured between 0.7× and 0.8× mean degree at every SF,
+    * so the core stays non-trivial and the peel cascade stays short at
+    * any scale).
+    *
+    * Shape per round: one degree aggregate (map-side partials into a
+    * vocabulary-bounded group set) and two BROADCAST left-semi probes of
+    * the surviving-vertex set — the edge list itself never reshuffles.
+    * Each round's shrinking edge list re-materializes through scratch
+    * (the PageRank/BPE lineage bound: round r replays one parquet scan,
+    * not r rounds of joins), and the loop exits early at the fixpoint —
+    * peeling is monotone, so an unchanged edge COUNT is an unchanged edge
+    * SET, and extra rounds are idempotent, which is what lets a fixed
+    * 12-round oracle chain hash-match an early-exiting engine. The
+    * per-round m/n/count reads are bounded driver scalars (the watermark
+    * pattern).
+    */
+  def kcoreParts(s: SparkSession, dir: String, maxRounds: Int = 12): DataFrame = {
+    val d = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("it"))
+      .distinct()
+    var e = graft.Scratch.table(
+      d.as("d1").join(d.as("d2"), Seq("ok"))
+        .filter(col("d1.it") < col("d2.it"))
+        .select(col("d1.it").as("u"), col("d2.it").as("v"))
+        .distinct(), "kcore-e0")
+    def degrees(edges: DataFrame): DataFrame =
+      edges.select(explode(array(col("u"), col("v"))).as("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+    val m = e.count()
+    val n = degrees(e).count()
+    val k = if (n == 0) 0L else (13L * m) / (10L * n)
+    // fixpoint = no vertex dropped this round (edges only disappear when an
+    // endpoint does), detected on the tiny vocabulary-bounded keep relation
+    // BEFORE paying the edge rewrite
+    var prevKept = n
+    var r = 1
+    var done = n == 0
+    while (!done && r <= maxRounds) {
+      val keep = graft.Scratch.table(
+        degrees(e).filter(col("dg") >= k).select(col("x")), s"kcore-k$r")
+      val kept = keep.count()
+      if (kept == prevKept) done = true
+      else {
+        e = graft.Scratch.table(
+          e.join(broadcast(keep).as("k1"), col("u") === col("k1.x"), "left_semi")
+            .join(broadcast(keep).as("k2"), col("v") === col("k2.x"), "left_semi"),
+          s"kcore-e$r")
+        prevKept = kept
+        r += 1
+      }
+    }
+    degrees(e)
+      .select(col("x").as("p_partkey"), col("dg").as("degree"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val kcorePartsQ: Q = (s, dir) => kcoreParts(s, dir)
+
+  val kcorePartsSql: String = {
+    def round(prev: String, i: Int): String =
+      s"""deg$i AS MATERIALIZED (
+         |  SELECT x, count(*) AS dg
+         |  FROM (SELECT u AS x FROM $prev UNION ALL SELECT v FROM $prev)
+         |  GROUP BY 1),
+         |keep$i AS MATERIALIZED (
+         |  SELECT x FROM deg$i CROSS JOIN kv WHERE dg >= kv.k),
+         |e$i AS MATERIALIZED (
+         |  SELECT u, v FROM $prev
+         |  WHERE u IN (SELECT x FROM keep$i) AND v IN (SELECT x FROM keep$i))""".stripMargin
+    val rounds = 12
+    val chain = (1 to rounds).map(i => round(s"e${i - 1}", i)).mkString(",\n")
+    s"""WITH d AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS it FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT d1.it AS u, d2.it AS v
+       |  FROM d d1 JOIN d d2 ON d1.ok = d2.ok AND d1.it < d2.it),
+       |kv AS (
+       |  SELECT (13 * (SELECT count(*) FROM e0)) //
+       |         (10 * (SELECT count(DISTINCT x)
+       |                FROM (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0))) AS k),
+       |$chain
+       |SELECT x AS p_partkey, CAST(count(*) AS BIGINT) AS degree
+       |FROM (SELECT u AS x FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "kcore_parts" -> kcorePartsQ,
     "pagerank_authority" -> pagerankAuthority,
     "pagerank_authority20" -> pagerankAuthority20,
     "hll_merge_days" -> hllMergeDays,
@@ -1468,6 +1561,7 @@ object RelationalQueries {
     "events_kpi" -> eventsKpi)
 
   val oracleSql: Map[String, String] = Map(
+    "kcore_parts" -> kcorePartsSql,
     "pagerank_authority" -> pagerankAuthoritySql,
     "pagerank_authority20" -> pagerankAuthority20Sql,
     "hll_merge_days" -> hllMergeDaysSql,

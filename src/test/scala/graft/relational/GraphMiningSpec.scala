@@ -63,6 +63,30 @@ class GraphMiningSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("graph_triangles plan: broadcast probes only — the wedge stream never shuffles") {
+    val plan = RelationalQueries.graphTriangles(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // two broadcast-hash probes (wedge + closure) over the scratch scan
+    assert(plan.split("BroadcastHashJoin").length - 1 === 2, plan)
+    // the only hash exchange is the 20k-group aggregate's final round —
+    // wedges flow scan→probe→probe→partial-agg inside one pipeline
+    assert(plan.split("Exchange hashpartitioning").length - 1 === 1, plan)
+    // top-20 is TakeOrdered, not a global sort exchange
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("assoc_rules plan: dimension and count relations broadcast; no cartesian") {
+    val plan = RelationalQueries.assocRules(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // part dim + the two item-frequency relations ride in as broadcasts
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 3, plan)
+    // the 1-row consts relation joins as a broadcast loop, never cartesian
+    assert(plan.split("BroadcastNestedLoopJoin").length - 1 === 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("graph_triangles: orientation bounds out-degree by the sqrt(2m) envelope") {
     // the scale property the orientation exists for: no oriented out-degree
     // exceeds ~sqrt(2m) (ties can push one past the exact bound; allow 2x)
