@@ -623,7 +623,57 @@ object PipelineQueries {
       .orderBy(col("n_exact").desc, col("token"))
   }
 
+  /** STREAMING as-of (temporal) enrichment at the gate: purchases and
+    * clicks flow as ONE time-ordered file stream, and each click picks up
+    * the user's latest purchase at-or-before its timestamp via the
+    * O(1)-per-key custom state in [[graft.streaming.AsOfStream]] — the
+    * Flink-style temporal join Structured Streaming lacks natively. The
+    * oracle states the batch as-of contract directly in SQL (per click:
+    * the purchase with max (ts, event_id) among ts ≤ click ts), so the
+    * gate proves the streaming fold equals the declarative as-of join.
+    */
+  val streamAsof: Q = (s, dir) => {
+    val base = ensureFixture(s, "stream_asof", dir) { b =>
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(b)
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    runBoundedStream(s, "graft_stream_asof",
+      () => {
+        import s.implicits._
+        graft.streaming.AsOfStream.enrich(
+          s.readStream.schema(schema).parquet(base)
+            .as[graft.streaming.AsOfStream.Ev]).toDF()
+      },
+      "append").orderBy(col("click_id"))
+  }
+
+  val streamAsofSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |c AS (SELECT event_id AS click_id, ts, user_id FROM ev WHERE event_type = 'click'),
+      |p AS (SELECT event_id, ts, user_id, value FROM ev WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT c.click_id, c.ts, c.user_id,
+      |         p.event_id AS p_id, p.ts AS p_ts, p.value AS p_value,
+      |         row_number() OVER (PARTITION BY c.click_id
+      |                            ORDER BY p.ts DESC, p.event_id DESC) AS rn
+      |  FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.ts <= c.ts)
+      |SELECT click_id, ts, user_id, p_id, p_ts, p_value
+      |FROM j WHERE rn = 1 ORDER BY click_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "stream_asof" -> streamAsof,
     "stream_cms" -> streamCms,
     "stream_sliding_ohlc" -> streamSlidingOhlc,
     "stream_dedup" -> streamDedup,
@@ -639,6 +689,7 @@ object PipelineQueries {
     "compact_roundtrip" -> compactRoundtrip)
 
   val oracleSql: Map[String, String] = Map(
+    "stream_asof" -> streamAsofSql, // streaming temporal state vs batch as-of SQL
     "stream_cms" -> TextQueries.cmsTopKSql, // streaming counter state vs batch sketch
     "stream_sliding_ohlc" -> streamSlidingOhlcSql, // streaming vs batch explode
     "stream_dedup" -> streamDedupSql, // streaming dedup vs batch DISTINCT
