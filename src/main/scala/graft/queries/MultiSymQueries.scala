@@ -426,7 +426,76 @@ object MultiSymQueries {
 
   // ------------------------------------------------------------- registry
 
+  /** Pairwise Pearson correlation of hourly closes across the symbol
+    * universe — the cross-instrument analytics a risk/signal pipeline
+    * runs. Neither engine's built-in `corr` is reproducible (both fold a
+    * streaming covariance in arrival order), so the moments are
+    * accumulated as exact DECIMAL sums (association-independent) and the
+    * closed form r = (n·Σxy − ΣxΣy) / (√(n·Σx² − (Σx)²)·√(n·Σy² − (Σy)²))
+    * is evaluated in doubles FROM those identical sums — every op IEEE
+    * and deterministic, so the two engines agree bit-for-bit before the
+    * final pround.
+    *
+    * Shape: the hourly candle relation self-joins ON THE HOUR KEY
+    * (co-partitioned, one shuffle), emitting |symbols|²/2 rows per hour;
+    * the pair aggregate map-side-combines into a symbol-pair-bounded
+    * group set. At 100 TB the shuffle carries candle rows, never ticks.
+    */
+  val priceCorrelation: Q = (s, dir) => {
+    import org.apache.spark.sql.types.DecimalType
+    def sx(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(30, 10))).cast("double")
+    val c = candles1hMulti(s, dir)
+    val a = c.select(col("symbol").as("symbol_a"), col("candle_start"),
+      col("close_price").as("x"))
+    val b = c.select(col("symbol").as("symbol_b"), col("candle_start"),
+      col("close_price").as("y"))
+    val nD = col("n_hours").cast("double")
+    val cov = nD * col("sxy") - col("sx") * col("sy")
+    val varX = nD * col("sxx") - col("sx") * col("sx")
+    val varY = nD * col("syy") - col("sy") * col("sy")
+    a.join(b, Seq("candle_start"))
+      .filter(col("symbol_a") < col("symbol_b"))
+      .groupBy(col("symbol_a"), col("symbol_b"))
+      .agg(count(lit(1)).as("n_hours"),
+        sx(col("x")).as("sx"), sx(col("y")).as("sy"),
+        sx(col("x") * col("y")).as("sxy"),
+        sx(col("x") * col("x")).as("sxx"),
+        sx(col("y") * col("y")).as("syy"))
+      .select(col("symbol_a"), col("symbol_b"), col("n_hours"),
+        when(varX > 0 && varY > 0,
+          graft.Parity.pround(cov / (sqrt(varX) * sqrt(varY)), 6))
+          .otherwise(lit(0.0)).as("corr"))
+      .orderBy(col("symbol_a"), col("symbol_b"))
+  }
+
+  val priceCorrelationSql: String = {
+    def sx(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(30,10))) AS DOUBLE)"
+    s"""WITH $silverMultiSql,
+       |$candles1hMultiSql,
+       |j AS (
+       |  SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
+       |         a.close_price AS x, b.close_price AS y
+       |  FROM c a JOIN c b
+       |    ON a.candle_start = b.candle_start AND a.symbol < b.symbol),
+       |g AS (
+       |  SELECT symbol_a, symbol_b, CAST(count(*) AS BIGINT) AS n_hours,
+       |         ${sx("x")} AS sx, ${sx("y")} AS sy,
+       |         ${sx("x * y")} AS sxy, ${sx("x * x")} AS sxx, ${sx("y * y")} AS syy
+       |  FROM j GROUP BY 1, 2)
+       |SELECT symbol_a, symbol_b, n_hours,
+       |       CASE WHEN CAST(n_hours AS DOUBLE) * sxx - sx * sx > 0
+       |             AND CAST(n_hours AS DOUBLE) * syy - sy * sy > 0
+       |            THEN ${graft.Parity.proundSql(
+                  "(CAST(n_hours AS DOUBLE) * sxy - sx * sy) / " +
+                    "(sqrt(CAST(n_hours AS DOUBLE) * sxx - sx * sx) * " +
+                    "sqrt(CAST(n_hours AS DOUBLE) * syy - sy * sy))", 6)}
+       |            ELSE 0.0 END AS corr
+       |FROM g ORDER BY symbol_a, symbol_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "price_correlation" -> priceCorrelation,
     "stream_ewma" -> streamEwma,
     "fct_timeframes_multisym" -> fctTimeframesMultisym,
     "indicators_multisym" -> indicatorsMultisym,
@@ -439,6 +508,7 @@ object MultiSymQueries {
     "stream_ohlc_multisym" -> streamOhlcMultisym)
 
   val oracleSql: Map[String, String] = Map(
+    "price_correlation" -> priceCorrelationSql,
     "fct_timeframes_multisym" -> fctTimeframesMultisymSql,
     "indicators_multisym" -> indicatorsMultisymSql,
     "ewma_multisym" -> ewmaMultisymSql,

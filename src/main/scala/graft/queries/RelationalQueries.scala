@@ -1432,6 +1432,41 @@ object RelationalQueries {
        |ORDER BY n_triangles DESC, p_partkey
        |LIMIT 20""".stripMargin
 
+  /** Distribution window functions — ntile / percent_rank / cume_dist
+    * over a deterministic total order (totalprice with the unique order
+    * key as tiebreak), completing the window-function surface beyond
+    * row_number/lag/rank. Both engines share the textbook definitions
+    * (ntile's ⌈n/k⌉-then-⌊n/k⌋ buckets, percent_rank = (rank−1)/(n−1),
+    * cume_dist = rank_with_ties/n), and the ratios are small-integer
+    * divisions — bit-identical, pround only as belt-and-braces.
+    *
+    * Scale shape: one shuffle on the partition key, per-partition sort,
+    * single pass — the same envelope as every other window query; the
+    * 5-value priority key bounds partition count, and partition SIZE
+    * scales with orders (the chunked-indicator pattern is the answer if a
+    * single priority ever becomes a whale).
+    */
+  val windowDistribution: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        ntile(4).over(w).as("price_quartile"),
+        graft.Parity.pround(percent_rank().over(w), 6).as("pct_rank"),
+        graft.Parity.pround(cume_dist().over(w), 6).as("cum_dist"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val windowDistributionSql: String =
+    s"""SELECT o_orderkey, o_orderpriority, o_totalprice,
+       |       CAST(ntile(4) OVER w AS BIGINT) AS price_quartile,
+       |       ${graft.Parity.proundSql("percent_rank() OVER w", 6)} AS pct_rank,
+       |       ${graft.Parity.proundSql("cume_dist() OVER w", 6)} AS cum_dist
+       |FROM orders
+       |WINDOW w AS (PARTITION BY o_orderpriority
+       |             ORDER BY o_totalprice, o_orderkey)
+       |ORDER BY o_orderkey""".stripMargin
+
   /** k-core decomposition of the parts-co-ordered graph by iterative
     * peeling — the degeneracy structure community/dedup pipelines use to
     * find the dense "always bought together" backbone and discard
@@ -1525,6 +1560,7 @@ object RelationalQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "window_distribution" -> windowDistribution,
     "kcore_parts" -> kcorePartsQ,
     "pagerank_authority" -> pagerankAuthority,
     "pagerank_authority20" -> pagerankAuthority20,
@@ -1561,6 +1597,7 @@ object RelationalQueries {
     "events_kpi" -> eventsKpi)
 
   val oracleSql: Map[String, String] = Map(
+    "window_distribution" -> windowDistributionSql,
     "kcore_parts" -> kcorePartsSql,
     "pagerank_authority" -> pagerankAuthoritySql,
     "pagerank_authority20" -> pagerankAuthority20Sql,
