@@ -39,6 +39,40 @@ class TokenizeDedupSpec extends SparkSpec {
     assert(t5 <= t1, "merge application is monotonically compressive")
   }
 
+  test("bpe_encode: vocab-decomposed encoding equals direct per-doc encoding") {
+    // the oracle applies the same vocab decomposition, so the decomposition
+    // itself (encode distinct words once, join back) is pinned HERE against
+    // a direct in-memory re-encode of every document
+    val merges = TextQueries.bpeTrainRounds(spark, sf0001, rounds = 5).collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
+    def encodeWord(w: String): Int = {
+      var syms: Seq[String] = w.map(_.toString)
+      merges.foreach { case (a, b) =>
+        val buf = scala.collection.mutable.ArrayBuffer[String]()
+        syms.foreach { t =>
+          if (buf.nonEmpty && buf.last == a && t == b) buf(buf.length - 1) = a + b
+          else buf += t
+        }
+        syms = buf.toSeq
+      }
+      syms.length
+    }
+    val expected = graft.Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "text").collect().map { r =>
+        val words = r.getAs[String]("text").toLowerCase
+          .replaceAll("[^a-z0-9]+", " ").trim.split(" ").filter(_.nonEmpty)
+        r.getAs[Long]("doc_id") ->
+          (words.length.toLong, words.map(encodeWord).sum.toLong, words.map(_.length).sum.toLong)
+      }.toMap
+    val got = TextQueries.bpeEncode(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert((r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_chars"))
+        === expected(id), s"doc $id")
+    }
+  }
+
   private lazy val fixtureDir: String = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ssdedup_fix").toString
