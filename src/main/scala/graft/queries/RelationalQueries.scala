@@ -1559,7 +1559,82 @@ object RelationalQueries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Synchronous label-propagation community detection on the
+    * customer↔supplier trade graph (the [[pagerankAuthority]] edge set) —
+    * the cheap community pass curation pipelines run before expensive
+    * per-community work (topic sampling, dedup scoping). Every vertex
+    * starts labeled with itself; each round every vertex adopts its
+    * neighbors' PLURALITY label, ties broken toward the SMALLEST label —
+    * the argmax key `(count, −label)` is unique within a vertex's
+    * candidate set, so `max_by` is deterministic (never the
+    * ties-pick-first trap) and both engines compute the identical pure
+    * integer fold. Four fixed rounds: enough to coalesce the bipartite
+    * graph's dense blocks, and fixed-round keeps the oracle a finite CTE
+    * chain (the [[kcoreParts]] pattern).
+    *
+    * Scale shape: edges scratch-materialize once (at 100 TB: a bucketed
+    * table partitioned by src); each round is one co-partitioned join of
+    * the |V|-row label vector against edges, then TWO map-side-combined
+    * aggregates — (dst,label) counts, then per-dst `max_by` with O(1)
+    * per-group state. No per-vertex neighbor list ever buffers, so a
+    * whale hub costs only its shuffle share (same argument as the
+    * PageRank sum, RelationalQueries.scala:1165).
+    */
+  val labelProp: Q = (s, dir) => {
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), (-col("l_suppkey")).as("p"))
+      .distinct()
+    val edges = graft.Scratch.table(
+      pairs.select(col("c").as("src"), col("p").as("dst"))
+        .union(pairs.select(col("p").as("src"), col("c").as("dst"))),
+      "lpa-edges")
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+    for (_ <- 1 to 4) {
+      labels = edges.join(labels, edges("src") === labels("v"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max_by(col("label"), struct(col("cnt"), (-col("label")).as("nl")))
+          .as("label"))
+        .select(col("dst").as("v"), col("label"))
+    }
+    labels.select(col("v"),
+        when(col("v") < 0L, lit("supplier")).otherwise(lit("customer"))
+          .as("node_type"),
+        col("label").as("community"))
+      .orderBy(col("v"))
+  }
+
+  val labelPropSql: String = {
+    def round(prev: String, i: Int): String =
+      s"""l$i AS MATERIALIZED (
+         |  SELECT dst AS v, label FROM (
+         |    SELECT dst, label,
+         |           row_number() OVER (PARTITION BY dst
+         |                              ORDER BY cnt DESC, label ASC) AS rn
+         |    FROM (SELECT e.dst, l.label, count(*) AS cnt
+         |          FROM e JOIN $prev l ON e.src = l.v
+         |          GROUP BY e.dst, l.label))
+         |  WHERE rn = 1)""".stripMargin
+    val chain = (1 to 4).map(i => round(s"l${i - 1}", i)).mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey AS c, -l_suppkey AS p
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS MATERIALIZED (
+       |  SELECT c AS src, p AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT p AS src, c AS dst FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS v, src AS label FROM e),
+       |$chain
+       |SELECT v,
+       |       CASE WHEN v < 0 THEN 'supplier' ELSE 'customer' END AS node_type,
+       |       label AS community
+       |FROM l4 ORDER BY v""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "label_prop" -> labelProp,
     "window_distribution" -> windowDistribution,
     "kcore_parts" -> kcorePartsQ,
     "pagerank_authority" -> pagerankAuthority,
@@ -1597,6 +1672,7 @@ object RelationalQueries {
     "events_kpi" -> eventsKpi)
 
   val oracleSql: Map[String, String] = Map(
+    "label_prop" -> labelPropSql,
     "window_distribution" -> windowDistributionSql,
     "kcore_parts" -> kcorePartsSql,
     "pagerank_authority" -> pagerankAuthoritySql,
