@@ -672,7 +672,54 @@ object PipelineQueries {
       |SELECT click_id, ts, user_id, p_id, p_ts, p_value
       |FROM j WHERE rn = 1 ORDER BY click_id""".stripMargin
 
+  /** STREAMING gap detection at the gate: the full event stream replays
+    * time-ordered and every per-user spacing over 48h surfaces as one gap
+    * row via the O(1)-per-key custom state in
+    * [[graft.streaming.GapDetect]] — heartbeat-loss monitoring, the
+    * "source went quiet" primitive an ingestion pipeline alarms on. The
+    * oracle states the batch contract directly (per user: lag over
+    * (ts, event_id), keep pairs > 48h), so the gate proves the streaming
+    * fold equals the declarative lag window.
+    */
+  val streamGaps: Q = (s, dir) => {
+    val base = ensureFixture(s, "stream_gaps", dir) { b =>
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .orderBy(col("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(b)
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType)))
+    runBoundedStream(s, "graft_stream_gaps",
+      () => {
+        graft.streaming.GapDetect.gaps(
+          s.readStream.schema(schema).parquet(base)
+            .as[graft.streaming.GapDetect.Ev](
+              org.apache.spark.sql.Encoders.product[graft.streaming.GapDetect.Ev]),
+          thresholdUs = 48L * 3600L * 1000000L).toDF()
+      },
+      "append").orderBy(col("user_id"), col("prev_id"))
+  }
+
+  val streamGapsSql: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+      |l AS (
+      |  SELECT user_id, event_id AS next_id, ts AS gap_end,
+      |         lag(event_id) OVER w AS prev_id, lag(ts) OVER w AS gap_start
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, prev_id, next_id, gap_start, gap_end,
+      |       (epoch_us(gap_end) - epoch_us(gap_start)) // 60000000 AS gap_minutes
+      |FROM l
+      |WHERE prev_id IS NOT NULL
+      |  AND epoch_us(gap_end) - epoch_us(gap_start) > CAST(172800000000 AS BIGINT)
+      |ORDER BY user_id, prev_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "stream_gaps" -> streamGaps,
     "stream_asof" -> streamAsof,
     "stream_cms" -> streamCms,
     "stream_sliding_ohlc" -> streamSlidingOhlc,
@@ -689,6 +736,7 @@ object PipelineQueries {
     "compact_roundtrip" -> compactRoundtrip)
 
   val oracleSql: Map[String, String] = Map(
+    "stream_gaps" -> streamGapsSql, // streaming lag state vs batch lag window
     "stream_asof" -> streamAsofSql, // streaming temporal state vs batch as-of SQL
     "stream_cms" -> TextQueries.cmsTopKSql, // streaming counter state vs batch sketch
     "stream_sliding_ohlc" -> streamSlidingOhlcSql, // streaming vs batch explode

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.streaming.GapDetect.{Ev, Gap}
+
+/** GapDetect semantics beyond the gate's single-batch oracle run: the
+  * load-bearing property is a gap whose endpoints straddle a BATCH
+  * boundary — found exactly once, from resumed state. Plus equality with
+  * the declarative lag window on real data under a multi-batch replay.
+  */
+class GapDetectSpec extends SparkSpec {
+
+  private val HourUs = 3600L * 1000000L
+
+  private def runBatches(name: String, batches: Seq[Seq[Ev]], thresholdUs: Long): Seq[Gap] = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = GapDetect.gaps(src.toDS(), thresholdUs)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      batches.foreach { b => src.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name).as[Gap].collect().toSeq.sortBy(g => (g.user_id, g.prev_id))
+  }
+
+  test("multi-batch replay equals the batch lag window on real events") {
+    import spark.implicits._
+    val evs = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .as[Ev].collect().toSeq
+    val threshold = 48L * HourUs
+    // declarative restatement: per-user lag over (ts, event_id)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val expected = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .select(col("user_id"), lag(col("event_id"), 1).over(w).as("prev_id"),
+        col("event_id").as("next_id"), lag(col("ts"), 1).over(w).as("gap_start"),
+        col("ts").as("gap_end"))
+      .filter(col("prev_id").isNotNull &&
+        (unix_micros(col("gap_end")) - unix_micros(col("gap_start"))) > threshold)
+      .select(col("user_id"), col("prev_id"), col("next_id"),
+        col("gap_start"), col("gap_end"),
+        expr("(unix_micros(gap_end) - unix_micros(gap_start)) div 60000000L")
+          .as("gap_minutes"))
+      .as[Gap].collect().toSeq.sortBy(g => (g.user_id, g.prev_id))
+    assert(expected.nonEmpty, "fixture must contain 48h+ gaps")
+
+    def us(e: Ev) = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+    val ordered = evs.sortBy(e => (us(e), e.event_id))
+    assert(runBatches("gaps_oneshot", Seq(ordered), threshold) === expected)
+    // time-ordered tercile batches: resume-from-state on real data
+    val cuts = ordered.map(us).distinct.sorted
+    val (t1, t2) = (cuts(cuts.length / 3), cuts(2 * cuts.length / 3))
+    val batches = Seq(
+      ordered.filter(e => us(e) < t1),
+      ordered.filter(e => us(e) >= t1 && us(e) < t2),
+      ordered.filter(e => us(e) >= t2))
+    assert(batches.forall(_.nonEmpty))
+    assert(runBatches("gaps_3batch", batches, threshold) === expected)
+  }
+
+  test("a gap straddling a batch boundary is found exactly once, from state") {
+    def ts(h: Int) = Timestamp.valueOf(f"2024-03-01 $h%02d:00:00")
+    val b1 = Seq(Ev(1L, ts(0), 7L), Ev(2L, ts(1), 7L))
+    // 9h of silence crosses the batch boundary; user 8 appears fresh in b2
+    val b2 = Seq(Ev(3L, ts(10), 7L), Ev(4L, ts(11), 8L))
+    val got = runBatches("gaps_boundary", Seq(b1, b2), 2L * HourUs)
+    assert(got.map(g => (g.user_id, g.prev_id, g.next_id, g.gap_minutes)) ===
+      Seq((7L, 2L, 3L, 540L)))
+  }
+
+  test("stale out-of-order events neither emit nor rewind the fold") {
+    def ts(h: Int) = Timestamp.valueOf(f"2024-03-01 $h%02d:00:00")
+    val b1 = Seq(Ev(1L, ts(0), 7L), Ev(2L, ts(10), 7L))
+    // a late replay of an old timestamp must not create a second (2→3)
+    // measurement from a rewound baseline, nor a negative-delta emission
+    val b2 = Seq(Ev(3L, ts(5), 7L), Ev(4L, ts(20), 7L))
+    val got = runBatches("gaps_stale", Seq(b1, b2), 2L * HourUs)
+    assert(got.map(g => (g.prev_id, g.next_id, g.gap_minutes)) ===
+      Seq((1L, 2L, 600L), (2L, 4L, 600L)))
+  }
+}
