@@ -390,7 +390,52 @@ object StoreQueries {
        |            OR max(day) < 9862 OR min(day) >= 10592) AS touched
        |FROM z GROUP BY file_id ORDER BY file_id""".stripMargin
 
+  /** Additive schema evolution across partition generations — the 100 TB
+    * production fact a store layer must survive: a column added in month N
+    * must NOT force a rewrite of months 1..N−1 (at scale, a three-year
+    * history rewrite to add one column is operationally impossible). Two
+    * generations of the events table are written as separate parquet file
+    * sets — day A with the v1 schema, day B with an added BIGINT `quality`
+    * column — and read back as ONE relation via `mergeSchema`: parquet
+    * footer-level schema union (distributed over files, no data pass), v1
+    * rows surfacing NULL quality. The oracle recomputes the same relation
+    * with a CASE, so the gate proves evolved-read == logical-union. The
+    * quality value is pure integer arithmetic (`user_id % 5`) —
+    * bit-identical cross-engine.
+    *
+    * Scale shape: both generation writes are day-pruned pushed-filter
+    * scans; the merged read lists two directories and unions footers —
+    * cost O(files), not O(rows). Never a table rewrite.
+    */
+  val schemaEvolution: Q = (s, dir) => {
+    val target = s"${sys.props("java.io.tmpdir")}/graft_store/schema_evolution"
+    val dayA = java.time.LocalDate.parse("2024-01-05")
+    val dayB = java.time.LocalDate.parse("2024-01-20")
+    graft.Tables.eventsDay(s, dir, dayA)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .write.mode("overwrite").parquet(s"$target/gen=1")
+    graft.Tables.eventsDay(s, dir, dayB)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+        (col("user_id") % 5L).as("quality"))
+      .write.mode("overwrite").parquet(s"$target/gen=2")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$target/gen=1", s"$target/gen=2")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+        col("quality"))
+      .orderBy(col("event_id"))
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value,
+      |       CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-20'
+      |            THEN user_id % 5 ELSE NULL END AS quality
+      |FROM events
+      |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-05'
+      |   OR CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-20'
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "schema_evolution" -> schemaEvolution,
     "merge_upsert" -> mergeUpsert,
     "merge_upsert_multisym" -> mergeUpsertMultisym,
     "scd2_snapshot" -> scd2Snapshot,
@@ -398,6 +443,7 @@ object StoreQueries {
     "zorder_store" -> zorderStore,
     "bucketed_join" -> bucketedJoin)
   val oracleSql: Map[String, String] = Map(
+    "schema_evolution" -> schemaEvolutionSql,
     "merge_upsert" -> mergeUpsertSql,
     "merge_upsert_multisym" -> mergeUpsertMultisymSql,
     "scd2_snapshot" -> scd2SnapshotSql,
