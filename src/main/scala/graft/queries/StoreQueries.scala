@@ -434,7 +434,41 @@ object StoreQueries {
       |   OR CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-20'
       |ORDER BY event_id""".stripMargin
 
+  /** Retention enforcement (vacuum) at the gate: build the silver store,
+    * then [[IncrementalStore.retainDays]] drops every day partition before
+    * the cutoff as a filesystem directory delete — O(dropped partitions),
+    * no row read, no surviving file touched (StoreRetentionSpec pins the
+    * physical claim; at 100 TB a 90-day sweep over a 3-year table is a
+    * metadata operation). The oracle recomputes the surviving relation
+    * declaratively (silver WHERE day ≥ cutoff), so the gate proves
+    * directory-level deletion == logical row filter — the partition
+    * column carries EXACTLY the day of `observed_at`, which is the store
+    * layout invariant retention relies on.
+    */
+  val storeRetention: Q = (s, dir) => {
+    val silver = graft.Scratch.table(ForexPipeline.silverFrom(s, dir), "retention-silver")
+    val target = s"${sys.props("java.io.tmpdir")}/graft_store/store_retention"
+    val p = new org.apache.hadoop.fs.Path(target)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    IncrementalStore.upsertByKey(silver, target, "observed_at", Seq("observed_at"))
+    IncrementalStore.retainDays(s, target, java.time.LocalDate.parse("2024-01-15"))
+    IncrementalStore.readTable(s, target)
+      .select(col("observed_at"), col("open_price"), col("high_price"),
+        col("low_price"), col("close_price"), col("p_date"))
+      .orderBy(col("observed_at"))
+  }
+
+  val storeRetentionSql: String =
+    s"""WITH $silverSql
+       |SELECT observed_at, open_price, high_price, low_price, close_price,
+       |       CAST(observed_at AS DATE) AS p_date
+       |FROM silver
+       |WHERE CAST(observed_at AS DATE) >= DATE '2024-01-15'
+       |ORDER BY observed_at""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "store_retention" -> storeRetention,
     "schema_evolution" -> schemaEvolution,
     "merge_upsert" -> mergeUpsert,
     "merge_upsert_multisym" -> mergeUpsertMultisym,
@@ -443,6 +477,7 @@ object StoreQueries {
     "zorder_store" -> zorderStore,
     "bucketed_join" -> bucketedJoin)
   val oracleSql: Map[String, String] = Map(
+    "store_retention" -> storeRetentionSql,
     "schema_evolution" -> schemaEvolutionSql,
     "merge_upsert" -> mergeUpsertSql,
     "merge_upsert_multisym" -> mergeUpsertMultisymSql,

@@ -130,6 +130,32 @@ object IncrementalStore {
     write(arranged, target)
   }
 
+  /** Retention enforcement (vacuum): drop every day partition strictly
+    * older than `cutoff` — the lifecycle arm after write → merge → compact.
+    * A FILESYSTEM-level directory delete, O(dropped partitions): no row is
+    * read and no surviving file is touched, which is what makes a 90-day
+    * retention sweep over a 3-year 100 TB table a metadata operation, not
+    * a job. Day identity comes from the `p_date=` directory name (the
+    * store's own layout contract) — ISO date strings, parsed not compared
+    * lexically, so a malformed foreign directory fails loudly instead of
+    * silently surviving. Returns the dropped partition names (bounded:
+    * one string per dropped day — the day-list collect pattern).
+    */
+  def retainDays(spark: SparkSession, target: String,
+      cutoff: java.time.LocalDate): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(target)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val prefix = s"$PartitionCol="
+    val dropped = fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(_.getPath)
+      .filter(d => java.time.LocalDate.parse(d.getName.stripPrefix(prefix))
+        .isBefore(cutoff))
+    dropped.foreach(d => fs.delete(d, true))
+    dropped.map(_.getName).sorted
+  }
+
   /** Coordinate of a z-order dimension as a double: timestamps map to epoch
     * micros, every numeric type casts directly. Only the LAYOUT depends on
     * this value, never a query result, so double arithmetic needs no
