@@ -76,6 +76,45 @@ class GapDetectSpec extends SparkSpec {
       Seq((7L, 2L, 3L, 540L)))
   }
 
+  test("property: random streams at random ts-respecting batch splits equal the fold") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val HrUs = HourUs
+    for (seed <- 1L to 5L) {
+      val evGen = for {
+        u <- Gen.choose(1L, 4L)
+        h <- Gen.choose(0L, 400L) // hours; collisions likely
+      } yield (u, h * HrUs)
+      val raw = Gen.listOfN(80, evGen)
+        .apply(Gen.Parameters.default, Seed(seed)).get
+      val evs = raw.zipWithIndex.map { case ((u, us), i) =>
+        Ev(i.toLong + 1L, new java.sql.Timestamp(us / 1000L), u)
+      }
+      def us(e: Ev) = e.ts.getTime * 1000L
+      val ordered = evs.sortBy(e => (us(e), e.event_id))
+      val threshold = 10L * HrUs
+      // reference: per-user consecutive pairs over the global (ts, id) order
+      val expected = ordered.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+        es.sliding(2).collect {
+          case Seq(a, b) if us(b) - us(a) > threshold =>
+            GapDetect.Gap(u, a.event_id, b.event_id, a.ts, b.ts,
+              (us(b) - us(a)) / 60000000L)
+        }
+      }.sortBy(g => (g.user_id, g.prev_id))
+      // random batch boundaries, only at strict timestamp increases (the
+      // documented time-ordered-replay contract)
+      val legalCuts = (1 until ordered.size)
+        .filter(i => us(ordered(i)) > us(ordered(i - 1)))
+      val nCuts = math.min(3, legalCuts.size)
+      val cuts = Gen.pick(nCuts, legalCuts)
+        .apply(Gen.Parameters.default, Seed(seed + 100)).get.toSeq.sorted
+      val batches = (Seq(0) ++ cuts ++ Seq(ordered.size)).sliding(2).toSeq
+        .collect { case Seq(a, b) if a < b => ordered.slice(a, b) }
+      val got = runBatches(s"gaps_prop_$seed", batches, threshold)
+      assert(got === expected, s"seed=$seed cuts=$cuts")
+    }
+  }
+
   test("stale out-of-order events neither emit nor rewind the fold") {
     def ts(h: Int) = Timestamp.valueOf(f"2024-03-01 $h%02d:00:00")
     val b1 = Seq(Ev(1L, ts(0), 7L), Ev(2L, ts(10), 7L))
