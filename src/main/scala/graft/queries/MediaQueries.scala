@@ -133,13 +133,38 @@ object MediaQueries {
        |ORDER BY media_id_a, media_id_b""".stripMargin
   }
 
+  /** Exact multimodal dedup — the first pass every media curation pipeline
+    * runs: group by CONTENT hash of the binary payload, keep the
+    * lowest-id copy, count the duplicates. Deliberately zero custom code:
+    * `md5(binary)` is a codegen'd built-in, so unlike the decode stubs
+    * this needs no mapPartitions — content-hash dedup of opaque payloads
+    * is fully declarative, and the one shuffle carries (hash, partial
+    * count) pairs with map-side combine, never payload bytes (the digest
+    * projection drops the binary column before the exchange — the same
+    * never-shuffle-the-payload property the whole multimodal family
+    * keeps).
+    */
+  val mediaDedup: Q = (s, dir) =>
+    Multimodal.fromDocuments(Tables.documents(s, dir))
+      .groupBy(md5(col("payload")).as("content_md5"))
+      .agg(min(col("media_id")).as("media_id"), count(lit(1)).as("n_copies"))
+      .select(col("media_id"), col("content_md5"), col("n_copies"))
+      .orderBy(col("media_id"))
+
+  val mediaDedupSql: String =
+    """SELECT min(doc_id) AS media_id, md5(text) AS content_md5,
+      |       count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY media_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "media_dedup" -> mediaDedup,
     "media_phash_pairs" -> mediaPhashPairs,
     "media_meta" -> mediaMeta,
     "media_decode_stub" -> mediaDecode,
     "media_frame_sample" -> mediaFrames)
 
   val oracleSql: Map[String, String] = Map(
+    "media_dedup" -> mediaDedupSql,
     "media_phash_pairs" -> mediaPhashPairsSql,
     "media_meta" -> mediaMetaSql,
     "media_decode_stub" -> mediaDecodeSql,
