@@ -1254,6 +1254,103 @@ object RelationalQueries {
     */
   val pagerankAuthority20: Q = (s, dir) => pagerankRanks(s, dir, 20)
 
+  /** PERSONALIZED PageRank: proximity to a seed SEGMENT (nation-7
+    * customers) instead of global authority — the "expand a cohort"
+    * primitive recommendation/audience pipelines run on the trade graph.
+    * Same damped iteration as [[pagerankAuthority]] with two changes:
+    * restart mass 0.15 is paid only to seeds (split 1/|S|), and r₀ = e_S.
+    * All the global version's exactness machinery carries over verbatim —
+    * per-edge contributions quantize to integers at [[prQuantScale]] and
+    * sum order-free in DECIMAL(20,0); the seed base term is two IEEE
+    * double divisions evaluated identically on both engines. Per-vertex
+    * in-mass is ≤ the global bound (total mass ≤ 1 + 0.85·drift), so the
+    * scale argument holds a fortiori.
+    *
+    * Scale shape: identical per-round cost to the global rank (one
+    * co-partitioned join + one map-side-partial sum) plus one join of the
+    * aggregate against the scratch-materialized (v, is_seed) base vector
+    * — |V| rows, broadcast at bench scale, co-partitioned beyond. The
+    * seed set is NEVER collected to the driver (only its count — a
+    * watermark-pattern scalar); membership rides as a column.
+    */
+  val pprSegment: Q = (s, dir) => {
+    val eo = pagerankEdges(s, dir)
+    val verts = eo.select(col("src").as("v")).distinct()
+    val seedCust = Tables.customer(s, dir)
+      .filter(col("c_nationkey") === 7).select(col("c_custkey").as("v"))
+    val baseDf = graft.Scratch.table(
+      verts.join(seedCust.withColumn("sflag", lit(1)), Seq("v"), "left")
+        .select(col("v"), coalesce(col("sflag"), lit(0)).as("is_seed")),
+      "ppr-base")
+    val nSeeds = baseDf.filter(col("is_seed") === 1).count()
+    require(nSeeds > 0, "ppr_segment: empty seed segment")
+    val scale = prQuantScale(verts.count())
+    val seedBase = when(col("is_seed") === 1,
+      lit(3.0 / 20.0) / lit(nSeeds.toDouble)).otherwise(lit(0.0))
+    var ranks = baseDf.select(col("v"),
+      when(col("is_seed") === 1, lit(1.0) / lit(nSeeds.toDouble))
+        .otherwise(lit(0.0)).as("rank"))
+    for (_ <- 1 to 5) {
+      // name-based join with the (scratch-read) base vector: the base
+      // participates both in the rank lineage and as the fresh join side,
+      // so column-object references would be ambiguous self-join attrs
+      ranks = eo.join(ranks, eo("src") === ranks("v"))
+        .select(col("dst"),
+          (col("rank") / col("outdeg").cast("double")).as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(floor(col("contrib") * lit(scale) + lit(0.5))
+          .cast(DecimalType(20, 0))).as("si"))
+        .withColumnRenamed("dst", "v")
+        .join(baseDf, Seq("v"))
+        .select(col("v"),
+          (seedBase + lit(17.0 / 20.0) *
+            (col("si").cast("double") / lit(scale))).as("rank"))
+    }
+    prFinish(ranks)
+  }
+
+  val pprSegmentSql: String = {
+    def fold(prev: String): String =
+      s"""SELECT b.v,
+         |       (CASE WHEN b.is_seed = 1
+         |             THEN CAST(3 AS DOUBLE) / CAST(20 AS DOUBLE) / sn.n
+         |             ELSE CAST(0 AS DOUBLE) END) +
+         |       (CAST(17 AS DOUBLE) / CAST(20 AS DOUBLE)) *
+         |       (CAST(sum(CAST(floor((r.rank / CAST(eo.outdeg AS DOUBLE)) * 1e10 + 0.5)
+         |                      AS DECIMAL(20,0))) AS DOUBLE) / 1e10) AS rank
+         |FROM eo JOIN $prev r ON eo.src = r.v
+         |JOIN base b ON b.v = eo.dst CROSS JOIN sn
+         |GROUP BY b.v, b.is_seed, sn.n""".stripMargin
+    val folds = (1 to 5)
+      .map(i => s"r$i AS (${fold(s"r${i - 1}")})").mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey AS c, -l_suppkey AS p
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (
+       |  SELECT c AS src, p AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT p AS src, c AS dst FROM pairs),
+       |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |eo AS (SELECT e.src, e.dst, o.outdeg FROM edges e JOIN outdeg o USING (src)),
+       |verts AS (SELECT DISTINCT src AS v FROM edges),
+       |base AS (
+       |  SELECT v, CASE WHEN v IN (SELECT c_custkey FROM customer
+       |                            WHERE c_nationkey = 7)
+       |            THEN 1 ELSE 0 END AS is_seed
+       |  FROM verts),
+       |sn AS (SELECT CAST(sum(is_seed) AS DOUBLE) AS n FROM base),
+       |r0 AS (
+       |  SELECT v, CASE WHEN is_seed = 1
+       |                 THEN CAST(1 AS DOUBLE) / (SELECT n FROM sn)
+       |                 ELSE CAST(0 AS DOUBLE) END AS rank
+       |  FROM base),
+       |$folds
+       |SELECT v,
+       |       CASE WHEN v < 0 THEN 'supplier' ELSE 'customer' END AS node_type,
+       |       ${graft.Parity.proundSql("rank", 6)} AS rank
+       |FROM r5 ORDER BY v""".stripMargin
+  }
+
   private def pagerankSql(rounds: Int): String = {
     def fold(prev: String): String =
       s"""SELECT eo.dst AS v,
@@ -1647,6 +1744,7 @@ object RelationalQueries {
     "kcore_parts" -> kcorePartsQ,
     "pagerank_authority" -> pagerankAuthority,
     "pagerank_authority20" -> pagerankAuthority20,
+    "ppr_segment" -> pprSegment,
     "hll_merge_days" -> hllMergeDays,
     "bloom_semi_join" -> bloomSemiJoin,
     "range_join_sessions" -> rangeJoinSessions,
@@ -1685,6 +1783,7 @@ object RelationalQueries {
     "kcore_parts" -> kcorePartsSql,
     "pagerank_authority" -> pagerankAuthoritySql,
     "pagerank_authority20" -> pagerankAuthority20Sql,
+    "ppr_segment" -> pprSegmentSql,
     "hll_merge_days" -> hllMergeDaysSql,
     "bloom_semi_join" -> bloomSemiJoinSql,
     "range_join_sessions" -> rangeJoinSessionsSql,

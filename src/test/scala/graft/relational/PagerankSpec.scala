@@ -37,6 +37,29 @@ class PagerankSpec extends SparkSpec {
     assert(r20 === rankMap(RelationalQueries.pagerankRanks(spark, sf0001, 20)))
   }
 
+  test("ppr_segment: mass conserved, concentrated on the seed segment, map-side partials") {
+    val df = RelationalQueries.pprSegment(spark, sf0001)
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // total restart mass is 1 and the symmetric graph has no dangling
+    // vertices, so total rank stays 1 up to quantization drift + pround
+    val total = rows.map(_._3).sum
+    assert(math.abs(total - 1.0) < 1e-3, s"mass leaked: $total")
+    // personalization: seeds (nation-7 customers in the graph) must hold
+    // more average mass than non-seeds — the property that distinguishes
+    // PPR from the global rank
+    val seedIds = graft.Tables.customer(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("c_nationkey") === 7)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val (seed, non) = rows.partition(r => seedIds.contains(r._1))
+    assert(seed.nonEmpty && non.nonEmpty)
+    assert(seed.map(_._3).sum / seed.size > non.map(_._3).sum / non.size,
+      "seed segment must out-rank the background on average")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"))
+    assert(!plan.contains("collect_list"))
+  }
+
   test("convergence termination stops before the cap and equals the fixed-round run") {
     val (df, rounds) =
       RelationalQueries.pagerankRanksUntil(spark, sf0001, eps = 2.0, maxRounds = 40)
