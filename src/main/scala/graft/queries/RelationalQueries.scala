@@ -132,6 +132,27 @@ object RelationalQueries {
       |  FROM orders)
       |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
 
+  /** The same per-customer top-3 through the custom bounded-heap aggregate
+    * ([[graft.functions.TopKByAgg]], a TypedImperativeAggregate): O(k)
+    * state per group, map-side partial top-k, no sort — the shape that
+    * wins over the window plan when one key holds a billion rows and k is
+    * 3 (the exchange carries one k-bounded buffer per (partition, group),
+    * never k full rows, and the window path's per-partition sort
+    * disappears). Shares the windowed query's oracle, which proves the
+    * fused operator bit-equal to the row_number plan (the
+    * `ohlc_1h_fused` pattern).
+    */
+  val topOrdersHeap: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.TopKBy.topkByScore(
+        col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), col("col.id").as("o_orderkey"),
+        col("col.score").as("o_totalprice"),
+        (col("pos") + lit(1)).as("rk"))
+      .orderBy(col("o_custkey"), col("rk"))
+
   /** As-of join demo: every event gets the latest hourly per-type summary
     * at or before its timestamp (graft.relational.AsOfJoin; DuckDB's native
     * ASOF JOIN is the oracle).
@@ -1764,6 +1785,7 @@ object RelationalQueries {
     "q3_top_orders" -> q3TopOrders,
     "q5_nation_revenue" -> q5NationRevenue,
     "topk_orders_per_customer" -> topOrdersPerCustomer,
+    "topk_orders_heap" -> topOrdersHeap,
     "asof_join" -> asofJoin,
     "snapshot_diff" -> snapshotDiff,
     "incremental_mv" -> incrementalMv,
@@ -1803,6 +1825,7 @@ object RelationalQueries {
     "q3_top_orders" -> q3TopOrdersSql,
     "q5_nation_revenue" -> q5NationRevenueSql,
     "topk_orders_per_customer" -> topOrdersPerCustomerSql,
+    "topk_orders_heap" -> topOrdersPerCustomerSql, // custom heap agg vs the windowed plan's oracle
     "asof_join" -> asofJoinSql,
     "snapshot_diff" -> snapshotDiffSql,
     "incremental_mv" -> incrementalMvSql,

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.RelationalQueries
+
+/** TopKByAgg: the oracle proves value-equality with the window plan; this
+  * pins the PLAN claim (ObjectHashAggregate with a partial phase, no
+  * window sort) and the edge semantics the sf-data never exercises
+  * (ties, groups smaller than k, null scores, cross-partition merge).
+  */
+class TopKAggregateSpec extends SparkSpec {
+
+  test("plan: ObjectHashAggregate partial+final, no Window operator, no sort before exchange") {
+    val plan = RelationalQueries.topOrdersHeap(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.linesIterator.take(8).mkString("\n"))
+    assert(plan.contains("partial_topkbyagg"),
+      "map-side partial top-k missing: the exchange would carry full rows")
+    assert(!plan.contains("Window"), "the heap form must not fall back to a window")
+  }
+
+  test("ties, small groups, nulls, and cross-partition merge match the window form") {
+    import spark.implicits._
+    // group 1: tie on score (ids 11 < 12 -> 11 ranks first), 4 candidates
+    // group 2: fewer rows than k
+    // group 3: null scores are skipped entirely
+    val rows = Seq(
+      (1L, 11L, Some(5.0)), (1L, 12L, Some(5.0)), (1L, 13L, Some(7.0)),
+      (1L, 14L, Some(1.0)),
+      (2L, 21L, Some(2.0)),
+      (3L, 31L, None), (3L, 32L, Some(4.0)))
+    val df = rows.toDF("g", "id", "score")
+      .select(col("g"), col("id"), col("score").cast("double"))
+      .repartition(6) // force cross-partition partial buffers + merge
+    val got = df.groupBy(col("g"))
+      .agg(TopKBy.topkByScore(col("score"), col("id"), 3).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("col.id"), col("col.score"), (col("pos") + lit(1)).as("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(got === Seq(
+      (1L, 13L, 7.0, 1), (1L, 11L, 5.0, 2), (1L, 12L, 5.0, 3),
+      (2L, 21L, 2.0, 1),
+      (3L, 32L, 4.0, 1)))
+  }
+}
