@@ -1287,12 +1287,14 @@ object RelationalQueries {
     * in-mass is ≤ the global bound (total mass ≤ 1 + 0.85·drift), so the
     * scale argument holds a fortiori.
     *
-    * Scale shape: identical per-round cost to the global rank (one
-    * co-partitioned join + one map-side-partial sum) plus one join of the
-    * aggregate against the scratch-materialized (v, is_seed) base vector
-    * — |V| rows, broadcast at bench scale, co-partitioned beyond. The
-    * seed set is NEVER collected to the driver (only its count — a
-    * watermark-pattern scalar); membership rides as a column.
+    * Scale shape: identical per-round cost to the global rank — one
+    * co-partitioned join + one map-side-partial sum — because the DST
+    * vertex's seed flag is baked into the scratch edge table at build
+    * time (one extra int per edge; grouping by (dst, dst_seed) keeps one
+    * group per dst since the flag is functionally dependent on it), so
+    * NO per-round join against a base vector exists. The seed set is
+    * NEVER collected to the driver (only its count — a watermark-pattern
+    * scalar); membership rides as a column.
     */
   val pprSegment: Q = (s, dir) => {
     val eo = pagerankEdges(s, dir)
@@ -1303,28 +1305,29 @@ object RelationalQueries {
       verts.join(seedCust.withColumn("sflag", lit(1)), Seq("v"), "left")
         .select(col("v"), coalesce(col("sflag"), lit(0)).as("is_seed")),
       "ppr-base")
+    // dst seed flag folded into the edge relation once — each round then
+    // needs no base join (the flag travels with the edge row)
+    val eoS = graft.Scratch.table(
+      eo.join(baseDf.select(col("v").as("dst"), col("is_seed").as("dst_seed")),
+        Seq("dst")),
+      "ppr-edges")
     val nSeeds = baseDf.filter(col("is_seed") === 1).count()
     require(nSeeds > 0, "ppr_segment: empty seed segment")
     val scale = prQuantScale(verts.count())
-    val seedBase = when(col("is_seed") === 1,
-      lit(3.0 / 20.0) / lit(nSeeds.toDouble)).otherwise(lit(0.0))
     var ranks = baseDf.select(col("v"),
       when(col("is_seed") === 1, lit(1.0) / lit(nSeeds.toDouble))
         .otherwise(lit(0.0)).as("rank"))
     for (_ <- 1 to 5) {
-      // name-based join with the (scratch-read) base vector: the base
-      // participates both in the rank lineage and as the fresh join side,
-      // so column-object references would be ambiguous self-join attrs
-      ranks = eo.join(ranks, eo("src") === ranks("v"))
-        .select(col("dst"),
+      ranks = eoS.join(ranks, eoS("src") === ranks("v"))
+        .select(col("dst"), col("dst_seed"),
           (col("rank") / col("outdeg").cast("double")).as("contrib"))
-        .groupBy(col("dst"))
+        .groupBy(col("dst"), col("dst_seed"))
         .agg(sum(floor(col("contrib") * lit(scale) + lit(0.5))
           .cast(DecimalType(20, 0))).as("si"))
-        .withColumnRenamed("dst", "v")
-        .join(baseDf, Seq("v"))
-        .select(col("v"),
-          (seedBase + lit(17.0 / 20.0) *
+        .select(col("dst").as("v"),
+          (when(col("dst_seed") === 1,
+            lit(3.0 / 20.0) / lit(nSeeds.toDouble)).otherwise(lit(0.0)) +
+            lit(17.0 / 20.0) *
             (col("si").cast("double") / lit(scale))).as("rank"))
     }
     prFinish(ranks)
