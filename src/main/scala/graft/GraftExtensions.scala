@@ -16,6 +16,7 @@ import graft.functions.VecDot
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.vecDotDescriptor)
+    e.injectFunction(GraftExtensions.topkByDescriptor)
   }
 }
 
@@ -30,12 +31,35 @@ object GraftExtensions {
       VecDot(children.head, children(1))
     })
 
+  /** SQL surface for [[graft.functions.TopKByAgg]]: `topk_by(score, id,
+    * k)` with k a literal — the analyzer wraps the returned
+    * AggregateFunction in a Complete AggregateExpression like any
+    * built-in aggregate, so partial aggregation and ObjectHashAggregate
+    * placement are identical to the Column API path.
+    */
+  private[graft] val topkByDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("topk_by"),
+    new ExpressionInfo(classOf[graft.functions.TopKByAgg].getName, "topk_by"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, "topk_by(score, id, k) takes 3 arguments")
+      val k = children(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"topk_by: k must be an integer literal, got $other")
+      }
+      graft.functions.TopKByAgg(children.head, children(1), k)
+    })
+
   /** Register on an existing session (for sessions not built with
     * withExtensions, e.g. the driver-owned ones).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_by", topkByDescriptor._3, "scala_udf")
+  }
 }
 
 /** Canonical session factory for library users: local-cluster-shaped conf

@@ -21,6 +21,23 @@ class TopKAggregateSpec extends SparkSpec {
     assert(!plan.contains("Window"), "the heap form must not fall back to a window")
   }
 
+  test("topk_by is callable from SQL after extension registration, same plan shape") {
+    graft.GraftExtensions.register(spark)
+    graft.Tables.orders(spark, sf0001).createOrReplaceTempView("topk_orders_v")
+    val df = spark.sql(
+      """SELECT o_custkey, t.id AS o_orderkey, t.score AS o_totalprice
+        |FROM (SELECT o_custkey, topk_by(o_totalprice, o_orderkey, 3) AS top
+        |      FROM topk_orders_v GROUP BY o_custkey)
+        |LATERAL VIEW explode(top) AS t
+        |ORDER BY o_custkey, t.score DESC, t.id""".stripMargin)
+    val viaColumn = RelationalQueries.topOrdersHeap(spark, sf0001)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .collect().map(_.toSeq).toSeq
+    assert(df.collect().map(_.toSeq).toSeq === viaColumn)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_topkbyagg"))
+  }
+
   test("ties, small groups, nulls, and cross-partition merge match the window form") {
     import spark.implicits._
     // group 1: tie on score (ids 11 < 12 -> 11 ranks first), 4 candidates
