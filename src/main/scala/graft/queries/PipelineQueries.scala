@@ -718,7 +718,56 @@ object PipelineQueries {
       |  AND epoch_us(gap_end) - epoch_us(gap_start) > CAST(172800000000 AS BIGINT)
       |ORDER BY user_id, prev_id""".stripMargin
 
+  /** STREAMING windowed heavy hitters: per-day event counts maintained as
+    * streaming aggregation state (bounded at days × active users — the
+    * stream_hll/cms/hist state argument), finished by the custom
+    * bounded-heap [[graft.functions.TopKByAgg]] over the final counts —
+    * top-3 most active users per day with O(k) per-day state and no sort
+    * (the topk_orders_heap shape, composed onto a stream). The oracle
+    * states the batch contract directly: per-day row_number over
+    * (count DESC, user_id), kept ≤ 3 — so the gate proves streaming
+    * counts + heap read-out equals the declarative window plan.
+    */
+  val streamTopk: Q = (s, dir) => {
+    val base = ensureFixture(s, "stream_topk", dir) { b =>
+      Tables.events(s, dir).select(col("ts"), col("user_id"))
+        .coalesce(8).write.mode("overwrite").parquet(b)
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType)))
+    val counts = runBoundedStream(s, "graft_stream_topk",
+      () => s.readStream.schema(schema).parquet(base)
+        .groupBy(window(col("ts"), "1 day").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n")),
+      "complete")
+    counts
+      .select(col("w.start").cast("date").as("day"), col("user_id"), col("n"))
+      .groupBy(col("day"))
+      .agg(graft.functions.TopKBy.topkByScore(
+        col("n").cast("double"), col("user_id"), 3).as("top"))
+      .select(col("day"), posexplode(col("top")))
+      .select(col("day"), (col("pos") + lit(1)).as("rk"),
+        col("col.id").as("user_id"), col("col.score").cast("long").as("n"))
+      .orderBy(col("day"), col("rk"))
+  }
+
+  val streamTopkSql: String =
+    """WITH c AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id,
+      |         count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT day, user_id, n,
+      |         row_number() OVER (PARTITION BY day
+      |                            ORDER BY n DESC, user_id) AS rk
+      |  FROM c)
+      |SELECT day, rk, user_id, n FROM r WHERE rk <= 3
+      |ORDER BY day, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "stream_topk" -> streamTopk,
     "stream_gaps" -> streamGaps,
     "stream_asof" -> streamAsof,
     "stream_cms" -> streamCms,
@@ -736,6 +785,7 @@ object PipelineQueries {
     "compact_roundtrip" -> compactRoundtrip)
 
   val oracleSql: Map[String, String] = Map(
+    "stream_topk" -> streamTopkSql, // streaming counts + heap top-k vs batch window
     "stream_gaps" -> streamGapsSql, // streaming lag state vs batch lag window
     "stream_asof" -> streamAsofSql, // streaming temporal state vs batch as-of SQL
     "stream_cms" -> TextQueries.cmsTopKSql, // streaming counter state vs batch sketch
