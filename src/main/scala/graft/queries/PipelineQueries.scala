@@ -766,7 +766,75 @@ object PipelineQueries {
       |SELECT day, rk, user_id, n FROM r WHERE rk <= 3
       |ORDER BY day, rk""".stripMargin
 
+  /** STREAMING open-gap alarm at the gate — the timeout half of heartbeat
+    * monitoring ([[graft.streaming.GapDetect.openGaps]]): a user who goes
+    * quiet and NEVER returns has no next event for the arrival-driven
+    * fold to measure, so the alarm must come from an event-time TIMER
+    * (`GroupStateTimeout.EventTimeTimeout`), fired when the watermark
+    * passes `last_seen + 12h`. The bounded replay drives it with two
+    * micro-batches (`maxFilesPerTrigger=1`): batch 1 is the whole event
+    * file (timers armed, watermark still initial), batch 2 is a single
+    * sentinel row AT the global max timestamp whose processing runs under
+    * the post-batch-1 watermark (= max event time) — exactly the alarms a
+    * live deployment would have fired by end-of-stream. The sentinel's
+    * own timer stays ahead of the watermark, so it never emits. The
+    * oracle states the contract declaratively: users whose last event is
+    * more than 12h before the global max.
+    */
+  val streamOpenGaps: Q = (s, dir) => {
+    val base = ensureFixture(s, "stream_open_gaps", dir) { b =>
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .coalesce(1).write.mode("overwrite").parquet(b)
+      val mx = s.read.parquet(b).agg(max(col("ts"))).first().getTimestamp(0)
+      import s.implicits._
+      val sentDir = s"${b}_sentinel"
+      Seq((-1L, mx, -1L)).toDF("event_id", "ts", "user_id")
+        .coalesce(1).write.mode("overwrite").parquet(sentDir)
+      val fs = new org.apache.hadoop.fs.Path(b)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(sentDir))
+        .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+      val dest = new org.apache.hadoop.fs.Path(b, "zz_sentinel.parquet")
+      fs.rename(part, dest)
+      // the sentinel must form the SECOND micro-batch: the file source
+      // orders by modification time, so push it 60s into the future
+      fs.setTimes(dest, System.currentTimeMillis() + 60000L, -1L)
+      fs.delete(new org.apache.hadoop.fs.Path(sentDir), true)
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType)))
+    runBoundedStream(s, "graft_stream_open_gaps",
+      () => graft.streaming.GapDetect.openGaps(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(base)
+          .withWatermark("ts", "0 seconds")
+          .as[graft.streaming.GapDetect.Ev](
+            org.apache.spark.sql.Encoders.product[graft.streaming.GapDetect.Ev]),
+        thresholdUs = 12L * 3600L * 1000000L).toDF(),
+      "append").orderBy(col("user_id"))
+  }
+
+  val streamOpenGapsSql: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+      |m AS (SELECT max(ts) AS mx FROM e),
+      |l AS (
+      |  SELECT user_id, event_id AS last_id, ts AS last_seen,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM e)
+      |SELECT user_id, last_id, last_seen
+      |FROM l CROSS JOIN m
+      |WHERE rn = 1
+      |  AND epoch_us(mx) - epoch_us(last_seen) > CAST(43200000000 AS BIGINT)
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "stream_open_gaps" -> streamOpenGaps,
     "stream_topk" -> streamTopk,
     "stream_gaps" -> streamGaps,
     "stream_asof" -> streamAsof,
@@ -785,6 +853,7 @@ object PipelineQueries {
     "compact_roundtrip" -> compactRoundtrip)
 
   val oracleSql: Map[String, String] = Map(
+    "stream_open_gaps" -> streamOpenGapsSql, // timeout-fired alarms vs batch last-seen filter
     "stream_topk" -> streamTopkSql, // streaming counts + heap top-k vs batch window
     "stream_gaps" -> streamGapsSql, // streaming lag state vs batch lag window
     "stream_asof" -> streamAsofSql, // streaming temporal state vs batch as-of SQL

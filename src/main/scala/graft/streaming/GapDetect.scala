@@ -46,6 +46,55 @@ object GapDetect extends Serializable {
     t
   }
 
+  final case class OpenGap(user_id: Long, last_id: Long, last_seen: Timestamp)
+
+  /** The alarm [[gaps]] cannot raise: a source that goes quiet and NEVER
+    * recovers has no next event to measure against, so arrival-driven
+    * folds stay silent forever. This is the other half of heartbeat
+    * monitoring — TIMEOUT-triggered emission via
+    * `GroupStateTimeout.EventTimeTimeout`: every update re-arms a per-key
+    * event-time timer at `last_seen + threshold`; when the WATERMARK
+    * passes it with no new data, the callback fires once with an empty
+    * input iterator, emits the open-gap row, and removes the state (fire
+    * exactly once). Requires `withWatermark` upstream; the timer re-arm
+    * clamps to watermark+1ms because Spark rejects timers at or behind
+    * the current watermark (a stale key re-arming after a long batch gap
+    * would otherwise throw).
+    *
+    * State per key is the same 16-byte (id, µs) pair as [[gaps]] plus the
+    * engine-managed timer — O(keys), dropped at fire time, so a quiet
+    * source costs nothing after its alarm.
+    */
+  def openGaps(events: Dataset[Ev], thresholdUs: Long): Dataset[OpenGap] = {
+    implicit val outEnc = Encoders.product[OpenGap]
+    implicit val stEnc = Encoders.product[LastSeen]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[LastSeen]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(OpenGap(uid, s.last_id, toTs(s.lastUs)))
+          } else {
+            var st = state.getOption
+            it.foreach { e =>
+              val us = micros(e.ts)
+              if (st.forall(s =>
+                us > s.lastUs || (us == s.lastUs && e.event_id > s.last_id)))
+                st = Some(LastSeen(e.event_id, us))
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(math.max(
+                s.lastUs / 1000L + thresholdUs / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            Iterator.empty
+          }
+      }
+  }
+
   def gaps(events: Dataset[Ev], thresholdUs: Long): Dataset[Gap] = {
     implicit val outEnc = Encoders.product[Gap]
     implicit val stEnc = Encoders.product[LastSeen]

@@ -76,6 +76,37 @@ class GapDetectSpec extends SparkSpec {
       Seq((7L, 2L, 3L, 540L)))
   }
 
+  test("openGaps: event-time timeout fires exactly once per quiet key, after the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def ts(h: Int) = Timestamp.valueOf(f"2024-03-01 00:00:00").toInstant
+      .plusSeconds(h * 3600L)
+    def ev(id: Long, h: Int, u: Long) = GapDetect.Ev(id, Timestamp.from(ts(h)), u)
+    val src = MemoryStream[GapDetect.Ev]
+    val q = GapDetect.openGaps(
+      src.toDS().withWatermark("ts", "0 seconds"), 2L * HourUs)
+      .writeStream.format("memory").queryName("open_gaps").outputMode("append").start()
+    try {
+      // b1: users 7 and 8 both active at h0/h1
+      src.addData(Seq(ev(1L, 0, 7L), ev(2L, 1, 7L), ev(3L, 1, 8L)))
+      q.processAllAvailable()
+      assert(spark.table("open_gaps").count() === 0L, "no alarm while watermark lags")
+      // b2: user 8 reappears at h10 -> watermark advances to h10; user 7's
+      // timer (h1+2h=h3) is now behind it and must fire exactly once
+      src.addData(Seq(ev(4L, 10, 8L)))
+      q.processAllAvailable()
+      val fired = spark.table("open_gaps").as[GapDetect.OpenGap].collect()
+      assert(fired.map(g => (g.user_id, g.last_id)).toSeq === Seq((7L, 2L)))
+      // b3: more data, watermark advances further - user 7 must NOT re-fire
+      // (state removed at fire time); user 8's re-armed timer (h10+2h) fires
+      src.addData(Seq(ev(5L, 20, 9L)))
+      q.processAllAvailable()
+      val all = spark.table("open_gaps").as[GapDetect.OpenGap].collect()
+        .map(g => (g.user_id, g.last_id)).sorted.toSeq
+      assert(all === Seq((7L, 2L), (8L, 4L)), "fire once per quiet key, never twice")
+    } finally q.stop()
+  }
+
   test("property: random streams at random ts-respecting batch splits equal the fold") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
