@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.vecDotDescriptor)
     e.injectFunction(GraftExtensions.topkByDescriptor)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

@@ -171,6 +171,28 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** The same as-of join through the NATIVE custom plan
+    * ([[graft.plans.AsOfJoinNative]]: AsOfJoinNode → AsOfJoinStrategy →
+    * AsOfJoinExec) — a co-partitioned streaming merge with one buffered
+    * right row per task instead of the union + window carry. Shares
+    * `asof_join`'s DuckDB ASOF-JOIN oracle, which proves the whole custom
+    * operator (logical node, strategy, physical merge) bit-equal to both
+    * the composed form and the reference semantics.
+    */
+  val asofJoinNative: Q = (s, dir) => {
+    import graft.forex.Resample
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val hourly = ev
+      .groupBy(col("event_type"),
+        Resample.bucket(col("ts"), Resample.byName("1h")).as("h_bucket"))
+      .agg(max(col("value")).as("h_high"), count(lit(1)).as("h_events"))
+    graft.plans.AsOfJoinNative.backward(
+        ev, hourly, leftTs = "ts", rightTs = "h_bucket",
+        keys = Seq("event_type"), rightPayload = Seq("h_bucket", "h_high", "h_events"))
+      .orderBy(col("event_id"))
+  }
+
   val asofJoinSql: String =
     """WITH ev AS (
       |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
@@ -1790,6 +1812,7 @@ object RelationalQueries {
     "topk_orders_per_customer" -> topOrdersPerCustomer,
     "topk_orders_heap" -> topOrdersHeap,
     "asof_join" -> asofJoin,
+    "asof_join_native" -> asofJoinNative,
     "snapshot_diff" -> snapshotDiff,
     "incremental_mv" -> incrementalMv,
     "incremental_mv_deletes" -> incrementalMvDeletes,
@@ -1830,6 +1853,7 @@ object RelationalQueries {
     "topk_orders_per_customer" -> topOrdersPerCustomerSql,
     "topk_orders_heap" -> topOrdersPerCustomerSql, // custom heap agg vs the windowed plan's oracle
     "asof_join" -> asofJoinSql,
+    "asof_join_native" -> asofJoinSql, // custom plan (node+strategy+exec) vs the same ASOF oracle
     "snapshot_diff" -> snapshotDiffSql,
     "incremental_mv" -> incrementalMvSql,
     "incremental_mv_deletes" -> incrementalMvDeletesSql,

@@ -10,4 +10,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** DataFrame from a (resolved) logical plan — the `Dataset.ofRows` hook a
+    * library needs to expose a custom LogicalPlan node through the public
+    * DataFrame API.
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
