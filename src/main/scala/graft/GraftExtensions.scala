@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.vecDotDescriptor)
     e.injectFunction(GraftExtensions.topkByDescriptor)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.AsOfJoinPruningRule)
   }
 }
 

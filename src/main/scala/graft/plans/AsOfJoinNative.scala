@@ -57,6 +57,33 @@ case class AsOfJoinNode(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule completing the custom-plan toolkit: Catalyst's own
+  * ColumnPruning cannot see through an unknown node, so a probe-side scan
+  * under [[AsOfJoinNode]] would read EVERY column even when the query
+  * projects two — at 100 TB that is the difference between scanning a
+  * table and scanning a stripe. This rule pushes a pruning Project below
+  * the node's left child (keys + timestamp + whatever the parent actually
+  * references); physical planning's ScanOperation then collapses it into
+  * the FileScan's ReadSchema (AsOfJoinNativeSpec asserts the narrowed
+  * scan). The right side needs no rule — the builder already re-projects
+  * it to exactly (keys, ts, payload).
+  */
+object AsOfJoinPruningRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, aj: AsOfJoinNode) =>
+      val required = p.references ++
+        AttributeSet(aj.leftKeys.flatMap(_.references)) ++ aj.leftTs.references
+      val kept = aj.left.output.filter(required.contains)
+      if (kept.size < aj.left.output.size)
+        p.copy(child = aj.copy(left = Project(kept, aj.left)))
+      else p
+  }
+}
+
 object AsOfJoinStrategy extends Strategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinNode(l, r, lk, rk, lts, rts, payload) =>
@@ -167,10 +194,14 @@ object AsOfJoinNative {
     * counterpart of `injectPlannerStrategy` for sessions the library did
     * not build (e.g. the driver-owned one).
     */
-  def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit =
+  def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(AsOfJoinPruningRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfJoinPruningRule
+  }
 
   /** Column-API builder mirroring [[graft.relational.AsOfJoin.backward]].
     * The right side is re-projected through fresh aliases so a left and

@@ -31,6 +31,35 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(native === composed)
   }
 
+  test("pruning rule: a narrow projection over the node reaches the probe scan") {
+    val ev = graft.Tables.events(spark, sf0001) // 6 source columns
+    val hourly = ev.groupBy(col("event_type"),
+        graft.forex.Resample.bucket(col("ts"), graft.forex.Resample.byName("1h"))
+          .as("h_bucket"))
+      .agg(max(col("value")).as("h_high"))
+    val narrow = AsOfJoinNative.backward(ev, hourly, "ts", "h_bucket",
+        Seq("event_type"), Seq("h_high"))
+      .select("event_id", "h_high")
+    val scans = narrow.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("events.parquet"))
+      .toSeq
+    assert(scans.size >= 2, "probe scan + hourly scan expected")
+    val readSchemas = scans.map(_.split("ReadSchema:").last)
+    // the probe scan needs event_id (projected) + ts/event_type (join);
+    // NO events scan anywhere in the plan may read the unused user_id/props
+    assert(readSchemas.exists(s => s.contains("event_id") && s.contains("event_type")))
+    readSchemas.foreach { s =>
+      assert(!s.contains("user_id") && !s.contains("props"),
+        s"unpruned events scan: $s")
+    }
+    // and values still match the composed form under the pruned plan
+    val composed = graft.relational.AsOfJoin.backward(ev, hourly, "ts", "h_bucket",
+        Seq("event_type"), Seq("h_high"))
+      .select("event_id", "h_high")
+    assert(narrow.collect().map(_.mkString("|")).sorted.toSeq ===
+      composed.collect().map(_.mkString("|")).sorted.toSeq)
+  }
+
   test("edges: pre-first-state nulls, per-key isolation, inclusive tie") {
     import spark.implicits._
     def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:00:00")
