@@ -32,7 +32,11 @@ class AsOfJoinNativeSpec extends SparkSpec {
   }
 
   test("pruning rule: a narrow projection over the node reaches the probe scan") {
-    val ev = graft.Tables.events(spark, sf0001) // 6 source columns
+    // sf0.01, not sf0.001: MultiSymbolSpec caches the sf0.001 events table
+    // on the suite-shared session, and a cached subtree substitutes an
+    // InMemoryRelation for the scan — correct behavior, but it hides the
+    // FileScan ReadSchema this test asserts on
+    val ev = graft.Tables.events(spark, sf001) // 6 source columns
     val hourly = ev.groupBy(col("event_type"),
         graft.forex.Resample.bucket(col("ts"), graft.forex.Resample.byName("1h"))
           .as("h_bucket"))
