@@ -106,6 +106,59 @@ object DedupQueries {
        |ORDER BY doc_id_a, doc_id_b""".stripMargin
   }
 
+  /** Cross-source duplication matrix — the dedup-PLANNING diagnostic run
+    * before the dedup itself: which source pairs share near-duplicate
+    * content (e.g. two crawls of the same sites), so the pipeline knows
+    * where cluster-scoped dedup will actually bite. Built entirely on the
+    * proven MinHash chain: LSH candidates → estimated Jaccard ≥ 0.5 (the
+    * estimate is k/8 — every eighth is binary-exact, so the threshold
+    * compare is engine-independent) → pair's UNORDERED source pair via
+    * least/greatest → count. Within-source pairs appear as (s, s) rows.
+    *
+    * Scale shape: the pair relation is LSH-collision-bounded (never
+    * all-pairs); the two enrichment joins probe the slim (doc_id, source)
+    * projection; the group set is ≤ |sources|² with map-side partials.
+    */
+  val sourceOverlap: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pairs = DocDedup.estimatedJaccardPairs(docs)
+      .filter(col("est_jaccard") >= 0.5)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.as("ssa"), pairs("doc_id_a") === col("ssa.doc_id"))
+      .join(src.as("ssb"), pairs("doc_id_b") === col("ssb.doc_id"))
+      .select(least(col("ssa.source"), col("ssb.source")).as("source_a"),
+        greatest(col("ssa.source"), col("ssb.source")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_neardup_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val sourceOverlapSql: String = {
+    val eq = (0 until NumHashes)
+      .map(j => s"CASE WHEN sa.mh_$j = sb.mh_$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $sigsSql,
+       |$bandsSql,
+       |$pairsSql,
+       |est AS (
+       |  SELECT c.doc_id_a, c.doc_id_b,
+       |         floor((CAST($eq AS DOUBLE) / $NumHashes) * 1e6 + 0.5) / 1e6 AS est_jaccard
+       |  FROM cand c
+       |  JOIN sigs sa ON c.doc_id_a = sa.doc_id
+       |  JOIN sigs sb ON c.doc_id_b = sb.doc_id),
+       |src AS (SELECT doc_id, source FROM documents)
+       |SELECT least(x.source, y.source) AS source_a,
+       |       greatest(x.source, y.source) AS source_b,
+       |       count(*) AS n_neardup_pairs
+       |FROM est e
+       |JOIN src x ON e.doc_id_a = x.doc_id
+       |JOIN src y ON e.doc_id_b = y.doc_id
+       |WHERE e.est_jaccard >= 0.5
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val ngramJaccard: Q = (s, dir) =>
     DocDedup.exactJaccardPairs(Tables.documents(s, dir))
       .orderBy(col("doc_id_a"), col("doc_id_b"))
@@ -462,6 +515,7 @@ object DedupQueries {
     "lsh_candidate_pairs" -> lshCandidatePairs,
     "neardup_minhash" -> neardupMinhash,
     "ngram_jaccard" -> ngramJaccard,
+    "source_overlap" -> sourceOverlap,
     "simhash_signatures" -> simhashSignatures,
     "simhash_pairs" -> simhashPairs)
 
@@ -478,5 +532,6 @@ object DedupQueries {
     "lsh_candidate_pairs" -> lshCandidatePairsSql,
     "neardup_minhash" -> neardupMinhashSql,
     "ngram_jaccard" -> ngramJaccardSql,
+    "source_overlap" -> sourceOverlapSql,
     "simhash_signatures" -> simhashSignaturesSql)
 }
