@@ -41,6 +41,64 @@ object SimilarityQueries {
        |       floor(sqrt(${dotSql("embedding", "embedding")}) * 1e6 + 0.5) / 1e6 AS l2_norm
        |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** Per-class embedding centroid statistics — the class-balance /
+    * centroid-magnitude diagnostic an embedding-quality pass runs before
+    * clustering or per-class sampling. Cross-ROW float sums are the
+    * parity trap (double addition is order-dependent), so the per-(label,
+    * dim) sums use the PageRank quantization: each component quantizes to
+    * an integer at 1e7 (floor of a pure double expression — identical on
+    * both engines), sums exactly in DECIMAL (order-free), and only the
+    * per-dim MEAN is a double again. The centroid's L2 norm then sums the
+    * 64 squared means the same way (quantized at 1e12, exact DECIMAL sum)
+    * — deterministic end to end, pround only at the edge.
+    *
+    * Scale shape: one explode feeding a (label, dim)-keyed hash aggregate
+    * with map-side partials (the exchange carries |labels|·64 partial
+    * rows per task, never the component stream), then a |labels|-sized
+    * rollup. Nothing vector-sized moves after the scan.
+    */
+  val embeddingCentroids: Q = (s, dir) => {
+    import org.apache.spark.sql.types.DecimalType
+    val exploded = Tables.embeddings(s, dir)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "vf")))
+    val perDim = exploded
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("vf").cast("double") * lit(1e7) + lit(0.5))
+          .cast(DecimalType(20, 0))).as("sq"))
+      .select(col("label"), col("n"),
+        (col("sq").cast("double") / lit(1e7) / col("n").cast("double")).as("mean"))
+    perDim.groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        sum(floor(col("mean") * col("mean") * lit(1e12) + lit(0.5))
+          .cast(DecimalType(38, 0))).as("m2q"))
+      .select(col("label"), col("n_vecs"),
+        graft.Parity.pround(
+          sqrt(col("m2q").cast("double") / lit(1e12)), 6).as("centroid_l2"))
+      .orderBy(col("label"))
+  }
+
+  val embeddingCentroidsSql: String =
+    """WITH ex AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |         unnest(range(0, len(embedding))) AS dim,
+      |         unnest(embedding) AS vf
+      |  FROM embeddings),
+      |pd AS (
+      |  SELECT label, dim, count(*) AS n,
+      |         CAST(sum(CAST(floor(CAST(vf AS DOUBLE) * 1e7 + 0.5)
+      |                       AS DECIMAL(20,0))) AS DOUBLE) / 1e7 / count(*) AS mean
+      |  FROM ex GROUP BY 1, 2),
+      |ag AS (
+      |  SELECT label, max(n) AS n_vecs,
+      |         CAST(sum(CAST(floor(mean * mean * 1e12 + 0.5)
+      |                       AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS m2
+      |  FROM pd GROUP BY 1)
+      |SELECT label, n_vecs,
+      |       floor(sqrt(m2) * 1e6 + 0.5) / 1e6 AS centroid_l2
+      |FROM ag ORDER BY label""".stripMargin
+
   val knnBruteForce: Q = (s, dir) =>
     Similarity.knnBruteForce(Tables.embeddings(s, dir), queryVecId = 0L, k = 10)
 
@@ -535,6 +593,7 @@ object SimilarityQueries {
     "pq_codes" -> pqCodesQ,
     "ann_pq_topk" -> annPqTopK,
     "embedding_norms" -> embeddingNorms,
+    "embedding_centroids" -> embeddingCentroids,
     "knn_bruteforce" -> knnBruteForce,
     "neardup_embeddings" -> neardupEmbeddings,
     "neardup_ivf" -> neardupIvfQ,
@@ -551,6 +610,7 @@ object SimilarityQueries {
     "ann_pq_topk" -> annPqTopKSql,
     "ivf_train" -> ivfTrainSql,
     "embedding_norms" -> embeddingNormsSql,
+    "embedding_centroids" -> embeddingCentroidsSql,
     "knn_bruteforce" -> knnBruteForceSql,
     "neardup_embeddings" -> neardupEmbeddingsSql,
     "neardup_ivf" -> neardupIvfSql,
