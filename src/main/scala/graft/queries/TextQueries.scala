@@ -99,6 +99,61 @@ object TextQueries {
        |       END AS lang_pred
        |FROM scores ORDER BY doc_id""".stripMargin
 
+  /** Language-ID confusion matrix — the EVALUATION a curation pipeline
+    * runs on its classifier before trusting per-language routing: true
+    * `lang` × predicted `lang_pred` counts, plus the row-normalized rate
+    * (per-class recall on the diagonal). Integer counts, one integer
+    * division per row — deterministic; shares [[langId]]'s exact
+    * stopword-argmax predictor so the matrix changes iff the classifier
+    * does.
+    *
+    * Scale shape: the predictor is per-row expressions in the scan's
+    * codegen span; one hash aggregate into a ≤|langs|² group set with
+    * map-side partials; the rate window partitions over those few rows.
+    */
+  val langConfusion: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pred = TextAnalysis.langId(docs).select(col("doc_id"), col("lang_pred"))
+    val m = docs.select(col("doc_id"), col("lang"))
+      .join(pred, "doc_id")
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("lang"))
+    m.select(col("lang"), col("lang_pred"), col("n_docs"),
+        graft.Parity.pround(
+          col("n_docs").cast("double") /
+            sum(col("n_docs")).over(w).cast("double"), 6).as("rate"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
+  val langConfusionSql: String =
+    s"""WITH $normedSql,
+       |scores AS (
+       |  SELECT doc_id,
+       |         ${stopCountSql(stopEn)} AS score_en,
+       |         ${stopCountSql(stopEs)} AS score_es,
+       |         ${stopCountSql(stopDe)} AS score_de,
+       |         ${stopCountSql(stopFr)} AS score_fr
+       |  FROM w),
+       |pred AS (
+       |  SELECT doc_id,
+       |         CASE
+       |           WHEN score_en >= greatest(score_es, score_de, score_fr) AND score_en > 0 THEN 'en'
+       |           WHEN score_es >= greatest(score_de, score_fr) AND score_es > 0 THEN 'es'
+       |           WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+       |           WHEN score_fr > 0 THEN 'fr'
+       |           ELSE 'und'
+       |         END AS lang_pred
+       |  FROM scores),
+       |m AS (
+       |  SELECT d.lang, p.lang_pred, count(*) AS n_docs
+       |  FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT lang, lang_pred, n_docs,
+       |       floor((CAST(n_docs AS DOUBLE)
+       |             / sum(n_docs) OVER (PARTITION BY lang)) * 1e6 + 0.5) / 1e6 AS rate
+       |FROM m ORDER BY lang, lang_pred""".stripMargin
+
   val docFingerprint: Q = (s, dir) =>
     Tables.documents(s, dir)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -1335,6 +1390,7 @@ object TextQueries {
     "substring_dedup" -> substringDedup,
     "token_count" -> tokenCount,
     "lang_id" -> langId,
+    "lang_confusion" -> langConfusion,
     "doc_fingerprint" -> docFingerprint,
     "token_quantiles" -> tokenQuantiles,
     "hist_quantiles" -> histQuantilesQ,
@@ -1362,6 +1418,7 @@ object TextQueries {
     "substring_dedup" -> substringDedupSql,
     "token_count" -> tokenCountSql,
     "lang_id" -> langIdSql,
+    "lang_confusion" -> langConfusionSql,
     "doc_fingerprint" -> docFingerprintSql,
     "token_quantiles" -> tokenQuantilesSql,
     "hist_quantiles" -> histQuantilesSql,
