@@ -45,10 +45,17 @@ object GraftExtensions {
     new ExpressionInfo(classOf[graft.functions.TopKByAgg].getName, "topk_by"),
     (children: Seq[Expression]) => {
       require(children.size == 3, "topk_by(score, id, k) takes 3 arguments")
-      val k = children(2) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(
-          s"topk_by: k must be an integer literal, got $other")
+      // any foldable integral k (3, CAST(3 AS BIGINT), 1+2) resolves at
+      // analysis time — a clean analysis error beats an execution-time
+      // ClassCastException on a perfectly sensible literal spelling
+      val kExpr = children(2)
+      val k = (if (kExpr.foldable) Option(kExpr.eval()) else None) match {
+        case Some(i: Int) => i
+        case Some(l: Long) if l.isValidInt => l.toInt
+        case Some(s: Short) => s.toInt
+        case Some(b: Byte) => b.toInt
+        case _ => throw new IllegalArgumentException(
+          s"topk_by: k must be a foldable integral literal, got $kExpr")
       }
       graft.functions.TopKByAgg(children.head, children(1), k)
     })

@@ -40,11 +40,18 @@ import org.apache.spark.sql.types._
 case class TopKByAgg(
     score: Expression, id: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]] {
+    extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]]
+    with ImplicitCastInputTypes {
 
   require(k > 0, "top-k needs k > 0")
 
   override def children: Seq[Expression] = Seq(score, id)
+
+  /** Analyzer-inserted casts: `topk_by(int_score, id, 3)` coerces the
+    * score to double and the id to long instead of dying at execution
+    * with a ClassCastException in [[update]].
+    */
+  override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(DoubleType, LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("id", LongType), StructField("score", DoubleType))),

@@ -781,26 +781,45 @@ object PipelineQueries {
     * oracle states the contract declaratively: users whose last event is
     * more than 12h before the global max.
     */
+  /** GATE-REPLAY SCAFFOLDING, not part of the operator: in production,
+    * [[graft.streaming.GapDetect.openGaps]] is just `readStream →
+    * withWatermark → openGaps` under real triggers — alarms fire as the
+    * watermark advances with live data. A bounded file replay has no
+    * "later", so this appends ONE sentinel row AT the global max
+    * timestamp as a second parquet file whose mtime sorts strictly after
+    * every data file — derived from the data files' own max mtime, never
+    * wall-clock, so coarse-mtime filesystems or clock adjustments cannot
+    * collapse the two-batch order. With `maxFilesPerTrigger=1` the replay
+    * then runs exactly two micro-batches: batch 1 arms the timers, batch
+    * 2 runs under the post-batch-1 watermark (= max event time) and fires
+    * them. The sentinel's own timer stays ahead of the watermark, so it
+    * never emits.
+    */
+  private def appendMaxTsSentinel(s: SparkSession, b: String): Unit = {
+    val mx = s.read.parquet(b).agg(max(col("ts"))).first().getTimestamp(0)
+    import s.implicits._
+    val sentDir = s"${b}_sentinel"
+    Seq((-1L, mx, -1L)).toDF("event_id", "ts", "user_id")
+      .coalesce(1).write.mode("overwrite").parquet(sentDir)
+    val fs = new org.apache.hadoop.fs.Path(b)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dataMtime = fs.listStatus(new org.apache.hadoop.fs.Path(b))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getModificationTime).max
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(sentDir))
+      .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+    val dest = new org.apache.hadoop.fs.Path(b, "zz_sentinel.parquet")
+    fs.rename(part, dest)
+    fs.setTimes(dest, dataMtime + 60000L, -1L)
+    fs.delete(new org.apache.hadoop.fs.Path(sentDir), true)
+  }
+
   val streamOpenGaps: Q = (s, dir) => {
     val base = ensureFixture(s, "stream_open_gaps", dir) { b =>
       Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"))
         .coalesce(1).write.mode("overwrite").parquet(b)
-      val mx = s.read.parquet(b).agg(max(col("ts"))).first().getTimestamp(0)
-      import s.implicits._
-      val sentDir = s"${b}_sentinel"
-      Seq((-1L, mx, -1L)).toDF("event_id", "ts", "user_id")
-        .coalesce(1).write.mode("overwrite").parquet(sentDir)
-      val fs = new org.apache.hadoop.fs.Path(b)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      val part = fs.listStatus(new org.apache.hadoop.fs.Path(sentDir))
-        .find(_.getPath.getName.endsWith(".parquet")).get.getPath
-      val dest = new org.apache.hadoop.fs.Path(b, "zz_sentinel.parquet")
-      fs.rename(part, dest)
-      // the sentinel must form the SECOND micro-batch: the file source
-      // orders by modification time, so push it 60s into the future
-      fs.setTimes(dest, System.currentTimeMillis() + 60000L, -1L)
-      fs.delete(new org.apache.hadoop.fs.Path(sentDir), true)
+      appendMaxTsSentinel(s, b)
     }
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(

@@ -20,6 +20,27 @@ object RelationalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Row-count gate for `broadcast()` hints on graph relations that grow
+    * with the corpus (edge lists, surviving-vertex sets — the part
+    * vocabulary is SF×200k, so these are corpus-bounded, NOT fixed).
+    * 4M rows of packed (long, long) is ~64 MB on the wire — comfortably
+    * broadcastable on any executor profile — while at 100× corpus scale
+    * the same relation is multi-GB and the hint would OOM the driver. An
+    * explicit hint is never demoted by the planner, so the demotion has to
+    * live here: above the gate the hint is simply omitted and the
+    * planner/AQE picks a shuffle join with identical semantics
+    * (GraphMiningSpec/KcoreSpec pin bit-equality of the shuffle path).
+    */
+  private[graft] val GraphBroadcastRowLimit: Long = 4L * 1000 * 1000
+
+  /** `broadcast(df)` when the counted relation is within `limitRows`,
+    * the un-hinted `df` otherwise (planner's choice — shuffle join at
+    * scale).
+    */
+  private[graft] def broadcastIfAtMost(rows: Long, limitRows: Long)(
+      df: DataFrame): DataFrame =
+    if (rows <= limitRows) broadcast(df) else df
+
   /** Association-independent sum of a double expression: exact decimal
     * accumulate, cast back to double.
     */
@@ -1512,45 +1533,55 @@ object RelationalQueries {
     * closed by one join against the oriented edge set; each triangle is
     * found exactly once and credits all three corners via explode. The
     * only shuffles are the edge-distinct and the final 20k-group
-    * aggregate: the edge list is vocabulary-bounded, so the wedge and
-    * closing joins run as broadcast-hash probes and the wedge stream is
-    * never materialized or exchanged.
+    * aggregate when the edge list fits the broadcast gate; on a graph too
+    * big to broadcast (the edge relation grows with the part vocabulary,
+    * which grows ∝ SF) the SAME two joins run un-hinted as shuffle joins
+    * with identical semantics — [[broadcastIfAtMost]] is the size gate,
+    * and GraphMiningSpec proves the shuffle path bit-equal.
     *
     * Oracle note: the DuckDB mirror enumerates by id order (u<v<w), which
     * finds the same triangle set — orientation only changes WHICH copy of
     * each triangle is generated, not the multiset of corners credited.
     */
-  val graphTriangles: Q = (s, dir) => {
+  def graphTriangles(s: SparkSession, dir: String,
+      broadcastRowLimit: Long = GraphBroadcastRowLimit): DataFrame = {
     val d = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("it"))
       .distinct()
-    val edges = d.as("d1").join(d.as("d2"), Seq("ok"))
-      .filter(col("d1.it") < col("d2.it"))
-      .select(col("d1.it").as("u"), col("d2.it").as("v"))
-      .distinct()
-    // the part-pair edge list is VOCABULARY-bounded (O(|parts|·avg-deg),
-    // not corpus-bounded): degrees and the oriented edge set broadcast, so
-    // the 60M-wedge stream below never hits a shuffle — it flows through
-    // one codegen'd pipeline of two broadcast-hash probes straight into the
-    // per-vertex aggregate's map-side partials
+    // scratch-materialized: consumed by the degree aggregate AND the
+    // orientation join below (each would re-derive scan→self-join→distinct),
+    // and the materialization makes the broadcast gate's edge count a cheap
+    // parquet scan instead of a second self-join
+    val edges = graft.Scratch.table(
+      d.as("d1").join(d.as("d2"), Seq("ok"))
+        .filter(col("d1.it") < col("d2.it"))
+        .select(col("d1.it").as("u"), col("d2.it").as("v"))
+        .distinct(), "tri-edges")
+    val m = edges.count()
+    // SIZE-GATED broadcast: at bench SF the edge list is a few hundred k
+    // rows and every probe below is a broadcast-hash join, so the wedge
+    // stream flows scan→probe→probe→partial-agg in one codegen pipeline
+    // with no exchange; past the gate the hints vanish and the planner
+    // (with AQE) picks shuffle joins — degrees and the oriented edge set
+    // both scale with m, so both ride the same gate
+    val bc = broadcastIfAtMost(m, broadcastRowLimit) _
     val deg = edges.select(col("u").as("x")).unionAll(edges.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("deg"))
     val ranked = edges
-      .join(broadcast(deg.select(col("x").as("u"), col("deg").as("du"))), Seq("u"))
-      .join(broadcast(deg.select(col("x").as("v"), col("deg").as("dv"))), Seq("v"))
+      .join(bc(deg.select(col("x").as("u"), col("deg").as("du"))), Seq("u"))
+      .join(bc(deg.select(col("x").as("v"), col("deg").as("dv"))), Seq("v"))
     // scratch-materialized: three consumers below (probe side + two
-    // broadcasts) would otherwise each re-derive the scan→self-join→
-    // distinct→degree lineage
+    // broadcasts) would otherwise each re-derive the orientation lineage
     val oriented = graft.Scratch.table(ranked.select(
       when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
         struct(col("u").as("src"), col("v").as("dst")))
         .otherwise(struct(col("v").as("src"), col("u").as("dst"))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst")), "tri-oriented")
     val wedges = oriented.as("e1")
-      .join(broadcast(oriented).as("e2"), col("e1.dst") === col("e2.src"))
+      .join(bc(oriented).as("e2"), col("e1.dst") === col("e2.src"))
       .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
     val tris = wedges.join(
-      broadcast(oriented.select(col("src").as("a"), col("dst").as("c"))).as("e3"),
+      bc(oriented.select(col("src").as("a"), col("dst").as("c"))).as("e3"),
       Seq("a", "c"))
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("p_partkey"))
       .groupBy(col("p_partkey")).agg(count(lit(1)).as("n_triangles"))
@@ -1621,8 +1652,14 @@ object RelationalQueries {
     * any scale).
     *
     * Shape per round: one degree aggregate (map-side partials into a
-    * vocabulary-bounded group set) and two BROADCAST left-semi probes of
-    * the surviving-vertex set — the edge list itself never reshuffles.
+    * vocabulary-bounded group set) and two left-semi probes of the
+    * surviving-vertex set — broadcast probes while the keep set fits the
+    * [[GraphBroadcastRowLimit]] gate (its row count is already on the
+    * driver for the fixpoint check, so the gate is free), un-hinted
+    * shuffle semi-joins past it: the keep set starts at |parts| which
+    * grows ∝ SF, so at 100 TB it is billions of ids and a forced
+    * broadcast would OOM. The edge list itself never reshuffles on the
+    * broadcast path.
     * The shrinking edge list re-materializes through scratch every SECOND
     * round (the PageRank/BPE lineage bound, at the cadence where the
     * write cost balances the ≤1-round lineage replay — a replayed round
@@ -1635,7 +1672,8 @@ object RelationalQueries {
     * per-round m/n/count reads are bounded driver scalars (the watermark
     * pattern).
     */
-  def kcoreParts(s: SparkSession, dir: String, maxRounds: Int = 12): DataFrame = {
+  def kcoreParts(s: SparkSession, dir: String, maxRounds: Int = 12,
+      broadcastRowLimit: Long = GraphBroadcastRowLimit): DataFrame = {
     val d = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("it"))
       .distinct()
@@ -1662,9 +1700,12 @@ object RelationalQueries {
       val kept = keep.count()
       if (kept == prevKept) done = true
       else {
+        // kept is already a driver scalar (the fixpoint check), so the
+        // broadcast gate costs nothing extra per round
+        val bc = broadcastIfAtMost(kept, broadcastRowLimit) _
         val filtered =
-          e.join(broadcast(keep).as("k1"), col("u") === col("k1.x"), "left_semi")
-            .join(broadcast(keep).as("k2"), col("v") === col("k2.x"), "left_semi")
+          e.join(bc(keep).as("k1"), col("u") === col("k1.x"), "left_semi")
+            .join(bc(keep).as("k2"), col("v") === col("k2.x"), "left_semi")
         // edge-list scratch write every SECOND round: the write is the
         // round's dominant cost, and replaying one unmaterialized round's
         // lineage is just the prior parquet scan + two broadcast probes
@@ -1822,7 +1863,7 @@ object RelationalQueries {
     "hist_merge_days" -> histMergeDays,
     "retention_cohorts" -> retentionCohorts,
     "assoc_rules" -> assocRules,
-    "graph_triangles" -> graphTriangles,
+    "graph_triangles" -> ((s: SparkSession, d: String) => graphTriangles(s, d)),
     "events_kpi" -> eventsKpi)
 
   val oracleSql: Map[String, String] = Map(

@@ -138,8 +138,13 @@ object IncrementalStore {
     * a job. Day identity comes from the `p_date=` directory name (the
     * store's own layout contract) — ISO date strings, parsed not compared
     * lexically, so a malformed foreign directory fails loudly instead of
-    * silently surviving. Returns the dropped partition names (bounded:
-    * one string per dropped day — the day-list collect pattern).
+    * silently surviving. The one non-date name the store itself can
+    * create is `__HIVE_DEFAULT_PARTITION__` (a null `tsCol` makes
+    * `to_date` null at write time): it has no day to be older than, so
+    * retention SKIPS it — null-day rows never age out by date, and one
+    * such row must not permanently wedge every future sweep. Returns the
+    * dropped partition names (bounded: one string per dropped day — the
+    * day-list collect pattern).
     */
   def retainDays(spark: SparkSession, target: String,
       cutoff: java.time.LocalDate): Seq[String] = {
@@ -147,9 +152,11 @@ object IncrementalStore {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Nil
     val prefix = s"$PartitionCol="
+    val nullPartition = "__HIVE_DEFAULT_PARTITION__"
     val dropped = fs.listStatus(p).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
       .map(_.getPath)
+      .filter(_.getName.stripPrefix(prefix) != nullPartition)
       .filter(d => java.time.LocalDate.parse(d.getName.stripPrefix(prefix))
         .isBefore(cutoff))
     dropped.foreach(d => fs.delete(d, true))

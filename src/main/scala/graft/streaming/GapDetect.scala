@@ -86,8 +86,13 @@ object GapDetect extends Serializable {
             }
             st.foreach { s =>
               state.update(s)
+              // CEILING division to ms: the oracle contract is strict
+              // (mx − last_seen > threshold in µs), and Spark fires when
+              // the ms watermark passes the ms timer — truncating lastUs
+              // and thresholdUs separately could arm up to ~1ms early on
+              // sub-ms data; ceil of the single µs sum never does
               state.setTimeoutTimestamp(math.max(
-                s.lastUs / 1000L + thresholdUs / 1000L,
+                (s.lastUs + thresholdUs + 999L) / 1000L,
                 state.getCurrentWatermarkMs() + 1L))
             }
             Iterator.empty
@@ -95,6 +100,16 @@ object GapDetect extends Serializable {
       }
   }
 
+  /** Per-trigger memory bound: the group's BATCH SLICE is buffered once
+    * for the in-batch sort (a flat array of (id, ts, key) rows — ~48
+    * bytes/event), while cross-batch state stays at one 16-byte pair. A
+    * whale key therefore costs its slice, not its history:
+    * GapDetectSpec pins 10⁶ events for one key in a single batch (the
+    * sessionize bound, commit e4f09ae) — ~50 MB transient, well inside an
+    * executor core's share; a key hot enough to beat that bound needs
+    * rate-limited triggers (`maxFilesPerTrigger` /
+    * `maxOffsetsPerTrigger`), which cap the slice by construction.
+    */
   def gaps(events: Dataset[Ev], thresholdUs: Long): Dataset[Gap] = {
     implicit val outEnc = Encoders.product[Gap]
     implicit val stEnc = Encoders.product[LastSeen]
@@ -102,7 +117,7 @@ object GapDetect extends Serializable {
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[Ev], state: GroupState[LastSeen]) =>
-          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val sorted = it.toArray.sortInPlaceBy(e => (micros(e.ts), e.event_id))
           val out = Seq.newBuilder[Gap]
           var st = state.getOption
           sorted.foreach { e =>

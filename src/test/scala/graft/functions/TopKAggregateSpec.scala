@@ -38,6 +38,33 @@ class TopKAggregateSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_topkbyagg"))
   }
 
+  test("input coercion: int scores, int ids, and non-int k literals all analyze cleanly") {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((1, 10, 5L), (1, 20, 3L), (1, 30, 9L), (2, 40, 1L))
+      .toDF("grp", "int_score", "id").createOrReplaceTempView("topk_coerce_v")
+    // int score → double, CAST(k AS BIGINT) → foldable integral k: both
+    // must resolve at analysis time, not die at execution
+    val got = spark.sql(
+      """SELECT grp, t.id FROM (
+        |  SELECT grp, topk_by(int_score, id, CAST(2 AS BIGINT)) AS top
+        |  FROM topk_coerce_v GROUP BY grp)
+        |LATERAL VIEW explode(top) AS t
+        |ORDER BY grp, t.score DESC""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got === Seq((1, 9L), (1, 3L), (2, 1L)))
+    // int id column coerces to long too
+    val intId = spark.sql(
+      """SELECT topk_by(CAST(int_score AS DOUBLE), grp, 1+1) AS top
+        |FROM topk_coerce_v""".stripMargin).collect()
+    assert(intId.nonEmpty)
+    // non-foldable k still fails with a clean message
+    val err = intercept[Exception] {
+      spark.sql("SELECT topk_by(int_score, id, grp) FROM topk_coerce_v").collect()
+    }
+    assert(err.getMessage.contains("foldable integral"), err.getMessage)
+  }
+
   test("ties, small groups, nulls, and cross-partition merge match the window form") {
     import spark.implicits._
     // group 1: tie on score (ids 11 < 12 -> 11 ranks first), 4 candidates

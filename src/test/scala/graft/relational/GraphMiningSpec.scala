@@ -76,6 +76,24 @@ class GraphMiningSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("graph_triangles: above the broadcast gate the shuffle path is bit-equal") {
+    val hinted = RelationalQueries.graphTriangles(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("p_partkey"), r.getAs[Long]("n_triangles"))).toSeq
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // -1 disables planner AND AQE broadcast conversion: with the gate at 0
+    // rows, no hint survives, so this is exactly the 100 TB plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = RelationalQueries.graphTriangles(spark, sf0001, broadcastRowLimit = 0L)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      val got = df.collect()
+        .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Long]("n_triangles"))).toSeq
+      assert(got === hinted)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("assoc_rules plan: dimension and count relations broadcast; no cartesian") {
     val plan = RelationalQueries.assocRules(spark, sf0001)
       .queryExecution.executedPlan.toString

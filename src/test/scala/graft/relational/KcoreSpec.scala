@@ -56,6 +56,39 @@ class KcoreSpec extends SparkSpec {
       s"vertex ${r.getAs[Long]("p_partkey")} below k=$k at fixpoint"))
   }
 
+  test("kcore_parts: above the broadcast gate the shuffle path is bit-equal") {
+    val hinted = RelationalQueries.kcoreParts(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val got = RelationalQueries
+        .kcoreParts(spark, sf0001, maxRounds = 12, broadcastRowLimit = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === hinted)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("broadcastIfAtMost: the gate drops the hint above the limit (shuffle semi-join)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val e = spark.range(1000).selectExpr("id AS u", "id % 100 AS w")
+      val keep = spark.range(50).selectExpr("id AS x")
+      val over = e.join(
+        RelationalQueries.broadcastIfAtMost(50L, 0L)(keep).as("k1"),
+        col("u") === col("k1.x"), "left_semi")
+      val overPlan = over.queryExecution.executedPlan.toString
+      assert(!overPlan.contains("BroadcastHashJoin"), overPlan)
+      assert(overPlan.contains("SortMergeJoin") || overPlan.contains("ShuffledHashJoin"),
+        overPlan)
+      val under = e.join(
+        RelationalQueries.broadcastIfAtMost(50L, 100L)(keep).as("k2"),
+        col("u") === col("k2.x"), "left_semi")
+      assert(under.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("kcore_parts: extra rounds past the fixpoint change nothing (early-exit soundness)") {
     val a = RelationalQueries.kcoreParts(spark, sf0001, maxRounds = 12)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

@@ -72,4 +72,20 @@ class StoreRetentionSpec extends SparkSpec {
         java.time.LocalDate.parse("2024-01-01"))
     }
   }
+
+  test("the null-day partition is skipped, never parsed, never dropped") {
+    // upsertByKey itself creates p_date=__HIVE_DEFAULT_PARTITION__ when
+    // tsCol is null; one such row must not wedge every future sweep
+    val target = s"${sys.props("java.io.tmpdir")}/graft_store/retention_spec_null"
+    buildStore(target)
+    val fs = fsOf(target)
+    val nullDir = new org.apache.hadoop.fs.Path(
+      s"$target/p_date=__HIVE_DEFAULT_PARTITION__")
+    fs.mkdirs(nullDir)
+    val dropped = IncrementalStore.retainDays(spark, target,
+      java.time.LocalDate.parse("2099-01-01"))
+    assert(!dropped.exists(_.contains("__HIVE_DEFAULT_PARTITION__")))
+    assert(fs.exists(nullDir), "null-day partition must survive the sweep")
+    assert(dropped.nonEmpty, "dated partitions before the cutoff still drop")
+  }
 }

@@ -66,6 +66,25 @@ class GapDetectSpec extends SparkSpec {
     assert(runBatches("gaps_3batch", batches, threshold) === expected)
   }
 
+  test("gaps: a 10^6-event single-key batch slice completes with correct gaps (whale bound)") {
+    import spark.implicits._
+    // the documented worst case for the per-trigger sort buffer: ONE key
+    // whose whole slice lands in a single group invocation (batch-mode
+    // flatMapGroupsWithState hands the group its entire slice, exactly the
+    // maxFilesPerTrigger-unbounded streaming case). ~50 MB transient; must
+    // complete, not OOM — the sessionize 10^6 bound applied to GapDetect.
+    // Every 1000th event jumps +3h (a gap at threshold 2h), others +1s.
+    val n = 1000000L
+    val ev = spark.range(n).select(
+      col("id").as("event_id"),
+      timestamp_micros(lit(1700000000000000L) + col("id") * lit(1000000L) +
+        (col("id") / lit(1000L)).cast("long") * lit(3L * HourUs)).as("ts"),
+      lit(7L).as("user_id")).as[Ev]
+    val got = GapDetect.gaps(ev, 2L * HourUs).collect()
+    assert(got.length === 999, s"got ${got.length} gaps")
+    assert(got.forall(g => g.user_id == 7L && g.gap_minutes == 180L))
+  }
+
   test("a gap straddling a batch boundary is found exactly once, from state") {
     def ts(h: Int) = Timestamp.valueOf(f"2024-03-01 $h%02d:00:00")
     val b1 = Seq(Ev(1L, ts(0), 7L), Ev(2L, ts(1), 7L))
