@@ -49,7 +49,7 @@ object SparkEntry {
       DedupQueries.queries ++ SimilarityQueries.queries ++ MediaQueries.queries ++
       RelationalQueries.queries ++ SamplingQueries.queries ++
       StoreQueries.queries ++ PipelineQueries.queries ++ CurationQueries.queries ++
-      MultiSymQueries.queries ++ DriftQueries.queries)
+      MultiSymQueries.queries ++ DriftQueries.queries ++ FormatQueries.queries)
       .map { case (name, fn) =>
         name -> ((s: SparkSession, dir: String) => normalizeOutputs(fn(s, dir)))
       }
@@ -63,5 +63,5 @@ object SparkEntry {
       RelationalQueries.oracleSql ++ SamplingQueries.oracleSql ++
       StoreQueries.oracleSql ++ PipelineQueries.oracleSql ++
       CurationQueries.oracleSql ++ MultiSymQueries.oracleSql ++
-      DriftQueries.oracleSql
+      DriftQueries.oracleSql ++ FormatQueries.oracleSql
 }

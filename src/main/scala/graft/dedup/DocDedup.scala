@@ -142,6 +142,179 @@ object DocDedup {
   def lshCandidatePairs(docs: DataFrame): DataFrame =
     pairsFromSigs(materializedSignatures(docs))
 
+  /** INCREMENTAL near-dup candidate discovery — the reference's defining
+    * behavior (high-watermark incremental runs,
+    * models/staging/stg_eurusd.sql:18-21) applied to the LSH family. The
+    * band-bucket relation is the PERSISTED STATE: each arriving batch
+    * computes MinHash signatures for ITS docs only, joins its bands
+    * against the accumulated band store for new-vs-historical candidates,
+    * self-joins its own bands for new-vs-new, appends the found pairs to
+    * the pair store and its bands to the band store. Correctness
+    * identity: a candidate pair IS a band-bucket equality collision, so
+    * pairs(H ∪ N) = pairs(H) ∪ pairs(N) ∪ cross(H, N) — after every
+    * batch the accumulated pair store equals the one-shot full-corpus
+    * pair set, which is exactly what the gate oracle states
+    * (`neardup_incremental` shares `lsh_candidate_pairs`' oracle).
+    *
+    * At 100 TB: a daily batch costs its OWN signature computation plus a
+    * band join against the store — with the store bucketed by band_key
+    * the probe touches only colliding buckets — never a full-corpus
+    * recompute. The state grows one row per (doc, band) per day; a
+    * retention sweep on the band store bounds it the same way the silver
+    * store is bounded ([[graft.store.IncrementalStore]] pattern).
+    */
+  def incrementalCandidatePairs(
+      spark: org.apache.spark.sql.SparkSession,
+      batches: Seq[DataFrame], storeDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val bandsPath = s"$storeDir/bands"
+    val pairsPath = s"$storeDir/pairs"
+    batches.zipWithIndex.foreach { case (docs, i) =>
+      // scratch: consumed by the self-join (twice) + the cross join + the
+      // store append; without it the scan→shingle→minhash lineage would
+      // run 4x per batch
+      val bands = scratchTable(bandsOf(minhashSignatures(docs)), s"inc-bands-$i")
+      val self = bands.as("l").join(bands.as("r"),
+          col("l.band_idx") === col("r.band_idx") &&
+          col("l.band_key") === col("r.band_key") &&
+          col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_id_a"), col("r.doc_id").as("doc_id_b"))
+      val newPairs = if (i == 0) self else {
+        val hist = spark.read.parquet(bandsPath)
+        val cross = bands.as("nb").join(hist.as("hb"),
+            col("nb.band_idx") === col("hb.band_idx") &&
+            col("nb.band_key") === col("hb.band_key"))
+          .select(least(col("nb.doc_id"), col("hb.doc_id")).as("doc_id_a"),
+            greatest(col("nb.doc_id"), col("hb.doc_id")).as("doc_id_b"))
+        self.unionAll(cross)
+      }
+      // a pair's later endpoint determines the ONE batch that finds it,
+      // so cross-batch duplicates are impossible; distinct here only
+      // collapses multi-band collisions within the batch
+      newPairs.distinct().write.mode("append").parquet(pairsPath)
+      bands.write.mode("append").parquet(bandsPath)
+    }
+    spark.read.parquet(pairsPath)
+  }
+
+  /** Incremental CONNECTED COMPONENTS over the near-dup graph — the third
+    * leg of the incremental dedup frontier (pairs:
+    * [[incrementalCandidatePairs]]; exact: [[incrementalExactDuplicates]]).
+    * State per day: the signature + band stores (as in the pair path) AND
+    * the current LABEL assignment. A new batch discovers its new edges
+    * (banded probe of the store + self-join, est-Jaccard ≥ 0.5 refinement
+    * against the accumulated signatures), then re-runs CC on the
+    * CONTRACTED graph: the stored labeling's star edges (v → label) plus
+    * the new edges — never the full historical pair set.
+    *
+    * Correctness: the stored labeling is a spanning star forest of the
+    * processed graph (every component is exactly one star centered at its
+    * min id), connectivity is all CC depends on, and every processed
+    * vertex rides along — so CC(stars ∪ newEdges) = CC(fullEdges ∪
+    * newEdges), with the same min-id labels. IncrementalDedupSpec pins
+    * multi-batch equality; the gate shares `dedup_clusters`' recursive-CTE
+    * oracle.
+    *
+    * At 100 TB: a day's CC input is |processed docs| star edges +
+    * |new edges| — both linear — instead of the quadratic-in-history pair
+    * accumulation, and the CC rounds are bounded by the contracted
+    * graph's diameter, which star contraction keeps at ~2.
+    */
+  def incrementalClusterLabels(
+      spark: org.apache.spark.sql.SparkSession,
+      batches: Seq[DataFrame], storeDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val sigsPath = s"$storeDir/sigs"
+    val bandsPath = s"$storeDir/bands"
+    var labelsPath: Option[String] = None
+    batches.zipWithIndex.foreach { case (docs, i) =>
+      val sigsN = scratchTable(minhashSignatures(docs), s"incc-sigs-$i")
+      val bandsN = scratchTable(bandsOf(sigsN), s"incc-bands-$i")
+      val self = bandsN.as("l").join(bandsN.as("r"),
+          col("l.band_idx") === col("r.band_idx") &&
+          col("l.band_key") === col("r.band_key") &&
+          col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_id_a"), col("r.doc_id").as("doc_id_b"))
+      val cand = (if (i == 0) self else {
+        val cross = bandsN.as("nb")
+          .join(spark.read.parquet(bandsPath).as("hb"),
+            col("nb.band_idx") === col("hb.band_idx") &&
+            col("nb.band_key") === col("hb.band_key"))
+          .select(least(col("nb.doc_id"), col("hb.doc_id")).as("doc_id_a"),
+            greatest(col("nb.doc_id"), col("hb.doc_id")).as("doc_id_b"))
+        self.unionAll(cross)
+      }).distinct()
+      // est-Jaccard ≥ 0.5 refinement == at least half the signature rows
+      // agree (integer compare, engine-independent)
+      val allSigs =
+        if (i == 0) sigsN else sigsN.unionAll(spark.read.parquet(sigsPath))
+      val agree = (0 until NumHashes)
+        .map(j => when(col(s"sa.mh_$j") === col(s"sb.mh_$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      val newEdges = cand
+        .join(allSigs.as("sa"), cand("doc_id_a") === col("sa.doc_id"))
+        .join(allSigs.as("sb"), cand("doc_id_b") === col("sb.doc_id"))
+        .filter(agree >= NumHashes / 2)
+        .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+      val (verts, edges) = labelsPath match {
+        case None => (docs.select(col("doc_id").as("v")), newEdges)
+        case Some(p) =>
+          val prev = spark.read.parquet(p)
+          (docs.select(col("doc_id").as("v")).unionAll(prev.select(col("v"))),
+            newEdges.unionAll(prev.filter(col("v") =!= col("label"))
+              .select(col("v").as("a"), col("label").as("b"))))
+      }
+      val labels = Components.connectedComponents(verts, edges)
+      val next = s"$storeDir/labels/gen=$i"
+      labels.write.mode("overwrite").parquet(next)
+      labelsPath = Some(next)
+      sigsN.write.mode("append").parquet(sigsPath)
+      bandsN.write.mode("append").parquet(bandsPath)
+    }
+    spark.read.parquet(labelsPath.get)
+  }
+
+  /** Incremental EXACT dedup — the fingerprint aggregate
+    * (fp → n_docs, keep_doc_id) is a MERGEABLE materialized view: the
+    * count is a sum and the keeper is a min, both associative, so a
+    * daily batch folds into the persisted aggregate without ever
+    * re-reading historical raw documents (the incremental_mv contract
+    * applied to the dedup family). Each fold writes a new generation
+    * directory and reads the previous one — never read-and-overwrite the
+    * same files. At 100 TB the fold is
+    * [[graft.store.IncrementalStore]]-style keyed MERGE touching only
+    * the fp partitions present in the batch; generation dirs here keep
+    * the gate deterministic.
+    */
+  def incrementalExactDuplicates(
+      spark: org.apache.spark.sql.SparkSession,
+      batches: Seq[DataFrame], storeDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    var cur: Option[String] = None
+    batches.zipWithIndex.foreach { case (docs, i) =>
+      val agg = docs
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc_id"))
+      val merged = cur match {
+        case None => agg
+        case Some(prev) => spark.read.parquet(prev).unionAll(agg)
+          .groupBy("fp")
+          .agg(sum("n_docs").as("n_docs"), min("keep_doc_id").as("keep_doc_id"))
+      }
+      val next = s"$storeDir/gen=$i"
+      merged.write.mode("overwrite").parquet(next)
+      cur = Some(next)
+    }
+    spark.read.parquet(cur.get)
+  }
+
   /** Estimated Jaccard for candidate pairs: fraction of equal signature
     * rows. Exact-Jaccard refinement joins shingle sets for candidates only.
     */

@@ -87,6 +87,71 @@ object DedupQueries {
        |$pairsSql
        |SELECT doc_id_a, doc_id_b FROM cand ORDER BY doc_id_a, doc_id_b""".stripMargin
 
+  /** Incremental LSH pair discovery at the gate: the corpus arrives as
+    * TWO batches (split by doc_id parity — a stand-in for "yesterday's
+    * corpus" + "today's batch"), runs
+    * [[DocDedup.incrementalCandidatePairs]], and the oracle states the
+    * ONE-SHOT full-corpus pair set — so the gate proves
+    * batch(day1) + incremental(day2) ≡ recompute-from-scratch, the
+    * reference's high-watermark contract applied to dedup.
+    */
+  val neardupIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val target = s"${sys.props("java.io.tmpdir")}/graft_store/neardup_incremental"
+    DocDedup.incrementalCandidatePairs(s,
+      Seq(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1)),
+      target)
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
+
+  /** Same statement as [[lshCandidatePairsSql]]: the oracle is the
+    * one-shot form; sharing it is the equivalence proof.
+    */
+  val neardupIncrementalSql: String = lshCandidatePairsSql
+
+  /** Incremental exact dedup at the gate: two parity batches fold into
+    * the persisted fingerprint aggregate
+    * ([[DocDedup.incrementalExactDuplicates]]); the oracle is the
+    * one-shot [[dedupExactDocsSql]] — merge(fold(day1), day2) ≡
+    * recompute, because count/min are associative.
+    */
+  val dedupIncrementalExact: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val target = s"${sys.props("java.io.tmpdir")}/graft_store/dedup_incremental_exact"
+    DocDedup.incrementalExactDuplicates(s,
+      Seq(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1)),
+      target)
+      .orderBy(col("fp"))
+  }
+
+  val dedupIncrementalExactSql: String = dedupExactDocsSql
+
+  /** Incremental clustering at the gate: two parity batches run
+    * [[DocDedup.incrementalClusterLabels]] (contracted-graph CC — star
+    * edges of the stored labeling + the new batch's edges); the oracle is
+    * `dedup_clusters`' recursive-CTE reachability over the FULL corpus,
+    * so the gate proves incremental CC ≡ full CC.
+    */
+  val dedupClustersIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val target = s"${sys.props("java.io.tmpdir")}/graft_store/dedup_clusters_incremental"
+    val labels = DocDedup.incrementalClusterLabels(s,
+      Seq(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1)),
+      target)
+      .select(col("v").as("doc_id"), col("label").as("cluster_id"))
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  // lazy: dedupClustersSql is declared later in the file — an eager val
+  // here would capture null at object init
+  lazy val dedupClustersIncrementalSql: String = dedupClustersSql
+
   val neardupMinhash: Q = (s, dir) =>
     DocDedup.estimatedJaccardPairs(Tables.documents(s, dir))
       .orderBy(col("doc_id_a"), col("doc_id_b"))
@@ -513,6 +578,9 @@ object DedupQueries {
     "dedup_exact_docs" -> dedupExactDocs,
     "minhash_signatures" -> minhashSignatures,
     "lsh_candidate_pairs" -> lshCandidatePairs,
+    "neardup_incremental" -> neardupIncremental,
+    "dedup_incremental_exact" -> dedupIncrementalExact,
+    "dedup_clusters_incremental" -> dedupClustersIncremental,
     "neardup_minhash" -> neardupMinhash,
     "ngram_jaccard" -> ngramJaccard,
     "source_overlap" -> sourceOverlap,
@@ -530,6 +598,9 @@ object DedupQueries {
     "dedup_exact_docs" -> dedupExactDocsSql,
     "minhash_signatures" -> minhashSignaturesSql,
     "lsh_candidate_pairs" -> lshCandidatePairsSql,
+    "neardup_incremental" -> neardupIncrementalSql,
+    "dedup_incremental_exact" -> dedupIncrementalExactSql,
+    "dedup_clusters_incremental" -> dedupClustersIncrementalSql,
     "neardup_minhash" -> neardupMinhashSql,
     "ngram_jaccard" -> ngramJaccardSql,
     "source_overlap" -> sourceOverlapSql,

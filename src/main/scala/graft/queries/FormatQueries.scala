@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink format coverage beyond parquet: CSV, JSON-lines, and ORC
+  * round-trips of a day slice of events, written by the engine and read
+  * back with EXPLICIT schemas — never inferred: schema inference is a
+  * whole extra pass over the data at 100 TB and is type-unstable between
+  * files — then proved value-identical by the parquet-recomputing DuckDB
+  * oracle. Each format sits where a production pipeline actually meets
+  * it: CSV/JSONL as interchange at the ingest edges (the reference's REST
+  * extract emits JSON rows, scripts/extract_forex.py:34-100), ORC as the
+  * columnar format a mixed warehouse must read natively.
+  *
+  * Fidelity notes (the reason these are gate queries, not smoke tests):
+  * timestamps serialize at full microsecond precision
+  * (`yyyy-MM-dd HH:mm:ss.SSSSSS`, UTC session); doubles go through
+  * shortest-round-trip decimal strings in CSV/JSON, so parse-back is
+  * bit-exact by Java's Double contract; ORC stores both natively. Row
+  * order is never format-carried — every query re-orders by key.
+  *
+  * Scale shape: one pushed-filter day scan in, one distributed write, one
+  * schema-supplied distributed read — no inference pass, no collect.
+  */
+object FormatQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  private val sliceSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("value", DoubleType)))
+
+  private def daySlice(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.eventsDay(s, dir, java.time.LocalDate.parse("2024-01-07"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+
+  private def roundtrip(s: SparkSession, dir: String, fmt: String,
+      writeOpts: Map[String, String], readOpts: Map[String, String]): DataFrame = {
+    val target = s"${sys.props("java.io.tmpdir")}/graft_store/${fmt}_roundtrip"
+    daySlice(s, dir).write.mode("overwrite")
+      .options(writeOpts).format(fmt).save(target)
+    s.read.schema(sliceSchema).options(readOpts).format(fmt).load(target)
+      .orderBy(col("event_id"))
+  }
+
+  val csvRoundtrip: Q = (s, dir) =>
+    roundtrip(s, dir, "csv",
+      Map("header" -> "true", "timestampFormat" -> TsFmt),
+      Map("header" -> "true", "timestampFormat" -> TsFmt))
+
+  val jsonRoundtrip: Q = (s, dir) =>
+    roundtrip(s, dir, "json",
+      Map("timestampFormat" -> TsFmt), Map("timestampFormat" -> TsFmt))
+
+  val orcRoundtrip: Q = (s, dir) =>
+    roundtrip(s, dir, "orc", Map.empty, Map.empty)
+
+  /** One oracle for all three: the round-trip must be the identity, so
+    * the expected relation is just the parquet-recomputed day slice.
+    */
+  private val roundtripSql: String =
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+      |FROM events
+      |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-07'
+      |ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "csv_roundtrip" -> csvRoundtrip,
+    "json_roundtrip" -> jsonRoundtrip,
+    "orc_roundtrip" -> orcRoundtrip)
+
+  val oracleSql: Map[String, String] = Map(
+    "csv_roundtrip" -> roundtripSql,
+    "json_roundtrip" -> roundtripSql,
+    "orc_roundtrip" -> roundtripSql)
+}

@@ -227,6 +227,72 @@ object RelationalQueries {
       |  ON e.event_type = h.event_type AND e.ts >= h.h_bucket
       |ORDER BY e.event_id""".stripMargin
 
+  /** As-of join with a STALENESS TOLERANCE (the pandas `merge_asof
+    * tolerance` / kdb `wj` window contract): the backward match is kept
+    * only when it is at most 8h old, else the row keeps left-join nulls —
+    * "enrich with the latest summary, but never with one too stale to
+    * trust". Because backward as-of picks the LATEST match ≤ ts, a match
+    * outside tolerance proves NO match is inside it, so post-nulling the
+    * payload IS tolerance semantics — no second probe needed. The right
+    * side keeps only ≥5-event buckets (a quality floor), which is what
+    * makes all three outcomes — fresh, stale-nulled, never-matched — live
+    * at gate scale. Runs through the NATIVE custom operator
+    * ([[graft.plans.AsOfJoinNative]]), so the tolerance arm also re-proves
+    * the custom plan under a second oracle.
+    *
+    * Scale shape: identical to `asof_join_native` (co-partitioned merge,
+    * one buffered right row per task) plus a per-row projection.
+    */
+  val asofTolerance: Q = (s, dir) => {
+    import graft.forex.Resample
+    val tolUs = 8L * 3600L * 1000000L
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val hourly = ev
+      .groupBy(col("event_type"),
+        Resample.bucket(col("ts"), Resample.byName("1h")).as("h_bucket"))
+      .agg(max(col("value")).as("h_high"), count(lit(1)).as("h_events"))
+      .filter(col("h_events") >= 5L)
+    val joined = graft.plans.AsOfJoinNative.backward(
+      ev, hourly, leftTs = "ts", rightTs = "h_bucket",
+      keys = Seq("event_type"), rightPayload = Seq("h_bucket", "h_high", "h_events"))
+    val fresh = col("h_bucket").isNotNull &&
+      (unix_micros(col("ts")) - unix_micros(col("h_bucket"))) <= lit(tolUs)
+    joined.select(col("event_id"), col("ts"), col("event_type"), col("value"),
+        when(fresh, col("h_bucket")).as("h_bucket"),
+        when(fresh, col("h_high")).as("h_high"),
+        when(fresh, col("h_events")).as("h_events"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofToleranceSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+      |hourly AS (
+      |  SELECT event_type,
+      |         make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS h_bucket,
+      |         max(value) AS h_high, count(*) AS h_events
+      |  FROM ev GROUP BY 1, 2 HAVING count(*) >= 5),
+      |j AS (
+      |  SELECT e.event_id, e.ts, e.event_type, e.value,
+      |         h.h_bucket, h.h_high, h.h_events
+      |  FROM ev e ASOF LEFT JOIN hourly h
+      |    ON e.event_type = h.event_type AND e.ts >= h.h_bucket)
+      |SELECT event_id, ts, event_type, value,
+      |       CASE WHEN h_bucket IS NOT NULL
+      |             AND epoch_us(ts) - epoch_us(h_bucket)
+      |                 <= CAST(28800000000 AS BIGINT)
+      |            THEN h_bucket END AS h_bucket,
+      |       CASE WHEN h_bucket IS NOT NULL
+      |             AND epoch_us(ts) - epoch_us(h_bucket)
+      |                 <= CAST(28800000000 AS BIGINT)
+      |            THEN h_high END AS h_high,
+      |       CASE WHEN h_bucket IS NOT NULL
+      |             AND epoch_us(ts) - epoch_us(h_bucket)
+      |                 <= CAST(28800000000 AS BIGINT)
+      |            THEN h_events END AS h_events
+      |FROM j ORDER BY event_id""".stripMargin
+
   /** Per-type event KPIs: counts, exact distinct users, exact interpolated
     * percentiles (Spark `percentile` and DuckDB `quantile_cont` share the
     * p·(n−1) interpolation and produce identical doubles — verified), value
@@ -1760,18 +1826,57 @@ object RelationalQueries {
     * the argmax key `(count, −label)` is unique within a vertex's
     * candidate set, so `max_by` is deterministic (never the
     * ties-pick-first trap) and both engines compute the identical pure
-    * integer fold. Four fixed rounds: enough to coalesce the bipartite
-    * graph's dense blocks, and fixed-round keeps the oracle a finite CTE
-    * chain (the [[kcoreParts]] pattern).
+    * integer fold. Up to four rounds — enough to coalesce the bipartite
+    * graph's dense blocks, and a fixed ROUND CAP keeps the oracle a
+    * finite CTE chain (the [[kcoreParts]] pattern) — with FIXPOINT early
+    * exit: the synchronous update is a pure function of the label
+    * vector, so a round that changes zero labels proves every later
+    * round changes zero too, and exiting early is bit-identical to
+    * running the cap out (kcore's unchanged-set idempotence argument).
+    * The changed-label count is a bounded driver scalar per round (the
+    * watermark pattern); LabelPropSpec pins early stop on a
+    * pre-converged fixture and equality with the capped run.
     *
     * Scale shape: edges scratch-materialize once (at 100 TB: a bucketed
     * table partitioned by src); each round is one co-partitioned join of
     * the |V|-row label vector against edges, then TWO map-side-combined
     * aggregates — (dst,label) counts, then per-dst `max_by` with O(1)
-    * per-group state. No per-vertex neighbor list ever buffers, so a
-    * whale hub costs only its shuffle share (same argument as the
-    * PageRank sum, RelationalQueries.scala:1165).
+    * per-group state — plus one |V|-row self-join for the changed count.
+    * The label vector scratch-materializes per round (|V| rows, tiny
+    * next to edges), which also caps lineage depth at one round. No
+    * per-vertex neighbor list ever buffers, so a whale hub costs only
+    * its shuffle share (same argument as the PageRank sum,
+    * RelationalQueries.scala:1165).
     */
+  private[graft] def labelPropagate(
+      edges: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+    var labels = graft.Scratch.table(
+      edges.select(col("src").as("v")).distinct().withColumn("label", col("v")),
+      "lpa-l0")
+    var r = 0
+    var converged = false
+    while (r < maxRounds && !converged) {
+      val next = graft.Scratch.table(
+        edges.join(labels, edges("src") === labels("v"))
+          .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("dst"))
+          .agg(max_by(col("label"), struct(col("cnt"), (-col("label")).as("nl")))
+            .as("label"))
+          .select(col("dst").as("v"), col("label")), s"lpa-l${r + 1}")
+      r += 1
+      // the changed-count drives CONTROL FLOW only, so the last round
+      // skips it — no further round could run either way
+      if (r < maxRounds) {
+        val changed = next.as("n")
+          .join(labels.as("o"), col("n.v") === col("o.v"))
+          .filter(col("n.label") =!= col("o.label")).count()
+        if (changed == 0L) converged = true
+      }
+      labels = next
+    }
+    (labels, r)
+  }
+
   val labelProp: Q = (s, dir) => {
     val pairs = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
@@ -1781,16 +1886,7 @@ object RelationalQueries {
       pairs.select(col("c").as("src"), col("p").as("dst"))
         .union(pairs.select(col("p").as("src"), col("c").as("dst"))),
       "lpa-edges")
-    var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("label", col("v"))
-    for (_ <- 1 to 4) {
-      labels = edges.join(labels, edges("src") === labels("v"))
-        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
-        .groupBy(col("dst"))
-        .agg(max_by(col("label"), struct(col("cnt"), (-col("label")).as("nl")))
-          .as("label"))
-        .select(col("dst").as("v"), col("label"))
-    }
+    val (labels, _) = labelPropagate(edges, maxRounds = 4)
     labels.select(col("v"),
         when(col("v") < 0L, lit("supplier")).otherwise(lit("customer"))
           .as("node_type"),
@@ -1854,6 +1950,7 @@ object RelationalQueries {
     "topk_orders_heap" -> topOrdersHeap,
     "asof_join" -> asofJoin,
     "asof_join_native" -> asofJoinNative,
+    "asof_tolerance" -> asofTolerance,
     "snapshot_diff" -> snapshotDiff,
     "incremental_mv" -> incrementalMv,
     "incremental_mv_deletes" -> incrementalMvDeletes,
@@ -1895,6 +1992,7 @@ object RelationalQueries {
     "topk_orders_heap" -> topOrdersPerCustomerSql, // custom heap agg vs the windowed plan's oracle
     "asof_join" -> asofJoinSql,
     "asof_join_native" -> asofJoinSql, // custom plan (node+strategy+exec) vs the same ASOF oracle
+    "asof_tolerance" -> asofToleranceSql,
     "snapshot_diff" -> snapshotDiffSql,
     "incremental_mv" -> incrementalMvSql,
     "incremental_mv_deletes" -> incrementalMvDeletesSql,

@@ -434,6 +434,101 @@ object StoreQueries {
       |   OR CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-20'
       |ORDER BY event_id""".stripMargin
 
+  /** TYPE-WIDENING schema evolution — the second arm a long-lived store
+    * hits (after [[schemaEvolution]]'s additive column): a column written
+    * as INT32/FLOAT in early generations outgrows its type (an id crosses
+    * 2³¹, precision requirements tighten) and later generations write
+    * INT64/DOUBLE. The Bronze→Silver contract (reference
+    * stg_eurusd.sql:27-31 — "loosely typed at ingest, cast at read")
+    * means the READER owns the target type: the merged scan supplies the
+    * WIDENED schema explicitly and the parquet reader promotes narrow
+    * physical values losslessly (INT32→INT64, FLOAT→DOUBLE — lossless by
+    * IEEE/two's-complement embedding), so three years of INT32 files
+    * never get rewritten. Values are dyadic rationals (k·0.25), so
+    * float→double widening is bit-exact cross-engine.
+    *
+    * Scale shape: identical to [[schemaEvolution]] — both generation
+    * writes are day-pruned pushed-filter scans; the widened read is
+    * footer-level, cost O(files), never a table rewrite.
+    */
+  val schemaWidening: Q = (s, dir) => {
+    val target = s"${sys.props("java.io.tmpdir")}/graft_store/schema_widening"
+    val dayA = java.time.LocalDate.parse("2024-01-05")
+    val dayB = java.time.LocalDate.parse("2024-01-20")
+    graft.Tables.eventsDay(s, dir, dayA)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        (col("user_id") % 1000L).cast("int").as("counter"),
+        ((col("user_id") % 8L).cast("double") * 0.25).cast("float").as("ratio"))
+      .write.mode("overwrite").parquet(s"$target/gen=1")
+    graft.Tables.eventsDay(s, dir, dayB)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        ((col("user_id") % 1000L) + 3000000000L).as("counter"),
+        ((col("user_id") % 8L).cast("double") * 0.25 + 1000000000.0).as("ratio"))
+      .write.mode("overwrite").parquet(s"$target/gen=2")
+    val widened = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("counter",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ratio",
+        org.apache.spark.sql.types.DoubleType)))
+    s.read.schema(widened).parquet(s"$target/gen=1", s"$target/gen=2")
+      .orderBy(col("event_id"))
+  }
+
+  /** COLUMN-RENAME schema evolution — the third arm (after additive
+    * [[schemaEvolution]] and widening [[schemaWidening]]): a column is
+    * renamed between generations (`amount_usd` → `amount`) and the READ
+    * applies a per-generation name mapping instead of rewriting history
+    * — rename is metadata, like Iceberg/Delta column mapping, never a
+    * data pass. The old generation keeps the old physical name on disk
+    * (SchemaEvolutionSpec pins that); the mapped read is
+    * `withColumnRenamed` + `unionByName`, both resolved at plan time
+    * with zero row cost.
+    */
+  val schemaRename: Q = (s, dir) => {
+    val target = s"${sys.props("java.io.tmpdir")}/graft_store/schema_rename"
+    val dayA = java.time.LocalDate.parse("2024-01-05")
+    val dayB = java.time.LocalDate.parse("2024-01-20")
+    graft.Tables.eventsDay(s, dir, dayA)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        (col("user_id") % 97L).as("amount_usd"))
+      .write.mode("overwrite").parquet(s"$target/gen=1")
+    graft.Tables.eventsDay(s, dir, dayB)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        (col("user_id") % 97L).as("amount"))
+      .write.mode("overwrite").parquet(s"$target/gen=2")
+    s.read.parquet(s"$target/gen=1").withColumnRenamed("amount_usd", "amount")
+      .unionByName(s.read.parquet(s"$target/gen=2"))
+      .orderBy(col("event_id"))
+  }
+
+  val schemaRenameSql: String =
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+      |       user_id % 97 AS amount
+      |FROM events
+      |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-05'
+      |   OR CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-20'
+      |ORDER BY event_id""".stripMargin
+
+  val schemaWideningSql: String =
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+      |       CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-05'
+      |            THEN user_id % 1000
+      |            ELSE user_id % 1000 + 3000000000 END AS counter,
+      |       CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-05'
+      |            THEN CAST(user_id % 8 AS DOUBLE) * 0.25
+      |            ELSE CAST(user_id % 8 AS DOUBLE) * 0.25 + 1000000000.0
+      |       END AS ratio
+      |FROM events
+      |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-05'
+      |   OR CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-20'
+      |ORDER BY event_id""".stripMargin
+
   /** Retention enforcement (vacuum) at the gate: build the silver store,
     * then [[IncrementalStore.retainDays]] drops every day partition before
     * the cutoff as a filesystem directory delete — O(dropped partitions),
@@ -470,6 +565,8 @@ object StoreQueries {
   val queries: Map[String, Q] = Map(
     "store_retention" -> storeRetention,
     "schema_evolution" -> schemaEvolution,
+    "schema_widening" -> schemaWidening,
+    "schema_rename" -> schemaRename,
     "merge_upsert" -> mergeUpsert,
     "merge_upsert_multisym" -> mergeUpsertMultisym,
     "scd2_snapshot" -> scd2Snapshot,
@@ -479,6 +576,8 @@ object StoreQueries {
   val oracleSql: Map[String, String] = Map(
     "store_retention" -> storeRetentionSql,
     "schema_evolution" -> schemaEvolutionSql,
+    "schema_widening" -> schemaWideningSql,
+    "schema_rename" -> schemaRenameSql,
     "merge_upsert" -> mergeUpsertSql,
     "merge_upsert_multisym" -> mergeUpsertMultisymSql,
     "scd2_snapshot" -> scd2SnapshotSql,

@@ -66,11 +66,43 @@ class LabelPropSpec extends SparkSpec {
   }
 
   test("rounds aggregate with map-side partials, no per-vertex label lists") {
-    val plan = RelationalQueries.labelProp(spark, sf0001)
-      .queryExecution.executedPlan.toString
+    // the per-round job shape (rounds now execute as scratch-write jobs,
+    // so the final df's plan no longer contains them — assert on a round
+    // built exactly as labelPropagate builds it)
+    val pairs = graft.Tables.orders(spark, sf0001)
+      .join(graft.Tables.lineitem(spark, sf0001),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), (-col("l_suppkey")).as("p"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+      .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+    val l0 = edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+    val round = edges.join(l0, edges("src") === l0("v"))
+      .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("dst"))
+      .agg(max_by(col("label"), struct(col("cnt"), (-col("label")).as("nl")))
+        .as("label"))
+    val plan = round.queryExecution.executedPlan.toString
     assert(plan.contains("partial_max_by") || plan.contains("partial_maxby") ||
       plan.contains("partial_max"), plan.linesIterator.take(8).mkString("\n"))
     assert(!plan.contains("collect_list"),
       "per-vertex neighbor-label fold reintroduced: state would be O(degree)")
+  }
+
+  test("fixpoint early exit: a converged label vector stops before the round cap") {
+    import spark.implicits._
+    // triangle 1-2-3: l1=(1→2,2→1,3→1), l2=(1,1,1), l3=l2 → exit at 3
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val edges = tri.select(col("a").as("src"), col("b").as("dst"))
+      .union(tri.select(col("b").as("src"), col("a").as("dst")))
+    val (labels10, rounds) = RelationalQueries.labelPropagate(edges, maxRounds = 10)
+    assert(rounds === 3, s"expected fixpoint exit at round 3, ran $rounds")
+    val got = labels10.orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+    // early exit is bit-identical to running the cap out
+    val (labelsCap, _) = RelationalQueries.labelPropagate(edges, maxRounds = 3)
+    assert(labelsCap.orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === got)
   }
 }

@@ -32,4 +32,49 @@ class SchemaEvolutionSpec extends SparkSpec {
     }
     assert(rows.length === g1Ids.size + g2.count())
   }
+
+  test("widening: narrow physical types persist on disk; the widened read is lossless") {
+    import org.apache.spark.sql.types._
+    val out = StoreQueries.schemaWidening(spark, sf001)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(out.schema("counter").dataType === LongType)
+    assert(out.schema("ratio").dataType === DoubleType)
+
+    // the physical claim: gen-1 files still carry INT32/FLOAT — widening
+    // never rewrote them
+    val target = s"${sys.props("java.io.tmpdir")}/graft_store/schema_widening"
+    val g1 = spark.read.parquet(s"$target/gen=1")
+    val g2 = spark.read.parquet(s"$target/gen=2")
+    assert(g1.schema("counter").dataType === IntegerType)
+    assert(g1.schema("ratio").dataType === FloatType)
+    assert(g2.schema("counter").dataType === LongType)
+    assert(g2.schema("ratio").dataType === DoubleType)
+
+    // losslessness: the widened read equals the per-generation reads
+    // upcast row-for-row
+    val widened = rows.map(r =>
+      (r.getLong(0), r.getLong(3), r.getDouble(4))).toSet
+    val manual =
+      g1.select(col("event_id"), col("counter").cast("long"),
+          col("ratio").cast("double"))
+        .unionAll(g2.select(col("event_id"), col("counter"), col("ratio")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(widened === manual)
+    // gen-2 values genuinely need the wide types
+    assert(rows.exists(_.getLong(3) > Int.MaxValue.toLong))
+  }
+
+  test("rename: the old generation keeps the old physical name; mapping is read-side") {
+    val out = StoreQueries.schemaRename(spark, sf001)
+    assert(out.collect().nonEmpty)
+    assert(out.schema.fieldNames.contains("amount"))
+    val target = s"${sys.props("java.io.tmpdir")}/graft_store/schema_rename"
+    val g1 = spark.read.parquet(s"$target/gen=1")
+    assert(g1.schema.fieldNames.contains("amount_usd") &&
+      !g1.schema.fieldNames.contains("amount"),
+      "renaming must not rewrite the old generation's files")
+    val g2 = spark.read.parquet(s"$target/gen=2")
+    assert(g2.schema.fieldNames.contains("amount"))
+  }
 }
