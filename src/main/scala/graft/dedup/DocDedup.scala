@@ -113,6 +113,14 @@ object DocDedup {
   private def materializedSignatures(docs: DataFrame): DataFrame =
     scratchTable(minhashSignatures(docs), "minhash-sigs")
 
+  /** Band rows of a doc set — the (doc_id, band_idx, band_key) bucket
+    * relation, i.e. the unit the incremental dedup path persists. Public
+    * so plan capture (tools/dump_plans) and store integrations can name
+    * it.
+    */
+  def bandsOfDocs(docs: DataFrame): DataFrame =
+    bandsOf(minhashSignatures(docs))
+
   private def bandsOf(sigs: DataFrame): DataFrame = {
     val nBands = NumHashes / BandSize
     sigs.select(

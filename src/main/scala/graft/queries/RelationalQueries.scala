@@ -1856,25 +1856,27 @@ object RelationalQueries {
     var r = 0
     var converged = false
     while (r < maxRounds && !converged) {
-      val next = graft.Scratch.table(
-        edges.join(labels, edges("src") === labels("v"))
-          .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
-          .groupBy(col("dst"))
-          .agg(max_by(col("label"), struct(col("cnt"), (-col("label")).as("nl")))
-            .as("label"))
-          .select(col("dst").as("v"), col("label")), s"lpa-l${r + 1}")
+      val upd = edges.join(labels.select(col("v"), col("label")),
+          edges("src") === col("v"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max_by(col("label"), struct(col("cnt"), (-col("label")).as("nl")))
+          .as("label"))
+        .select(col("dst").as("v"), col("label"))
+      // the change flag rides INSIDE the round's one scratch write (the
+      // Components pattern), so the fixpoint check is a columnar scan of
+      // the just-written labels, not a second join job per round
+      val mat = graft.Scratch.table(
+        upd.join(labels.select(col("v"), col("label").as("old_label")), Seq("v"))
+          .select(col("v"), col("label"),
+            (col("label") =!= col("old_label")).as("chg")), s"lpa-l${r + 1}")
       r += 1
-      // the changed-count drives CONTROL FLOW only, so the last round
-      // skips it — no further round could run either way
-      if (r < maxRounds) {
-        val changed = next.as("n")
-          .join(labels.as("o"), col("n.v") === col("o.v"))
-          .filter(col("n.label") =!= col("o.label")).count()
-        if (changed == 0L) converged = true
-      }
-      labels = next
+      // the check drives CONTROL FLOW only, so the last round skips it —
+      // no further round could run either way
+      if (r < maxRounds) converged = mat.filter(col("chg")).isEmpty
+      labels = mat
     }
-    (labels, r)
+    (labels.select(col("v"), col("label")), r)
   }
 
   val labelProp: Q = (s, dir) => {
