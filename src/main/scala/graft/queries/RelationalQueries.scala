@@ -132,6 +132,45 @@ object RelationalQueries {
        |JOIN nation ON s_nationkey = n_nationkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** TPC-H Q10 analog (returned-item reporting): which customers returned
+    * the most revenue in a quarter — the classic fact-fact join + selective
+    * dims + grouped top-k report. Plan shape: the lineitem⋈orders join
+    * shuffles on the order key with BOTH date and returnflag filters
+    * pushed to the scans (the quarter prunes orders before the join);
+    * customer and nation broadcast; the group set is ≤|customers| with
+    * map-side partials; top-20 is TakeOrdered, never a global sort.
+    */
+  val q10Returns: Q = (s, dir) => {
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-04-01 00:00:00")
+    Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(graft.Parity.pround(
+        sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10ReturnsSql: String =
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+       |       floor((${sumExactSql("l_extendedprice * (1.0 - l_discount)")}) * 1e4 + 0.5) / 1e4 AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
   /** Top-3 orders per customer by total price — per-group top-k via
     * row_number (the QUALIFY rewrite, SURVEY §2.3 note).
     */
@@ -1953,6 +1992,7 @@ object RelationalQueries {
     "asof_join" -> asofJoin,
     "asof_join_native" -> asofJoinNative,
     "asof_tolerance" -> asofTolerance,
+    "q10_returns" -> q10Returns,
     "snapshot_diff" -> snapshotDiff,
     "incremental_mv" -> incrementalMv,
     "incremental_mv_deletes" -> incrementalMvDeletes,
@@ -1995,6 +2035,7 @@ object RelationalQueries {
     "asof_join" -> asofJoinSql,
     "asof_join_native" -> asofJoinSql, // custom plan (node+strategy+exec) vs the same ASOF oracle
     "asof_tolerance" -> asofToleranceSql,
+    "q10_returns" -> q10ReturnsSql,
     "snapshot_diff" -> snapshotDiffSql,
     "incremental_mv" -> incrementalMvSql,
     "incremental_mv_deletes" -> incrementalMvDeletesSql,

@@ -325,6 +325,22 @@ object SimilarityQueries {
         Tables.embeddings(s, dir), queryVecIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
       .orderBy(col("query_vec_id"), col("rank"))
 
+  /** Store-backed incremental IVF search at the gate: the corpus arrives
+    * as two parity batches, each appending its cell-assignment rows under
+    * `cell=` partitions ([[Similarity.annIvfStoreTopK]]); the search then
+    * probes nProbe cells against the persisted index. Shares
+    * `ann_ivf_topk`'s oracle — store-backed incremental ≡ in-memory
+    * one-shot.
+    */
+  val annIvfStore: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val target = s"${sys.props("java.io.tmpdir")}/graft_store/ann_ivf_store"
+    Similarity.annIvfStoreTopK(s, emb,
+        Seq(emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1)),
+        target, queryVecIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+      .orderBy(col("query_vec_id"), col("rank"))
+  }
+
   val annIvfTopKSql: String = {
     val centIds = (100L until 116L).mkString(", ")
     s"""WITH e AS (
@@ -600,10 +616,15 @@ object SimilarityQueries {
     "semantic_dedup" -> semanticDedup,
     "ann_lsh_topk" -> annLshTopK,
     "ann_ivf_topk" -> annIvfTopK,
+    "ann_ivf_store" -> annIvfStore,
     "ann_recall" -> annRecall,
     "ivf_train" -> ivfTrain,
     "diversity_sample" -> diversitySample,
     "embed_quantize" -> embedQuantize)
+
+  // lazy: annIvfTopKSql is declared above but initialization order still
+  // matters if this file is reordered — match the DedupQueries convention
+  lazy val annIvfStoreSql: String = annIvfTopKSql
 
   val oracleSql: Map[String, String] = Map(
     "pq_codes" -> pqCodesSql,
@@ -617,6 +638,7 @@ object SimilarityQueries {
     "semantic_dedup" -> semanticDedupSql,
     "ann_lsh_topk" -> annLshTopKSql,
     "ann_ivf_topk" -> annIvfTopKSql,
+    "ann_ivf_store" -> annIvfStoreSql,
     "ann_recall" -> annRecallSql,
     "diversity_sample" -> diversitySampleSql,
     "embed_quantize" -> embedQuantizeSql)

@@ -246,6 +246,66 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF index as a PARTITIONED STORE with incremental append — the ANN
+    * serving shape at 100 TB. Cell assignment under a FIXED coarse
+    * quantizer is per-row, so daily embedding batches append their
+    * assignment rows under `cell=<id>` partition directories without
+    * touching history; a query probes its nProbe best cells and the
+    * candidate scan reads ONLY those directories — the probe side joins
+    * on the partition column, so partition pruning (dynamic, at runtime,
+    * once the probe set is computed) is what bounds the read to
+    * ~nProbe/K of the index. Shares `ann_ivf_topk`'s oracle: store-backed
+    * incremental search ≡ the in-memory one-shot search.
+    *
+    * The quantizer (centroid vectors) and the query vectors come from the
+    * base table — they are the FIXED artifacts shipped with the index;
+    * the corpus assignment rows are the incremental part.
+    */
+  def annIvfStoreTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      base: DataFrame, batches: Seq[DataFrame], storeDir: String,
+      queryVecIds: Seq[Long], k: Int,
+      centroidVecIds: Seq[Long] = (100L until 116L),
+      nProbe: Int = 4): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val cents = base
+      .filter(col("vec_id").isin(centroidVecIds: _*))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        l2Norm("embedding").as("c_norm"))
+    def scoredOf(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("embedding"), l2Norm("embedding").as("norm"))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("norm"), col("cent_id"),
+          (dot("embedding", "c_emb") / (col("norm") * col("c_norm"))).as("c_cos"))
+    batches.foreach { b =>
+      val scored = scoredOf(b)
+      val assign = scored.groupBy("vec_id")
+        .agg(max_by(col("cent_id"),
+          struct(col("c_cos"), (-col("cent_id")).as("tb"))).as("cell"))
+      b.select(col("vec_id"), col("embedding"), l2Norm("embedding").as("norm"))
+        .join(assign, "vec_id")
+        .write.partitionBy("cell").mode("append").parquet(storeDir)
+    }
+    val qprobe = scoredOf(base.filter(col("vec_id").isin(queryVecIds: _*)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cent_id"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_vec_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("cent_id").as("cell"))
+    val idx = spark.read.parquet(storeDir)
+    val w = Window.partitionBy("query_vec_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val cos = dot("embedding", "q_emb") / (col("norm") * col("q_norm"))
+    idx.join(broadcast(qprobe), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_vec_id"))
+      .select(col("query_vec_id"), col("vec_id"),
+        graft.Parity.pround(cos, 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic k-means (Lloyd) training for the IVF coarse quantizer:
     * init from the vectors at fixed `centroidVecIds` (sampling-by-key, the
     * deterministic analog of k-means++ seeding), then `iters` rounds of
