@@ -70,13 +70,69 @@ object FormatQueries {
       |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-07'
       |ORDER BY event_id""".stripMargin
 
+  private def ticks(s: SparkSession): DataFrame =
+    s.read.format("graft-ticks")
+      .option("rows", "10000").option("pages", "8").load()
+
+  /** Row-level check of the custom DataSource V2 ([[graft.sources
+    * .TickSource]]): a tick_id range slice, every column materialized —
+    * the hash gate proves the distributed page readers generate exactly
+    * the contract rows (and the pushed range proves bound-narrowing
+    * doesn't drop or duplicate boundary rows).
+    */
+  val restTicksRows: Q = (s, _) =>
+    ticks(s)
+      .filter(col("tick_id") >= 100L && col("tick_id") < 300L)
+      .select(col("tick_id"), col("page"), col("ts"), col("symbol"), col("price"))
+      .orderBy(col("tick_id"))
+
+  val restTicksRowsSql: String =
+    """SELECT i AS tick_id,
+      |       i // 1250 AS page,
+      |       make_timestamp(CAST(1704067200000000 AS BIGINT) + i * 1000000) AS ts,
+      |       CASE i % 3 WHEN 0 THEN 'EURUSD' WHEN 1 THEN 'GBPUSD'
+      |            ELSE 'USDJPY' END AS symbol,
+      |       1.0 + CAST((i * 7919) % 10000 AS DOUBLE) / 10000.0 AS price
+      |FROM range(100, 300) t(i)
+      |ORDER BY tick_id""".stripMargin
+
+  /** Aggregate over the custom source with BOTH pushdowns live: the
+    * tick_id bounds reach the source (pages outside are never planned,
+    * rows outside never generated) and column pruning drops `symbol`'s
+    * sibling columns from the readers. SourcesSpec asserts the plan
+    * carries the pushed filters and the pruned ReadSchema.
+    */
+  val restSourceAgg: Q = (s, _) =>
+    ticks(s)
+      .filter(col("tick_id") >= 2500L && col("tick_id") < 7500L)
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_ticks"),
+        graft.Parity.pround(
+          sum(col("price").cast(org.apache.spark.sql.types.DecimalType(30, 10)))
+            .cast("double"), 6).as("sum_price"))
+      .orderBy(col("symbol"))
+
+  val restSourceAggSql: String =
+    """WITH t AS (
+      |  SELECT CASE i % 3 WHEN 0 THEN 'EURUSD' WHEN 1 THEN 'GBPUSD'
+      |              ELSE 'USDJPY' END AS symbol,
+      |         1.0 + CAST((i * 7919) % 10000 AS DOUBLE) / 10000.0 AS price
+      |  FROM range(2500, 7500) r(i))
+      |SELECT symbol, count(*) AS n_ticks,
+      |       floor(CAST(sum(CAST(price AS DECIMAL(30,10))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS sum_price
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "csv_roundtrip" -> csvRoundtrip,
     "json_roundtrip" -> jsonRoundtrip,
-    "orc_roundtrip" -> orcRoundtrip)
+    "orc_roundtrip" -> orcRoundtrip,
+    "rest_ticks_rows" -> restTicksRows,
+    "rest_source_agg" -> restSourceAgg)
 
   val oracleSql: Map[String, String] = Map(
     "csv_roundtrip" -> roundtripSql,
     "json_roundtrip" -> roundtripSql,
-    "orc_roundtrip" -> roundtripSql)
+    "orc_roundtrip" -> roundtripSql,
+    "rest_ticks_rows" -> restTicksRowsSql,
+    "rest_source_agg" -> restSourceAggSql)
 }

@@ -1,0 +1,179 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 stand-in for the reference's paginated REST tick feed
+  * (scripts/extract_forex.py:34-199 pulls JSON pages from a quote API;
+  * the driver-side loop there is the single-node bottleneck this source
+  * removes): a custom `TableProvider` whose scan plans ONE
+  * `InputPartition` PER PAGE, so a 1000-executor cluster fetches 1000
+  * pages concurrently — ingest parallelism is the page count, not 1.
+  *
+  * The "API" is a deterministic pure-integer tick generator (no network
+  * in the sandbox), which is exactly what makes it gate-checkable: the
+  * DuckDB oracle reproduces every row from `range()` arithmetic. The
+  * Spark-side machinery is the real thing:
+  *
+  *  - column pruning (`SupportsPushDownRequiredColumns`): the reader
+  *    materializes ONLY requested columns — `ReadSchema` in the plan is
+  *    the pruned struct, and a pruned `symbol` never allocates a string;
+  *  - predicate pushdown (`SupportsPushDownFilters`) on `tick_id` range
+  *    bounds: pushed comparisons NARROW the generated id range per page
+  *    (the REST analog: fewer pages requested), rows outside are never
+  *    produced; non-range filters stay residual for Spark to evaluate.
+  *
+  * Usage: `spark.read.format("graft-ticks").option("rows", n)
+  * .option("pages", p).load()` (short name via DataSourceRegister).
+  */
+class TickSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft-ticks"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TickSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new TickTable(
+      properties.asScala.getOrElse("rows", "10000").toLong,
+      properties.asScala.getOrElse("pages", "8").toInt)
+}
+
+object TickSource {
+  /** Fixed emission schema; `ts` advances 1s per tick from a fixed epoch,
+    * `price` is integer-derived (exact in double), `symbol` cycles a
+    * 3-value vocabulary — every column reproducible in the oracle.
+    */
+  val Schema: StructType = StructType(Seq(
+    StructField("tick_id", LongType, nullable = false),
+    StructField("page", IntegerType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("symbol", StringType, nullable = false),
+    StructField("price", DoubleType, nullable = false)))
+
+  val BaseUs: Long = 1704067200000000L // 2024-01-01T00:00:00Z
+  val Symbols: Array[String] = Array("EURUSD", "GBPUSD", "USDJPY")
+}
+
+private[sources] class TickTable(rows: Long, pages: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_ticks(rows=$rows, pages=$pages)"
+  override def schema(): StructType = TickSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TickScanBuilder(rows, pages)
+}
+
+private[sources] class TickScanBuilder(rows: Long, pages: Int)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = TickSource.Schema
+  private var lo: Long = 0L
+  private var hi: Long = rows // exclusive
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Accept only tick_id range comparisons; everything else is residual.
+    * Accepted bounds tighten the generated range — the source-side
+    * analog of requesting fewer REST pages.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case GreaterThan("tick_id", _: Long) => true
+      case GreaterThanOrEqual("tick_id", _: Long) => true
+      case LessThan("tick_id", _: Long) => true
+      case LessThanOrEqual("tick_id", _: Long) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThan("tick_id", v: Long) => lo = math.max(lo, v + 1L)
+      case GreaterThanOrEqual("tick_id", v: Long) => lo = math.max(lo, v)
+      case LessThan("tick_id", v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual("tick_id", v: Long) => hi = math.min(hi, v + 1L)
+      case _ =>
+    }
+    pushed = accepted
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new TickScan(rows, pages, lo, hi, required)
+}
+
+private[sources] class TickScan(rows: Long, pages: Int, lo: Long, hi: Long,
+    required: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-ticks rows=$rows pages=$pages range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
+
+  /** One partition per ORIGINAL page whose id-range intersects the pushed
+    * bounds — pages fully outside the bounds are never planned (the
+    * "skipped REST request").
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = (rows + pages - 1) / pages
+    (0 until pages).iterator
+      .map { p =>
+        val s = math.max(lo, p * per)
+        val e = math.min(hi, math.min(rows, (p + 1) * per))
+        TickPage(p, s, e)
+      }
+      .filter(pp => pp.start < pp.end)
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TickReaderFactory(required)
+}
+
+private[sources] case class TickPage(page: Int, start: Long, end: Long)
+    extends InputPartition
+
+private[sources] class TickReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new TickReader(partition.asInstanceOf[TickPage], required)
+}
+
+/** Generates only the requested columns for ids in [start, end). */
+private[sources] class TickReader(page: TickPage, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private var id = page.start - 1L
+  // column generators resolved ONCE per partition, not per row
+  private val gens: Array[Long => Any] = required.fields.map { f =>
+    f.name match {
+      case "tick_id" => (i: Long) => i
+      case "page" => (_: Long) => page.page
+      case "ts" => (i: Long) => TickSource.BaseUs + i * 1000000L
+      case "symbol" => (i: Long) =>
+        UTF8String.fromString(TickSource.Symbols((i % 3L).toInt))
+      case "price" => (i: Long) => 1.0 + ((i * 7919L) % 10000L).toDouble / 10000.0
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+  }
+
+  override def next(): Boolean = { id += 1L; id < page.end }
+  override def get(): InternalRow = InternalRow.fromSeq(gens.map(g => g(id)).toSeq)
+  override def close(): Unit = ()
+}

@@ -1,0 +1,61 @@
+package graft.ingest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** TickSource (DataSource V2): the gate hash-proves the generated rows;
+  * this pins the CONNECTOR mechanics the oracle cannot see — page-grained
+  * parallelism, pushed tick_id bounds narrowing the planned pages, and
+  * column pruning reaching the readers.
+  */
+class TickSourceSpec extends SparkSpec {
+
+  private def ticks(rows: Long = 10000L, pages: Int = 8) =
+    spark.read.format("graft-ticks")
+      .option("rows", rows.toString).option("pages", pages.toString).load()
+
+  test("one input partition per page; pushed bounds drop whole pages") {
+    assert(ticks().rdd.getNumPartitions === 8)
+    // bounds [2500, 5000) intersect pages 2 and 3 only (1250 ids/page)
+    val bounded = ticks().filter(col("tick_id") >= 2500L && col("tick_id") < 5000L)
+    assert(bounded.rdd.getNumPartitions === 2,
+      "out-of-range pages must never be planned (the skipped REST request)")
+    assert(bounded.count() === 2500L)
+    // boundary exactness: no dropped or duplicated edge rows
+    val ids = bounded.agg(min("tick_id"), max("tick_id")).head()
+    assert(ids.getLong(0) === 2500L && ids.getLong(1) === 4999L)
+  }
+
+  test("filters are PUSHED (plan) and non-range predicates stay residual") {
+    val df = ticks().filter(col("tick_id") >= 100L && col("symbol") === "EURUSD")
+    val plan = df.queryExecution.executedPlan.toString
+    // the accepted bound narrows the scan's generated range (visible in
+    // the Scan description) and VANISHES from the residual predicates
+    assert(plan.contains("range=[100,10000)"), plan)
+    // Filter OPERATOR lines (not the scan's RuntimeFilters tag): the
+    // residual must evaluate symbol only — the pushed bound must not be
+    // re-evaluated
+    val filterOps = plan.linesIterator.filter(_.matches(""".*\*?\(?\d*\)? ?Filter \(.*""")).toSeq
+    assert(filterOps.exists(_.contains("symbol")), plan)
+    assert(!filterOps.exists(_.contains("tick_id")),
+      "pushed bound must not be re-evaluated as a residual filter\n" + plan)
+    assert(df.count() === ticks().filter(col("tick_id") >= 100L)
+      .filter(col("symbol") === "EURUSD").count())
+  }
+
+  test("column pruning reaches the scan: only requested columns are generated") {
+    val df = ticks().select(col("price"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=price"), plan)
+    assert(!plan.contains("cols=tick_id"), plan)
+    assert(df.agg(sum("price")).head().getDouble(0) > 0.0)
+  }
+
+  test("page parallelism scales without changing content") {
+    def canon(pages: Int) = ticks(1000L, pages)
+      .select("tick_id", "ts", "symbol", "price")
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(canon(1) === canon(7))
+  }
+}
