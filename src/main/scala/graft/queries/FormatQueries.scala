@@ -122,7 +122,40 @@ object FormatQueries {
       |       floor(CAST(sum(CAST(price AS DECIMAL(30,10))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS sum_price
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** STREAMING read of the custom connector: the same `graft-ticks`
+    * table consumed as a rate-limited micro-batch stream (offset = next
+    * unread tick_id, the Kafka model; `maxTicksPerTrigger` admits 3000
+    * ids per batch via `SupportsAdmissionControl`, so the bounded run is
+    * 4 micro-batches under `Trigger.AvailableNow`). Complete-mode per-
+    * symbol aggregate over all batches must equal the one-shot batch
+    * arithmetic — which is exactly what the oracle states, proving the
+    * offset ranges tile the feed with no gap and no overlap.
+    */
+  val streamRestSource: Q = (s, _) =>
+    PipelineQueries.runBoundedStream(s, "graft_stream_rest_source",
+      () => s.readStream.format("graft-ticks")
+        .option("rows", "10000").option("pages", "8")
+        .option("maxTicksPerTrigger", "3000").load()
+        .groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n_ticks"),
+          graft.Parity.pround(
+            sum(col("price").cast(DecimalType(30, 10))).cast("double"), 6)
+            .as("sum_price")),
+      "complete")
+      .orderBy(col("symbol"))
+
+  val streamRestSourceSql: String =
+    """WITH t AS (
+      |  SELECT CASE i % 3 WHEN 0 THEN 'EURUSD' WHEN 1 THEN 'GBPUSD'
+      |              ELSE 'USDJPY' END AS symbol,
+      |         1.0 + CAST((i * 7919) % 10000 AS DOUBLE) / 10000.0 AS price
+      |  FROM range(0, 10000) r(i))
+      |SELECT symbol, count(*) AS n_ticks,
+      |       floor(CAST(sum(CAST(price AS DECIMAL(30,10))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS sum_price
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "stream_rest_source" -> streamRestSource,
     "csv_roundtrip" -> csvRoundtrip,
     "json_roundtrip" -> jsonRoundtrip,
     "orc_roundtrip" -> orcRoundtrip,
@@ -130,6 +163,7 @@ object FormatQueries {
     "rest_source_agg" -> restSourceAgg)
 
   val oracleSql: Map[String, String] = Map(
+    "stream_rest_source" -> streamRestSourceSql,
     "csv_roundtrip" -> roundtripSql,
     "json_roundtrip" -> roundtripSql,
     "orc_roundtrip" -> roundtripSql,

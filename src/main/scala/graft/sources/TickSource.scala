@@ -72,12 +72,14 @@ private[sources] class TickTable(rows: Long, pages: Int)
   override def name(): String = s"graft_ticks(rows=$rows, pages=$pages)"
   override def schema(): StructType = TickSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TickScanBuilder(rows, pages)
+    new TickScanBuilder(rows, pages,
+      Option(options.get("maxTicksPerTrigger")).map(_.toLong))
 }
 
-private[sources] class TickScanBuilder(rows: Long, pages: Int)
+private[sources] class TickScanBuilder(rows: Long, pages: Int,
+    maxPerTrigger: Option[Long])
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
@@ -115,14 +117,28 @@ private[sources] class TickScanBuilder(rows: Long, pages: Int)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new TickScan(rows, pages, lo, hi, required)
+    new TickScan(rows, pages, lo, hi, required, maxPerTrigger)
 }
 
 private[sources] class TickScan(rows: Long, pages: Int, lo: Long, hi: Long,
-    required: StructType) extends Scan with Batch {
+    required: StructType, maxPerTrigger: Option[Long] = None)
+    extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming half: the offset is simply the next unread tick_id — the
+    * feed is a totally ordered log, so exactly-once is offset-range
+    * arithmetic (the Kafka model). Each micro-batch admits up to
+    * `maxTicksPerTrigger` ids and plans page-aligned splits of its
+    * [start, end) slice; a restart resumes from the checkpointed offset
+    * with no duplicate and no gap (TickSourceSpec pins multi-batch
+    * equality with the batch read).
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new TickMicroBatchStream(rows, pages, required,
+      maxPerTrigger.getOrElse(rows))
   override def description(): String =
     s"graft-ticks rows=$rows pages=$pages range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
 
@@ -153,6 +169,67 @@ private[sources] class TickReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new TickReader(partition.asInstanceOf[TickPage], required)
+}
+
+private[sources] case class TickOffset(next: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = next.toString
+}
+
+private[sources] class TickMicroBatchStream(rows: Long, pages: Int,
+    required: StructType, maxPerTrigger: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  // Trigger.AvailableNow contract: pin the end-of-feed target at query
+  // start; without this interface the engine degrades AvailableNow to a
+  // SINGLE micro-batch, defeating the rate limit's multi-batch replay
+  private var availableTarget: Long = rows
+  override def prepareForTriggerAvailableNow(): Unit = { availableTarget = rows }
+
+  override def initialOffset(): Offset = TickOffset(0L)
+
+  // rate limiting lives HERE, in admission control — clipping inside
+  // planInputPartitions instead would let the engine COMMIT an end
+  // offset whose rows were never planned (silent loss on the next batch)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-control entry point")
+
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val s = startOffset.asInstanceOf[TickOffset].next
+    TickOffset(math.min(availableTarget, s + maxPerTrigger))
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(maxPerTrigger)
+
+  override def reportLatestOffset(): Offset = TickOffset(rows)
+
+  override def deserializeOffset(json: String): Offset =
+    TickOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[TickOffset].next
+    val e = end.asInstanceOf[TickOffset].next
+    val per = (rows + pages - 1) / pages
+    (0 until pages).iterator
+      .map { p =>
+        val ps = math.max(s, p * per)
+        val pe = math.min(e, math.min(rows, (p + 1) * per))
+        TickPage(p, ps, pe)
+      }
+      .filter(pp => pp.start < pp.end)
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TickReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Generates only the requested columns for ids in [start, end). */

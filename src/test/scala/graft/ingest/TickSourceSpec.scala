@@ -52,6 +52,27 @@ class TickSourceSpec extends SparkSpec {
     assert(df.agg(sum("price")).head().getDouble(0) > 0.0)
   }
 
+  test("streaming: rate-limited micro-batches tile the feed exactly once") {
+    val q = spark.readStream.format("graft-ticks")
+      .option("rows", "2000").option("pages", "4")
+      .option("maxTicksPerTrigger", "600").load()
+      .writeStream.format("memory").queryName("tick_stream_spec")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000), "bounded stream must finish")
+    finally q.stop()
+    // 2000 ids at 600/trigger → 4 data batches (600+600+600+200)
+    val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0L).toSeq
+    assert(sizes === Seq(600L, 600L, 600L, 200L), sizes.toString)
+    // exactly-once tiling: streamed rows == batch rows, no dup, no gap
+    val streamed = spark.table("tick_stream_spec")
+    assert(streamed.count() === 2000L)
+    assert(streamed.select("tick_id").distinct().count() === 2000L)
+    val batch = ticks(2000L, 4).collect().map(_.mkString("|")).sorted.toSeq
+    assert(streamed.collect().map(_.mkString("|")).sorted.toSeq === batch)
+  }
+
   test("page parallelism scales without changing content") {
     def canon(pages: Int) = ticks(1000L, pages)
       .select("tick_id", "ts", "symbol", "price")
