@@ -154,8 +154,53 @@ object FormatQueries {
       |       floor(CAST(sum(CAST(price AS DECIMAL(30,10))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS sum_price
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The connector feeding the flagship operator: streaming hourly OHLC
+    * candles per symbol straight off the `graft-ticks` micro-batch
+    * stream — the end-to-end shape the reference's pipeline has (REST
+    * pages → candles), with the engine's windowed min_by/max_by
+    * aggregate as the candle builder and the rate limit exercising
+    * cross-batch aggregation state. Oracle: closed-form hour-bucket
+    * arithmetic over `range()`.
+    */
+  val streamRestOhlc: Q = (s, _) =>
+    PipelineQueries.runBoundedStream(s, "graft_stream_rest_ohlc",
+      () => s.readStream.format("graft-ticks")
+        .option("rows", "10000").option("pages", "8")
+        .option("maxTicksPerTrigger", "3000").load()
+        .groupBy(col("symbol"), window(col("ts"), "1 hour").as("w"))
+        .agg(
+          min_by(col("price"), col("tick_id")).as("open_price"),
+          max(col("price")).as("high_price"),
+          min(col("price")).as("low_price"),
+          max_by(col("price"), col("tick_id")).as("close_price"),
+          count(lit(1)).as("n_ticks")),
+      "complete")
+      .select(col("symbol"), col("w.start").as("candle_start"),
+        col("open_price"), col("high_price"), col("low_price"),
+        col("close_price"), col("n_ticks"))
+      .orderBy(col("symbol"), col("candle_start"))
+
+  val streamRestOhlcSql: String =
+    """WITH t AS (
+      |  SELECT i,
+      |         CASE i % 3 WHEN 0 THEN 'EURUSD' WHEN 1 THEN 'GBPUSD'
+      |              ELSE 'USDJPY' END AS symbol,
+      |         make_timestamp(CAST(1704067200000000 AS BIGINT)
+      |                        + (i // 3600) * 3600000000) AS candle_start,
+      |         1.0 + CAST((i * 7919) % 10000 AS DOUBLE) / 10000.0 AS price
+      |  FROM range(0, 10000) r(i))
+      |SELECT symbol, candle_start,
+      |       arg_min(price, i) AS open_price,
+      |       max(price) AS high_price,
+      |       min(price) AS low_price,
+      |       arg_max(price, i) AS close_price,
+      |       count(*) AS n_ticks
+      |FROM t GROUP BY 1, 2
+      |ORDER BY symbol, candle_start""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "stream_rest_source" -> streamRestSource,
+    "stream_rest_ohlc" -> streamRestOhlc,
     "csv_roundtrip" -> csvRoundtrip,
     "json_roundtrip" -> jsonRoundtrip,
     "orc_roundtrip" -> orcRoundtrip,
@@ -164,6 +209,7 @@ object FormatQueries {
 
   val oracleSql: Map[String, String] = Map(
     "stream_rest_source" -> streamRestSourceSql,
+    "stream_rest_ohlc" -> streamRestOhlcSql,
     "csv_roundtrip" -> roundtripSql,
     "json_roundtrip" -> roundtripSql,
     "orc_roundtrip" -> roundtripSql,
