@@ -966,6 +966,36 @@ object RelationalQueries {
        |FROM t GROUP BY CUBE (event_type, d)
        |ORDER BY gid, event_type ASC NULLS FIRST, d ASC NULLS FIRST""".stripMargin
 
+  /** Explicit GROUPING SETS — the third subtotal-lattice arm (cube:
+    * `events_cube`; rollup: `lineitem_rollup`): exactly the three
+    * groupings a reporting layer asks for — (type, day), (type), (day) —
+    * no grand total, which neither cube nor rollup can express without
+    * post-filtering. Same Expand-based plan: one scan, grouping-set
+    * multiplication inside codegen, one map-side-combined aggregate.
+    */
+  val eventsGroupingSets: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("d"), col("value"))
+      .createOrReplaceTempView("graft_gsets_events")
+    s.sql(
+      s"""SELECT event_type, d, count(*) AS n,
+         |       ${graft.Parity.proundSql(sumExactSql("value"), 2)} AS sum_value,
+         |       CAST(grouping_id(event_type, d) AS BIGINT) AS gid
+         |FROM graft_gsets_events
+         |GROUP BY GROUPING SETS ((event_type, d), (event_type), (d))
+         |ORDER BY gid, event_type ASC NULLS FIRST, d ASC NULLS FIRST""".stripMargin)
+  }
+
+  val eventsGroupingSetsSql: String =
+    s"""WITH t AS (
+       |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, value
+       |  FROM events)
+       |SELECT event_type, d, count(*) AS n,
+       |       ${graft.Parity.proundSql(sumExactSql("value"), 2)} AS sum_value,
+       |       CAST(GROUPING(event_type, d) AS BIGINT) AS gid
+       |FROM t GROUP BY GROUPING SETS ((event_type, d), (event_type), (d))
+       |ORDER BY gid, event_type ASC NULLS FIRST, d ASC NULLS FIRST""".stripMargin
+
   /** Semi-structured column extraction: events.props carries a JSON
     * payload; parse it with a declared schema (`from_json` — codegen'd
     * Jackson parse, schema-on-read at the silver boundary like the
@@ -1736,6 +1766,46 @@ object RelationalQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** RANGE-frame window — the VALUE-based frame the indicator family's
+    * ROWS frames deliberately avoid (SMA over candle counts) and the gap
+    * that completes the frame surface: per-user rolling 1-hour sum/count
+    * by EVENT TIME, frame = all events within [ts−1h+1µs, ts]. RANGE
+    * frames include peers, so same-µs ties contribute identically in
+    * both engines regardless of physical order — the reason RANGE is the
+    * deterministic choice here where ROWS would flap on ties. Sum rides
+    * exact DECIMAL (order-free).
+    *
+    * Scale shape: one exchange on user_id, one spillable per-partition
+    * sort on the µs key, single forward pass with a sliding frame — the
+    * same envelope as every other window query; a whale user costs its
+    * partition's sort, mitigated the chunked-indicator way if ever hit.
+    */
+  val rangeFrameSum: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"))
+      .rangeBetween(-3599999999L, 0L)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        graft.Parity.pround(
+          sum(col("value").cast(DecimalType(30, 10))).over(w).cast("double"), 6)
+          .as("hour_sum"),
+        count(lit(1)).over(w).as("hour_events"))
+      .orderBy(col("event_id"))
+  }
+
+  val rangeFrameSumSql: String =
+    s"""SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+       |       ${graft.Parity.proundSql(
+      "CAST(sum(CAST(value AS DECIMAL(30,10))) OVER w AS DOUBLE)", 6)} AS hour_sum,
+       |       count(*) OVER w AS hour_events
+       |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+       |             epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events)
+       |WINDOW w AS (PARTITION BY user_id ORDER BY us
+       |             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin
+
   val windowDistributionSql: String =
     s"""SELECT o_orderkey, o_orderpriority, o_totalprice,
        |       CAST(ntile(4) OVER w AS BIGINT) AS price_quartile,
@@ -1965,6 +2035,8 @@ object RelationalQueries {
   val queries: Map[String, Q] = Map(
     "label_prop" -> labelProp,
     "window_distribution" -> windowDistribution,
+    "range_frame_sum" -> rangeFrameSum,
+    "events_grouping_sets" -> eventsGroupingSets,
     "kcore_parts" -> kcorePartsQ,
     "pagerank_authority" -> pagerankAuthority,
     "pagerank_authority20" -> pagerankAuthority20,
@@ -2008,6 +2080,8 @@ object RelationalQueries {
   val oracleSql: Map[String, String] = Map(
     "label_prop" -> labelPropSql,
     "window_distribution" -> windowDistributionSql,
+    "range_frame_sum" -> rangeFrameSumSql,
+    "events_grouping_sets" -> eventsGroupingSetsSql,
     "kcore_parts" -> kcorePartsSql,
     "pagerank_authority" -> pagerankAuthoritySql,
     "pagerank_authority20" -> pagerankAuthority20Sql,
