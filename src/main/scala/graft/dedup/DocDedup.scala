@@ -130,6 +130,46 @@ object DocDedup {
       }: _*)).as(Seq("band_idx", "band_key")))
   }
 
+  /** The SAME band rows as [[bandsOfDocs]], computed STATELESSLY per row —
+    * no explode, no groupBy, no shuffle — which is what makes the MinHash
+    * chain legal on an unbounded STREAM (a streaming aggregation would
+    * force update/complete mode and unbounded state; this is a plain
+    * projection, so the new-day batch flows straight into a stream-static
+    * probe of the historical band index). Per row: build the word array
+    * once, the shingle array once, then fold each of the NumHashes seeded
+    * minima as `array_min(transform(...))` over the in-memory shingle
+    * array.
+    *
+    * The one-element-array `transform` wrappers are LET BINDINGS: words
+    * and shingles are each computed once per row and referenced many
+    * times inside their lambda. Aliased columns cannot express this —
+    * CollapseProject inlines an alias into EVERY usage site, so the 8
+    * seeded minima would rebuild the whole normalize+split+shingle
+    * pipeline 8× per row (the [[shingles]] scaladoc's observed
+    * minutes-on-one-core trap).
+    *
+    * Docs with fewer than 3 words produce no rows (the batch contract:
+    * no shingles → no signature). BandRowsStatelessSpec pins bit-equality
+    * with [[bandsOfDocs]] on the documents fixture.
+    */
+  def bandRowsStateless(docs: DataFrame): DataFrame = {
+    val nBands = NumHashes / BandSize
+    val keysLet = transform(array(TextAnalysis.words(col("text"))), w =>
+      transform(
+        array(transform(sequence(lit(0), size(w) - lit(3)), i =>
+          concat_ws(" ", element_at(w, i + lit(1)), element_at(w, i + lit(2)),
+            element_at(w, i + lit(3))))),
+        sh => transform(sequence(lit(0), lit(nBands - 1)), b =>
+          md5(concat_ws("|", (0 until BandSize).map { i =>
+            array_min(transform(sh, x =>
+              md5(concat((b * lit(BandSize) + lit(i)).cast("string"), lit(":"), x))))
+          }: _*)))))
+    docs
+      .filter(size(TextAnalysis.words(col("text"))) >= 3)
+      .select(col("doc_id"),
+        posexplode(keysLet.getItem(0).getItem(0)).as(Seq("band_idx", "band_key")))
+  }
+
   private def pairsFromSigs(sigs: DataFrame): DataFrame = {
     val bands = bandsOf(sigs)
     val l = bands.as("l")

@@ -852,7 +852,64 @@ object PipelineQueries {
       |  AND epoch_us(mx) - epoch_us(last_seen) > CAST(43200000000 AS BIGINT)
       |ORDER BY user_id""".stripMargin
 
+  /** Streaming near-dup probe — the serving half of the incremental dedup
+    * contract: yesterday's corpus is a PERSISTED band index (the relation
+    * [[graft.dedup.DocDedup.bandsOfDocs]] writes in the incremental path);
+    * today's documents arrive as a STREAM, band-key themselves statelessly
+    * per row ([[graft.dedup.DocDedup.bandRowsStateless]] — no streaming
+    * aggregation, so append mode and zero state until the final dedup),
+    * and probe the index with a STREAM-STATIC equi-join on
+    * (band_idx, band_key). At 100 TB the static side is a bucketed store
+    * table on the band key and each micro-batch touches only the buckets
+    * its new docs hash into; state is bounded by the day's emitted pair
+    * set (production would use dropDuplicatesWithinWatermark keyed on the
+    * new doc's event time — the gate replay has no event-time column on
+    * documents, and the bounded run's state IS the day's pairs either way).
+    *
+    * The oracle is the one-shot full-corpus LSH pair set RESTRICTED to
+    * cross-parity pairs — exactly the pairs a new-vs-historical probe can
+    * see — so the gate proves stream-probe(day2 | index(day1)) ≡ the
+    * batch recompute's cross-batch slice.
+    */
+  val streamNeardup: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val idx = s"${sys.props("java.io.tmpdir")}/graft_store/stream_neardup_idx"
+    graft.dedup.DocDedup.bandsOfDocs(docs.filter(col("doc_id") % 2 === 0))
+      .write.mode("overwrite").parquet(idx)
+    val hist = s.read.parquet(idx)
+      .select(col("band_idx"), col("band_key"), col("doc_id").as("hist_doc_id"))
+    val base = ensureFixture(s, "stream_neardup", dir) { b =>
+      docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text"))
+        .coalesce(1).write.mode("overwrite").parquet(b)
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    runBoundedStream(s, "graft_stream_neardup",
+      () => graft.dedup.DocDedup.bandRowsStateless(
+          s.readStream.schema(schema).parquet(base))
+        .join(hist, Seq("band_idx", "band_key"))
+        .select(least(col("doc_id"), col("hist_doc_id")).as("doc_id_a"),
+          greatest(col("doc_id"), col("hist_doc_id")).as("doc_id_b"))
+        .dropDuplicates("doc_id_a", "doc_id_b"),
+      "append").orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
+
+  val streamNeardupSql: String = {
+    import DedupQueries.{sigsSql, bandsSql}
+    s"""WITH $sigsSql,
+       |$bandsSql,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
+       |   AND (a.doc_id % 2) <> (b.doc_id % 2))
+       |SELECT doc_id_a, doc_id_b FROM cand ORDER BY doc_id_a, doc_id_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_neardup" -> streamNeardup,
     "stream_open_gaps" -> streamOpenGaps,
     "stream_topk" -> streamTopk,
     "stream_gaps" -> streamGaps,
@@ -872,6 +929,7 @@ object PipelineQueries {
     "compact_roundtrip" -> compactRoundtrip)
 
   val oracleSql: Map[String, String] = Map(
+    "stream_neardup" -> streamNeardupSql, // stream-static index probe vs batch cross-parity pairs
     "stream_open_gaps" -> streamOpenGapsSql, // timeout-fired alarms vs batch last-seen filter
     "stream_topk" -> streamTopkSql, // streaming counts + heap top-k vs batch window
     "stream_gaps" -> streamGapsSql, // streaming lag state vs batch lag window

@@ -171,6 +171,114 @@ object RelationalQueries {
        |ORDER BY revenue DESC, c_custkey
        |LIMIT 20""".stripMargin
 
+  /** TPC-H Q4 analog (order-priority checking): per-priority count of the
+    * quarter's orders that had at least one returned line — the canonical
+    * EXISTS-subquery shape, planned as a LEFT SEMI join so each order is
+    * counted once no matter how many lines matched (a plain inner join
+    * would double-count). Plan shape: both filters push to the scans (the
+    * quarter prunes orders, the returnflag prunes lineitem before the
+    * join); the semi join shuffles on the order key carrying only the key
+    * column from the lineitem side (semi joins project nothing else); the
+    * 5-group aggregate is map-side partial. At 100 TB nothing here is
+    * broadcastable — both sides are fact tables — and nothing needs to be:
+    * one key-shuffle each, then a 5-row result.
+    */
+  val q4PrioritySemi: Q = (s, dir) => {
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-04-01 00:00:00")
+    val returned = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4PrioritySemiSql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q16 analog (parts/supplier relationship): how many DISTINCT
+    * suppliers ship each (brand, type, size) of mid-size parts, excluding
+    * suppliers on the complaint list (negative account balance) — the
+    * canonical NOT-IN shape, planned as a LEFT ANTI join. Plan shape: the
+    * part filter pushes to its scan; the complaint list is a tiny
+    * broadcast anti probe (supplier is a dimension: 100 rows at sf0.01,
+    * ~1M at 100 TB — still broadcastable; were it not, the anti join
+    * degrades to a shuffle with identical semantics); the distinct-count
+    * is two-phase (partial distinct on (group, suppkey), then count).
+    * Top-20 by count keeps the output bounded at any scale.
+    */
+  val q16SupplierCnt: Q = (s, dir) => {
+    val complaints = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val parts = Tables.part(s, dir).filter(col("p_size") <= 8)
+    Tables.lineitem(s, dir)
+      .join(broadcast(complaints), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      .limit(20)
+  }
+
+  val q16SupplierCntSql: String =
+    """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+      |       count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_size <= 8
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q18 analog (large-volume customers): orders whose total
+    * quantity exceeds a threshold, reported with their customer — the
+    * HAVING-IN shape. Planned without any subquery re-scan: ONE grouped
+    * aggregate over lineitem produces per-order totals, the HAVING filter
+    * reduces it to the (rare) large orders, and THAT small relation drives
+    * broadcast probes into orders and customer. At 100 TB the aggregate is
+    * the only fact-scale shuffle; the filtered large-order set is ~0.5% of
+    * orders (selectivity is data-derived, not luck: the threshold sits in
+    * the distribution tail at every SF because per-order line counts are
+    * scale-invariant), so the follow-up joins stay broadcast-sized — and
+    * were they not, the same joins run as shuffles unchanged.
+    */
+  val q18LargeOrders: Q = (s, dir) => {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(graft.Parity.pround(sumExact(col("l_quantity")), 2).as("total_qty"))
+      .filter(col("total_qty") > 150.0)
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val q18LargeOrdersSql: String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey,
+       |         ${graft.Parity.proundSql(sumExactSql("l_quantity"), 2)} AS total_qty
+       |  FROM lineitem GROUP BY 1
+       |  HAVING ${graft.Parity.proundSql(sumExactSql("l_quantity"), 2)} > 150.0)
+       |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+       |FROM big
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY total_qty DESC, o_orderkey
+       |LIMIT 20""".stripMargin
+
   /** Top-3 orders per customer by total price — per-group top-k via
     * row_number (the QUALIFY rewrite, SURVEY §2.3 note).
     */
@@ -1741,6 +1849,97 @@ object RelationalQueries {
        |ORDER BY n_triangles DESC, p_partkey
        |LIMIT 20""".stripMargin
 
+  /** Multi-source BFS on the parts-co-ordered graph: minimum hop distance
+    * from a deterministic 3-vertex seed set (the three smallest vertex ids
+    * in the edge relation), reported as a per-hop histogram — the
+    * reachability primitive curation pipelines use to expand a trusted
+    * seed set outward ("everything within k hops of known-good documents")
+    * and the fourth member of the iterative-graph family (PageRank =
+    * value iteration, label-prop = plurality iteration, k-core = peeling,
+    * BFS = frontier expansion).
+    *
+    * Min-hop semantics make the loop monotone: a vertex enters `dist`
+    * exactly once, at its first (= minimum) hop, enforced by the anti-join
+    * of each frontier's neighbors against everything already labeled. The
+    * loop runs to a hop CAP (keeps the oracle a finite CTE chain, the
+    * [[kcoreParts]] pattern) with FIXPOINT early exit — an empty frontier
+    * proves every later frontier is empty, so exiting early is
+    * bit-identical to running the cap out.
+    *
+    * Scale shape per round: one co-partitioned join of the frontier
+    * against the edge table (scratch-materialized once, both directions;
+    * at 100 TB: a bucketed table on src), one distinct, one anti-join
+    * against the accumulated label set — all key-shuffles, nothing
+    * broadcast (frontiers start seed-sized but grow toward |V|, so hints
+    * would be the graph_triangles mistake; the planner/AQE picks the
+    * strategy). The frontier count is the per-round driver scalar (the
+    * fixpoint check), and `dist` scratch-materializes per round, capping
+    * lineage depth at one round.
+    */
+  def bfsHops(s: SparkSession, dir: String, maxHops: Int = 4): DataFrame = {
+    val d = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("it"))
+      .distinct()
+    val half = d.as("d1").join(d.as("d2"), Seq("ok"))
+      .filter(col("d1.it") < col("d2.it"))
+      .select(col("d1.it").as("src"), col("d2.it").as("dst"))
+      .distinct()
+    // undirected: materialize both directions once; every round probes this
+    val edges = graft.Scratch.table(
+      half.unionAll(half.select(col("dst").as("src"), col("src").as("dst"))),
+      "bfs-edges")
+    val seeds = edges.select(col("src").as("x")).distinct()
+      .orderBy(col("x")).limit(3)
+    var dist = graft.Scratch.table(
+      seeds.select(col("x"), lit(0L).as("hop")), "bfs-d0")
+    var frontier = dist.select(col("x"))
+    var hop = 1
+    var done = false
+    while (!done && hop <= maxHops) {
+      val next = frontier.join(edges, frontier("x") === edges("src"))
+        .select(col("dst").as("x")).distinct()
+        .join(dist, Seq("x"), "left_anti")
+        .select(col("x"), lit(hop.toLong).as("hop"))
+      val fresh = graft.Scratch.table(next, s"bfs-d$hop")
+      if (fresh.isEmpty) done = true
+      else {
+        dist = graft.Scratch.table(dist.unionAll(fresh), s"bfs-acc$hop")
+        frontier = fresh.select(col("x"))
+        hop += 1
+      }
+    }
+    dist.groupBy(col("hop"))
+      .agg(count(lit(1)).as("n_parts"),
+        min(col("x")).as("min_part"), max(col("x")).as("max_part"))
+      .orderBy(col("hop"))
+  }
+
+  val bfsHopsSql: String = {
+    def round(i: Int): String =
+      s"""f$i AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS x FROM f${i - 1} f JOIN e ON f.x = e.src
+         |  WHERE e.dst NOT IN (SELECT x FROM d${i - 1})),
+         |d$i AS MATERIALIZED (
+         |  SELECT x, hop FROM d${i - 1}
+         |  UNION ALL SELECT x, CAST($i AS BIGINT) AS hop FROM f$i)""".stripMargin
+    val rounds = 4
+    val chain = (1 to rounds).map(round).mkString(",\n")
+    s"""WITH dd AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS it FROM lineitem),
+       |half AS MATERIALIZED (
+       |  SELECT DISTINCT d1.it AS src, d2.it AS dst
+       |  FROM dd d1 JOIN dd d2 ON d1.ok = d2.ok AND d1.it < d2.it),
+       |e AS MATERIALIZED (
+       |  SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half),
+       |d0 AS MATERIALIZED (
+       |  SELECT x, CAST(0 AS BIGINT) AS hop FROM (
+       |    SELECT DISTINCT src AS x FROM e ORDER BY 1 LIMIT 3)),
+       |f0 AS (SELECT x FROM d0),
+       |$chain
+       |SELECT hop, count(*) AS n_parts, min(x) AS min_part, max(x) AS max_part
+       |FROM d$rounds GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Distribution window functions — ntile / percent_rank / cume_dist
     * over a deterministic total order (totalprice with the unique order
     * key as tiebreak), completing the window-function surface beyond
@@ -2065,6 +2264,10 @@ object RelationalQueries {
     "asof_join_native" -> asofJoinNative,
     "asof_tolerance" -> asofTolerance,
     "q10_returns" -> q10Returns,
+    "q4_priority_semi" -> q4PrioritySemi,
+    "q16_supplier_cnt" -> q16SupplierCnt,
+    "q18_large_orders" -> q18LargeOrders,
+    "bfs_hops" -> ((s: SparkSession, d: String) => bfsHops(s, d)),
     "snapshot_diff" -> snapshotDiff,
     "incremental_mv" -> incrementalMv,
     "incremental_mv_deletes" -> incrementalMvDeletes,
@@ -2110,6 +2313,10 @@ object RelationalQueries {
     "asof_join_native" -> asofJoinSql, // custom plan (node+strategy+exec) vs the same ASOF oracle
     "asof_tolerance" -> asofToleranceSql,
     "q10_returns" -> q10ReturnsSql,
+    "q4_priority_semi" -> q4PrioritySemiSql,
+    "q16_supplier_cnt" -> q16SupplierCntSql,
+    "q18_large_orders" -> q18LargeOrdersSql,
+    "bfs_hops" -> bfsHopsSql,
     "snapshot_diff" -> snapshotDiffSql,
     "incremental_mv" -> incrementalMvSql,
     "incremental_mv_deletes" -> incrementalMvDeletesSql,

@@ -605,9 +605,91 @@ object SimilarityQueries {
        |SELECT query_vec_id, vec_id, adc_dist, rank FROM ranked
        |WHERE rank <= 10 ORDER BY query_vec_id, rank""".stripMargin
 
+  /** IVF+PQ with exact rerank ([[Similarity.annIvfPqTopK]]): coarse cells
+    * prune candidates, ADC scores them as code bytes, and only the top-30
+    * ADC survivors per query pay a full-precision cosine. Same quantizer as
+    * `ann_ivf_topk` (cells 100..115, nProbe 4) and same codebook as
+    * `ann_pq_topk` (codes 100..107, 8×8) — the oracle walks the identical
+    * three-stage trajectory CTE by CTE.
+    */
+  val annIvfPqTopK: Q = (s, dir) =>
+    Similarity.annIvfPqTopK(
+        Tables.embeddings(s, dir), queryVecIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+      .orderBy(col("query_vec_id"), col("rank"))
+
+  val annIvfPqTopKSql: String = {
+    val centIds = (100L until 116L).mkString(", ")
+    s"""WITH $pqBaseSql,
+       |en AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS c_emb, norm AS c_norm
+       |  FROM en WHERE vec_id IN ($centIds)),
+       |cscored AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         (${dotSql("e.embedding", "c.c_emb")}) / (e.norm * c.c_norm) AS c_cos
+       |  FROM en e CROSS JOIN cents c),
+       |assign AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY c_cos DESC, cent_id) AS rn
+       |    FROM cscored) WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS query_vec_id, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY c_cos DESC, cent_id) AS rn
+       |    FROM cscored WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 4),
+       |cand AS (
+       |  SELECT q.query_vec_id, a.vec_id
+       |  FROM assign a JOIN qprobe q ON a.cell = q.cell
+       |  WHERE a.vec_id <> q.query_vec_id),
+       |q0 AS (SELECT vec_id AS query_vec_id, emb AS q_emb FROM e0 WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |lut AS (
+       |  SELECT q.query_vec_id, r.s, cb.code,
+       |         ${pqSubDistSql("q.q_emb", "cb.c_emb")} AS qd
+       |  FROM q0 q CROSS JOIN r CROSS JOIN cb),
+       |adc AS (
+       |  SELECT c.query_vec_id, c.vec_id,
+       |         floor(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.qd ORDER BY a.s)),
+       |               (x, y) -> x + y) * 1e6 + 0.5) / 1e6 AS adc_dist
+       |  FROM cand c
+       |  JOIN asg a ON a.vec_id = c.vec_id
+       |  JOIN lut l ON l.query_vec_id = c.query_vec_id
+       |            AND l.s = a.s AND l.code = a.code
+       |  GROUP BY c.query_vec_id, c.vec_id),
+       |pool AS (
+       |  SELECT query_vec_id, vec_id, adc_dist FROM (
+       |    SELECT query_vec_id, vec_id, adc_dist,
+       |           row_number() OVER (PARTITION BY query_vec_id
+       |                              ORDER BY adc_dist, vec_id) AS adc_rank
+       |    FROM adc) WHERE adc_rank <= 30),
+       |qn AS (
+       |  SELECT vec_id AS query_vec_id, embedding AS q_emb, norm AS q_norm
+       |  FROM en WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |rer AS (
+       |  SELECT p.query_vec_id, p.vec_id, p.adc_dist,
+       |         floor(((${dotSql("v.embedding", "q.q_emb")})
+       |                / (v.norm * q.q_norm)) * 1e6 + 0.5) / 1e6 AS cos_sim
+       |  FROM pool p
+       |  JOIN en v ON v.vec_id = p.vec_id
+       |  JOIN qn q ON q.query_vec_id = p.query_vec_id),
+       |ranked AS (
+       |  SELECT query_vec_id, vec_id, adc_dist, cos_sim,
+       |         CAST(row_number() OVER (PARTITION BY query_vec_id
+       |                                 ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+       |  FROM rer)
+       |SELECT query_vec_id, vec_id, adc_dist, cos_sim, rank FROM ranked
+       |WHERE rank <= 10 ORDER BY query_vec_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "pq_codes" -> pqCodesQ,
     "ann_pq_topk" -> annPqTopK,
+    "ann_ivfpq_topk" -> annIvfPqTopK,
     "embedding_norms" -> embeddingNorms,
     "embedding_centroids" -> embeddingCentroids,
     "knn_bruteforce" -> knnBruteForce,
@@ -629,6 +711,7 @@ object SimilarityQueries {
   val oracleSql: Map[String, String] = Map(
     "pq_codes" -> pqCodesSql,
     "ann_pq_topk" -> annPqTopKSql,
+    "ann_ivfpq_topk" -> annIvfPqTopKSql,
     "ivf_train" -> ivfTrainSql,
     "embedding_norms" -> embeddingNormsSql,
     "embedding_centroids" -> embeddingCentroidsSql,

@@ -485,6 +485,98 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF+PQ with exact rerank — the composed index shape production ANN
+    * systems (FAISS IVFADC, ScaNN) run at billion-vector scale, built from
+    * the two index structures this library already proves separately:
+    * the IVF coarse quantizer prunes the CANDIDATE SET (only vectors in
+    * the query's nProbe best cells are touched), PQ asymmetric-distance
+    * scores those candidates as code bytes (never full floats), and only
+    * the top `rerank` ADC survivors per query pay a full-precision cosine
+    * for the final ranking — three stages, each cutting the work the next
+    * stage sees by orders of magnitude.
+    *
+    * Scale shape: centroids, codebook, query LUT, and the rerank pool are
+    * all genuinely tiny broadcasts (≤ |queries|·rerank rows); the two
+    * corpus-scale relations — cell assignments and PQ code rows — meet in
+    * ONE key-shuffle join on vec_id, and the ADC aggregate is map-side
+    * combinable with O(1) group state. The rerank stage re-reads full
+    * vectors for only |queries|·rerank ids (a broadcast semi probe into
+    * the corpus scan), which is what makes the compressed index usable:
+    * the full-precision column is touched ~rerank/|V| of the time.
+    *
+    * Determinism: ADC distances are ordered per-subspace folds (the
+    * [[pqCodes]] argument), both rank keys round through
+    * [[graft.Parity.pround]] with vec_id tie-breaks, and cell/probe
+    * selection ties break toward the smaller centroid id — both engines
+    * walk the identical three-stage trajectory.
+    */
+  def annIvfPqTopK(
+      embeddings: DataFrame, queryVecIds: Seq[Long], k: Int,
+      rerank: Int = 30,
+      centroidVecIds: Seq[Long] = (100L until 116L), nProbe: Int = 4,
+      codebookVecIds: Seq[Long] = (100L until 108L),
+      nSub: Int = 8, subWidth: Int = 8): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"),
+      l2Norm("embedding").as("norm"))
+    val cents = e.filter(col("vec_id").isin(centroidVecIds: _*))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("norm"), col("cent_id"),
+        (dot("embedding", "c_emb") / (col("norm") * col("c_norm"))).as("c_cos"))
+    val assign = scored.groupBy("vec_id")
+      .agg(max_by(col("cent_id"),
+        struct(col("c_cos"), (-col("cent_id")).as("tb"))).as("cell"))
+    val qprobe = scored.filter(col("vec_id").isin(queryVecIds: _*))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cent_id"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_vec_id"), col("cent_id").as("cell"))
+    // cell-pruned (query, candidate) id pairs — grows with the corpus
+    // (~nProbe/K of it per query), so NOT broadcast: it drives the one
+    // corpus-scale shuffle join against the PQ code rows below
+    val cand = assign.join(broadcast(qprobe), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_vec_id"))
+      .select(col("query_vec_id"), col("vec_id"))
+    val asg = pqAssignments(embeddings, codebookVecIds, nSub, subWidth)
+    val eD = embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val codeOf = codebookVecIds.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (id, j)) => when(col("vec_id") === id, lit(j)).otherwise(acc)
+    }
+    val cb = eD.filter(col("vec_id").isin(codebookVecIds: _*))
+      .select(codeOf.as("code"), col("emb").as("c_emb"))
+    val lut = eD.filter(col("vec_id").isin(queryVecIds: _*))
+      .select(col("vec_id").as("query_vec_id"), col("emb").as("q_emb"),
+        explode(sequence(lit(0), lit(nSub - 1))).as("s"))
+      .crossJoin(broadcast(cb))
+      .select(col("query_vec_id"), col("s"), col("code"),
+        subDist("q_emb", "c_emb", "s", subWidth).as("qd"))
+    val adc = asg.join(cand, Seq("vec_id"))
+      .join(broadcast(lut), Seq("query_vec_id", "s", "code"))
+      .groupBy(col("query_vec_id"), col("vec_id"))
+      .agg(graft.Parity.pround(
+        expr("""aggregate(transform(array_sort(collect_list(struct(s, qd))),
+               |  p -> p.qd), CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin), 6)
+        .as("adc_dist"))
+    val pool = adc.withColumn("adc_rank", row_number().over(
+        Window.partitionBy("query_vec_id").orderBy(col("adc_dist"), col("vec_id"))))
+      .filter(col("adc_rank") <= rerank)
+      .select(col("query_vec_id"), col("vec_id"), col("adc_dist"))
+    val q = e.filter(col("vec_id").isin(queryVecIds: _*))
+      .select(col("vec_id").as("query_vec_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val w = Window.partitionBy("query_vec_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    e.join(broadcast(pool), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_vec_id"))
+      .select(col("query_vec_id"), col("vec_id"), col("adc_dist"),
+        graft.Parity.pround(
+          dot("embedding", "q_emb") / (col("norm") * col("q_norm")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** XOR masks for multi-probe at Hamming distance ≤ `hamming`: the zero
     * mask (home bucket) plus every ≤hamming-bit flip. Shared with the
     * DuckDB oracle so both engines probe the identical bucket set.
