@@ -279,6 +279,253 @@ object RelationalQueries {
        |ORDER BY total_qty DESC, o_orderkey
        |LIMIT 20""".stripMargin
 
+  /** TPC-H Q13 analog (customer order distribution): how many customers
+    * placed 0, 1, 2, … urgent orders — the canonical LEFT OUTER JOIN +
+    * two-level aggregate, and the one join shape where INNER is WRONG: the
+    * zero-order customers (203 at sf0.01) exist only because unmatched
+    * customer rows survive the outer join with a NULL order key that
+    * `count(o_orderkey)` then skips. The join predicate carries the
+    * priority filter INSIDE the outer join condition (a WHERE would turn
+    * it back into an inner join by discarding the NULL rows). Plan shape:
+    * one shuffle on custkey for the outer join + first aggregate (both
+    * partial-aggregated map-side), then the second aggregate's group count
+    * is ≤ max-orders-per-customer — a few dozen groups at any scale.
+    */
+  val q13OrderDist: Q = (s, dir) => {
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    Tables.customer(s, dir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13OrderDistSql: String =
+    """WITH co AS (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+      |  GROUP BY 1)
+      |SELECT c_count, count(*) AS custdist
+      |FROM co GROUP BY 1
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q15 analog (top supplier): the supplier(s) whose quarterly
+    * revenue equals the maximum — the VIEW + scalar-subquery shape. The
+    * revenue relation is computed ONCE (one suppkey-shuffle aggregate over
+    * the quarter's pruned lineitem scan) and consumed twice: once for its
+    * global max (a 1-row aggregate, broadcast back) and once as the probe
+    * side of the equality filter — no re-scan of lineitem for the subquery.
+    * Both engines round revenue through the same IEEE expression BEFORE
+    * the max/equality, so "ties with the max" is exact, not ulp-lucky.
+    * At 100 TB: the revenue relation is |suppliers|-sized, the max is one
+    * row, supplier is a broadcast dim — nothing scales with the fact table
+    * except the first pruned scan.
+    */
+  val q15TopSupplier: Q = (s, dir) => {
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-04-01 00:00:00")
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
+      .groupBy(col("l_suppkey"))
+      .agg(graft.Parity.pround(
+        sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("mx"))
+    rev.join(broadcast(mx), col("total_rev") === col("mx"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15TopSupplierSql: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey,
+       |         ${graft.Parity.proundSql(
+                   sumExactSql("l_extendedprice * (1.0 - l_discount)"), 4)} AS total_rev
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+       |  GROUP BY 1)
+       |SELECT s_suppkey, s_name, total_rev
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q17 analog (small-quantity-order revenue): revenue from brand
+    * lines whose quantity is under half the part's own average — the
+    * CORRELATED-AVERAGE shape. Decorrelated the way every engine wants it:
+    * the per-part average is ONE grouped aggregate over lineitem (not a
+    * per-row subquery re-scan), joined back on the part key. The per-part
+    * relation grows with the part vocabulary (∝ SF), so it is NOT
+    * broadcast — it meets the brand-pruned lines in a co-partitioned
+    * shuffle join on partkey ([[GraphBroadcastRowLimit]] reasoning; the
+    * planner may still pick broadcast at small SF via AQE, which is its
+    * call, not a hint). Numeric parity: the average is
+    * exact-decimal-sum ÷ count — ONE IEEE division on both engines —
+    * and the final sum is exact-decimal before the single rounding.
+    */
+  val q17SmallQty: Q = (s, dir) => {
+    val pa = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg((sumExact(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    val brandLines = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter(col("p_brand") === "Brand#12")),
+        col("l_partkey") === col("p_partkey"))
+    brandLines.join(pa, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(graft.Parity.pround(sumExact(col("l_extendedprice")) / lit(7.0), 4)
+        .as("avg_yearly"))
+  }
+
+  val q17SmallQtySql: String =
+    s"""WITH pa AS (
+       |  SELECT l_partkey AS pk,
+       |         ${sumExactSql("l_quantity")} / count(*) AS avg_qty
+       |  FROM lineitem GROUP BY 1)
+       |SELECT ${graft.Parity.proundSql(
+                 s"(${sumExactSql("l_extendedprice")}) / 7.0", 4)} AS avg_yearly
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN pa ON pk = l_partkey
+       |WHERE p_brand = 'Brand#12' AND l_quantity < 0.5 * avg_qty""".stripMargin
+
+  /** TPC-H Q19 analog (discounted revenue, disjunctive predicate): revenue
+    * over an OR of three (brand, size, quantity) conjunctions — the shape
+    * that tests DISJUNCTION HANDLING in the planner. What should happen
+    * (and the captured plan confirms): the per-table halves of the OR are
+    * factored out and pushed to each scan — part prunes on
+    * `brand IN (…) AND size ≤ 15`, lineitem on `quantity BETWEEN 1 AND 30`
+    * — so the join only sees rows that could satisfy SOME branch, and the
+    * full cross-table OR is evaluated once as the join filter. Part is
+    * brand-pruned to a fraction of a dimension → broadcast; one scan of
+    * each table, no union-of-three-queries rewrite (which would scan
+    * lineitem three times).
+    */
+  val q19Disjunctive: Q = (s, dir) => {
+    val branch1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+      col("l_quantity").between(1, 11)
+    val branch2 = col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+      col("l_quantity").between(10, 20)
+    val branch3 = col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(20, 30)
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#3"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(branch1 || branch2 || branch3)
+      .agg(graft.Parity.pround(
+        sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+  }
+
+  val q19DisjunctiveSql: String =
+    s"""SELECT ${graft.Parity.proundSql(
+                 sumExactSql("l_extendedprice * (1.0 - l_discount)"), 4)} AS revenue
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       |       AND l_quantity BETWEEN 1 AND 11)
+       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       |       AND l_quantity BETWEEN 10 AND 20)
+       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** TPC-H Q21 analog (suppliers who kept orders waiting): count, per
+    * supplier, the returned lines in multi-supplier orders where that
+    * supplier was the ONLY one with a return — the DOUBLE-CORRELATED
+    * EXISTS + NOT EXISTS shape, planned as one LEFT SEMI and one LEFT ANTI
+    * self-join of lineitem, both keyed on the order key with the
+    * supplier-inequality as the non-equi residual. Both self-join sides
+    * are the SAME fact table co-partitioned on l_orderkey, so the three
+    * relations (probe, semi, anti) share one shuffle key end-to-end —
+    * at 100 TB this runs as two sort-merge passes over an orderkey-bucketed
+    * layout with zero broadcast of anything fact-sized. Row multiplicity
+    * matters: numwait counts LINES, not orders, so the probe keeps
+    * duplicate (orderkey, suppkey) rows — semi/anti joins never multiply
+    * them.
+    */
+  val q21WaitingSupplier: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val probe = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val anyOther = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val otherReturned = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+    probe
+      .join(anyOther,
+        col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
+        "left_semi")
+      .join(otherReturned,
+        col("l_orderkey") === col("ok3") && col("l_suppkey") =!= col("sk3"),
+        "left_anti")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  val q21WaitingSupplierSql: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY 1
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q22 analog (global sales opportunity): per-nation count and
+    * balance of above-average-balance customers who never placed an urgent
+    * order — the GLOBAL-SCALAR-SUBQUERY + NOT EXISTS shape. The average is
+    * a 1-row aggregate broadcast into every row's comparison (never a
+    * per-row re-scan); the NOT EXISTS is a LEFT ANTI join against the
+    * urgent-order keys, shuffling on custkey (orders is a fact table — the
+    * anti side is NOT broadcast; the filter prunes it to the urgent fifth
+    * first). Parity: the average is exact-decimal-sum ÷ count (one IEEE
+    * division both engines), the balance comparison is against that exact
+    * double, and the final sum rounds once.
+    */
+  val q22NoUrgent: Q = (s, dir) => {
+    val cust = Tables.customer(s, dir)
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg((sumExact(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+    val urgentCust = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(urgentCust, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"),
+        graft.Parity.pround(sumExact(col("c_acctbal")), 2).as("totacctbal"))
+      .orderBy(col("n_name"))
+  }
+
+  val q22NoUrgentSql: String =
+    s"""WITH a AS (
+       |  SELECT ${sumExactSql("c_acctbal")} / count(*) AS avg_bal
+       |  FROM customer WHERE c_acctbal > 0.0)
+       |SELECT n_name, count(*) AS numcust,
+       |       ${graft.Parity.proundSql(sumExactSql("c_acctbal"), 2)} AS totacctbal
+       |FROM customer CROSS JOIN a
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE c_acctbal > avg_bal
+       |  AND NOT EXISTS (SELECT 1 FROM orders
+       |                  WHERE o_custkey = c_custkey
+       |                    AND o_orderpriority = '1-URGENT')
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Top-3 orders per customer by total price — per-group top-k via
     * row_number (the QUALIFY rewrite, SURVEY §2.3 note).
     */
@@ -2265,8 +2512,14 @@ object RelationalQueries {
     "asof_tolerance" -> asofTolerance,
     "q10_returns" -> q10Returns,
     "q4_priority_semi" -> q4PrioritySemi,
+    "q13_order_dist" -> q13OrderDist,
+    "q15_top_supplier" -> q15TopSupplier,
     "q16_supplier_cnt" -> q16SupplierCnt,
+    "q17_small_qty" -> q17SmallQty,
     "q18_large_orders" -> q18LargeOrders,
+    "q19_disjunctive" -> q19Disjunctive,
+    "q21_waiting_supplier" -> q21WaitingSupplier,
+    "q22_no_urgent" -> q22NoUrgent,
     "bfs_hops" -> ((s: SparkSession, d: String) => bfsHops(s, d)),
     "snapshot_diff" -> snapshotDiff,
     "incremental_mv" -> incrementalMv,
@@ -2314,8 +2567,14 @@ object RelationalQueries {
     "asof_tolerance" -> asofToleranceSql,
     "q10_returns" -> q10ReturnsSql,
     "q4_priority_semi" -> q4PrioritySemiSql,
+    "q13_order_dist" -> q13OrderDistSql,
+    "q15_top_supplier" -> q15TopSupplierSql,
     "q16_supplier_cnt" -> q16SupplierCntSql,
+    "q17_small_qty" -> q17SmallQtySql,
     "q18_large_orders" -> q18LargeOrdersSql,
+    "q19_disjunctive" -> q19DisjunctiveSql,
+    "q21_waiting_supplier" -> q21WaitingSupplierSql,
+    "q22_no_urgent" -> q22NoUrgentSql,
     "bfs_hops" -> bfsHopsSql,
     "snapshot_diff" -> snapshotDiffSql,
     "incremental_mv" -> incrementalMvSql,
