@@ -198,6 +198,86 @@ object FormatQueries {
       |FROM t GROUP BY 1, 2
       |ORDER BY symbol, candle_start""".stripMargin
 
+  private val sinkReadSchema = StructType(Seq(
+    StructField("tick_id", LongType),
+    StructField("page", LongType), // int on the wire; widened on read
+    StructField("ts_us", LongType),
+    StructField("symbol", StringType),
+    StructField("price", DoubleType)))
+
+  /** BATCH write through the custom DSv2 SINK ([[graft.sources.GraftSink]]
+    * — staged-file two-phase commit, SaveMode.Overwrite as truncate inside
+    * the job commit), then read the COMMITTED files back and slice. The
+    * hash gate proves the full loop: distributed source → distributed
+    * staged writers → driver rename commit → schema-supplied read returns
+    * exactly the contract rows. Timestamps travel as µs longs (the sink's
+    * format contract) and come back via `timestamp_micros`.
+    */
+  val dsv2SinkRoundtrip: Q = (s, _) => {
+    val target = s"${sys.props("java.io.tmpdir")}/graft_store/dsv2_sink"
+    ticks(s)
+      .select(col("tick_id"), col("page"), unix_micros(col("ts")).as("ts_us"),
+        col("symbol"), col("price"))
+      .write.format("graft-sink").mode("overwrite").save(target)
+    s.read.schema(sinkReadSchema)
+      .option("pathGlobFilter", "part-*.csv").csv(target)
+      .filter(col("tick_id") < 500L)
+      .select(col("tick_id"), col("page"),
+        timestamp_micros(col("ts_us")).as("ts"), col("symbol"), col("price"))
+      .orderBy(col("tick_id"))
+  }
+
+  val dsv2SinkRoundtripSql: String =
+    """SELECT i AS tick_id,
+      |       i // 1250 AS page,
+      |       make_timestamp(CAST(1704067200000000 AS BIGINT) + i * 1000000) AS ts,
+      |       CASE i % 3 WHEN 0 THEN 'EURUSD' WHEN 1 THEN 'GBPUSD'
+      |            ELSE 'USDJPY' END AS symbol,
+      |       1.0 + CAST((i * 7919) % 10000 AS DOUBLE) / 10000.0 AS price
+      |FROM range(0, 500) t(i)
+      |ORDER BY tick_id""".stripMargin
+
+  /** STREAMING write through the sink: the rate-limited `graft-ticks`
+    * stream (4 micro-batches under AvailableNow) lands as per-epoch
+    * committed files — `StreamingWrite.commit(epochId)` renames each
+    * epoch's staged set onto epoch-deterministic final names, so a
+    * replayed epoch commit is idempotent. The read-back aggregate over ALL
+    * epochs must equal the one-shot batch arithmetic — the same oracle as
+    * the streaming READ — proving the four epoch commits tile the feed
+    * with no loss and no duplication.
+    */
+  val streamDsv2Sink: Q = (s, _) => {
+    val target = s"${sys.props("java.io.tmpdir")}/graft_store/dsv2_sink_stream"
+    val (fs, root) = {
+      val p = new org.apache.hadoop.fs.Path(target)
+      (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
+    }
+    fs.delete(root, true)
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_store/dsv2_sink_stream_ckpt"
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    val q = s.readStream.format("graft-ticks")
+      .option("rows", "10000").option("pages", "8")
+      .option("maxTicksPerTrigger", "3000").load()
+      .select(col("tick_id"), col("page"), unix_micros(col("ts")).as("ts_us"),
+        col("symbol"), col("price"))
+      .writeStream.format("graft-sink")
+      .option("path", target).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException("dsv2 sink stream did not finish in 300s")
+    }
+    s.read.schema(sinkReadSchema)
+      .option("pathGlobFilter", "epoch-*.csv").csv(target)
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_ticks"),
+        graft.Parity.pround(
+          sum(col("price").cast(DecimalType(30, 10))).cast("double"), 6)
+          .as("sum_price"))
+      .orderBy(col("symbol"))
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_rest_source" -> streamRestSource,
     "stream_rest_ohlc" -> streamRestOhlc,
@@ -205,7 +285,9 @@ object FormatQueries {
     "json_roundtrip" -> jsonRoundtrip,
     "orc_roundtrip" -> orcRoundtrip,
     "rest_ticks_rows" -> restTicksRows,
-    "rest_source_agg" -> restSourceAgg)
+    "rest_source_agg" -> restSourceAgg,
+    "dsv2_sink_roundtrip" -> dsv2SinkRoundtrip,
+    "stream_dsv2_sink" -> streamDsv2Sink)
 
   val oracleSql: Map[String, String] = Map(
     "stream_rest_source" -> streamRestSourceSql,
@@ -214,5 +296,7 @@ object FormatQueries {
     "json_roundtrip" -> roundtripSql,
     "orc_roundtrip" -> roundtripSql,
     "rest_ticks_rows" -> restTicksRowsSql,
-    "rest_source_agg" -> restSourceAggSql)
+    "rest_source_agg" -> restSourceAggSql,
+    "dsv2_sink_roundtrip" -> dsv2SinkRoundtripSql,
+    "stream_dsv2_sink" -> streamRestSourceSql) // same tiling arithmetic as the read
 }

@@ -1406,6 +1406,64 @@ object RelationalQueries {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
       |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
+  /** Tie-aware ranking — rank / dense_rank over an intentionally
+    * NON-unique order (integer quantities, heavy ties), the two window
+    * functions [[windowRanks]]'s total-order family cannot exercise:
+    * rank's gap semantics (1 + rows strictly ahead) and dense_rank's
+    * gapless semantics (1 + DISTINCT values ahead) only differ when ties
+    * exist. Rows collapse to one output row per (flag, quantity) tie
+    * group — rank is constant within the group by definition, which the
+    * aggregate makes explicit (min = the value) and keeps the output a
+    * 150-row relation at any SF. One window sort + one map-side-partial
+    * aggregate, both partitioned by returnflag.
+    */
+  val windowTies: Q = (s, dir) => {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity").desc)
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity"),
+        rank().over(w).cast("long").as("qty_rank"),
+        dense_rank().over(w).cast("long").as("qty_dense"))
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("n_ties"),
+        min(col("qty_rank")).as("qty_rank"),
+        min(col("qty_dense")).as("qty_dense"))
+      .orderBy(col("l_returnflag"), col("l_quantity").desc)
+  }
+
+  val windowTiesSql: String =
+    """WITH r AS (
+      |  SELECT l_returnflag, l_quantity,
+      |         CAST(rank() OVER w AS BIGINT) AS qty_rank,
+      |         CAST(dense_rank() OVER w AS BIGINT) AS qty_dense
+      |  FROM lineitem
+      |  WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity DESC))
+      |SELECT l_returnflag, l_quantity, count(*) AS n_ties,
+      |       min(qty_rank) AS qty_rank, min(qty_dense) AS qty_dense
+      |FROM r GROUP BY 1, 2
+      |ORDER BY l_returnflag, l_quantity DESC""".stripMargin
+
+  /** Distributed global row numbering ([[graft.relational.GlobalIndex]]):
+    * a dense 1-based index over the (orderdate, orderkey) total order,
+    * WITHOUT the single-task global window the naive
+    * `row_number() OVER (ORDER BY …)` plans to. Range repartition keeps
+    * the sort parallel; per-partition counts (one row per partition)
+    * prefix-sum into offsets that broadcast back; index = offset + local
+    * row number. The oracle IS the naive form — DuckDB can afford it at
+    * gate scale — proving the two-phase rewrite exact.
+    */
+  val globalIndexQ: Q = (s, dir) =>
+    graft.relational.GlobalIndex.withGlobalIndex(
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")),
+        Seq("o_orderdate", "o_orderkey"))
+      .orderBy(col("idx"))
+
+  val globalIndexSql: String =
+    """SELECT o_orderkey, o_orderdate, o_totalprice,
+      |       row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS idx
+      |FROM orders ORDER BY idx""".stripMargin
+
   /** Semi/anti-join coverage: customers that placed no orders (NOT EXISTS →
     * left_anti) and parts never ordered at all vs parts with line items
     * (EXCEPT / INTERSECT on key sets).
@@ -2520,6 +2578,8 @@ object RelationalQueries {
     "q19_disjunctive" -> q19Disjunctive,
     "q21_waiting_supplier" -> q21WaitingSupplier,
     "q22_no_urgent" -> q22NoUrgent,
+    "window_ties" -> windowTies,
+    "global_index" -> globalIndexQ,
     "bfs_hops" -> ((s: SparkSession, d: String) => bfsHops(s, d)),
     "snapshot_diff" -> snapshotDiff,
     "incremental_mv" -> incrementalMv,
@@ -2575,6 +2635,8 @@ object RelationalQueries {
     "q19_disjunctive" -> q19DisjunctiveSql,
     "q21_waiting_supplier" -> q21WaitingSupplierSql,
     "q22_no_urgent" -> q22NoUrgentSql,
+    "window_ties" -> windowTiesSql,
+    "global_index" -> globalIndexSql,
     "bfs_hops" -> bfsHopsSql,
     "snapshot_diff" -> snapshotDiffSql,
     "incremental_mv" -> incrementalMvSql,

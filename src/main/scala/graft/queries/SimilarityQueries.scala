@@ -686,10 +686,47 @@ object SimilarityQueries {
        |WHERE rank <= 10 ORDER BY query_vec_id, rank""".stripMargin
   }
 
+  /** Broadcast linear-model scoring — the inference primitive every
+    * curation pipeline runs after training a quality/toxicity classifier:
+    * score = squash(w · x) per corpus row, weights broadcast once. The
+    * weight vector here is a corpus row itself (vec_id 42 — deterministic,
+    * no training dependency); the squash is the RATIONAL sigmoid
+    * d/(1+|d|), chosen over the logistic exp form deliberately: division
+    * and abs are single correctly-rounded IEEE ops on both engines, while
+    * exp() is a libm call with no cross-engine bit contract. The plan is
+    * one corpus scan × one broadcast row — the codegen'd VecDot shape, no
+    * shuffle until the bounded top-k (TakeOrdered). At 100 TB this is the
+    * map-only job it should be.
+    */
+  val embeddingScore: Q = (s, dir) => {
+    import graft.similarity.Similarity.dot
+    val e = Tables.embeddings(s, dir)
+    val wts = e.filter(col("vec_id") === 42L).select(col("embedding").as("w"))
+    val raw = dot("embedding", "w")
+    e.crossJoin(broadcast(wts))
+      .filter(col("vec_id") =!= 42L)
+      .select(col("vec_id"),
+        graft.Parity.pround(raw / (lit(1.0) + abs(raw)), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  val embeddingScoreSql: String = {
+    val raw = dotSql("e.embedding", "wt.w")
+    s"""WITH wt AS (SELECT embedding AS w FROM embeddings WHERE vec_id = 42)
+       |SELECT e.vec_id,
+       |       floor((($raw) / (1.0 + abs($raw))) * 1e6 + 0.5) / 1e6 AS score
+       |FROM embeddings e CROSS JOIN wt
+       |WHERE e.vec_id <> 42
+       |ORDER BY score DESC, e.vec_id
+       |LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "pq_codes" -> pqCodesQ,
     "ann_pq_topk" -> annPqTopK,
     "ann_ivfpq_topk" -> annIvfPqTopK,
+    "embedding_score" -> embeddingScore,
     "embedding_norms" -> embeddingNorms,
     "embedding_centroids" -> embeddingCentroids,
     "knn_bruteforce" -> knnBruteForce,
@@ -712,6 +749,7 @@ object SimilarityQueries {
     "pq_codes" -> pqCodesSql,
     "ann_pq_topk" -> annPqTopKSql,
     "ann_ivfpq_topk" -> annIvfPqTopKSql,
+    "embedding_score" -> embeddingScoreSql,
     "ivf_train" -> ivfTrainSql,
     "embedding_norms" -> embeddingNormsSql,
     "embedding_centroids" -> embeddingCentroidsSql,

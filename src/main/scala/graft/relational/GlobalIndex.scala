@@ -1,0 +1,67 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe global row numbering.
+  *
+  * The naive form — `row_number() OVER (ORDER BY key)` with no PARTITION
+  * BY — funnels the ENTIRE dataset through one task (Spark plans an empty
+  * partitioning, i.e. a single-partition exchange), which is the
+  * 100 TB anti-pattern: one executor sorts everything while the rest of
+  * the cluster idles, then OOMs. The classic distributed rewrite keeps
+  * the sort parallel and turns the global coordination into arithmetic
+  * over per-partition COUNTS:
+  *
+  *  1. `repartitionByRange` on the order key — each partition holds a
+  *     contiguous key range, partitions are mutually ordered, and the
+  *     sort inside each is local (spillable, parallel).
+  *  2. Per-partition local row numbers (a window PARTITIONED by the range
+  *     partition id — parallel across partitions by construction).
+  *  3. Per-partition row counts → prefix-sum offsets. This relation has
+  *     one row PER PARTITION (hundreds, not billions), so the prefix-sum
+  *     window over it is trivially cheap, and it broadcasts back.
+  *
+  * `global index = partition offset + local row number` is exact because
+  * range partitions are totally ordered and the order key is required to
+  * be UNIQUE per row (enforce by appending a tiebreak column): with
+  * duplicates straddling a range boundary the index assignment within the
+  * duplicate run would be partitioning-dependent.
+  *
+  * The range-partitioned relation (with its partition id stamped) is
+  * scratch-materialized ONCE and read by both consumers (the local-number
+  * window and the count aggregate) — re-deriving it twice could in
+  * principle re-sample different range boundaries, which would silently
+  * mis-align counts and local numbers. Materializing makes the boundary
+  * assignment a fact on disk, not a recomputation.
+  */
+object GlobalIndex {
+
+  /** Append `idx` (1-based, dense, following ORDER BY `orderCols`) to
+    * `df`. `orderCols` must be a unique total order.
+    */
+  def withGlobalIndex(
+      df: DataFrame, orderCols: Seq[String], numPartitions: Int = 32,
+      idxName: String = "idx"): DataFrame = {
+    val cols: Seq[Column] = orderCols.map(col)
+    val parted = graft.Scratch.table(
+      df.repartitionByRange(numPartitions, cols: _*)
+        .withColumn("__pid", spark_partition_id()),
+      "gidx-parted")
+    val localW = Window.partitionBy(col("__pid")).orderBy(cols: _*)
+    val local = parted.withColumn("__local", row_number().over(localW))
+    // one row per partition; the running-total window is over ≤numPartitions
+    // rows, then rides back as a broadcast
+    val offsets = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(
+          sum(col("__n")).over(
+            Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(idxName, col("__offset") + col("__local"))
+      .drop("__pid", "__local", "__offset")
+  }
+}

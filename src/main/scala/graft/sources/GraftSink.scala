@@ -1,0 +1,259 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.sources.{AlwaysTrue, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 SINK with a real two-phase commit — the write half of the
+  * connector story ([[TickSource]] is the read half; together they model
+  * the reference's extract → load edge, scripts/extract_forex.py:120-199,
+  * where rows leave the engine for an external system).
+  *
+  * The protocol is the one every exactly-once file/object-store sink runs
+  * at cluster scale (the Hadoop commit algorithm reduced to its DSv2
+  * essentials):
+  *
+  *  - every task writes to a PRIVATE staged file whose name embeds the
+  *    TASK ATTEMPT id — two speculative/retried attempts of the same
+  *    partition can run concurrently without touching each other;
+  *  - a task that finishes returns its staged name as the
+  *    `WriterCommitMessage`; a task that fails calls `abort()` and deletes
+  *    only its own file;
+  *  - the DRIVER commits the job by renaming exactly the staged files
+  *    named in the committed messages to their deterministic final names
+  *    (one per partition) — the losing duplicate attempt's file is never
+  *    renamed and vanishes with the staging directory. Readers only ever
+  *    see fully-written, committed files: rename is the atomicity point.
+  *  - `overwrite` (SaveMode.Overwrite → truncate) deletes the PREVIOUS
+  *    generation's data files inside the same job commit, so the switch
+  *    from old to new data is a single metadata step, not a window where
+  *    both or neither are visible.
+  *
+  * Streaming (`writeStream.format("graft-sink")`): the same staged-rename
+  * per epoch, with the epoch id baked into the final name — a re-delivered
+  * `commit(epochId)` after a driver failover renames onto the SAME final
+  * names (delete-then-rename), making replayed epoch commits idempotent:
+  * exactly-once through at-least-once delivery, the standard sink-side
+  * contract.
+  *
+  * Rows serialize as CSV: long/int/double via JVM shortest-round-trip
+  * strings, timestamps as raw MICROSECOND longs (no format ambiguity;
+  * readers cast via `timestamp_micros`), strings verbatim (the feed
+  * vocabulary is comma-free; a general sink would quote — out of scope for
+  * the commit protocol this class exists to prove). Nulls serialize empty.
+  */
+class GraftSink extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft-sink"
+
+  // the written DataFrame's schema IS the table schema — no inference pass
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new UnsupportedOperationException(
+      "graft-sink is write-only; the schema comes from the written DataFrame")
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty, "graft-sink requires a path")
+    new GraftSinkTable(path, schema)
+  }
+}
+
+private[sources] class GraftSinkTable(path: String, tableSchema: StructType)
+    extends Table with SupportsWrite {
+  override def name(): String = s"graft_sink($path)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftSinkWriteBuilder(path, info.schema(), info.queryId(), truncate = false)
+}
+
+private[sources] class GraftSinkWriteBuilder(path: String, schema: StructType,
+    queryId: String, truncate: Boolean)
+    extends WriteBuilder with SupportsOverwrite {
+
+  /** SaveMode.Overwrite arrives as overwrite(AlwaysTrue); partial
+    * predicate overwrites are a partitioned-table feature this flat sink
+    * honestly refuses rather than silently full-truncating.
+    */
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    require(filters.forall(_.isInstanceOf[AlwaysTrue]),
+      s"graft-sink supports only full truncate, got ${filters.mkString(",")}")
+    new GraftSinkWriteBuilder(path, schema, queryId, truncate = true)
+  }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new GraftSinkBatchWrite(path, schema, queryId, truncate)
+    override def toStreaming: StreamingWrite =
+      new GraftSinkStreamingWrite(path, schema, queryId)
+  }
+}
+
+/** Commit token: which staged file, and which final name it earns. */
+private[sources] case class GraftStaged(staged: String, finalName: String,
+    rows: Long) extends WriterCommitMessage
+
+private[sources] object GraftSinkIO {
+  def fs(path: String): (FileSystem, HPath) = {
+    val p = new HPath(path)
+    (p.getFileSystem(new Configuration()), p)
+  }
+
+  def stagingDir(path: String, queryId: String): HPath =
+    new HPath(path, s"_staging-$queryId")
+
+  /** Rename committed staged files to final names (delete-then-rename =
+    * idempotent under commit replay), then drop the staging dir so losing
+    * task attempts' files — never named in `messages` — disappear.
+    */
+  def publish(path: String, queryId: String,
+      messages: Array[WriterCommitMessage], dropExisting: Boolean): Unit = {
+    val (fs, root) = GraftSinkIO.fs(path)
+    val staging = stagingDir(path, queryId)
+    if (dropExisting && fs.exists(root)) {
+      fs.listStatus(root).filter { st =>
+        st.isFile && st.getPath.getName.endsWith(".csv")
+      }.foreach(st => fs.delete(st.getPath, false))
+    }
+    fs.mkdirs(root)
+    messages.collect { case m: GraftStaged => m }.foreach { m =>
+      val dest = new HPath(root, m.finalName)
+      if (fs.exists(dest)) fs.delete(dest, false)
+      fs.rename(new HPath(staging, m.staged), dest)
+    }
+    fs.delete(staging, true)
+  }
+}
+
+private[sources] class GraftSinkBatchWrite(path: String, schema: StructType,
+    queryId: String, truncate: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftSinkWriterFactory(path, schema, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    GraftSinkIO.publish(path, queryId, messages, dropExisting = truncate)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val (fs, _) = GraftSinkIO.fs(path)
+    fs.delete(GraftSinkIO.stagingDir(path, queryId), true)
+  }
+}
+
+private[sources] class GraftSinkStreamingWrite(path: String, schema: StructType,
+    queryId: String) extends StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftSinkWriterFactory(path, schema, queryId)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    GraftSinkIO.publish(path, queryId, messages, dropExisting = false)
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    // delete only this epoch's named staged files; other epochs may be
+    // mid-flight in the shared staging dir
+    val (fs, _) = GraftSinkIO.fs(path)
+    val staging = GraftSinkIO.stagingDir(path, queryId)
+    messages.collect { case m: GraftStaged => m }
+      .foreach(m => fs.delete(new HPath(staging, m.staged), false))
+  }
+}
+
+private[sources] class GraftSinkWriterFactory(path: String, schema: StructType,
+    queryId: String)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+
+  // batch final names embed the per-job queryId so APPEND jobs never
+  // collide on partition numbers; streaming epoch names deliberately do
+  // NOT (epoch replay after failover must rename onto the SAME targets)
+  private def jobTag: String =
+    queryId.replaceAll("[^A-Za-z0-9]", "").take(8)
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftSinkDataWriter(path, queryId, schema,
+      staged = f"part-$jobTag-$partitionId%05d-a$taskId.csv",
+      finalName = f"part-$jobTag-$partitionId%05d.csv")
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftSinkDataWriter(path, queryId, schema,
+      staged = f"epoch-$epochId-part-$partitionId%05d-a$taskId.csv",
+      finalName = f"epoch-$epochId-part-$partitionId%05d.csv")
+}
+
+private[sources] class GraftSinkDataWriter(path: String, queryId: String,
+    schema: StructType, staged: String, finalName: String)
+    extends DataWriter[InternalRow] {
+
+  private val (fs, _) = GraftSinkIO.fs(path)
+  private val stagedPath =
+    new HPath(GraftSinkIO.stagingDir(path, queryId), staged)
+  private lazy val out = {
+    fs.mkdirs(stagedPath.getParent)
+    new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(fs.create(stagedPath, true), "UTF-8"))
+  }
+  private var n = 0L
+
+  // one resolved serializer per column, not a per-row type dispatch
+  private val cells: Array[(InternalRow, Int) => String] =
+    schema.fields.map { f =>
+      val g: (InternalRow, Int) => String = f.dataType match {
+        case LongType => (r, i) => r.getLong(i).toString
+        case IntegerType => (r, i) => r.getInt(i).toString
+        case DoubleType => (r, i) => r.getDouble(i).toString
+        case TimestampType => (r, i) => r.getLong(i).toString // µs since epoch
+        case StringType => (r, i) =>
+          val v = r.getUTF8String(i).toString
+          require(!v.exists(c => c == ',' || c == '\n' || c == '\r'),
+            s"graft-sink does not quote; value needs quoting: $v")
+          v
+        case other =>
+          throw new IllegalArgumentException(s"unsupported sink type $other")
+      }
+      (r: InternalRow, i: Int) => if (r.isNullAt(i)) "" else g(r, i)
+    }
+
+  override def write(row: InternalRow): Unit = {
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < cells.length) {
+      if (i > 0) sb.append(',')
+      sb.append(cells(i)(row, i))
+      i += 1
+    }
+    sb.append('\n')
+    out.write(sb.toString)
+    n += 1L
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    GraftStaged(staged, finalName, n)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(stagedPath, false)
+  }
+
+  override def close(): Unit = ()
+}

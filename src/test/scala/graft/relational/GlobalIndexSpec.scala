@@ -1,0 +1,64 @@
+package graft.relational
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** GlobalIndex: the two-phase distributed row numbering must be exactly
+  * the single-partition `row_number() OVER (ORDER BY …)` — for any
+  * partition count, including degenerate ones — and its plan must never
+  * contain the single-task global sort the naive form plans.
+  */
+class GlobalIndexSpec extends SparkSpec {
+
+  private def naive(n: Int) = {
+    val orders = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    orders.withColumn("idx",
+      row_number().over(
+        Window.orderBy(col("o_orderdate"), col("o_orderkey"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("idx")).toMap
+  }
+
+  test("two-phase index equals the naive global row_number (8 partitions)") {
+    val got = GlobalIndex.withGlobalIndex(
+        Tables.orders(spark, sf0001).select(col("o_orderkey"), col("o_orderdate")),
+        Seq("o_orderdate", "o_orderkey"), numPartitions = 8)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("idx")).toMap
+    assert(got === naive(8))
+  }
+
+  test("partition count does not change the index (1 vs 32)") {
+    val orders = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    def run(n: Int) = GlobalIndex.withGlobalIndex(
+        orders, Seq("o_orderdate", "o_orderkey"), numPartitions = n)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("idx")).toMap
+    assert(run(1) === run(32))
+  }
+
+  test("index is a dense 1..N permutation") {
+    val idxs = GlobalIndex.withGlobalIndex(
+        Tables.orders(spark, sf0001).select(col("o_orderkey"), col("o_orderdate")),
+        Seq("o_orderdate", "o_orderkey"))
+      .select(col("idx")).collect().map(_.getLong(0)).sorted
+    assert(idxs.head === 1L)
+    assert(idxs.last === idxs.length.toLong)
+    assert(idxs.distinct.length === idxs.length)
+  }
+
+  test("the local-number window partitions by partition id, never empty (plan check)") {
+    // the whole point: no `Window [...] ORDER BY` with an EMPTY partition
+    // spec over the full relation — that is the single-task funnel
+    val plan = GlobalIndex.withGlobalIndex(
+        Tables.orders(spark, sf0001).select(col("o_orderkey"), col("o_orderdate")),
+        Seq("o_orderdate", "o_orderkey"))
+      .queryExecution.executedPlan.toString
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    // two windows exist: the per-partition local one (partitioned by __pid)
+    // and the offsets prefix-sum (over <=numPartitions count rows). The
+    // corpus-sized one must carry the __pid partition spec.
+    assert(windowLines.exists(_.contains("__pid")), plan)
+  }
+}

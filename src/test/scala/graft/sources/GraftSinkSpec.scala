@@ -1,0 +1,121 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** GraftSink commit-protocol corners the gate queries can't isolate:
+  * task-level abort, duplicate-attempt deduplication, overwrite atomicity,
+  * and staged-file invisibility before job commit.
+  */
+class GraftSinkSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", DoubleType)))
+
+  private def freshDir(tag: String): String = {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_sink_spec/$tag"
+    val p = new HPath(d)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    d
+  }
+
+  private def readBack(dir: String) =
+    spark.read.schema(schema).option("pathGlobFilter", "part-*.csv").csv(dir)
+
+  test("batch round-trip: committed files hold exactly the written rows") {
+    import spark.implicits._
+    val dir = freshDir("roundtrip")
+    val df = (1L to 100L).map(i => (i, i * 0.5)).toDF("id", "v").repartition(4)
+    df.write.format("graft-sink").mode("append").save(dir)
+    val got = readBack(dir).collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got === (1L to 100L).map(i => (i, i * 0.5)).toSet)
+    // no staging residue after commit
+    val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(new HPath(dir)).exists(_.getPath.getName.startsWith("_staging")))
+  }
+
+  test("overwrite truncates the previous generation inside the commit") {
+    import spark.implicits._
+    val dir = freshDir("overwrite")
+    (1L to 50L).map(i => (i, 1.0)).toDF("id", "v").repartition(3)
+      .write.format("graft-sink").mode("append").save(dir)
+    (100L to 120L).map(i => (i, 2.0)).toDF("id", "v").repartition(2)
+      .write.format("graft-sink").mode("overwrite").save(dir)
+    val ids = readBack(dir).select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(ids === (100L to 120L).toSet, "old generation fully gone, new fully present")
+  }
+
+  test("append keeps prior committed files") {
+    import spark.implicits._
+    val dir = freshDir("append")
+    (1L to 10L).map(i => (i, 1.0)).toDF("id", "v").coalesce(1)
+      .write.format("graft-sink").mode("append").save(dir)
+    (11L to 20L).map(i => (i, 1.0)).toDF("id", "v").coalesce(1)
+      .write.format("graft-sink").mode("append").save(dir)
+    assert(readBack(dir).count() === 20L)
+  }
+
+  test("task abort deletes its staged file and leaves the destination untouched") {
+    val dir = freshDir("abort")
+    val factory = new GraftSinkWriterFactory(dir, schema, "qid-abort")
+    val w = factory.createWriter(0, 7L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(1L, 2.0))
+    w.abort()
+    val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = GraftSinkIO.stagingDir(dir, "qid-abort")
+    assert(!fs.exists(staging) || fs.listStatus(staging).isEmpty)
+  }
+
+  test("duplicate attempts: only the committed attempt's file is published") {
+    val dir = freshDir("dup")
+    val qid = "qid-dup"
+    val factory = new GraftSinkWriterFactory(dir, schema, qid)
+    // two attempts of partition 0 run concurrently (speculation); both
+    // finish at task level, but the driver commits only attempt 3's message
+    val w1 = factory.createWriter(0, 3L)
+    val w2 = factory.createWriter(0, 9L)
+    w1.write(org.apache.spark.sql.catalyst.InternalRow(1L, 1.0))
+    w2.write(org.apache.spark.sql.catalyst.InternalRow(1L, 1.0))
+    val m1 = w1.commit()
+    w2.commit() // the losing attempt also reached task commit — still unpublished
+    new GraftSinkBatchWrite(dir, schema, qid, truncate = false)
+      .commit(Array(m1))
+    val rows = readBack(dir).count()
+    assert(rows === 1L, "exactly one copy published despite two finished attempts")
+    val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(GraftSinkIO.stagingDir(dir, qid)),
+      "losing attempt vanished with the staging dir")
+  }
+
+  test("staged files are invisible to readers before job commit") {
+    val dir = freshDir("invisible")
+    val qid = "qid-inv"
+    val factory = new GraftSinkWriterFactory(dir, schema, qid)
+    val w = factory.createWriter(0, 1L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(1L, 1.0))
+    val m = w.commit() // task-committed, job NOT committed
+    assert(readBack(dir).count() === 0L, "glob-scoped readers see nothing yet")
+    new GraftSinkBatchWrite(dir, schema, qid, truncate = false).commit(Array(m))
+    assert(readBack(dir).count() === 1L)
+  }
+
+  test("replayed streaming epoch commit is idempotent (same final names)") {
+    val dir = freshDir("epoch")
+    val qid = "qid-epoch"
+    val factory = new GraftSinkWriterFactory(dir, schema, qid)
+    val sw = new GraftSinkStreamingWrite(dir, schema, qid)
+    def runEpoch(attempt: Long): Unit = {
+      val w = factory.createWriter(0, attempt, 5L)
+      w.write(org.apache.spark.sql.catalyst.InternalRow(42L, 1.0))
+      sw.commit(5L, Array(w.commit()))
+    }
+    runEpoch(1L)
+    runEpoch(2L) // failover replay of epoch 5
+    val n = spark.read.schema(schema)
+      .option("pathGlobFilter", "epoch-*.csv").csv(dir).count()
+    assert(n === 1L, "replay overwrote, not duplicated")
+  }
+}
