@@ -198,6 +198,48 @@ object FormatQueries {
       |FROM t GROUP BY 1, 2
       |ORDER BY symbol, candle_start""".stripMargin
 
+  /** Aggregate PUSHDOWN into the custom source: a group-by-less
+    * count/min/max over the id-monotone columns is answered by each page
+    * partition in O(1) closed form — no tick row is ever generated
+    * (`SupportsPushDownAggregates`; SourcesSpec asserts the plan's scan
+    * carries `PushedAggregates` and row-less readers). Spark merges the
+    * per-page partials (partial pushdown), so the result is exact.
+    */
+  val restPushedAgg: Q = (s, _) =>
+    ticks(s)
+      .filter(col("tick_id") >= 1000L && col("tick_id") < 9000L)
+      .agg(count(lit(1)).as("n_ticks"),
+        min(col("tick_id")).as("min_id"), max(col("tick_id")).as("max_id"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+
+  val restPushedAggSql: String =
+    """SELECT count(*) AS n_ticks,
+      |       min(i) AS min_id, max(i) AS max_id,
+      |       make_timestamp(CAST(1704067200000000 AS BIGINT) + min(i) * 1000000) AS first_ts,
+      |       make_timestamp(CAST(1704067200000000 AS BIGINT) + max(i) * 1000000) AS last_ts
+      |FROM range(1000, 9000) t(i)""".stripMargin
+
+  /** LIMIT pushdown composed with filter pushdown: the source clips its id
+    * range to `[lo, lo+limit)` — pagination stops after `limit` rows — so
+    * the scan emits exactly the first 100 ids past the pushed bound and
+    * the global limit is a no-op on an already-limited feed. Deterministic
+    * because the log is id-ordered: "first 100" IS ids 1000..1099.
+    */
+  val restLimitPush: Q = (s, _) =>
+    ticks(s)
+      .filter(col("tick_id") >= 1000L)
+      .limit(100)
+      .select(col("tick_id"), col("symbol"), col("price"))
+      .orderBy(col("tick_id"))
+
+  val restLimitPushSql: String =
+    """SELECT i AS tick_id,
+      |       CASE i % 3 WHEN 0 THEN 'EURUSD' WHEN 1 THEN 'GBPUSD'
+      |            ELSE 'USDJPY' END AS symbol,
+      |       1.0 + CAST((i * 7919) % 10000 AS DOUBLE) / 10000.0 AS price
+      |FROM range(1000, 1100) t(i)
+      |ORDER BY tick_id""".stripMargin
+
   private val sinkReadSchema = StructType(Seq(
     StructField("tick_id", LongType),
     StructField("page", LongType), // int on the wire; widened on read
@@ -286,6 +328,8 @@ object FormatQueries {
     "orc_roundtrip" -> orcRoundtrip,
     "rest_ticks_rows" -> restTicksRows,
     "rest_source_agg" -> restSourceAgg,
+    "rest_pushed_agg" -> restPushedAgg,
+    "rest_limit_push" -> restLimitPush,
     "dsv2_sink_roundtrip" -> dsv2SinkRoundtrip,
     "stream_dsv2_sink" -> streamDsv2Sink)
 
@@ -297,6 +341,8 @@ object FormatQueries {
     "orc_roundtrip" -> roundtripSql,
     "rest_ticks_rows" -> restTicksRowsSql,
     "rest_source_agg" -> restSourceAggSql,
+    "rest_pushed_agg" -> restPushedAggSql,
+    "rest_limit_push" -> restLimitPushSql,
     "dsv2_sink_roundtrip" -> dsv2SinkRoundtripSql,
     "stream_dsv2_sink" -> streamRestSourceSql) // same tiling arithmetic as the read
 }

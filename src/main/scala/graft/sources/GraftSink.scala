@@ -67,11 +67,12 @@ class GraftSink extends TableProvider
       properties: util.Map[String, String]): Table = {
     val path = properties.get("path")
     require(path != null && path.nonEmpty, "graft-sink requires a path")
-    new GraftSinkTable(path, schema)
+    new GraftSinkTable(path, schema, Option(properties.get("clusterBy")))
   }
 }
 
-private[sources] class GraftSinkTable(path: String, tableSchema: StructType)
+private[sources] class GraftSinkTable(path: String, tableSchema: StructType,
+    clusterBy: Option[String])
     extends Table with SupportsWrite {
   override def name(): String = s"graft_sink($path)"
   override def schema(): StructType = tableSchema
@@ -79,11 +80,12 @@ private[sources] class GraftSinkTable(path: String, tableSchema: StructType)
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftSinkWriteBuilder(path, info.schema(), info.queryId(), truncate = false)
+    new GraftSinkWriteBuilder(path, info.schema(), info.queryId(),
+      truncate = false, clusterBy)
 }
 
 private[sources] class GraftSinkWriteBuilder(path: String, schema: StructType,
-    queryId: String, truncate: Boolean)
+    queryId: String, truncate: Boolean, clusterBy: Option[String] = None)
     extends WriteBuilder with SupportsOverwrite {
 
   /** SaveMode.Overwrite arrives as overwrite(AlwaysTrue); partial
@@ -93,14 +95,35 @@ private[sources] class GraftSinkWriteBuilder(path: String, schema: StructType,
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
     require(filters.forall(_.isInstanceOf[AlwaysTrue]),
       s"graft-sink supports only full truncate, got ${filters.mkString(",")}")
-    new GraftSinkWriteBuilder(path, schema, queryId, truncate = true)
+    new GraftSinkWriteBuilder(path, schema, queryId, truncate = true, clusterBy)
   }
 
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new GraftSinkBatchWrite(path, schema, queryId, truncate)
-    override def toStreaming: StreamingWrite =
-      new GraftSinkStreamingWrite(path, schema, queryId)
+  /** `option("clusterBy", col)` makes the sink REQUEST its input layout
+    * through `RequiresDistributionAndOrdering` — Spark inserts the shuffle
+    * + sort, so each clustering value lands wholly inside one task's file
+    * (the file-per-entity layout downstream bucketed readers want). The
+    * sink declaring its needs, instead of the caller remembering to
+    * repartition, is the DSv2 write-distribution contract (how Iceberg and
+    * Delta request their table distribution).
+    */
+  override def build(): Write = {
+    import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+    new Write with RequiresDistributionAndOrdering {
+      override def requiredDistribution(): Distribution = clusterBy
+        .map(c => Distributions.clustered(
+          Array[org.apache.spark.sql.connector.expressions.Expression](
+            Expressions.identity(c))))
+        .getOrElse(Distributions.unspecified())
+      override def requiredOrdering(): Array[SortOrder] = clusterBy
+        .map(c => Array(Expressions.sort(Expressions.identity(c),
+          SortDirection.ASCENDING)))
+        .getOrElse(Array.empty)
+      override def toBatch: BatchWrite =
+        new GraftSinkBatchWrite(path, schema, queryId, truncate)
+      override def toStreaming: StreamingWrite =
+        new GraftSinkStreamingWrite(path, schema, queryId)
+    }
   }
 }
 

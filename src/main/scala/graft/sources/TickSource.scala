@@ -81,15 +81,63 @@ private[sources] class TickTable(rows: Long, pages: Int)
 private[sources] class TickScanBuilder(rows: Long, pages: Int,
     maxPerTrigger: Option[Long])
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var required: StructType = TickSource.Schema
   private var lo: Long = 0L
   private var hi: Long = rows // exclusive
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[TickAggregation] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** LIMIT pushdown: the feed is an ordered log, so "first n rows" is an
+    * id-range clip — the REST analog of stopping pagination after n rows.
+    * Applied AFTER the range filters (Spark pushes filters first), so the
+    * clip composes with pushed bounds.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit.toLong)
+    true
+  }
+
+  /** Aggregate pushdown (the "API answers the aggregate" path): a
+    * group-by-less COUNT(*) / MIN / MAX over the id-monotone columns
+    * (tick_id, ts) is CLOSED-FORM over an id range — each page partition
+    * answers its slice in O(1) without generating a single row, and Spark
+    * merges the per-partition partials (partial pushdown: sum the counts,
+    * min the mins, max the maxes). Aggregates over the non-monotone
+    * columns (price, symbol, page) are declined and run as normal scans.
+    */
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (aggregation.groupByExpressions().nonEmpty) return false
+    def monotoneCol(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames.sameElements(Array("tick_id")) =>
+        Some("tick_id")
+      case r: NamedReference if r.fieldNames.sameElements(Array("ts")) => Some("ts")
+      case _ => None
+    }
+    val specs: Array[Option[TickAggSpec]] = aggregation.aggregateExpressions().map {
+      case _: CountStar => Some(TickAggSpec("count", "count(*)"))
+      case m: Min => monotoneCol(m.column).map(c => TickAggSpec(s"min_$c", s"min($c)"))
+      case m: Max => monotoneCol(m.column).map(c => TickAggSpec(s"max_$c", s"max($c)"))
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) return false
+    pushedAgg = Some(TickAggregation(specs.flatten))
+    true
+  }
+
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = false // per-partition partials; Spark merges
 
   /** Accept only tick_id range comparisons; everything else is residual.
     * Accepted bounds tighten the generated range — the source-side
@@ -117,14 +165,41 @@ private[sources] class TickScanBuilder(rows: Long, pages: Int,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new TickScan(rows, pages, lo, hi, required, maxPerTrigger)
+    new TickScan(rows, pages, lo, hi, required, maxPerTrigger, pushedAgg)
+}
+
+/** One pushed aggregate column: its output name/type and how a page's
+  * [start, end) id range answers it in O(1).
+  */
+private[sources] case class TickAggSpec(name: String, desc: String) {
+  import org.apache.spark.sql.types.{DataType, LongType, TimestampType}
+  def dataType: DataType =
+    if (name.endsWith("_ts")) TimestampType else LongType
+  def nullable: Boolean = name != "count" // empty range: count 0, min/max null
+  /** Partial value over [start, end); None = SQL NULL (empty range). */
+  def value(start: Long, end: Long): Option[Any] = name match {
+    case "count" => Some(math.max(0L, end - start))
+    case _ if start >= end => None
+    case "min_tick_id" => Some(start)
+    case "max_tick_id" => Some(end - 1L)
+    case "min_ts" => Some(TickSource.BaseUs + start * 1000000L)
+    case "max_ts" => Some(TickSource.BaseUs + (end - 1L) * 1000000L)
+  }
+}
+
+private[sources] case class TickAggregation(specs: Array[TickAggSpec]) {
+  def schema: StructType =
+    StructType(specs.map(s => StructField(s.name, s.dataType, s.nullable)))
+  def describe: String = specs.map(_.desc).mkString(",")
 }
 
 private[sources] class TickScan(rows: Long, pages: Int, lo: Long, hi: Long,
-    required: StructType, maxPerTrigger: Option[Long] = None)
+    required: StructType, maxPerTrigger: Option[Long] = None,
+    pushedAgg: Option[TickAggregation] = None)
     extends Scan with Batch {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    pushedAgg.map(_.schema).getOrElse(required)
   override def toBatch: Batch = this
 
   /** Streaming half: the offset is simply the next unread tick_id — the
@@ -140,15 +215,19 @@ private[sources] class TickScan(rows: Long, pages: Int, lo: Long, hi: Long,
     new TickMicroBatchStream(rows, pages, required,
       maxPerTrigger.getOrElse(rows))
   override def description(): String =
-    s"graft-ticks rows=$rows pages=$pages range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
+    s"graft-ticks rows=$rows pages=$pages range=[$lo,$hi) " +
+      s"cols=${required.fieldNames.mkString(",")}" +
+      pushedAgg.map(a => s" PushedAggregates=[${a.describe}]").getOrElse("")
 
   /** One partition per ORIGINAL page whose id-range intersects the pushed
     * bounds — pages fully outside the bounds are never planned (the
-    * "skipped REST request").
+    * "skipped REST request"). With a pushed aggregate over an empty range,
+    * ONE empty-range partition is still planned so the count partial 0
+    * exists (a zero-partition scan would make the final sum NULL, not 0).
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val per = (rows + pages - 1) / pages
-    (0 until pages).iterator
+    val live = (0 until pages).iterator
       .map { p =>
         val s = math.max(lo, p * per)
         val e = math.min(hi, math.min(rows, (p + 1) * per))
@@ -156,10 +235,28 @@ private[sources] class TickScan(rows: Long, pages: Int, lo: Long, hi: Long,
       }
       .filter(pp => pp.start < pp.end)
       .toArray[InputPartition]
+    if (live.isEmpty && pushedAgg.isDefined) Array(TickPage(0, lo, lo))
+    else live
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TickReaderFactory(required)
+    pushedAgg match {
+      case Some(agg) => new TickAggReaderFactory(agg)
+      case None => new TickReaderFactory(required)
+    }
+}
+
+private[sources] class TickAggReaderFactory(agg: TickAggregation)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val page = partition.asInstanceOf[TickPage]
+      private var emitted = false
+      override def next(): Boolean = { val go = !emitted; emitted = true; go }
+      override def get(): InternalRow = InternalRow.fromSeq(
+        agg.specs.toSeq.map(_.value(page.start, page.end).orNull))
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] case class TickPage(page: Int, start: Long, end: Long)

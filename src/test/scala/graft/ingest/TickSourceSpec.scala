@@ -79,4 +79,39 @@ class TickSourceSpec extends SparkSpec {
       .collect().map(_.mkString("|")).sorted.toSeq
     assert(canon(1) === canon(7))
   }
+
+  test("aggregate pushdown: count/min/max answered without generating rows") {
+    val df = ticks().filter(col("tick_id") >= 100L && col("tick_id") < 900L)
+      .agg(count(lit(1)).as("n"), min(col("tick_id")).as("lo"),
+        max(col("tick_id")).as("hi"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates=[count(*),min(tick_id),max(tick_id)]"), plan)
+    val r = df.head()
+    assert(r.getLong(0) === 800L && r.getLong(1) === 100L && r.getLong(2) === 899L)
+  }
+
+  test("aggregate pushdown declines non-monotone columns (falls back to scan)") {
+    val df = ticks().agg(min(col("price")).as("p"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedAggregates"), plan)
+    assert(df.head().getDouble(0) === ticks().select(min("price")).head().getDouble(0))
+  }
+
+  test("pushed count over an empty range is 0, min is NULL (not an empty result)") {
+    val df = ticks().filter(col("tick_id") >= 50000L)
+      .agg(count(lit(1)).as("n"), min(col("tick_id")).as("lo"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"), plan)
+    val r = df.head()
+    assert(r.getLong(0) === 0L)
+    assert(r.isNullAt(1))
+  }
+
+  test("limit pushdown clips the id range after pushed filters") {
+    val df = ticks().filter(col("tick_id") >= 1000L).limit(50)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[1000,1050)"), plan)
+    val ids = df.collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === (1000L until 1050L).toSeq)
+  }
 }

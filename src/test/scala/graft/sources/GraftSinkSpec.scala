@@ -102,6 +102,29 @@ class GraftSinkSpec extends SparkSpec {
     assert(readBack(dir).count() === 1L)
   }
 
+  test("clusterBy: the sink's required distribution puts each key wholly in one file") {
+    import spark.implicits._
+    val dir = freshDir("cluster")
+    val kSchema = StructType(Seq(
+      StructField("k", StringType), StructField("id", LongType)))
+    (1L to 300L).map(i => (s"key${i % 5}", i)).toDF("k", "id")
+      .repartition(6) // scattered input; the SINK requests the clustering
+      .write.format("graft-sink").option("clusterBy", "k")
+      .mode("append").save(dir)
+    val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new HPath(dir))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".csv"))
+      .map(_.getPath.toString)
+    val keySets = files.map { f =>
+      spark.read.schema(kSchema).csv(f).select(col("k"))
+        .distinct().collect().map(_.getString(0)).toSet
+    }.filter(_.nonEmpty)
+    val all = keySets.flatten
+    assert(all.toSet.size === 5)
+    assert(all.length === all.toSet.size,
+      s"a key appeared in two files: ${keySets.mkString(";")}")
+  }
+
   test("replayed streaming epoch commit is idempotent (same final names)") {
     val dir = freshDir("epoch")
     val qid = "qid-epoch"
