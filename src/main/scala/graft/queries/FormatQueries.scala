@@ -240,6 +240,40 @@ object FormatQueries {
       |FROM range(1000, 1100) t(i)
       |ORDER BY tick_id""".stripMargin
 
+  /** Runtime-filtered join (`SupportsRuntimeFiltering`): the build side —
+    * high-value order keys, known only after ITS scan runs — reaches the
+    * tick scan as an In-filter at RUN time, narrowing the id range and
+    * skipping pages none of the keys fall into (the DSv2 dynamic-pruning
+    * contract; compile-time pushdown can't see these keys). Join semantics
+    * are engine-enforced either way — runtime filtering only prunes — so
+    * the oracle is the plain join recomputed in DuckDB.
+    */
+  val restRuntimeFilter: Q = (s, dir) => {
+    val keys = graft.Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"))
+    ticks(s).join(keys, col("tick_id") === col("o_orderkey"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_ticks"),
+        graft.Parity.pround(
+          sum(col("price").cast(DecimalType(30, 10))).cast("double"), 6)
+          .as("sum_price"))
+      .orderBy(col("symbol"))
+  }
+
+  val restRuntimeFilterSql: String =
+    """WITH t AS (
+      |  SELECT i AS tick_id,
+      |         CASE i % 3 WHEN 0 THEN 'EURUSD' WHEN 1 THEN 'GBPUSD'
+      |              ELSE 'USDJPY' END AS symbol,
+      |         1.0 + CAST((i * 7919) % 10000 AS DOUBLE) / 10000.0 AS price
+      |  FROM range(0, 10000) r(i)),
+      |k AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+      |SELECT symbol, count(*) AS n_ticks,
+      |       floor(CAST(sum(CAST(price AS DECIMAL(30,10))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS sum_price
+      |FROM t JOIN k ON tick_id = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val sinkReadSchema = StructType(Seq(
     StructField("tick_id", LongType),
     StructField("page", LongType), // int on the wire; widened on read
@@ -330,6 +364,7 @@ object FormatQueries {
     "rest_source_agg" -> restSourceAgg,
     "rest_pushed_agg" -> restPushedAgg,
     "rest_limit_push" -> restLimitPush,
+    "rest_runtime_filter" -> restRuntimeFilter,
     "dsv2_sink_roundtrip" -> dsv2SinkRoundtrip,
     "stream_dsv2_sink" -> streamDsv2Sink)
 
@@ -343,6 +378,7 @@ object FormatQueries {
     "rest_source_agg" -> restSourceAggSql,
     "rest_pushed_agg" -> restPushedAggSql,
     "rest_limit_push" -> restLimitPushSql,
+    "rest_runtime_filter" -> restRuntimeFilterSql,
     "dsv2_sink_roundtrip" -> dsv2SinkRoundtripSql,
     "stream_dsv2_sink" -> streamRestSourceSql) // same tiling arithmetic as the read
 }

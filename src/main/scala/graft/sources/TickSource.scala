@@ -78,7 +78,7 @@ private[sources] class TickTable(rows: Long, pages: Int)
       Option(options.get("maxTicksPerTrigger")).map(_.toLong))
 }
 
-private[sources] class TickScanBuilder(rows: Long, pages: Int,
+private[graft] class TickScanBuilder(rows: Long, pages: Int,
     maxPerTrigger: Option[Long])
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
@@ -193,14 +193,41 @@ private[sources] case class TickAggregation(specs: Array[TickAggSpec]) {
   def describe: String = specs.map(_.desc).mkString(",")
 }
 
-private[sources] class TickScan(rows: Long, pages: Int, lo: Long, hi: Long,
+private[sources] class TickScan(rows: Long, pages: Int,
+    private var lo: Long, private var hi: Long,
     required: StructType, maxPerTrigger: Option[Long] = None,
     pushedAgg: Option[TickAggregation] = None)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType =
     pushedAgg.map(_.schema).getOrElse(required)
   override def toBatch: Batch = this
+
+  // RUNTIME filtering (the DSv2 dynamic-pruning hook): after the join's
+  // build side executes, the engine hands this scan the observed key set —
+  // BEFORE planInputPartitions — so pages no key falls into are never
+  // fetched. The compile-time pushdown narrows on CONSTANTS; this narrows
+  // on data known only at run time (the DPP contract).
+  private var runtimeIds: Option[Array[Long]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("tick_id"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case org.apache.spark.sql.sources.In("tick_id", vs) =>
+      val ids = vs.collect { case v: java.lang.Long => v.longValue() }.sorted
+      if (ids.nonEmpty) {
+        lo = math.max(lo, ids.head)
+        hi = math.min(hi, ids.last + 1L)
+        runtimeIds = Some(ids)
+      } else { hi = lo } // empty build side: nothing can match
+    case GreaterThan("tick_id", v: Long) => lo = math.max(lo, v + 1L)
+    case GreaterThanOrEqual("tick_id", v: Long) => lo = math.max(lo, v)
+    case LessThan("tick_id", v: Long) => hi = math.min(hi, v)
+    case LessThanOrEqual("tick_id", v: Long) => hi = math.min(hi, v + 1L)
+    case _ => // residual filters are Spark's to evaluate post-scan
+  }
 
   /** Streaming half: the offset is simply the next unread tick_id — the
     * feed is a totally ordered log, so exactly-once is offset-range
@@ -234,6 +261,13 @@ private[sources] class TickScan(rows: Long, pages: Int, lo: Long, hi: Long,
         TickPage(p, s, e)
       }
       .filter(pp => pp.start < pp.end)
+      // page-level runtime pruning: drop pages holding NONE of the build
+      // side's ids (binary search into the sorted runtime key set)
+      .filter(pp => runtimeIds.forall { ids =>
+        val i = java.util.Arrays.binarySearch(ids, pp.start)
+        val at = if (i >= 0) i else -i - 1
+        at < ids.length && ids(at) < pp.end
+      })
       .toArray[InputPartition]
     if (live.isEmpty && pushedAgg.isDefined) Array(TickPage(0, lo, lo))
     else live

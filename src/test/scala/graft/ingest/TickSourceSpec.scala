@@ -107,6 +107,33 @@ class TickSourceSpec extends SparkSpec {
     assert(r.isNullAt(1))
   }
 
+  test("runtime filter narrows the range and prunes pages the key set misses") {
+    import org.apache.spark.sql.sources.In
+    // drive the SupportsRuntimeFiltering contract directly (the engine
+    // calls filter() with the build side's observed keys before planning)
+    val scan = new graft.sources.TickScanBuilder(10000L, 8, None).build()
+    val rf = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    assert(rf.filterAttributes().map(_.describe()).toSeq === Seq("tick_id"))
+    rf.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("tick_id", Array[Any](130L, 180L, 9100L))))
+    val parts = scan.toBatch.planInputPartitions()
+    // pages are 1250 wide: ids 130/180 live in page 0, 9100 in page 7 —
+    // pages 1..6 hold none of the keys and must not be planned
+    assert(parts.length === 2, parts.mkString(","))
+    assert(scan.description().contains("range=[130,9101)"), scan.description())
+  }
+
+  test("runtime-filtered join returns exactly the matching rows") {
+    import spark.implicits._
+    val keys = Seq(5L, 700L, 1300L, 9999L).toDF("k")
+    val got = ticks().join(keys, col("tick_id") === col("k"))
+      .select(col("tick_id"), col("price"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val expect = Set(5L, 700L, 1300L, 9999L)
+      .map(i => (i, 1.0 + ((i * 7919L) % 10000L).toDouble / 10000.0))
+    assert(got === expect)
+  }
+
   test("limit pushdown clips the id range after pushed filters") {
     val df = ticks().filter(col("tick_id") >= 1000L).limit(50)
     val plan = df.queryExecution.executedPlan.toString
