@@ -164,11 +164,95 @@ object DriftQueries {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  /** ROBUST outliers per event_type — median/MAD instead of mean/σ, the
+    * detector that survives what z-scores cannot: the outliers themselves
+    * inflate σ until they hide (masking), while the median absolute
+    * deviation has a 50% breakdown point. Flag: |value − median| >
+    * 3 · 1.4826 · MAD (1.4826 normalizes MAD to σ under normality; the
+    * multiply is one exact IEEE op).
+    *
+    * Exact medians, not approx: rank selection via a per-type ordered
+    * window — rows at 1-based ranks ⌊(n+1)/2⌋ and ⌈(n+1)/2⌉ average (one
+    * add + one halving, both engine-exact; odd n selects one row twice by
+    * the same formula). Two selection passes (values, then deviations),
+    * each a per-type spillable window sort — parallel ACROSS types, so no
+    * single-task stage; at 100 TB exact per-group medians are two sorts of
+    * the group's own rows, the same cost class as any per-key window here,
+    * and the deterministic (value, event_id) tiebreak makes both engines
+    * select identical rows.
+    */
+  val robustOutliers: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    def medianBy(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col(valueCol), col("event_id"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+        // Spark `/` on longs is FRACTIONAL division (DuckDB's is `//`):
+        // floor to get the integer ranks, or even-n groups select nothing
+        .filter(col("rn") === floor((col("n") + 1L) / 2L).cast("long") ||
+          col("rn") === floor((col("n") + 2L) / 2L).cast("long"))
+        .groupBy(col("event_type"))
+        // 1 row (odd n, both ranks coincide) or 2 (even): sum/count is
+        // identity or one add + exact halving
+        .agg((sum(col(valueCol)) / count(lit(1))).as(out))
+    }
+    val med = medianBy(ev, "value", "med")
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = medianBy(dev, "adev", "mad").filter(col("mad") > 0.0)
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("adev") > lit(3.0) * (lit(1.4826) * col("mad")))
+      .select(col("event_id"), col("event_type"), col("value"),
+        graft.Parity.pround(col("med"), 6).as("med"),
+        graft.Parity.pround(col("mad"), 6).as("mad"))
+      .orderBy(col("event_id"))
+  }
+
+  val robustOutliersSql: String =
+    s"""WITH ev AS (SELECT event_id, event_type, value FROM events),
+       |r1 AS (
+       |  SELECT event_type, value,
+       |         row_number() OVER (PARTITION BY event_type
+       |                            ORDER BY value, event_id) AS rn,
+       |         count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM ev),
+       |med AS (
+       |  SELECT event_type, sum(value) / count(*) AS med
+       |  FROM r1 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+       |  GROUP BY 1),
+       |dev AS (
+       |  SELECT e.event_id, e.event_type, e.value, m.med,
+       |         abs(e.value - m.med) AS adev
+       |  FROM ev e JOIN med m USING (event_type)),
+       |r2 AS (
+       |  SELECT event_type, adev,
+       |         row_number() OVER (PARTITION BY event_type
+       |                            ORDER BY adev, event_id) AS rn,
+       |         count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM dev),
+       |mad AS (
+       |  SELECT event_type, sum(adev) / count(*) AS mad
+       |  FROM r2 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+       |  GROUP BY 1
+       |  HAVING sum(adev) / count(*) > 0.0)
+       |SELECT d.event_id, d.event_type, d.value,
+       |       ${graft.Parity.proundSql("d.med", 6)} AS med,
+       |       ${graft.Parity.proundSql("a.mad", 6)} AS mad
+       |FROM dev d JOIN mad a USING (event_type)
+       |WHERE d.adev > 3.0 * (1.4826 * a.mad)
+       |ORDER BY d.event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "value_outliers" -> valueOutliers,
+    "robust_outliers" -> robustOutliers,
     "dist_drift" -> distDrift)
 
   val oracleSql: Map[String, String] = Map(
     "value_outliers" -> valueOutliersSql,
+    "robust_outliers" -> robustOutliersSql,
     "dist_drift" -> distDriftSql)
 }

@@ -197,11 +197,31 @@ private[sources] class TickScan(rows: Long, pages: Int,
     private var lo: Long, private var hi: Long,
     required: StructType, maxPerTrigger: Option[Long] = None,
     pushedAgg: Option[TickAggregation] = None)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
 
   override def readSchema(): StructType =
     pushedAgg.map(_.schema).getOrElse(required)
   override def toBatch: Batch = this
+
+  /** Size statistics AFTER pushdown (`SupportsReportStatistics`): the
+    * planner sees the NARROWED row count, so a source slimmed by pushed
+    * bounds auto-broadcasts in joins without any hint — exactly how a
+    * file source's post-pruning size drives join strategy. Bytes estimate:
+    * fixed-width columns at face value, symbol at its 6-char vocabulary.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(0L, hi - lo)
+    private val rowBytes = required.fields.map(_.dataType match {
+      case LongType | DoubleType | TimestampType => 8L
+      case IntegerType => 4L
+      case StringType => 20L
+      case _ => 16L
+    }).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n * math.max(1L, rowBytes))
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(n)
+  }
 
   // RUNTIME filtering (the DSv2 dynamic-pruning hook): after the join's
   // build side executes, the engine hands this scan the observed key set —

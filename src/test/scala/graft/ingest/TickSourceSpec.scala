@@ -134,6 +134,25 @@ class TickSourceSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("post-pushdown statistics drive auto-broadcast without a hint") {
+    // a 200-row pushed slice reports ~200 rows via SupportsReportStatistics,
+    // far under the broadcast threshold -> the UNHINTED join broadcasts the
+    // tick side; the full 10k feed against threshold 1KB does not
+    val slim = ticks().filter(col("tick_id") >= 100L && col("tick_id") < 300L)
+    val fat = spark.range(0, 100000L).toDF("k")
+    val joined = fat.join(slim, col("k") === col("tick_id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(joined.count() === 200L)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      val wide = fat.join(ticks(), col("k") === col("tick_id"))
+      val widePlan = wide.queryExecution.executedPlan.toString
+      assert(!widePlan.contains("BroadcastHashJoin"), widePlan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("limit pushdown clips the id range after pushed filters") {
     val df = ticks().filter(col("tick_id") >= 1000L).limit(50)
     val plan = df.queryExecution.executedPlan.toString
