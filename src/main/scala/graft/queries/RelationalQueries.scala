@@ -2245,6 +2245,88 @@ object RelationalQueries {
        |FROM d$rounds GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Weighted single-source shortest paths (hop-bounded Bellman–Ford) on
+    * the parts-co-ordered graph — the fifth iterative-graph primitive
+    * (BFS relaxes hop counts; this relaxes WEIGHTED distances, so a long
+    * cheap path can beat a short expensive one). Edge weights are pure
+    * integer arithmetic over the endpoint ids (`1 + (src+dst) mod 7`) —
+    * deterministic, engine-portable, and integral so min-plus relaxation
+    * is exact (no float accumulation anywhere in the loop).
+    *
+    * Each round is one min-plus relaxation: `dist' = min(dist,
+    * min over edges (dist[src] + w))` — one co-partitioned join of the
+    * dist vector against the scratch edge table plus one min-aggregate
+    * with map-side partials, both key-shuffles, nothing broadcast (the
+    * dist vector grows toward |V| — the graph_triangles pre-gate
+    * mistake). Monotonicity gives the fixpoint argument: distances only
+    * decrease, so once a round changes nothing, no later round can
+    * (early exit ≡ running the cap out, the [[bfsHops]] argument), and
+    * the changed-count is the per-round driver scalar. `dist`
+    * re-materializes per round, capping lineage depth.
+    */
+  def ssspWeighted(s: SparkSession, dir: String, maxRounds: Int = 4): DataFrame = {
+    val d = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("it"))
+      .distinct()
+    val half = d.as("d1").join(d.as("d2"), Seq("ok"))
+      .filter(col("d1.it") < col("d2.it"))
+      .select(col("d1.it").as("src"), col("d2.it").as("dst"))
+      .distinct()
+    val edges = graft.Scratch.table(
+      half.unionAll(half.select(col("dst").as("src"), col("src").as("dst")))
+        .withColumn("w", lit(1L) + pmod(col("src") + col("dst"), lit(7L))),
+      "sssp-edges")
+    val seeds = edges.select(col("src").as("x")).distinct()
+      .orderBy(col("x")).limit(3)
+    var dist = graft.Scratch.table(
+      seeds.select(col("x"), lit(0L).as("d")), "sssp-d0")
+    var round = 1
+    var done = false
+    while (!done && round <= maxRounds) {
+      val relaxed = dist.join(edges, dist("x") === edges("src"))
+        .select(col("dst").as("x"), (col("d") + col("w")).as("d"))
+      val next = graft.Scratch.table(
+        dist.unionAll(relaxed).groupBy(col("x")).agg(min(col("d")).as("d")),
+        s"sssp-d$round")
+      // fixpoint: count of strictly-improved-or-new labels this round
+      val changed = next.join(dist.select(col("x"), col("d").as("d0")), Seq("x"), "left_outer")
+        .filter(col("d0").isNull || col("d") < col("d0"))
+        .count()
+      dist = next
+      if (changed == 0L) done = true else round += 1
+    }
+    dist.groupBy(col("d"))
+      .agg(count(lit(1)).as("n_parts"),
+        min(col("x")).as("min_part"), max(col("x")).as("max_part"))
+      .orderBy(col("d"))
+  }
+
+  val ssspWeightedSql: String = {
+    def round(i: Int): String =
+      s"""d$i AS MATERIALIZED (
+         |  SELECT x, min(dd) AS d FROM (
+         |    SELECT x, d AS dd FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS x, p.d + e.w AS dd
+         |    FROM d${i - 1} p JOIN e ON p.x = e.src) GROUP BY 1)""".stripMargin
+    val chain = (1 to 4).map(round).mkString(",\n")
+    s"""WITH dd AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS it FROM lineitem),
+       |half AS MATERIALIZED (
+       |  SELECT DISTINCT d1.it AS src, d2.it AS dst
+       |  FROM dd d1 JOIN dd d2 ON d1.ok = d2.ok AND d1.it < d2.it),
+       |e AS MATERIALIZED (
+       |  SELECT src, dst, 1 + (src + dst) % 7 AS w FROM (
+       |    SELECT src, dst FROM half
+       |    UNION ALL SELECT dst AS src, src AS dst FROM half)),
+       |d0 AS MATERIALIZED (
+       |  SELECT x, CAST(0 AS BIGINT) AS d FROM (
+       |    SELECT DISTINCT src AS x FROM e ORDER BY 1 LIMIT 3)),
+       |$chain
+       |SELECT d, count(*) AS n_parts, min(x) AS min_part, max(x) AS max_part
+       |FROM d4 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Distribution window functions — ntile / percent_rank / cume_dist
     * over a deterministic total order (totalprice with the unique order
     * key as tiebreak), completing the window-function surface beyond
@@ -2581,6 +2663,7 @@ object RelationalQueries {
     "window_ties" -> windowTies,
     "global_index" -> globalIndexQ,
     "bfs_hops" -> ((s: SparkSession, d: String) => bfsHops(s, d)),
+    "sssp_weighted" -> ((s: SparkSession, d: String) => ssspWeighted(s, d)),
     "snapshot_diff" -> snapshotDiff,
     "incremental_mv" -> incrementalMv,
     "incremental_mv_deletes" -> incrementalMvDeletes,
@@ -2638,6 +2721,7 @@ object RelationalQueries {
     "window_ties" -> windowTiesSql,
     "global_index" -> globalIndexSql,
     "bfs_hops" -> bfsHopsSql,
+    "sssp_weighted" -> ssspWeightedSql,
     "snapshot_diff" -> snapshotDiffSql,
     "incremental_mv" -> incrementalMvSql,
     "incremental_mv_deletes" -> incrementalMvDeletesSql,

@@ -45,6 +45,36 @@ class BfsSpec extends SparkSpec {
     assert(h1 === n1)
   }
 
+  test("sssp: seeds at distance 0, every distance realizable, fixpoint sane") {
+    val rows = RelationalQueries.ssspWeighted(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("d"), r.getAs[Long]("n_parts"))).toMap
+    // the 3 seeds sit at distance 0
+    assert(rows.getOrElse(0L, 0L) === 3L)
+    // weighted distances are nonnegative and the reachable set is bounded
+    // by the vertex universe
+    assert(rows.keys.forall(_ >= 0L))
+    val nVerts = graph.select(col("src")).distinct().count()
+    assert(rows.values.sum <= nVerts)
+  }
+
+  test("sssp: a weighted distance never exceeds maxWeight * its BFS hop count") {
+    // dist(v) <= 7 * hops(v) for every vertex both label (edge weights are
+    // 1..7 and both run the same 4 rounds), and dist(v) >= hops(v) since
+    // weights are >= 1 — pinning that the relaxation really is min-plus
+    // over the same graph, not a rescaled hop count
+    val hops = RelationalQueries.bfsHops(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("hop"), r.getAs[Long]("n_parts"))).toMap
+    val dists = RelationalQueries.ssspWeighted(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("d"), r.getAs[Long]("n_parts"))).toMap
+    val maxHop = hops.keys.max
+    val maxDist = dists.keys.max
+    assert(maxDist <= 7L * maxHop)
+    assert(maxDist >= maxHop)
+    // identical coverage: round r of Bellman-Ford relaxes every path of
+    // <= r edges, exactly the <= r-hop reachable set BFS labels
+    assert(hops.values.sum === dists.values.sum)
+  }
+
   test("hops are contiguous from 0 and total coverage never exceeds |V|") {
     val hops = hist.map(_._1).sorted
     assert(hops === (0L until hops.length.toLong))

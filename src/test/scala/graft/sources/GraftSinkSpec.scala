@@ -125,6 +125,40 @@ class GraftSinkSpec extends SparkSpec {
       s"a key appeared in two files: ${keySets.mkString(";")}")
   }
 
+  test("exactly-once end to end: stop mid-stream, restart from checkpoint, no dup no gap") {
+    val dir = freshDir("restart")
+    val ckpt = freshDir("restart_ckpt")
+    val tickSchema = StructType(Seq(
+      StructField("tick_id", LongType), StructField("price", DoubleType)))
+    def start(trigger: org.apache.spark.sql.streaming.Trigger) =
+      spark.readStream.format("graft-ticks")
+        .option("rows", "4000").option("pages", "4")
+        .option("maxTicksPerTrigger", "1000").load()
+        .select(col("tick_id"), col("price"))
+        .writeStream.format("graft-sink")
+        .option("path", dir).option("checkpointLocation", ckpt)
+        .trigger(trigger)
+        .start()
+    // phase 1: run a couple of micro-batches, then stop MID-STREAM
+    val q1 = start(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+    try {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (q1.recentProgress.count(_.numInputRows > 0L) < 2 &&
+        System.nanoTime() < deadline) Thread.sleep(100L)
+      assert(q1.recentProgress.exists(_.numInputRows > 0L), "no progress in 60s")
+    } finally q1.stop()
+    // phase 2: restart from the SAME checkpoint; AvailableNow drains the rest
+    val q2 = start(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try assert(q2.awaitTermination(120000), "drain must finish")
+    finally q2.stop()
+    val ids = spark.read.schema(tickSchema)
+      .option("pathGlobFilter", "epoch-*.csv").csv(dir)
+      .select(col("tick_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === (0L until 4000L).toSeq,
+      s"restart must resume the offset log exactly: got ${ids.length} rows, " +
+        s"dups=${ids.length - ids.distinct.length}")
+  }
+
   test("replayed streaming epoch commit is idempotent (same final names)") {
     val dir = freshDir("epoch")
     val qid = "qid-epoch"
