@@ -2245,6 +2245,110 @@ object RelationalQueries {
        |FROM d$rounds GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Community QUALITY measurement — Newman modularity per community over
+    * the [[labelProp]] partition of the trade graph: `Q_c = m_c/m −
+    * (d_c/2m)²` (intra-edge fraction minus the random-graph expectation).
+    * This is the evaluation step community detection needs before anyone
+    * trusts the labels — a partition with near-zero modularity is noise
+    * regardless of how pretty the label counts look.
+    *
+    * Scale shape: the label vector joins the edge table TWICE (src label,
+    * dst label) — both co-partitioned key joins; intra-edge and degree
+    * sums are map-side-combined aggregates into a |communities|-sized
+    * relation; per-community arithmetic is one division, one square, one
+    * subtract — identical IEEE op order both engines, from exact integer
+    * counts (every directed edge count is even by symmetry, so the /2
+    * halving is exact). Output is the 20 largest communities — bounded at
+    * any graph size; the global Q is the reader's exact decimal sum away.
+    */
+  val modularityScore: Q = (s, dir) => {
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), (-col("l_suppkey")).as("p"))
+      .distinct()
+    val edges = graft.Scratch.table(
+      pairs.select(col("c").as("src"), col("p").as("dst"))
+        .union(pairs.select(col("p").as("src"), col("c").as("dst"))),
+      "mod-edges")
+    val labels = labelPropagate(edges, maxRounds = 4)._1
+      .select(col("v"), col("label"))
+    val m = edges.count() / 2L // both directions materialized
+    val labeled = edges
+      .join(labels.select(col("v").as("sv"), col("label").as("src_label")),
+        col("src") === col("sv"))
+      .join(labels.select(col("v").as("dv"), col("label").as("dst_label")),
+        col("dst") === col("dv"))
+    // directed same-label edges: each undirected intra edge counted twice
+    val intra = labeled.filter(col("src_label") === col("dst_label"))
+      .groupBy(col("src_label").as("community"))
+      .agg((count(lit(1)) / 2L).cast("long").as("intra_edges"))
+    // deg(v) = directed out-count (symmetric edges); d_c = sum over members
+    val degSum = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+      .join(labels, Seq("v"))
+      .groupBy(col("label").as("community"))
+      .agg(sum(col("deg")).as("degree_sum"), count(lit(1)).as("n_nodes"))
+    degSum.join(intra, Seq("community"), "left_outer")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"),
+        graft.Parity.pround(
+          coalesce(col("intra_edges"), lit(0L)).cast("double") / lit(m.toDouble) -
+            (col("degree_sum").cast("double") / lit(2.0 * m)) *
+              (col("degree_sum").cast("double") / lit(2.0 * m)), 12)
+          .as("q_contrib"))
+      .orderBy(col("n_nodes").desc, col("community"))
+      .limit(20)
+  }
+
+  val modularityScoreSql: String = {
+    def round(prev: String, i: Int): String =
+      s"""l$i AS MATERIALIZED (
+         |  SELECT dst AS v, label FROM (
+         |    SELECT dst, label,
+         |           row_number() OVER (PARTITION BY dst
+         |                              ORDER BY cnt DESC, label ASC) AS rn
+         |    FROM (SELECT e.dst, l.label, count(*) AS cnt
+         |          FROM e JOIN $prev l ON e.src = l.v
+         |          GROUP BY e.dst, l.label))
+         |  WHERE rn = 1)""".stripMargin
+    val chain = (1 to 4).map(i => round(s"l${i - 1}", i)).mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey AS c, -l_suppkey AS p
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS MATERIALIZED (
+       |  SELECT c AS src, p AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT p AS src, c AS dst FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS v, src AS label FROM e),
+       |$chain,
+       |m AS (SELECT count(*) / 2 AS m FROM e),
+       |lab AS (SELECT v, label FROM l4),
+       |intra AS (
+       |  SELECT ls.label AS community, CAST(count(*) / 2 AS BIGINT) AS intra_edges
+       |  FROM e
+       |  JOIN lab ls ON e.src = ls.v
+       |  JOIN lab ld ON e.dst = ld.v
+       |  WHERE ls.label = ld.label
+       |  GROUP BY 1),
+       |degs AS (
+       |  SELECT l.label AS community, CAST(sum(d.deg) AS BIGINT) AS degree_sum,
+       |         count(*) AS n_nodes
+       |  FROM (SELECT src AS v, count(*) AS deg FROM e GROUP BY 1) d
+       |  JOIN lab l ON d.v = l.v
+       |  GROUP BY 1)
+       |SELECT d.community, d.n_nodes,
+       |       coalesce(i.intra_edges, 0) AS intra_edges, d.degree_sum,
+       |       ${graft.Parity.proundSql(
+                 "CAST(coalesce(i.intra_edges, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)" +
+                   " - (CAST(d.degree_sum AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))" +
+                   " * (CAST(d.degree_sum AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))",
+                 12)} AS q_contrib
+       |FROM degs d LEFT JOIN intra i ON d.community = i.community
+       |CROSS JOIN m
+       |ORDER BY d.n_nodes DESC, d.community
+       |LIMIT 20""".stripMargin
+  }
+
   /** Weighted single-source shortest paths (hop-bounded Bellman–Ford) on
     * the parts-co-ordered graph — the fifth iterative-graph primitive
     * (BFS relaxes hop counts; this relaxes WEIGHTED distances, so a long
@@ -2620,6 +2724,7 @@ object RelationalQueries {
 
   val queries: Map[String, Q] = Map(
     "label_prop" -> labelProp,
+    "modularity_score" -> modularityScore,
     "window_distribution" -> windowDistribution,
     "range_frame_sum" -> rangeFrameSum,
     "events_grouping_sets" -> eventsGroupingSets,
@@ -2678,6 +2783,7 @@ object RelationalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "label_prop" -> labelPropSql,
+    "modularity_score" -> modularityScoreSql,
     "window_distribution" -> windowDistributionSql,
     "range_frame_sum" -> rangeFrameSumSql,
     "events_grouping_sets" -> eventsGroupingSetsSql,

@@ -562,7 +562,76 @@ object StoreQueries {
        |WHERE CAST(observed_at AS DATE) >= DATE '2024-01-15'
        |ORDER BY observed_at""".stripMargin
 
+  /** Snapshot TIME TRAVEL over a generation-committed upsert store — the
+    * Iceberg/Delta "read the table as of commit k" contract modeled on
+    * parquet: each write lands as a `gen=N` directory (the commit), and a
+    * read AS OF k is a MERGE-ON-READ over generations ≤ k — latest
+    * generation wins per key, resolved by one keep-latest window, no file
+    * from a later commit ever opened (time travel is DIRECTORY SELECTION,
+    * a metadata operation, before any IO). Three generational upsert
+    * batches (per-user day aggregates for three days) are written; the
+    * query reads AS OF gen 2: gen-3 rows must be invisible, gen-2 rows
+    * shadow gen-1 rows for overlapping users.
+    *
+    * Scale shape: generation writes are day-pruned scans + one keyed
+    * aggregate each; the as-of read scans only gens ≤ k (pruned at path
+    * level), and the keep-latest window partitions BY KEY — parallel
+    * across users, the [[scd2Snapshot]] cost class. At 100 TB the gen
+    * column would live in a manifest, but the read shape — prune commits,
+    * then merge-on-read per key — is exactly this.
+    */
+  val storeTimeTravel: Q = (s, dir) => {
+    val target = s"${sys.props("java.io.tmpdir")}/graft_store/store_time_travel"
+    def genBatch(day: String): org.apache.spark.sql.DataFrame =
+      graft.Tables.eventsDay(s, dir, java.time.LocalDate.parse(day))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.Parity.pround(
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 10)))
+              .cast("double"), 6).as("value_sum"))
+    Seq("2024-01-05", "2024-01-06", "2024-01-07").zipWithIndex.foreach {
+      case (day, i) =>
+        genBatch(day).write.mode("overwrite").parquet(s"$target/gen=${i + 1}")
+    }
+    val asOf = 2
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("gen").desc)
+    s.read.option("basePath", target)
+      .parquet((1 to asOf).map(g => s"$target/gen=$g"): _*)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"), col("value_sum"),
+        col("gen").cast("long").as("src_gen"))
+      .orderBy(col("user_id"))
+  }
+
+  val storeTimeTravelSql: String =
+    s"""WITH g1 AS (
+       |  SELECT user_id, count(*) AS n_events,
+       |         ${graft.Parity.proundSql(
+                   "CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)", 6)} AS value_sum,
+       |         1 AS gen
+       |  FROM events
+       |  WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-05'
+       |  GROUP BY 1),
+       |g2 AS (
+       |  SELECT user_id, count(*) AS n_events,
+       |         ${graft.Parity.proundSql(
+                   "CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)", 6)} AS value_sum,
+       |         2 AS gen
+       |  FROM events
+       |  WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-06'
+       |  GROUP BY 1),
+       |u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+       |r AS (
+       |  SELECT user_id, n_events, value_sum, gen,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY gen DESC) AS rn
+       |  FROM u)
+       |SELECT user_id, n_events, value_sum, CAST(gen AS BIGINT) AS src_gen
+       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "store_time_travel" -> storeTimeTravel,
     "store_retention" -> storeRetention,
     "schema_evolution" -> schemaEvolution,
     "schema_widening" -> schemaWidening,
@@ -574,6 +643,7 @@ object StoreQueries {
     "zorder_store" -> zorderStore,
     "bucketed_join" -> bucketedJoin)
   val oracleSql: Map[String, String] = Map(
+    "store_time_travel" -> storeTimeTravelSql,
     "store_retention" -> storeRetentionSql,
     "schema_evolution" -> schemaEvolutionSql,
     "schema_widening" -> schemaWideningSql,

@@ -105,4 +105,23 @@ class LabelPropSpec extends SparkSpec {
     assert(labelsCap.orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       === got)
   }
+
+  test("modularity: contributions bounded, intra edges never exceed degree mass") {
+    val rows = RelationalQueries.modularityScore(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (n, intra, dsum, q) = (r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("intra_edges"), r.getAs[Long]("degree_sum"),
+        r.getAs[Double]("q_contrib"))
+      assert(n > 0L)
+      // each intra edge contributes 2 to the community's degree sum
+      assert(2L * intra <= dsum, s"intra=$intra dsum=$dsum")
+      // Q_c ∈ (-0.25, 1): the random-expectation term is at most
+      // (d_c/2m)² ≤ 1/4 of itself... more precisely Q_c <= m_c/m <= 1
+      assert(q <= 1.0 && q >= -1.0)
+    }
+    // ordered by size desc
+    val sizes = rows.map(_.getAs[Long]("n_nodes")).toSeq
+    assert(sizes == sizes.sortBy(-_))
+  }
 }

@@ -77,4 +77,25 @@ class SchemaEvolutionSpec extends SparkSpec {
     val g2 = spark.read.parquet(s"$target/gen=2")
     assert(g2.schema.fieldNames.contains("amount"))
   }
+
+  test("time travel: as-of gen 2 hides gen 3 and lets gen 2 shadow gen 1") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.StoreQueries.storeTimeTravel(spark, sf001).collect()
+    assert(out.nonEmpty)
+    // nothing from the future commit
+    assert(out.forall(_.getAs[Long]("src_gen") <= 2L))
+    // users present in BOTH gen1 and gen2 must surface with src_gen 2
+    val target = s"${sys.props("java.io.tmpdir")}/graft_store/store_time_travel"
+    val g1 = spark.read.parquet(s"$target/gen=1")
+      .select(col("user_id")).collect().map(_.getLong(0)).toSet
+    val g2 = spark.read.parquet(s"$target/gen=2")
+      .select(col("user_id")).collect().map(_.getLong(0)).toSet
+    val both = g1 intersect g2
+    assert(both.nonEmpty, "fixture has overlapping users across gens")
+    out.filter(r => both.contains(r.getAs[Long]("user_id")))
+      .foreach(r => assert(r.getAs[Long]("src_gen") === 2L))
+    // gen-1-only users survive untouched
+    val only1 = g1 -- g2
+    assert(out.count(r => only1.contains(r.getAs[Long]("user_id"))) === only1.size)
+  }
 }
