@@ -329,12 +329,18 @@ object RelationalQueries {
   val q15TopSupplier: Q = (s, dir) => {
     val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
     val hi = java.sql.Timestamp.valueOf("1996-04-01 00:00:00")
-    val rev = Tables.lineitem(s, dir)
-      .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
-      .groupBy(col("l_suppkey"))
-      .agg(graft.Parity.pround(
-        sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
-        .as("total_rev"))
+    // scratch-materialized: consumed by BOTH the scalar max and the
+    // equality probe — without it each branch re-runs the pruned lineitem
+    // scan + aggregate (ReuseExchange does not fire across the differing
+    // parent aggregates; verified on the executed plan)
+    val rev = graft.Scratch.table(
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
+        .groupBy(col("l_suppkey"))
+        .agg(graft.Parity.pround(
+          sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("total_rev")),
+      "q15-rev")
     val mx = rev.agg(max(col("total_rev")).as("mx"))
     rev.join(broadcast(mx), col("total_rev") === col("mx"))
       .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))

@@ -246,8 +246,12 @@ private[sources] class GraftSinkDataWriter(path: String, queryId: String,
         case TimestampType => (r, i) => r.getLong(i).toString // µs since epoch
         case StringType => (r, i) =>
           val v = r.getUTF8String(i).toString
-          require(!v.exists(c => c == ',' || c == '\n' || c == '\r'),
-            s"graft-sink does not quote; value needs quoting: $v")
+          // no quoting layer: separators are rejected, and the EMPTY string
+          // is rejected too — "" on the wire is the NULL marker (Spark's
+          // CSV nullValue default), so an empty string datum would silently
+          // read back as null
+          require(v.nonEmpty && !v.exists(c => c == ',' || c == '\n' || c == '\r'),
+            s"graft-sink does not quote; empty or separator-bearing string: '$v'")
           v
         case other =>
           throw new IllegalArgumentException(s"unsupported sink type $other")
