@@ -414,6 +414,64 @@ object TextQueries {
        |WHERE length(token) > 0
        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin
 
+  /** Vocabulary COVERAGE by language — the go/no-go metric before a
+    * tokenizer/vocab swap: what fraction of each language's token stream
+    * does a top-200 vocabulary cover, and how many distinct OOV types
+    * remain. Completes the tokenizer family (train → encode → coverage):
+    * a vocab that encodes English at 97% and another language at 60% is a
+    * mixture decision, and this is the query that surfaces it.
+    *
+    * Two corpus passes by necessity (the vocabulary must exist before
+    * coverage is measurable): pass one is the [[vocabTopK]] aggregate
+    * (map-side-combined, shuffle carries distinct tokens, top-k via
+    * TakeOrdered), scratch-materialized so the probe pass reads a 200-row
+    * relation; pass two re-explodes and probes the BROADCAST vocabulary
+    * with a left join — per-language totals are map-side-combined and the
+    * output is |langs| rows. The distinct-OOV-type count is two-phase
+    * (partial distinct on (lang, token)).
+    */
+  val vocabCoverage: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("lang"), explode(TextAnalysis.words(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+    val vocab = graft.Scratch.table(
+      toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(200)
+        .select(col("token"), lit(1L).as("in_vocab")),
+      "vocab200")
+    toks.join(broadcast(vocab), Seq("token"), "left_outer")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+        countDistinct(when(col("in_vocab").isNull, col("token"))).as("oov_types"))
+      .withColumn("coverage", graft.Parity.pround(
+        lit(1.0) - col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+      .orderBy(col("lang"))
+  }
+
+  val vocabCoverageSql: String =
+    s"""WITH tok AS (
+       |  SELECT lang,
+       |         unnest(string_split(
+       |           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+       |           ' ')) AS token
+       |  FROM documents),
+       |t2 AS (SELECT lang, token FROM tok WHERE length(token) > 0),
+       |vocab AS (
+       |  SELECT token FROM (
+       |    SELECT token, count(*) AS n FROM t2 GROUP BY 1
+       |    ORDER BY n DESC, token LIMIT 200)),
+       |agg AS (
+       |  SELECT t2.lang, count(*) AS n_tokens,
+       |         CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |         count(DISTINCT CASE WHEN v.token IS NULL THEN t2.token END) AS oov_types
+       |  FROM t2 LEFT JOIN vocab v ON t2.token = v.token
+       |  GROUP BY 1)
+       |SELECT lang, n_tokens, n_oov, oov_types,
+       |       ${graft.Parity.proundSql(
+                 "1.0 - CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6)} AS coverage
+       |FROM agg ORDER BY lang""".stripMargin
+
   /** Per-document top-5 terms by TF-IDF — the relevance-ranking primitive
     * behind keyword extraction and topical filtering. Two hash aggregates
     * (term frequency per (doc, token); document frequency per token — both
@@ -1396,6 +1454,7 @@ object TextQueries {
     "hist_quantiles" -> histQuantilesQ,
     "dup_ngram_ratio" -> dupNgramRatio,
     "vocab_topk" -> vocabTopK,
+    "vocab_coverage" -> vocabCoverage,
     "tfidf_topk" -> tfidfTopK,
     "gopher_filters" -> gopherFilters,
     "pii_scrub" -> piiScrub)
@@ -1424,6 +1483,7 @@ object TextQueries {
     "hist_quantiles" -> histQuantilesSql,
     "dup_ngram_ratio" -> dupNgramRatioSql,
     "vocab_topk" -> vocabTopKSql,
+    "vocab_coverage" -> vocabCoverageSql,
     "tfidf_topk" -> tfidfTopKSql,
     "gopher_filters" -> gopherFiltersSql,
     "pii_scrub" -> piiScrubSql)
