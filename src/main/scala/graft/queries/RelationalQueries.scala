@@ -1585,6 +1585,29 @@ object RelationalQueries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** The SAME containment join through the native custom operator
+    * ([[graft.plans.IntervalJoinNative]]: IntervalJoinNode → Strategy →
+    * IntervalJoinExec interval sweep) — no binning, no interval
+    * replication, no residual filter; shares [[rangeJoinSessions]]'
+    * raw-BETWEEN DuckDB oracle, proving the sweep bit-equal to the
+    * composed time-binned plan.
+    */
+  val rangeJoinNative: Q = (s, dir) => {
+    val events = Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
+    val sessions = graft.streaming.Sessionize
+      .sessionizeRelational(events, gapMs = 30L * 60000L)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+    graft.plans.IntervalJoinNative.contains(
+        events.select(col("user_id"), col("ts")), sessions, Seq("user_id"),
+        "ts", "session_start", "session_end",
+        Seq("session_start", "session_end", "n_events"))
+      .groupBy(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .agg(count(lit(1)).as("n_in_range"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   val rangeJoinSessionsSql: String =
     s"""WITH e AS (
        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
@@ -2741,6 +2764,7 @@ object RelationalQueries {
     "hll_merge_days" -> hllMergeDays,
     "bloom_semi_join" -> bloomSemiJoin,
     "range_join_sessions" -> rangeJoinSessions,
+    "range_join_native" -> rangeJoinNative,
     "sessionize_relational" -> sessionizeRelational,
     "skew_salted_sum" -> skewSaltedSum,
     "skew_salted_join" -> skewSaltedJoin,
@@ -2800,6 +2824,7 @@ object RelationalQueries {
     "hll_merge_days" -> hllMergeDaysSql,
     "bloom_semi_join" -> bloomSemiJoinSql,
     "range_join_sessions" -> rangeJoinSessionsSql,
+    "range_join_native" -> rangeJoinSessionsSql, // custom sweep exec vs the same BETWEEN oracle
     "sessionize_relational" -> sessionizeEventsSql, // same semantics, scalable plan
     "skew_salted_sum" -> skewSaltedSumSql,
     "skew_salted_join" -> skewSaltedJoinSql,
