@@ -279,6 +279,68 @@ object RelationalQueries {
        |ORDER BY total_qty DESC, o_orderkey
        |LIMIT 20""".stripMargin
 
+  /** TPC-H Q2 analog (minimum-cost supplier): for each part, the
+    * EUROPE-region supplier(s) offering its minimum unit cost — the
+    * correlated-ARGMIN shape (Q15 is a global scalar max; this is a
+    * per-group extremum re-joined on key + extremum equality, reporting
+    * ALL tying suppliers). Decorrelated the standard way: the unit-cost
+    * relation aggregates once per (part, supplier) — the one fact-scale
+    * shuffle — the per-part minimum derives from it co-partitioned (part
+    * is a grouping-key prefix, no second exchange), and the argmin
+    * JOIN-BACK matches on (partkey, cost = min_cost). Region restriction
+    * prunes the supplier dimension BEFORE the cost aggregate, so
+    * out-of-region costs never contaminate the minimum (the classic Q2
+    * decorrelation bug — filtering after the min instead of before).
+    * Parity: unit cost is one IEEE division rounded once per row; min of
+    * identically-rounded values is identical; the equality join compares
+    * those exact doubles.
+    */
+  val q2MinCost: Q = (s, dir) => {
+    val eurSupp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val ps = Tables.lineitem(s, dir)
+      .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(graft.Parity.pround(
+        min(col("l_extendedprice") / col("l_quantity")), 6).as("cost"))
+    val mn = ps.groupBy(col("l_partkey").as("pk"))
+      .agg(min(col("cost")).as("min_cost"))
+    ps.join(mn, col("l_partkey") === col("pk") && col("cost") === col("min_cost"))
+      .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.part(s, dir).filter(col("p_size") === 15)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_type"), col("cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(20)
+  }
+
+  val q2MinCostSql: String =
+    s"""WITH eur AS (
+       |  SELECT s_suppkey, s_name, s_acctbal, n_name
+       |  FROM supplier
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  WHERE r_name = 'EUROPE'),
+       |ps AS (
+       |  SELECT l_partkey, l_suppkey,
+       |         ${graft.Parity.proundSql("min(l_extendedprice / l_quantity)", 6)} AS cost
+       |  FROM lineitem JOIN eur ON l_suppkey = s_suppkey
+       |  GROUP BY 1, 2),
+       |mn AS (SELECT l_partkey AS pk, min(cost) AS min_cost FROM ps GROUP BY 1)
+       |SELECT s_acctbal, s_name, n_name, p_partkey, p_type, cost
+       |FROM ps
+       |JOIN mn ON l_partkey = pk AND cost = min_cost
+       |JOIN eur ON ps.l_suppkey = eur.s_suppkey
+       |JOIN part ON l_partkey = p_partkey
+       |WHERE p_size = 15
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+       |LIMIT 20""".stripMargin
+
   /** TPC-H Q13 analog (customer order distribution): how many customers
     * placed 0, 1, 2, … urgent orders — the canonical LEFT OUTER JOIN +
     * two-level aggregate, and the one join shape where INNER is WRONG: the
@@ -2787,6 +2849,7 @@ object RelationalQueries {
     "asof_tolerance" -> asofTolerance,
     "q10_returns" -> q10Returns,
     "q4_priority_semi" -> q4PrioritySemi,
+    "q2_min_cost" -> q2MinCost,
     "q13_order_dist" -> q13OrderDist,
     "q15_top_supplier" -> q15TopSupplier,
     "q16_supplier_cnt" -> q16SupplierCnt,
@@ -2847,6 +2910,7 @@ object RelationalQueries {
     "asof_tolerance" -> asofToleranceSql,
     "q10_returns" -> q10ReturnsSql,
     "q4_priority_semi" -> q4PrioritySemiSql,
+    "q2_min_cost" -> q2MinCostSql,
     "q13_order_dist" -> q13OrderDistSql,
     "q15_top_supplier" -> q15TopSupplierSql,
     "q16_supplier_cnt" -> q16SupplierCntSql,

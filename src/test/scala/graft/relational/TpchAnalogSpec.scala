@@ -60,6 +60,31 @@ class TpchAnalogSpec extends SparkSpec {
     assert(qtys == qtys.sortBy(-_))
   }
 
+  test("q2: reported costs are the EUROPE-restricted per-part minima (filter-before-min)") {
+    val rows = RelationalQueries.q2MinCost(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val eurKeys = graft.Tables.supplier(spark, sf001)
+      .join(graft.Tables.nation(spark, sf001), col("s_nationkey") === col("n_nationkey"))
+      .join(graft.Tables.region(spark, sf001).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    val eurNames = graft.Tables.supplier(spark, sf001)
+      .filter(col("s_suppkey").isin(eurKeys.toSeq: _*))
+      .select(col("s_name")).collect().map(_.getString(0)).toSet
+    // no out-of-region supplier leaks into the report
+    assert(rows.forall(r => eurNames.contains(r.getAs[String]("s_name"))))
+    // recount one part's minimum over the restricted cost set
+    val pk = rows.head.getAs[Long]("p_partkey")
+    val minCost = graft.Tables.lineitem(spark, sf001)
+      .filter(col("l_partkey") === pk && col("l_suppkey").isin(eurKeys.toSeq: _*))
+      .groupBy(col("l_suppkey"))
+      .agg(graft.Parity.pround(
+        min(col("l_extendedprice") / col("l_quantity")), 6).as("c"))
+      .agg(min(col("c"))).first().getDouble(0)
+    assert(rows.filter(_.getAs[Long]("p_partkey") == pk)
+      .forall(_.getAs[Double]("cost") == minCost))
+  }
+
   test("q13: the histogram includes a real zero bucket and totals |customer|") {
     val rows = RelationalQueries.q13OrderDist(spark, sf001).collect()
       .map(r => r.getAs[Long]("c_count") -> r.getAs[Long]("custdist")).toMap
