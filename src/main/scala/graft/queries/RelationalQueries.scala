@@ -882,6 +882,68 @@ object RelationalQueries {
     * three scalar counts. Conversion rate is each step's user count over
     * the previous step's (exact long counts, one double division).
     */
+  /** Sequence-PATTERN matching with per-step time bounds — MATCH_RECOGNIZE
+    * lite: every `view → next click within 1h → next purchase within 1h`
+    * chain, per user. [[funnelSteps]] counts users passing unordered step
+    * gates; THIS matches concrete event sequences: each view binds to the
+    * NEXT click strictly after it (nearest-successor semantics — if the
+    * nearest is outside the window, no later one can be inside), and that
+    * click binds to its next purchase, via two composed FORWARD as-of
+    * joins ([[graft.relational.AsOfJoin.forwardWithTs]]) — each one key
+    * shuffle + one ordered window, never an events×events time-range
+    * join. The tolerance filter AFTER the as-of is exact (same argument as
+    * `asof_tolerance`: the nearest match out of bounds proves no
+    * in-bounds match exists). Output: per-user completed-chain counts —
+    * bounded by |users|.
+    */
+  val funnelSequence: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    def typed(t: String, out: String) =
+      ev.filter(col("event_type") === t).select(col("user_id"), col("ts").as(out))
+    val hourUs = 3600000000L
+    val s1 = graft.relational.AsOfJoin.forwardWithTs(
+        typed("view", "view_ts"), typed("click", "ts"),
+        "view_ts", "ts", Seq("user_id"), Seq.empty, "click_ts")
+      .filter(col("click_ts").isNotNull &&
+        unix_micros(col("click_ts")) - unix_micros(col("view_ts")) <= hourUs)
+    val s2 = graft.relational.AsOfJoin.forwardWithTs(
+        s1, typed("purchase", "ts"),
+        "click_ts", "ts", Seq("user_id"), Seq.empty, "purchase_ts")
+      .filter(col("purchase_ts").isNotNull &&
+        unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")) <= hourUs)
+    s2.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_chains"),
+        min(col("view_ts")).as("first_chain_start"),
+        max(col("purchase_ts")).as("last_chain_end"))
+      .orderBy(col("user_id"))
+  }
+
+  val funnelSequenceSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      |v AS (SELECT user_id, ts AS view_ts FROM ev WHERE event_type = 'view'),
+      |c AS (SELECT user_id, ts FROM ev WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts FROM ev WHERE event_type = 'purchase'),
+      |s1 AS (
+      |  SELECT v.user_id, v.view_ts, min(c.ts) AS click_ts
+      |  FROM v JOIN c ON c.user_id = v.user_id AND c.ts > v.view_ts
+      |  GROUP BY 1, 2),
+      |s1f AS (
+      |  SELECT * FROM s1
+      |  WHERE epoch_us(click_ts) - epoch_us(view_ts) <= 3600000000),
+      |s2 AS (
+      |  SELECT s.user_id, s.view_ts, s.click_ts, min(p.ts) AS purchase_ts
+      |  FROM s1f s JOIN p ON p.user_id = s.user_id AND p.ts > s.click_ts
+      |  GROUP BY 1, 2, 3),
+      |s2f AS (
+      |  SELECT * FROM s2
+      |  WHERE epoch_us(purchase_ts) - epoch_us(click_ts) <= 3600000000)
+      |SELECT user_id, count(*) AS n_chains,
+      |       min(view_ts) AS first_chain_start,
+      |       max(purchase_ts) AS last_chain_end
+      |FROM s2f GROUP BY 1 ORDER BY 1""".stripMargin
+
   val funnelSteps: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("ts"), col("event_type"))
@@ -2868,6 +2930,7 @@ object RelationalQueries {
     "incremental_mv_updates" -> incrementalMvUpdates,
     "incremental_mv_cdc" -> incrementalMvCdc,
     "funnel_steps" -> funnelSteps,
+    "funnel_sequence" -> funnelSequence,
     "hist_merge_days" -> histMergeDays,
     "retention_cohorts" -> retentionCohorts,
     "assoc_rules" -> assocRules,
@@ -2929,6 +2992,8 @@ object RelationalQueries {
     "incremental_mv_updates" -> incrementalMvUpdatesSql,
     "incremental_mv_cdc" -> incrementalMvCdcSql,
     "funnel_steps" -> funnelStepsSql,
+    "funnel_sequence" -> funnelSequenceSql, // composed forward as-ofs vs the min-successor join
+
     "hist_merge_days" -> histMergeDaysSql,
     "retention_cohorts" -> retentionCohortsSql,
     "assoc_rules" -> assocRulesSql,

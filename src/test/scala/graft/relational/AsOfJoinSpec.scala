@@ -30,4 +30,25 @@ class AsOfJoinSpec extends SparkSpec {
       1L -> None, 2L -> Some(20.0), 3L -> Some(20.0),
       4L -> Some(30.0), 5L -> Some(24.0)))
   }
+
+  test("forward: nearest STRICT successor per key; equal timestamps excluded") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val left = Seq(
+      (1L, ts(100), "a"), // successor 200
+      (2L, ts(200), "a"), // 200 itself must NOT match (strict) -> 300
+      (3L, ts(301), "a"), // nothing after -> null
+      (4L, ts(100), "b")  // successor 240
+    ).toDF("id", "t", "k")
+    val right = Seq(
+      (ts(200), "a"), (ts(300), "a"), (ts(240), "b")
+    ).toDF("rt", "k")
+    val out = AsOfJoin.forwardWithTs(
+        left, right, "t", "rt", Seq("k"), Seq.empty, "next_t")
+      .orderBy("id").collect()
+    def sec(x: Any): Option[Long] =
+      Option(x).map(_.asInstanceOf[java.sql.Timestamp].getTime / 1000L)
+    assert(out.map(r => r.getLong(0) -> sec(r.get(3))).toSeq === Seq(
+      1L -> Some(200L), 2L -> Some(300L), 3L -> None, 4L -> Some(240L)))
+  }
 }
