@@ -882,6 +882,45 @@ object RelationalQueries {
     * three scalar counts. Conversion rate is each step's user count over
     * the previous step's (exact long counts, one double division).
     */
+  /** Column PROFILING in one pass — the Deequ/dbt-docs statistics table a
+    * pipeline computes before trusting a new source: per numeric column,
+    * row count, null count, distinct count, min/max/exact-decimal mean.
+    * The melt (`stack`) runs INSIDE the scan's codegen span, so profiling
+    * C columns costs ONE table pass emitting C rows per input row into a
+    * C-group aggregate with map-side partials — not C separate scans (the
+    * naive profiler) and not a driver loop over columns. distinct-counts
+    * are two-phase (partial distinct on (column, value)).
+    */
+  val tableProfile: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val stacked = li.select(expr(
+      s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', `$c`").mkString(", ") +
+        ") AS (col_name, val)"))
+    stacked.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("val")).as("n_distinct"),
+        min(col("val")).as("min_val"), max(col("val")).as("max_val"),
+        graft.Parity.pround(
+          sumExact(col("val")) / count(col("val")), 6).as("mean_val"))
+      .orderBy(col("col_name"))
+  }
+
+  val tableProfileSql: String = {
+    def one(c: String): String =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |       count(DISTINCT $c) AS n_distinct,
+         |       min($c) AS min_val, max($c) AS max_val,
+         |       ${graft.Parity.proundSql(
+                   s"${sumExactSql(c)} / count($c)", 6)} AS mean_val
+         |FROM lineitem""".stripMargin
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   /** Sequence-PATTERN matching with per-step time bounds — MATCH_RECOGNIZE
     * lite: every `view → next click within 1h → next purchase within 1h`
     * chain, per user. [[funnelSteps]] counts users passing unordered step
@@ -2931,6 +2970,7 @@ object RelationalQueries {
     "incremental_mv_cdc" -> incrementalMvCdc,
     "funnel_steps" -> funnelSteps,
     "funnel_sequence" -> funnelSequence,
+    "table_profile" -> tableProfile,
     "hist_merge_days" -> histMergeDays,
     "retention_cohorts" -> retentionCohorts,
     "assoc_rules" -> assocRules,
@@ -2993,7 +3033,7 @@ object RelationalQueries {
     "incremental_mv_cdc" -> incrementalMvCdcSql,
     "funnel_steps" -> funnelStepsSql,
     "funnel_sequence" -> funnelSequenceSql, // composed forward as-ofs vs the min-successor join
-
+    "table_profile" -> tableProfileSql,
     "hist_merge_days" -> histMergeDaysSql,
     "retention_cohorts" -> retentionCohortsSql,
     "assoc_rules" -> assocRulesSql,
