@@ -908,7 +908,39 @@ object PipelineQueries {
        |SELECT doc_id_a, doc_id_b FROM cand ORDER BY doc_id_a, doc_id_b""".stripMargin
   }
 
+  /** Streaming funnel — the [[graft.streaming.Funnel]] state machine over
+    * the replayed event feed, aggregated per user AFTER the bounded run.
+    * Shares the batch `funnel_sequence` oracle: the incremental
+    * nearest-successor fold must equal the declarative three-way join.
+    */
+  val streamFunnel: Q = (s, dir) => {
+    val base = ensureFixture(s, "stream_funnel", dir) { b =>
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .orderBy(col("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(b)
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("event_type", StringType)))
+    runBoundedStream(s, "graft_stream_funnel",
+      () => graft.streaming.Funnel.chains(
+        s.readStream.schema(schema).parquet(base)
+          .as[graft.streaming.Funnel.Ev](
+            org.apache.spark.sql.Encoders.product[graft.streaming.Funnel.Ev]),
+        stepUs = 3600000000L).toDF(),
+      "append")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_chains"),
+        min(col("view_ts")).as("first_chain_start"),
+        max(col("purchase_ts")).as("last_chain_end"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_funnel" -> streamFunnel,
     "stream_neardup" -> streamNeardup,
     "stream_open_gaps" -> streamOpenGaps,
     "stream_topk" -> streamTopk,
@@ -929,6 +961,7 @@ object PipelineQueries {
     "compact_roundtrip" -> compactRoundtrip)
 
   val oracleSql: Map[String, String] = Map(
+    "stream_funnel" -> RelationalQueries.funnelSequenceSql, // streaming state machine vs batch 3-way join
     "stream_neardup" -> streamNeardupSql, // stream-static index probe vs batch cross-parity pairs
     "stream_open_gaps" -> streamOpenGapsSql, // timeout-fired alarms vs batch last-seen filter
     "stream_topk" -> streamTopkSql, // streaming counts + heap top-k vs batch window
