@@ -341,6 +341,99 @@ object RelationalQueries {
        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
        |LIMIT 20""".stripMargin
 
+  /** TPC-H Q6 analog (forecasting revenue change): one-table predicate
+    * revenue — the canonical SCAN-DOMINATED query: every predicate (date
+    * range, discount band, quantity cap) pushes to the parquet scan
+    * (`PushedFilters` carries all three), the aggregate is a single
+    * map-side-combined global sum, and the exchange moves ONE partial row
+    * per task. At 100 TB this is the pure IO benchmark: cost = bytes
+    * scanned after row-group pruning, nothing else.
+    */
+  val q6ForecastRevenue: Q = (s, dir) => {
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24.0)
+      .agg(graft.Parity.pround(
+        sumExact(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
+  }
+
+  val q6ForecastRevenueSql: String =
+    s"""SELECT ${graft.Parity.proundSql(
+               sumExactSql("l_extendedprice * l_discount"), 4)} AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_discount BETWEEN 0.05 AND 0.07
+       |  AND l_quantity < 24.0""".stripMargin
+
+  /** TPC-H Q12 analog (shipping-priority classification): per returnflag,
+    * how many lines belong to high- vs low-priority orders — the
+    * CONDITIONAL-AGGREGATION join shape (CASE inside sum, one pass, no
+    * per-class re-scan). The join shuffles on the order key; both CASE
+    * sums ride the same map-side partial aggregate.
+    */
+  val q12ShipPriority: Q = (s, dir) => {
+    val hi = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q12ShipPrioritySql: String =
+    """SELECT l_returnflag,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q14 analog (promotion effect): the share of a month's revenue
+    * from promo-class parts — the CONDITIONAL-RATIO shape: numerator and
+    * denominator accumulate in ONE aggregate pass (a CASE'd exact-decimal
+    * sum each), then one IEEE division; part is a broadcast dim. The
+    * ratio is 100·promo/total with both operands rounded through the same
+    * expression on both engines before the division.
+    */
+  val q14PromoEffect: Q = (s, dir) => {
+    val lo = java.sql.Timestamp.valueOf("1996-03-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-04-01 00:00:00")
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        graft.Parity.pround(
+          sumExact(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))),
+          4).as("promo_revenue"),
+        graft.Parity.pround(sumExact(rev), 4).as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        graft.Parity.pround(
+          lit(100.0) * col("promo_revenue") / col("total_revenue"), 6)
+          .as("promo_pct"))
+  }
+
+  val q14PromoEffectSql: String = {
+    val rev = "l_extendedprice * (1.0 - l_discount)"
+    s"""WITH a AS (
+       |  SELECT ${graft.Parity.proundSql(
+                 sumExactSql(s"CASE WHEN p_type = 'PROMO' THEN $rev ELSE 0.0 END"),
+                 4)} AS promo_revenue,
+       |         ${graft.Parity.proundSql(sumExactSql(rev), 4)} AS total_revenue
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00')
+       |SELECT promo_revenue, total_revenue,
+       |       ${graft.Parity.proundSql("100.0 * promo_revenue / total_revenue", 6)} AS promo_pct
+       |FROM a""".stripMargin
+  }
+
   /** TPC-H Q13 analog (customer order distribution): how many customers
     * placed 0, 1, 2, … urgent orders — the canonical LEFT OUTER JOIN +
     * two-level aggregate, and the one join shape where INNER is WRONG: the
@@ -2951,6 +3044,9 @@ object RelationalQueries {
     "q10_returns" -> q10Returns,
     "q4_priority_semi" -> q4PrioritySemi,
     "q2_min_cost" -> q2MinCost,
+    "q6_forecast_revenue" -> q6ForecastRevenue,
+    "q12_ship_priority" -> q12ShipPriority,
+    "q14_promo_effect" -> q14PromoEffect,
     "q13_order_dist" -> q13OrderDist,
     "q15_top_supplier" -> q15TopSupplier,
     "q16_supplier_cnt" -> q16SupplierCnt,
@@ -3014,6 +3110,9 @@ object RelationalQueries {
     "q10_returns" -> q10ReturnsSql,
     "q4_priority_semi" -> q4PrioritySemiSql,
     "q2_min_cost" -> q2MinCostSql,
+    "q6_forecast_revenue" -> q6ForecastRevenueSql,
+    "q12_ship_priority" -> q12ShipPrioritySql,
+    "q14_promo_effect" -> q14PromoEffectSql,
     "q13_order_dist" -> q13OrderDistSql,
     "q15_top_supplier" -> q15TopSupplierSql,
     "q16_supplier_cnt" -> q16SupplierCntSql,

@@ -472,6 +472,59 @@ object TextQueries {
                  "1.0 - CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6)} AS coverage
        |FROM agg ORDER BY lang""".stripMargin
 
+  /** Document RARITY scoring — the log-free stand-in for perplexity
+    * filtering (the true LM form needs a model artifact and ln(), which
+    * has no cross-engine bit contract): each document's mean
+    * document-frequency ratio over its token stream. Common-vocabulary
+    * documents score high (every token appears in most documents), while
+    * gibberish, codes, and boilerplate-free rare text score low — the
+    * same ordering a unigram-LM surprisal filter induces, built entirely
+    * from exact rationals (df/N is one IEEE division; the per-doc mean is
+    * an exact-decimal sum over those doubles).
+    *
+    * Scale shape: one explode feeds the df aggregate (two-phase distinct
+    * on (token, doc)); the token stream joins the df relation
+    * co-partitioned on token — df is vocabulary-sized and grows with the
+    * corpus, so it is NOT broadcast (the tfidf_topk argument) — and the
+    * per-doc rollup is map-side combined. |docs| output rows.
+    */
+  val rarityScore: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+    val nd = toks.agg(countDistinct(col("doc_id")).as("n"))
+    val dft = toks.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("dfd"))
+    toks.join(dft, Seq("token"))
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"),
+        (col("dfd").cast("double") / col("n").cast("double")).as("ratio"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        graft.Parity.pround(
+          sum(col("ratio").cast(org.apache.spark.sql.types.DecimalType(30, 10)))
+            .cast("double") / count(lit(1)), 6).as("mean_df_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val rarityScoreSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |         unnest(string_split(
+       |           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+       |           ' ')) AS token
+       |  FROM documents),
+       |t2 AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n FROM t2),
+       |dft AS (
+       |  SELECT token, count(DISTINCT doc_id) AS dfd FROM t2 GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |       ${graft.Parity.proundSql(
+                 "CAST(sum(CAST(CAST(dfd AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE) / count(*)",
+                 6)} AS mean_df_ratio
+       |FROM t2 JOIN dft USING (token) CROSS JOIN nd
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Per-document top-5 terms by TF-IDF — the relevance-ranking primitive
     * behind keyword extraction and topical filtering. Two hash aggregates
     * (term frequency per (doc, token); document frequency per token — both
@@ -1455,6 +1508,7 @@ object TextQueries {
     "dup_ngram_ratio" -> dupNgramRatio,
     "vocab_topk" -> vocabTopK,
     "vocab_coverage" -> vocabCoverage,
+    "rarity_score" -> rarityScore,
     "tfidf_topk" -> tfidfTopK,
     "gopher_filters" -> gopherFilters,
     "pii_scrub" -> piiScrub)
@@ -1484,6 +1538,7 @@ object TextQueries {
     "dup_ngram_ratio" -> dupNgramRatioSql,
     "vocab_topk" -> vocabTopKSql,
     "vocab_coverage" -> vocabCoverageSql,
+    "rarity_score" -> rarityScoreSql,
     "tfidf_topk" -> tfidfTopKSql,
     "gopher_filters" -> gopherFiltersSql,
     "pii_scrub" -> piiScrubSql)
