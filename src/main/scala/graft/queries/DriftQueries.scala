@@ -246,13 +246,74 @@ object DriftQueries {
        |WHERE d.adev > 3.0 * (1.4826 * a.mad)
        |ORDER BY d.event_id""".stripMargin
 
+  /** Winsorized statistics per event_type — clip at exact p05/p95, then
+    * the robust mean: the aggregate a pipeline trusts when
+    * [[robustOutliers]] says the tails are wild but the rows must still
+    * count (dropping outliers biases; clipping bounds their leverage).
+    * Percentiles are EXACT rank selections (percentile_disc semantics:
+    * the value at rank ⌈q·n⌉ under the deterministic (value, event_id)
+    * order — pure integer rank arithmetic, no interpolation, so both
+    * engines select the identical row). One per-type window sort for the
+    * ranks, a 2-row-per-type bounds relation broadcast back, and the
+    * clipped mean accumulates exact-decimal. Same cost class as any
+    * per-key window; |types| output rows.
+    */
+  val winsorizeStats: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val ranked = ev.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+    // ceil(q*n) in pure integer arithmetic: (n*q100 + 99) div 100
+    def rank(q100: Int) =
+      floor((col("n") * q100 + lit(99L)) / lit(100L)).cast("long")
+    val bounds = ranked
+      .filter(col("rn") === rank(5) || col("rn") === rank(95))
+      .groupBy(col("event_type"))
+      .agg(min(col("value")).as("p05"), max(col("value")).as("p95"))
+    ev.join(broadcast(bounds), "event_type")
+      .withColumn("clipped", least(greatest(col("value"), col("p05")), col("p95")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("p05")).as("p05"), min(col("p95")).as("p95"),
+        graft.Parity.pround(
+          sumDec(col("clipped")).cast("double") / count(lit(1)), 6)
+          .as("win_mean"))
+      .orderBy(col("event_type"))
+  }
+
+  val winsorizeStatsSql: String =
+    s"""WITH ev AS (SELECT event_id, event_type, value FROM events),
+       |r AS (
+       |  SELECT event_type, value,
+       |         row_number() OVER (PARTITION BY event_type
+       |                            ORDER BY value, event_id) AS rn,
+       |         count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM ev),
+       |b AS (
+       |  SELECT event_type, min(value) AS p05, max(value) AS p95
+       |  FROM r
+       |  WHERE rn = (n * 5 + 99) // 100 OR rn = (n * 95 + 99) // 100
+       |  GROUP BY 1)
+       |SELECT e.event_type, count(*) AS n_rows,
+       |       min(b.p05) AS p05, min(b.p95) AS p95,
+       |       ${graft.Parity.proundSql(
+                 "CAST(sum(CAST(least(greatest(e.value, b.p05), b.p95) AS DECIMAL(30,10))) AS DOUBLE) / count(*)",
+                 6)} AS win_mean
+       |FROM ev e JOIN b USING (event_type)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "value_outliers" -> valueOutliers,
     "robust_outliers" -> robustOutliers,
+    "winsorize_stats" -> winsorizeStats,
     "dist_drift" -> distDrift)
 
   val oracleSql: Map[String, String] = Map(
     "value_outliers" -> valueOutliersSql,
     "robust_outliers" -> robustOutliersSql,
+    "winsorize_stats" -> winsorizeStatsSql,
     "dist_drift" -> distDriftSql)
 }

@@ -434,6 +434,51 @@ object RelationalQueries {
        |FROM a""".stripMargin
   }
 
+  /** TPC-H Q7 analog (volume shipping): bilateral trade — revenue flowing
+    * between two nations BY DIRECTION and year. Distinct from [[q5NationRevenue]]
+    * because the nation dimension plays TWO ROLES in one query (supplier's
+    * nation vs customer's nation, joined independently), the pair filter
+    * is the disjunction of both directions, and the year derives from the
+    * order date in the grouping key. Both nation joins broadcast; the
+    * fact-fact join shuffles on the order key once; the (2 directions ×
+    * years) group set is tiny with map-side partials.
+    */
+  val q7TradeVolume: Q = (s, dir) => {
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sk"))
+      .join(broadcast(n2), col("c_nationkey") === col("ck"))
+      .filter((col("supp_nation") === "FRANCE" && col("cust_nation") === "GERMANY") ||
+        (col("supp_nation") === "GERMANY" && col("cust_nation") === "FRANCE"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("o_orderdate")).cast("long").as("l_year"))
+      .agg(graft.Parity.pround(
+        sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q7TradeVolumeSql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |       CAST(year(o_orderdate) AS BIGINT) AS l_year,
+       |       ${graft.Parity.proundSql(
+                 sumExactSql("l_extendedprice * (1.0 - l_discount)"), 4)} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE (n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+       |   OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   /** TPC-H Q13 analog (customer order distribution): how many customers
     * placed 0, 1, 2, … urgent orders — the canonical LEFT OUTER JOIN +
     * two-level aggregate, and the one join shape where INNER is WRONG: the
@@ -3045,6 +3090,7 @@ object RelationalQueries {
     "q4_priority_semi" -> q4PrioritySemi,
     "q2_min_cost" -> q2MinCost,
     "q6_forecast_revenue" -> q6ForecastRevenue,
+    "q7_trade_volume" -> q7TradeVolume,
     "q12_ship_priority" -> q12ShipPriority,
     "q14_promo_effect" -> q14PromoEffect,
     "q13_order_dist" -> q13OrderDist,
@@ -3111,6 +3157,7 @@ object RelationalQueries {
     "q4_priority_semi" -> q4PrioritySemiSql,
     "q2_min_cost" -> q2MinCostSql,
     "q6_forecast_revenue" -> q6ForecastRevenueSql,
+    "q7_trade_volume" -> q7TradeVolumeSql,
     "q12_ship_priority" -> q12ShipPrioritySql,
     "q14_promo_effect" -> q14PromoEffectSql,
     "q13_order_dist" -> q13OrderDistSql,
