@@ -479,6 +479,67 @@ object RelationalQueries {
        |   OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')
        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** TPC-H Q8 analog (national market share): one nation's share of a
+    * REGION's revenue per year — the PER-GROUP conditional ratio
+    * ([[q14PromoEffect]] is the global form): numerator (the focal
+    * nation's revenue) and denominator (the region's) accumulate in one
+    * CASE'd exact-decimal aggregate pass per year, then one IEEE division
+    * per group. The supplier nation drives the CASE; the customer nation
+    * chain (customer → nation → region) drives the region restriction —
+    * the two roles join independently, as in [[q7TradeVolume]]. All
+    * dimension sides broadcast; one order-key shuffle; |years| output
+    * rows.
+    */
+  val q8MarketShare: Q = (s, dir) => {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val suppNation = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val custRegion = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        graft.Parity.pround(
+          sumExact(when(col("supp_nation") === "GERMANY", rev).otherwise(lit(0.0))),
+          4).as("nation_revenue"),
+        graft.Parity.pround(sumExact(rev), 4).as("region_revenue"))
+      .select(col("o_year"), col("nation_revenue"), col("region_revenue"),
+        graft.Parity.pround(
+          col("nation_revenue") / col("region_revenue"), 6).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  val q8MarketShareSql: String = {
+    val rev = "l_extendedprice * (1.0 - l_discount)"
+    s"""WITH eurcust AS (
+       |  SELECT c_custkey FROM customer
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  WHERE r_name = 'EUROPE'),
+       |a AS (
+       |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |         ${graft.Parity.proundSql(
+                   sumExactSql(s"CASE WHEN n_name = 'GERMANY' THEN $rev ELSE 0.0 END"),
+                   4)} AS nation_revenue,
+       |         ${graft.Parity.proundSql(sumExactSql(rev), 4)} AS region_revenue
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE o_custkey IN (SELECT c_custkey FROM eurcust)
+       |  GROUP BY 1)
+       |SELECT o_year, nation_revenue, region_revenue,
+       |       ${graft.Parity.proundSql("nation_revenue / region_revenue", 6)} AS mkt_share
+       |FROM a ORDER BY o_year""".stripMargin
+  }
+
   /** TPC-H Q13 analog (customer order distribution): how many customers
     * placed 0, 1, 2, … urgent orders — the canonical LEFT OUTER JOIN +
     * two-level aggregate, and the one join shape where INNER is WRONG: the
@@ -3091,6 +3152,7 @@ object RelationalQueries {
     "q2_min_cost" -> q2MinCost,
     "q6_forecast_revenue" -> q6ForecastRevenue,
     "q7_trade_volume" -> q7TradeVolume,
+    "q8_market_share" -> q8MarketShare,
     "q12_ship_priority" -> q12ShipPriority,
     "q14_promo_effect" -> q14PromoEffect,
     "q13_order_dist" -> q13OrderDist,
@@ -3158,6 +3220,7 @@ object RelationalQueries {
     "q2_min_cost" -> q2MinCostSql,
     "q6_forecast_revenue" -> q6ForecastRevenueSql,
     "q7_trade_volume" -> q7TradeVolumeSql,
+    "q8_market_share" -> q8MarketShareSql,
     "q12_ship_priority" -> q12ShipPrioritySql,
     "q14_promo_effect" -> q14PromoEffectSql,
     "q13_order_dist" -> q13OrderDistSql,
