@@ -1774,6 +1774,112 @@ object RelationalQueries {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
       |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
+  /** RFM customer segmentation — recency/frequency/monetary quintiles,
+    * the classic warehouse segmentation, built on EXACT GLOBAL QUANTILES
+    * computed scale-safely: quintile boundaries are rank selections over
+    * the [[graft.relational.GlobalIndex]] two-phase global index (range
+    * repartition + offset arithmetic), NEVER a single-partition
+    * `ntile() OVER ()` — at 100 TB that window funnels every customer
+    * through one task; the index form keeps the sort parallel and the
+    * boundary extraction is a 4-row conditional aggregate per measure.
+    * Assignment is then a broadcast of 12 boundary scalars and a pure
+    * per-row CASE (equal values always land in one bucket — value-based,
+    * deterministic, unlike rank-split ntile ties). Output: segment label
+    * (R/F/M quintile triple) → customer count + exact-decimal average
+    * monetary, ≤125 rows at any scale.
+    */
+  val rfmSegments: Q = (s, dir) => {
+    val maxDate = Tables.orders(s, dir)
+      .agg(max(col("o_orderdate")).as("mx"))
+    val rfm = graft.Scratch.table(
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("freq"),
+          graft.Parity.pround(sumExact(col("o_totalprice")), 2).as("mon"))
+        .crossJoin(broadcast(maxDate))
+        .select(col("o_custkey"),
+          datediff(col("mx"), col("last_order")).cast("long").as("rec"),
+          col("freq"), col("mon")),
+      "rfm-base")
+    // exact quintile boundaries per measure: value at global rank
+    // ceil(k·n/5), k = 1..4, under the (measure, custkey) total order
+    def boundaries(measure: String): DataFrame = {
+      val idxed = graft.relational.GlobalIndex.withGlobalIndex(
+        rfm.select(col("o_custkey"), col(measure)), Seq(measure, "o_custkey"))
+      val n = col("n")
+      val withN = idxed.crossJoin(
+        broadcast(rfm.agg(count(lit(1)).as("n"))))
+      // 4 boundary scalars as one row: max(value where idx == ceil(k n/5))
+      val bs = (1 to 4).map { k =>
+        max(when(col("idx") === floor((n * k + lit(4L)) / lit(5L)).cast("long"),
+          col(measure))).as(s"${measure}_b$k")
+      }
+      withN.agg(bs.head, bs.tail: _*)
+    }
+    val withBounds = rfm
+      .crossJoin(broadcast(boundaries("rec")))
+      .crossJoin(broadcast(boundaries("freq")))
+      .crossJoin(broadcast(boundaries("mon")))
+    def quint(measure: String) =
+      lit(1L) + (1 to 4).map(k =>
+        when(col(measure) > col(s"${measure}_b$k"), 1L).otherwise(0L))
+        .reduce(_ + _)
+    withBounds
+      .select(concat(lit("R"), quint("rec"), lit("F"), quint("freq"),
+        lit("M"), quint("mon")).as("segment"), col("mon"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        graft.Parity.pround(sumExact(col("mon")) / count(lit(1)), 4)
+          .as("avg_monetary"))
+      .orderBy(col("segment"))
+  }
+
+  val rfmSegmentsSql: String = {
+    // DuckDB can afford the naive global row_number at gate scale; the
+    // Spark side proves the two-phase rewrite equals it
+    s"""WITH mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+       |rfm AS (
+       |  SELECT o_custkey,
+       |         CAST(date_diff('day', max(o_orderdate), (SELECT mxd FROM mx)) AS BIGINT) AS rec,
+       |         count(*) AS freq,
+       |         ${graft.Parity.proundSql(sumExactSql("o_totalprice"), 2)} AS mon
+       |  FROM orders GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM rfm),
+       |recb AS (
+       |  SELECT ${(1 to 4).map(k =>
+                   s"max(CASE WHEN idx = (n.n * $k + 4) // 5 THEN rec END) AS rec_b$k")
+                   .mkString(", ")}
+       |  FROM (SELECT rec, row_number() OVER (ORDER BY rec, o_custkey) AS idx FROM rfm)
+       |  CROSS JOIN n),
+       |freqb AS (
+       |  SELECT ${(1 to 4).map(k =>
+                   s"max(CASE WHEN idx = (n.n * $k + 4) // 5 THEN freq END) AS freq_b$k")
+                   .mkString(", ")}
+       |  FROM (SELECT freq, row_number() OVER (ORDER BY freq, o_custkey) AS idx FROM rfm)
+       |  CROSS JOIN n),
+       |monb AS (
+       |  SELECT ${(1 to 4).map(k =>
+                   s"max(CASE WHEN idx = (n.n * $k + 4) // 5 THEN mon END) AS mon_b$k")
+                   .mkString(", ")}
+       |  FROM (SELECT mon, row_number() OVER (ORDER BY mon, o_custkey) AS idx FROM rfm)
+       |  CROSS JOIN n),
+       |seg AS (
+       |  SELECT 'R' || CAST(1 + (rec > rec_b1)::INT + (rec > rec_b2)::INT
+       |                     + (rec > rec_b3)::INT + (rec > rec_b4)::INT AS VARCHAR)
+       |      || 'F' || CAST(1 + (freq > freq_b1)::INT + (freq > freq_b2)::INT
+       |                     + (freq > freq_b3)::INT + (freq > freq_b4)::INT AS VARCHAR)
+       |      || 'M' || CAST(1 + (mon > mon_b1)::INT + (mon > mon_b2)::INT
+       |                     + (mon > mon_b3)::INT + (mon > mon_b4)::INT AS VARCHAR)
+       |         AS segment,
+       |         mon
+       |  FROM rfm CROSS JOIN recb CROSS JOIN freqb CROSS JOIN monb)
+       |SELECT segment, count(*) AS n_customers,
+       |       ${graft.Parity.proundSql(
+                 s"(${sumExactSql("mon")}) / count(*)", 4)} AS avg_monetary
+       |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Tie-aware ranking — rank / dense_rank over an intentionally
     * NON-unique order (integer quantities, heavy ties), the two window
     * functions [[windowRanks]]'s total-order family cannot exercise:
@@ -3153,6 +3259,7 @@ object RelationalQueries {
     "q6_forecast_revenue" -> q6ForecastRevenue,
     "q7_trade_volume" -> q7TradeVolume,
     "q8_market_share" -> q8MarketShare,
+    "rfm_segments" -> rfmSegments,
     "q12_ship_priority" -> q12ShipPriority,
     "q14_promo_effect" -> q14PromoEffect,
     "q13_order_dist" -> q13OrderDist,
@@ -3221,6 +3328,7 @@ object RelationalQueries {
     "q6_forecast_revenue" -> q6ForecastRevenueSql,
     "q7_trade_volume" -> q7TradeVolumeSql,
     "q8_market_share" -> q8MarketShareSql,
+    "rfm_segments" -> rfmSegmentsSql,
     "q12_ship_priority" -> q12ShipPrioritySql,
     "q14_promo_effect" -> q14PromoEffectSql,
     "q13_order_dist" -> q13OrderDistSql,
