@@ -85,6 +85,22 @@ class TpchAnalogSpec extends SparkSpec {
       .forall(_.getAs[Double]("cost") == minCost))
   }
 
+  test("rfm: every ordering customer lands in exactly one segment; quintiles balanced") {
+    val rows = RelationalQueries.rfmSegments(spark, sf001).collect()
+    val total = rows.map(_.getAs[Long]("n_customers")).sum
+    val nCust = graft.Tables.orders(spark, sf001)
+      .select(col("o_custkey")).distinct().count()
+    assert(total === nCust)
+    // value-based quintiles: each monetary quintile holds ~n/5 customers
+    // (monetary is near-unique, so ties cannot skew buckets much)
+    val byM = rows.groupBy(_.getAs[String]("segment").last)
+      .view.mapValues(_.map(_.getAs[Long]("n_customers")).sum).toMap
+    assert(byM.keySet === Set('1', '2', '3', '4', '5'), byM.toString)
+    byM.values.foreach { n =>
+      assert(math.abs(n - nCust / 5.0) < nCust * 0.05, byM.toString)
+    }
+  }
+
   test("q13: the histogram includes a real zero bucket and totals |customer|") {
     val rows = RelationalQueries.q13OrderDist(spark, sf001).collect()
       .map(r => r.getAs[Long]("c_count") -> r.getAs[Long]("custdist")).toMap
