@@ -302,11 +302,16 @@ object RelationalQueries {
       .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
-    val ps = Tables.lineitem(s, dir)
-      .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(graft.Parity.pround(
-        min(col("l_extendedprice") / col("l_quantity")), 6).as("cost"))
+    // scratch-materialized: consumed by the per-part minimum AND the
+    // argmin join-back — without it both re-run the lineitem scan + join
+    // + aggregate (the q15 lesson: ReuseExchange does not cover this)
+    val ps = graft.Scratch.table(
+      Tables.lineitem(s, dir)
+        .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(graft.Parity.pround(
+          min(col("l_extendedprice") / col("l_quantity")), 6).as("cost")),
+      "q2-ps")
     val mn = ps.groupBy(col("l_partkey").as("pk"))
       .agg(min(col("cost")).as("min_cost"))
     ps.join(mn, col("l_partkey") === col("pk") && col("cost") === col("min_cost"))

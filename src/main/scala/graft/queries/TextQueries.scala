@@ -489,9 +489,14 @@ object TextQueries {
     * per-doc rollup is map-side combined. |docs| output rows.
     */
   val rarityScore: Q = (s, dir) => {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("token"))
-      .filter(length(col("token")) > 0)
+    // scratch-materialized: three consumers (doc count, df aggregate, the
+    // probe join) would otherwise each re-run the normalize+split+explode
+    // pipeline over the corpus
+    val toks = graft.Scratch.table(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("token"))
+        .filter(length(col("token")) > 0),
+      "rarity-toks")
     val nd = toks.agg(countDistinct(col("doc_id")).as("n"))
     val dft = toks.select(col("doc_id"), col("token")).distinct()
       .groupBy(col("token")).agg(count(lit(1)).as("dfd"))
