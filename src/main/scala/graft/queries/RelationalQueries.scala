@@ -76,15 +76,18 @@ object RelationalQueries {
        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  /** Q3-style: revenue of a customer segment's orders — two joins, one
-    * broadcast-sized dimension (customer), grouped agg, deterministic top-10.
+  /** Q3-style: revenue of a customer segment's orders — two joins, grouped
+    * agg, deterministic top-10. The customer dimension grows with SF
+    * (SF×150k), so it carries NO broadcast hint: AQE broadcasts it at
+    * small SF and falls back to a key-shuffle join at 100 TB — an explicit
+    * hint would pin broadcast forever and OOM at scale.
     */
   val q3TopOrders: Q = (s, dir) => {
     val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
     val orders = Tables.orders(s, dir)
     val li = Tables.lineitem(s, dir)
     li.join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(graft.Parity.pround(sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -102,9 +105,12 @@ object RelationalQueries {
        |ORDER BY revenue DESC, l_orderkey
        |LIMIT 10""".stripMargin
 
-  /** Q5-style: revenue by nation through a 5-way join chain; every
-    * dimension side is broadcast (region/nation/supplier/customer are tiny
-    * at any scale factor relative to the fact tables).
+  /** Q5-style: revenue by nation through a 5-way join chain. Only nation
+    * (25 rows at ANY scale factor) carries a broadcast hint; customer and
+    * supplier grow with SF (SF×150k / SF×10k), so they are left to the
+    * planner — AQE broadcasts them while they fit under the threshold and
+    * shuffles them at 100 TB. TpchAnalogSpec pins the shuffle path
+    * bit-equal under `autoBroadcastJoinThreshold=-1`.
     */
   val q5NationRevenue: Q = (s, dir) => {
     val li = Tables.lineitem(s, dir)
@@ -113,8 +119,8 @@ object RelationalQueries {
     val supp = Tables.supplier(s, dir)
     val nation = Tables.nation(s, dir)
     li.join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp),
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
@@ -137,7 +143,8 @@ object RelationalQueries {
     * dims + grouped top-k report. Plan shape: the lineitem⋈orders join
     * shuffles on the order key with BOTH date and returnflag filters
     * pushed to the scans (the quarter prunes orders before the join);
-    * customer and nation broadcast; the group set is ≤|customers| with
+    * nation broadcasts (fixed 25 rows); customer is SF-growing so it is
+    * unhinted — planner/AQE's call; the group set is ≤|customers| with
     * map-side partials; top-20 is TakeOrdered, never a global sort.
     */
   val q10Returns: Q = (s, dir) => {
@@ -147,7 +154,7 @@ object RelationalQueries {
       .join(Tables.orders(s, dir)
           .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi)),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
       .agg(graft.Parity.pround(
@@ -209,20 +216,21 @@ object RelationalQueries {
     * suppliers ship each (brand, type, size) of mid-size parts, excluding
     * suppliers on the complaint list (negative account balance) — the
     * canonical NOT-IN shape, planned as a LEFT ANTI join. Plan shape: the
-    * part filter pushes to its scan; the complaint list is a tiny
-    * broadcast anti probe (supplier is a dimension: 100 rows at sf0.01,
-    * ~1M at 100 TB — still broadcastable; were it not, the anti join
-    * degrades to a shuffle with identical semantics); the distinct-count
-    * is two-phase (partial distinct on (group, suppkey), then count).
-    * Top-20 by count keeps the output bounded at any scale.
+    * part filter pushes to its scan; both the complaint list and the
+    * size-pruned part set GROW with SF (supplier SF×10k, part SF×200k),
+    * so neither carries a broadcast hint — AQE broadcasts them while they
+    * fit and the anti/inner joins degrade to key shuffles with identical
+    * semantics at 100 TB; the distinct-count is two-phase (partial
+    * distinct on (group, suppkey), then count). Top-20 by count keeps the
+    * output bounded at any scale.
     */
   val q16SupplierCnt: Q = (s, dir) => {
     val complaints = Tables.supplier(s, dir)
       .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
     val parts = Tables.part(s, dir).filter(col("p_size") <= 8)
     Tables.lineitem(s, dir)
-      .join(broadcast(complaints), col("l_suppkey") === col("s_suppkey"), "left_anti")
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(complaints, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(parts, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
@@ -244,13 +252,12 @@ object RelationalQueries {
     * quantity exceeds a threshold, reported with their customer — the
     * HAVING-IN shape. Planned without any subquery re-scan: ONE grouped
     * aggregate over lineitem produces per-order totals, the HAVING filter
-    * reduces it to the (rare) large orders, and THAT small relation drives
-    * broadcast probes into orders and customer. At 100 TB the aggregate is
-    * the only fact-scale shuffle; the filtered large-order set is ~0.5% of
-    * orders (selectivity is data-derived, not luck: the threshold sits in
-    * the distribution tail at every SF because per-order line counts are
-    * scale-invariant), so the follow-up joins stay broadcast-sized — and
-    * were they not, the same joins run as shuffles unchanged.
+    * reduces it to the (rare) large orders, and THAT relation probes into
+    * orders and customer. At 100 TB the aggregate is the only guaranteed
+    * fact-scale shuffle; the filtered large-order set is ~0.5% of orders,
+    * but both it and customer still GROW with SF, so neither join is
+    * hinted — AQE broadcasts whichever side fits at runtime and shuffles
+    * otherwise; an explicit hint would pin a 10⁸-row broadcast at scale.
     */
   val q18LargeOrders: Q = (s, dir) => {
     val big = Tables.lineitem(s, dir)
@@ -259,7 +266,7 @@ object RelationalQueries {
       .filter(col("total_qty") > 150.0)
     Tables.orders(s, dir)
       .join(big, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"), col("total_qty"))
       .orderBy(col("total_qty").desc, col("o_orderkey"))
@@ -307,7 +314,7 @@ object RelationalQueries {
     // + aggregate (the q15 lesson: ReuseExchange does not cover this)
     val ps = graft.Scratch.table(
       Tables.lineitem(s, dir)
-        .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+        .join(eurSupp, col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(graft.Parity.pround(
           min(col("l_extendedprice") / col("l_quantity")), 6).as("cost")),
@@ -315,8 +322,8 @@ object RelationalQueries {
     val mn = ps.groupBy(col("l_partkey").as("pk"))
       .agg(min(col("cost")).as("min_cost"))
     ps.join(mn, col("l_partkey") === col("pk") && col("cost") === col("min_cost"))
-      .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(Tables.part(s, dir).filter(col("p_size") === 15)),
+      .join(eurSupp, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.part(s, dir).filter(col("p_size") === 15),
         col("l_partkey") === col("p_partkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("p_partkey"), col("p_type"), col("cost"))
@@ -402,9 +409,11 @@ object RelationalQueries {
   /** TPC-H Q14 analog (promotion effect): the share of a month's revenue
     * from promo-class parts — the CONDITIONAL-RATIO shape: numerator and
     * denominator accumulate in ONE aggregate pass (a CASE'd exact-decimal
-    * sum each), then one IEEE division; part is a broadcast dim. The
-    * ratio is 100·promo/total with both operands rounded through the same
-    * expression on both engines before the division.
+    * sum each), then one IEEE division; part grows with SF (SF×200k) so
+    * the join is unhinted — AQE broadcasts it at small SF, shuffles on
+    * partkey at 100 TB. The ratio is 100·promo/total with both operands
+    * rounded through the same expression on both engines before the
+    * division.
     */
   val q14PromoEffect: Q = (s, dir) => {
     val lo = java.sql.Timestamp.valueOf("1996-03-01 00:00:00")
@@ -412,7 +421,7 @@ object RelationalQueries {
     val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
-      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
       .agg(
         graft.Parity.pround(
           sumExact(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))),
@@ -444,9 +453,11 @@ object RelationalQueries {
     * because the nation dimension plays TWO ROLES in one query (supplier's
     * nation vs customer's nation, joined independently), the pair filter
     * is the disjunction of both directions, and the year derives from the
-    * order date in the grouping key. Both nation joins broadcast; the
-    * fact-fact join shuffles on the order key once; the (2 directions ×
-    * years) group set is tiny with map-side partials.
+    * order date in the grouping key. Both nation joins broadcast (25 rows
+    * at any SF); supplier and customer grow with SF, so their joins are
+    * unhinted (AQE's call); the fact-fact join shuffles on the order key
+    * once; the (2 directions × years) group set is tiny with map-side
+    * partials.
     */
   val q7TradeVolume: Q = (s, dir) => {
     val n1 = Tables.nation(s, dir)
@@ -455,8 +466,8 @@ object RelationalQueries {
       .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("sk"))
       .join(broadcast(n2), col("c_nationkey") === col("ck"))
       .filter((col("supp_nation") === "FRANCE" && col("cust_nation") === "GERMANY") ||
@@ -491,9 +502,10 @@ object RelationalQueries {
     * CASE'd exact-decimal aggregate pass per year, then one IEEE division
     * per group. The supplier nation drives the CASE; the customer nation
     * chain (customer → nation → region) drives the region restriction —
-    * the two roles join independently, as in [[q7TradeVolume]]. All
-    * dimension sides broadcast; one order-key shuffle; |years| output
-    * rows.
+    * the two roles join independently, as in [[q7TradeVolume]]. Nation and
+    * region broadcast (fixed-cardinality); the region-pruned customer set
+    * and supplier grow with SF, so the semi probe and the supplier join
+    * are unhinted — one order-key shuffle; |years| output rows.
     */
   val q8MarketShare: Q = (s, dir) => {
     val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
@@ -506,8 +518,8 @@ object RelationalQueries {
       .select(col("c_custkey"))
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"), "left_semi")
-      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(custRegion, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(suppNation), col("s_nationkey") === col("sk"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(
@@ -589,8 +601,9 @@ object RelationalQueries {
     * Both engines round revenue through the same IEEE expression BEFORE
     * the max/equality, so "ties with the max" is exact, not ulp-lucky.
     * At 100 TB: the revenue relation is |suppliers|-sized, the max is one
-    * row, supplier is a broadcast dim — nothing scales with the fact table
-    * except the first pruned scan.
+    * row (the only hinted broadcast); supplier itself grows with SF so its
+    * join is unhinted — nothing scales with the fact table except the
+    * first pruned scan.
     */
   val q15TopSupplier: Q = (s, dir) => {
     val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
@@ -609,7 +622,7 @@ object RelationalQueries {
       "q15-rev")
     val mx = rev.agg(max(col("total_rev")).as("mx"))
     rev.join(broadcast(mx), col("total_rev") === col("mx"))
-      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_rev"))
       .orderBy(col("s_suppkey"))
   }
@@ -646,7 +659,7 @@ object RelationalQueries {
       .groupBy(col("l_partkey").as("pk"))
       .agg((sumExact(col("l_quantity")) / count(lit(1))).as("avg_qty"))
     val brandLines = Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir).filter(col("p_brand") === "Brand#12")),
+      .join(Tables.part(s, dir).filter(col("p_brand") === "Brand#12"),
         col("l_partkey") === col("p_partkey"))
     brandLines.join(pa, col("l_partkey") === col("pk"))
       .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
@@ -674,7 +687,8 @@ object RelationalQueries {
     * `brand IN (…) AND size ≤ 15`, lineitem on `quantity BETWEEN 1 AND 30`
     * — so the join only sees rows that could satisfy SOME branch, and the
     * full cross-table OR is evaluated once as the join filter. Part is
-    * brand-pruned to a fraction of a dimension → broadcast; one scan of
+    * brand-pruned to a fraction of a dimension but still SF-growing, so
+    * the join is unhinted (AQE broadcasts it while it fits); one scan of
     * each table, no union-of-three-queries rewrite (which would scan
     * lineitem three times).
     */
@@ -686,8 +700,8 @@ object RelationalQueries {
     val branch3 = col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
       col("l_quantity").between(20, 30)
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir)
-          .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#3"))),
+      .join(Tables.part(s, dir)
+          .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")),
         col("l_partkey") === col("p_partkey"))
       .filter(branch1 || branch2 || branch3)
       .agg(graft.Parity.pround(
@@ -736,7 +750,7 @@ object RelationalQueries {
         "left_anti")
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
-      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(20)
@@ -797,6 +811,169 @@ object RelationalQueries {
        |                  WHERE o_custkey = c_custkey
        |                    AND o_orderpriority = '1-URGENT')
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q9 analog (product-type profit decomposition): profit per
+    * (supplier nation, order year) over a name-pruned part slice — THE
+    * join-order stress shape: lineitem meets FOUR other relations (part,
+    * supplier, orders, nation), two of them SF-growing (part SF×200k,
+    * supplier SF×10k), one fact-scale (orders), one fixed (nation). The
+    * testdata has no partsupp table, so supply cost derives from the part
+    * dimension (`p_retailprice·quantity·0.1` — deterministic and
+    * schema-compatible, same role as ps_supplycost·quantity). Plan shape:
+    * the name filter prunes part at its scan; only nation is hinted
+    * (25 rows at any SF) — the part/supplier joins are AQE's call (they
+    * broadcast at bench SF, shuffle at 100 TB); orders joins on the order
+    * key — the planner must ORDER these well, which is exactly what Q9
+    * exists to stress; the (nation × year) group set is ≤25·|years| with
+    * map-side partials.
+    */
+  val q9Profit: Q = (s, dir) => {
+    val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      col("p_retailprice") * col("l_quantity") * lit(0.1)
+    Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir).filter(col("p_name").contains("red")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(graft.Parity.pround(sumExact(profit), 4).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q9ProfitSql: String =
+    s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |       ${graft.Parity.proundSql(
+                 sumExactSql(
+                   "l_extendedprice * (1.0 - l_discount) - p_retailprice * l_quantity * 0.1"),
+                 4)} AS sum_profit
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_name LIKE '%red%'
+       |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin
+
+  /** TPC-H Q11 analog (important stock identification): the parts whose
+    * value through ONE nation's suppliers exceeds a multiple of the
+    * average — the GROUP-HAVING-AGAINST-GLOBAL-SCALAR shape: the same
+    * grouped relation feeds both the per-group rows and the global
+    * aggregate the HAVING compares against. Without partsupp, part value
+    * is `Σ extendedprice·quantity` over the focal nation's lines — same
+    * two-pass structure as ps_supplycost·ps_availqty. Plan shape: the
+    * per-part value relation is scratch-materialized ONCE and consumed
+    * twice (per-group probe + 1-row global sum/count) — never two
+    * fact-scale scans; the supplier restriction is a left-semi probe
+    * BEFORE the aggregate (the SF-growing supplier side is unhinted); the
+    * threshold comparison is a broadcast of one row crossed into
+    * |parts|-scale rows. Threshold 3× the mean keeps the report a
+    * stable tail at any SF (value concentration is scale-invariant).
+    */
+  val q11ImportantParts: Q = (s, dir) => {
+    val natSupp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_9")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val pv = graft.Scratch.table(
+      Tables.lineitem(s, dir)
+        .join(natSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(graft.Parity.pround(
+          sumExact(col("l_extendedprice") * col("l_quantity")), 2).as("part_value")),
+      "q11-pv")
+    val total = pv.agg(
+      graft.Parity.pround(sumExact(col("part_value")), 2).as("total_value"),
+      count(lit(1)).as("n_parts"))
+    pv.crossJoin(broadcast(total))
+      .filter(col("part_value") >
+        col("total_value") * lit(3.0) / col("n_parts").cast("double"))
+      .select(col("l_partkey"), col("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  val q11ImportantPartsSql: String =
+    s"""WITH pv AS (
+       |  SELECT l_partkey,
+       |         ${graft.Parity.proundSql(
+                   sumExactSql("l_extendedprice * l_quantity"), 2)} AS part_value
+       |  FROM lineitem
+       |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+       |                      JOIN nation ON s_nationkey = n_nationkey
+       |                      WHERE n_name = 'NATION_9')
+       |  GROUP BY 1),
+       |t AS (SELECT ${graft.Parity.proundSql(
+                 sumExactSql("part_value"), 2)} AS total_value,
+       |             count(*) AS n_parts FROM pv)
+       |SELECT l_partkey, part_value
+       |FROM pv CROSS JOIN t
+       |WHERE part_value > total_value * 3.0 / CAST(n_parts AS DOUBLE)
+       |ORDER BY part_value DESC, l_partkey""".stripMargin
+
+  /** TPC-H Q20 analog (excess-stock suppliers): the focal nation's
+    * suppliers holding a (part, supplier) pair whose 1996 shipments
+    * dominated its all-time volume, restricted to a name-pruned part
+    * slice — the NESTED SEMI-JOIN CHAIN with a correlated quantity bound:
+    * supplier ⋉ (pairs ⋉ part) where the bound compares two aggregates of
+    * the SAME fact table (the year's quantity vs all-time quantity per
+    * pair — the partsupp-free analog of availqty > ½·year-shipments).
+    * Plan shape: both pair aggregates group on the identical
+    * (partkey, suppkey) key, so they meet co-partitioned after ONE
+    * shuffle each with no re-exchange; the part prune is a left-semi
+    * probe (part is SF-growing → unhinted); the outer supplier semi
+    * probes with the ≤|pairs| qualifying key set; nothing fact-sized is
+    * ever broadcast. Semis never multiply rows — each supplier reports
+    * once no matter how many qualifying pairs it holds.
+    */
+  val q20ExcessSuppliers: Q = (s, dir) => {
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    val li = Tables.lineitem(s, dir)
+    val pairsAll = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(graft.Parity.pround(sumExact(col("l_quantity")), 2).as("qty_all"))
+    val pairs96 = li
+      .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
+      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .agg(graft.Parity.pround(sumExact(col("l_quantity")), 2).as("qty96"))
+    val qualifying = pairsAll
+      .join(pairs96, col("l_partkey") === col("pk") && col("l_suppkey") === col("sk"))
+      .filter(col("qty96") > lit(0.5) * col("qty_all"))
+      .join(Tables.part(s, dir).filter(col("p_name").startsWith("small"))
+          .select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_suppkey"))
+    Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_9")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
+  val q20ExcessSuppliersSql: String =
+    s"""WITH pa AS (
+       |  SELECT l_partkey, l_suppkey,
+       |         ${graft.Parity.proundSql(sumExactSql("l_quantity"), 2)} AS qty_all
+       |  FROM lineitem GROUP BY 1, 2),
+       |p96 AS (
+       |  SELECT l_partkey, l_suppkey,
+       |         ${graft.Parity.proundSql(sumExactSql("l_quantity"), 2)} AS qty96
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  GROUP BY 1, 2)
+       |SELECT s_suppkey, s_name, s_acctbal
+       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |WHERE n_name = 'NATION_9'
+       |  AND EXISTS (
+       |    SELECT 1 FROM pa JOIN p96 USING (l_partkey, l_suppkey)
+       |    WHERE pa.l_suppkey = s_suppkey AND qty96 > 0.5 * qty_all
+       |      AND EXISTS (SELECT 1 FROM part
+       |                  WHERE p_partkey = pa.l_partkey
+       |                    AND p_name LIKE 'small%'))
+       |ORDER BY s_name""".stripMargin
 
   /** Top-3 orders per customer by total price — per-group top-k via
     * row_number (the QUALIFY rewrite, SURVEY §2.3 note).
@@ -1145,8 +1322,14 @@ object RelationalQueries {
     def typed(t: String, out: String) =
       ev.filter(col("event_type") === t).select(col("user_id"), col("ts").as(out))
     val hourUs = 3600000000L
+    // one chain per DISTINCT (user, view time): the oracle groups by
+    // (user_id, view_ts) and the streaming Funnel state machine dedups
+    // same-timestamp views, so duplicate view rows must not multiply
+    // chains here either (the fixture has none today; this pins the
+    // semantics rather than relying on that)
     val s1 = graft.relational.AsOfJoin.forwardWithTs(
-        typed("view", "view_ts"), typed("click", "ts"),
+        typed("view", "view_ts").dropDuplicates("user_id", "view_ts"),
+        typed("click", "ts"),
         "view_ts", "ts", Seq("user_id"), Seq.empty, "click_ts")
       .filter(col("click_ts").isNotNull &&
         unix_micros(col("click_ts")) - unix_micros(col("view_ts")) <= hourUs)
@@ -2506,7 +2689,8 @@ object RelationalQueries {
     * 600 directed pairs regardless of corpus size — the item-vocabulary
     * bound every production basket miner relies on).
     *
-    * Shape: one broadcast join to the part dimension, one distinct
+    * Shape: one unhinted join to the SF-growing part dimension (AQE
+    * broadcasts it while it fits, partkey-shuffles at scale), one distinct
     * (basket, item) projection, then a SELF-JOIN ON THE BASKET KEY —
     * co-partitioned, one shuffle on o_orderkey, never item×item across
     * baskets. Item frequencies and the basket count ride in as broadcast
@@ -2515,7 +2699,7 @@ object RelationalQueries {
     */
   val assocRules: Q = (s, dir) => {
     val items = Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
       .distinct()
     val consts = items.agg(countDistinct(col("ok")).as("n_baskets"))
@@ -2941,20 +3125,47 @@ object RelationalQueries {
     * cume_dist = rank_with_ties/n), and the ratios are small-integer
     * divisions — bit-identical, pround only as belt-and-braces.
     *
-    * Scale shape: one shuffle on the partition key, per-partition sort,
-    * single pass — the same envelope as every other window query; the
-    * 5-value priority key bounds partition count, and partition SIZE
-    * scales with orders (the chunked-indicator pattern is the answer if a
-    * single priority ever becomes a whale).
+    * Scale shape: o_orderpriority is a 5-VALUE vocabulary, so a
+    * `PARTITION BY o_orderpriority` window would put 1/5 of all orders in
+    * ONE task's sort at any scale — instead the per-priority rank derives
+    * from the [[graft.relational.GlobalIndex]] per-group form (range
+    * partitions over (priority, price, key) cut WITHIN a priority; rank =
+    * idx − min idx per group + 1, offsets broadcast back), and all three
+    * distribution functions are then pure per-row arithmetic on
+    * (rank, group size): the order key is unique, so rank == rank-with-
+    * ties, percent_rank = (rn−1)/(n−1), cume_dist = rn/n, and ntile's
+    * first-(n mod k)-buckets-get-⌈n/k⌉ layout is two integer ceilings.
+    * The oracle keeps DuckDB's native window functions — proving the
+    * scale-safe arithmetic IS those functions.
     */
   val windowDistribution: Q = (s, dir) => {
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(s, dir)
+    val idxed = graft.relational.GlobalIndex.withGlobalIndex(
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+      Seq("o_orderpriority", "o_totalprice", "o_orderkey"))
+    val grp = idxed.groupBy(col("o_orderpriority"))
+      .agg(min(col("idx")).as("idx0"), count(lit(1)).as("n"))
+    val rn = col("idx") - col("idx0") + lit(1L)
+    // ntile(k): the first n%k buckets hold ⌈n/k⌉ rows, the rest ⌊n/k⌋
+    val k = 4L
+    val q = floor(col("n") / lit(k)).cast("long")          // ⌊n/k⌋
+    val r = col("n") - q * lit(k)                          // n mod k
+    val big = q + lit(1L)                                  // ⌈n/k⌉ when r>0
+    val headRows = r * big
+    val ntileCol = when(rn <= headRows,
+        floor((rn + big - lit(1L)) / big).cast("long"))
+      .otherwise(lit(0L) + r +
+        floor((rn - headRows + greatest(q, lit(1L)) - lit(1L)) /
+          greatest(q, lit(1L))).cast("long"))
+    idxed.join(broadcast(grp), "o_orderpriority")
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
-        ntile(4).over(w).as("price_quartile"),
-        graft.Parity.pround(percent_rank().over(w), 6).as("pct_rank"),
-        graft.Parity.pround(cume_dist().over(w), 6).as("cum_dist"))
+        ntileCol.as("price_quartile"),
+        graft.Parity.pround(
+          when(col("n") === 1L, lit(0.0))
+            .otherwise((rn - lit(1L)).cast("double") /
+              (col("n") - lit(1L)).cast("double")), 6).as("pct_rank"),
+        graft.Parity.pround(
+          rn.cast("double") / col("n").cast("double"), 6).as("cum_dist"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -3275,6 +3486,9 @@ object RelationalQueries {
     "q19_disjunctive" -> q19Disjunctive,
     "q21_waiting_supplier" -> q21WaitingSupplier,
     "q22_no_urgent" -> q22NoUrgent,
+    "q9_profit" -> q9Profit,
+    "q11_important_parts" -> q11ImportantParts,
+    "q20_excess_suppliers" -> q20ExcessSuppliers,
     "window_ties" -> windowTies,
     "global_index" -> globalIndexQ,
     "bfs_hops" -> ((s: SparkSession, d: String) => bfsHops(s, d)),
@@ -3344,6 +3558,9 @@ object RelationalQueries {
     "q19_disjunctive" -> q19DisjunctiveSql,
     "q21_waiting_supplier" -> q21WaitingSupplierSql,
     "q22_no_urgent" -> q22NoUrgentSql,
+    "q9_profit" -> q9ProfitSql,
+    "q11_important_parts" -> q11ImportantPartsSql,
+    "q20_excess_suppliers" -> q20ExcessSuppliersSql,
     "window_ties" -> windowTiesSql,
     "global_index" -> globalIndexSql,
     "bfs_hops" -> bfsHopsSql,

@@ -101,6 +101,29 @@ class TpchAnalogSpec extends SparkSpec {
     }
   }
 
+  test("q5: with broadcasts disabled the shuffle path is bit-equal (100 TB plan)") {
+    // q5 joins the two largest SF-growing dimensions (customer, supplier);
+    // neither is hinted, so with autoBroadcastJoinThreshold=-1 the planner
+    // must fall back to shuffle joins for them — exactly the plan a
+    // 100 TB run would get — while the only explicit hint left is the
+    // fixed-25-row nation relation. Results must not move a bit.
+    val default = RelationalQueries.q5NationRevenue(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getAs[Double]("revenue"))).toSeq
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = RelationalQueries.q5NationRevenue(spark, sf001)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      // the one surviving broadcast is the hinted 25-row nation dim
+      assert(plan.split("BroadcastHashJoin").length - 1 === 1, plan)
+      val got = df.collect()
+        .map(r => (r.getString(0), r.getAs[Double]("revenue"))).toSeq
+      assert(got === default)
+      assert(got.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q13: the histogram includes a real zero bucket and totals |customer|") {
     val rows = RelationalQueries.q13OrderDist(spark, sf001).collect()
       .map(r => r.getAs[Long]("c_count") -> r.getAs[Long]("custdist")).toMap
