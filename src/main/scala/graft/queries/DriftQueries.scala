@@ -253,19 +253,27 @@ object DriftQueries {
     * Percentiles are EXACT rank selections (percentile_disc semantics:
     * the value at rank ⌈q·n⌉ under the deterministic (value, event_id)
     * order — pure integer rank arithmetic, no interpolation, so both
-    * engines select the identical row). One per-type window sort for the
-    * ranks, a 2-row-per-type bounds relation broadcast back, and the
-    * clipped mean accumulates exact-decimal. Same cost class as any
-    * per-key window; |types| output rows.
+    * engines select the identical row). Per-type ranks come from the
+    * [[graft.relational.GlobalIndex]] PER-GROUP form, NOT a
+    * `PARTITION BY event_type` window: event_type is a ~5-value
+    * vocabulary, so a per-type window partition grows linearly with the
+    * corpus and one task would eventually sort 1/5 of 100 TB. The global
+    * index ranges over (event_type, value, event_id) — range partitions
+    * cut WITHIN a type, keeping every sort task bounded — and the
+    * per-type rank is `idx − min(idx per type) + 1` with the |types|-row
+    * offset relation broadcast back. A 2-row-per-type bounds relation
+    * broadcasts back for the clip; the clipped mean accumulates
+    * exact-decimal. |types| output rows.
     */
   val winsorizeStats: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("event_type"), col("value"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
-    val ranked = ev.withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+    val idxed = graft.relational.GlobalIndex.withGlobalIndex(
+      ev, Seq("event_type", "value", "event_id"))
+    val grp = idxed.groupBy(col("event_type"))
+      .agg(min(col("idx")).as("idx0"), count(lit(1)).as("n"))
+    val ranked = idxed.join(broadcast(grp), "event_type")
+      .withColumn("rn", col("idx") - col("idx0") + lit(1L))
     // ceil(q*n) in pure integer arithmetic: (n*q100 + 99) div 100
     def rank(q100: Int) =
       floor((col("n") * q100 + lit(99L)) / lit(100L)).cast("long")

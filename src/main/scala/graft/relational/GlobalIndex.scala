@@ -40,13 +40,25 @@ object GlobalIndex {
 
   /** Append `idx` (1-based, dense, following ORDER BY `orderCols`) to
     * `df`. `orderCols` must be a unique total order.
+    *
+    * `numPartitions <= 0` (the default) derives the range-partition count
+    * from the cluster: `max(32, defaultParallelism)`. A fixed constant
+    * here would be the 100 TB bug — 32 tasks each locally sorting billions
+    * of rows — while the derived count scales with the executor fleet.
+    * The produced index is partitioning-INDEPENDENT (the class invariant:
+    * unique total order ⇒ offset+local is the same for any boundary set;
+    * GlobalIndexSpec pins 1 vs 8 vs 32 vs 64 equality), so callers never
+    * need to pin a count for correctness — only for tests.
     */
   def withGlobalIndex(
-      df: DataFrame, orderCols: Seq[String], numPartitions: Int = 32,
+      df: DataFrame, orderCols: Seq[String], numPartitions: Int = 0,
       idxName: String = "idx"): DataFrame = {
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else math.max(32, df.sparkSession.sparkContext.defaultParallelism)
     val cols: Seq[Column] = orderCols.map(col)
     val parted = graft.Scratch.table(
-      df.repartitionByRange(numPartitions, cols: _*)
+      df.repartitionByRange(parts, cols: _*)
         .withColumn("__pid", spark_partition_id()),
       "gidx-parted")
     val localW = Window.partitionBy(col("__pid")).orderBy(cols: _*)

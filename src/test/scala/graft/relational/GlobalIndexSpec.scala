@@ -29,13 +29,18 @@ class GlobalIndexSpec extends SparkSpec {
     assert(got === naive(8))
   }
 
-  test("partition count does not change the index (1 vs 32)") {
+  test("partition count does not change the index (1 vs 8 vs 32 vs 64 vs derived)") {
     val orders = Tables.orders(spark, sf0001)
       .select(col("o_orderkey"), col("o_orderdate"))
     def run(n: Int) = GlobalIndex.withGlobalIndex(
         orders, Seq("o_orderdate", "o_orderkey"), numPartitions = n)
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("idx")).toMap
-    assert(run(1) === run(32))
+    val base = run(1)
+    assert(base === run(8))
+    assert(base === run(32))
+    assert(base === run(64))
+    // the default derives from defaultParallelism — same index either way
+    assert(base === run(0))
   }
 
   test("index is a dense 1..N permutation") {
