@@ -32,18 +32,30 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    named in the committed messages to their deterministic final names
   *    (one per partition) — the losing duplicate attempt's file is never
   *    renamed and vanishes with the staging directory. Readers only ever
-  *    see fully-written, committed files: rename is the atomicity point.
+  *    see fully-written, committed files: rename is the atomicity point,
+  *    and a rename that REPORTS failure fails the commit loudly (a
+  *    swallowed false return would report success over lost data).
   *  - `overwrite` (SaveMode.Overwrite → truncate) deletes the PREVIOUS
   *    generation's data files inside the same job commit, so the switch
   *    from old to new data is a single metadata step, not a window where
   *    both or neither are visible.
   *
   * Streaming (`writeStream.format("graft-sink")`): the same staged-rename
-  * per epoch, with the epoch id baked into the final name — a re-delivered
-  * `commit(epochId)` after a driver failover renames onto the SAME final
-  * names (delete-then-rename), making replayed epoch commits idempotent:
-  * exactly-once through at-least-once delivery, the standard sink-side
-  * contract.
+  * protocol, with the epoch id baked into BOTH the staging directory
+  * (`_staging-<query>-e<epoch>` — concurrent epochs never share staging,
+  * so committing epoch N cannot destroy epoch N+1's in-flight files) and
+  * the final name. A re-delivered `commit(epochId)` after a driver
+  * failover renames onto the SAME final names; if the staged file is
+  * already gone AND its final file exists, the epoch was already
+  * published and the message is skipped — replayed epoch commits are
+  * genuinely idempotent: exactly-once through at-least-once delivery, the
+  * standard sink-side contract.
+  *
+  * All filesystem access resolves through the SESSION's Hadoop
+  * configuration (captured on the driver at write-build time and shipped
+  * serialized to executor writers) — `spark.hadoop.*` settings,
+  * credentials, and defaultFS apply, not a bare `new Configuration()`
+  * that only ever works against a default-configured local filesystem.
   *
   * Rows serialize as CSV: long/int/double via JVM shortest-round-trip
   * strings, timestamps as raw MICROSECOND longs (no format ambiguity;
@@ -71,6 +83,24 @@ class GraftSink extends TableProvider
   }
 }
 
+/** Serializable Hadoop-Configuration carrier: the session's
+  * `spark.hadoop.*` view must reach executor-side writers, and
+  * `Configuration` itself is not `Serializable` (Spark's own wrapper is
+  * `private[spark]`). Standard writeObject/readFields round-trip.
+  */
+private[sources] class GraftHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 private[sources] class GraftSinkTable(path: String, tableSchema: StructType,
     clusterBy: Option[String])
     extends Table with SupportsWrite {
@@ -79,13 +109,19 @@ private[sources] class GraftSinkTable(path: String, tableSchema: StructType,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // driver-side capture of the SESSION Hadoop conf (spark.hadoop.*,
+    // credentials, defaultFS) — shipped to every writer
+    val conf = new GraftHadoopConf(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
     new GraftSinkWriteBuilder(path, info.schema(), info.queryId(),
-      truncate = false, clusterBy)
+      truncate = false, clusterBy, conf)
+  }
 }
 
 private[sources] class GraftSinkWriteBuilder(path: String, schema: StructType,
-    queryId: String, truncate: Boolean, clusterBy: Option[String] = None)
+    queryId: String, truncate: Boolean, clusterBy: Option[String],
+    conf: GraftHadoopConf)
     extends WriteBuilder with SupportsOverwrite {
 
   /** SaveMode.Overwrite arrives as overwrite(AlwaysTrue); partial
@@ -95,7 +131,8 @@ private[sources] class GraftSinkWriteBuilder(path: String, schema: StructType,
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
     require(filters.forall(_.isInstanceOf[AlwaysTrue]),
       s"graft-sink supports only full truncate, got ${filters.mkString(",")}")
-    new GraftSinkWriteBuilder(path, schema, queryId, truncate = true, clusterBy)
+    new GraftSinkWriteBuilder(path, schema, queryId, truncate = true,
+      clusterBy, conf)
   }
 
   /** `option("clusterBy", col)` makes the sink REQUEST its input layout
@@ -120,9 +157,9 @@ private[sources] class GraftSinkWriteBuilder(path: String, schema: StructType,
           SortDirection.ASCENDING)))
         .getOrElse(Array.empty)
       override def toBatch: BatchWrite =
-        new GraftSinkBatchWrite(path, schema, queryId, truncate)
+        new GraftSinkBatchWrite(path, schema, queryId, truncate, conf)
       override def toStreaming: StreamingWrite =
-        new GraftSinkStreamingWrite(path, schema, queryId)
+        new GraftSinkStreamingWrite(path, schema, queryId, conf)
     }
   }
 }
@@ -132,22 +169,38 @@ private[sources] case class GraftStaged(staged: String, finalName: String,
     rows: Long) extends WriterCommitMessage
 
 private[sources] object GraftSinkIO {
-  def fs(path: String): (FileSystem, HPath) = {
+  def fs(path: String, conf: Configuration): (FileSystem, HPath) = {
     val p = new HPath(path)
-    (p.getFileSystem(new Configuration()), p)
+    (p.getFileSystem(conf), p)
   }
 
-  def stagingDir(path: String, queryId: String): HPath =
-    new HPath(path, s"_staging-$queryId")
-
-  /** Rename committed staged files to final names (delete-then-rename =
-    * idempotent under commit replay), then drop the staging dir so losing
-    * task attempts' files — never named in `messages` — disappear.
+  /** Batch jobs stage under `_staging-<query>`; each streaming EPOCH
+    * stages under its own `_staging-<query>-e<epoch>` — concurrent epochs
+    * (continuous mode, overlapping retries) never share a staging dir, so
+    * one epoch's publish cannot delete another's in-flight files.
     */
-  def publish(path: String, queryId: String,
-      messages: Array[WriterCommitMessage], dropExisting: Boolean): Unit = {
-    val (fs, root) = GraftSinkIO.fs(path)
-    val staging = stagingDir(path, queryId)
+  def stagingDir(path: String, queryId: String,
+      epoch: Option[Long] = None): HPath =
+    new HPath(path,
+      epoch.fold(s"_staging-$queryId")(e => s"_staging-$queryId-e$e"))
+
+  /** Rename committed staged files to final names, then drop this job's /
+    * epoch's staging dir so losing task attempts' files — never named in
+    * `messages` — disappear.
+    *
+    * Idempotent under commit replay, carefully: a message whose staged
+    * source is GONE but whose final file EXISTS was already published by
+    * the previous delivery of this commit — skip it (deleting dest first
+    * and then "renaming" a missing source would destroy committed data).
+    * A message with neither source nor dest is real data loss and throws;
+    * so does a rename that returns false — silent false-returns are how
+    * commit protocols lose partitions.
+    */
+  def publish(path: String, queryId: String, epoch: Option[Long],
+      messages: Array[WriterCommitMessage], dropExisting: Boolean,
+      conf: Configuration): Unit = {
+    val (fs, root) = GraftSinkIO.fs(path, conf)
+    val staging = stagingDir(path, queryId, epoch)
     if (dropExisting && fs.exists(root)) {
       fs.listStatus(root).filter { st =>
         st.isFile && st.getPath.getName.endsWith(".csv")
@@ -155,53 +208,67 @@ private[sources] object GraftSinkIO {
     }
     fs.mkdirs(root)
     messages.collect { case m: GraftStaged => m }.foreach { m =>
+      val src = new HPath(staging, m.staged)
       val dest = new HPath(root, m.finalName)
-      if (fs.exists(dest)) fs.delete(dest, false)
-      fs.rename(new HPath(staging, m.staged), dest)
+      if (!fs.exists(src)) {
+        if (!fs.exists(dest)) {
+          throw new java.io.IOException(
+            s"graft-sink commit: staged file $src is gone and final $dest " +
+              "does not exist — partition data lost")
+        }
+        // else: replayed commit, already published — leave dest alone
+      } else {
+        if (fs.exists(dest)) fs.delete(dest, false)
+        if (!fs.rename(src, dest)) {
+          throw new java.io.IOException(
+            s"graft-sink commit: rename $src -> $dest failed")
+        }
+      }
     }
     fs.delete(staging, true)
   }
 }
 
 private[sources] class GraftSinkBatchWrite(path: String, schema: StructType,
-    queryId: String, truncate: Boolean) extends BatchWrite {
+    queryId: String, truncate: Boolean, conf: GraftHadoopConf)
+    extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftSinkWriterFactory(path, schema, queryId)
+    new GraftSinkWriterFactory(path, schema, queryId, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    GraftSinkIO.publish(path, queryId, messages, dropExisting = truncate)
+    GraftSinkIO.publish(path, queryId, None, messages,
+      dropExisting = truncate, conf.value)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val (fs, _) = GraftSinkIO.fs(path)
+    val (fs, _) = GraftSinkIO.fs(path, conf.value)
     fs.delete(GraftSinkIO.stagingDir(path, queryId), true)
   }
 }
 
 private[sources] class GraftSinkStreamingWrite(path: String, schema: StructType,
-    queryId: String) extends StreamingWrite {
+    queryId: String, conf: GraftHadoopConf) extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new GraftSinkWriterFactory(path, schema, queryId)
+    new GraftSinkWriterFactory(path, schema, queryId, conf)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
-    GraftSinkIO.publish(path, queryId, messages, dropExisting = false)
+    GraftSinkIO.publish(path, queryId, Some(epochId), messages,
+      dropExisting = false, conf.value)
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
-    // delete only this epoch's named staged files; other epochs may be
-    // mid-flight in the shared staging dir
-    val (fs, _) = GraftSinkIO.fs(path)
-    val staging = GraftSinkIO.stagingDir(path, queryId)
-    messages.collect { case m: GraftStaged => m }
-      .foreach(m => fs.delete(new HPath(staging, m.staged), false))
+    // the epoch owns its staging dir outright — dropping it cannot touch
+    // any other epoch's in-flight files
+    val (fs, _) = GraftSinkIO.fs(path, conf.value)
+    fs.delete(GraftSinkIO.stagingDir(path, queryId, Some(epochId)), true)
   }
 }
 
 private[sources] class GraftSinkWriterFactory(path: String, schema: StructType,
-    queryId: String)
+    queryId: String, conf: GraftHadoopConf)
     extends DataWriterFactory with StreamingDataWriterFactory {
 
   // batch final names embed the per-job queryId so APPEND jobs never
@@ -211,24 +278,25 @@ private[sources] class GraftSinkWriterFactory(path: String, schema: StructType,
     queryId.replaceAll("[^A-Za-z0-9]", "").take(8)
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftSinkDataWriter(path, queryId, schema,
+    new GraftSinkDataWriter(path, queryId, None, schema,
       staged = f"part-$jobTag-$partitionId%05d-a$taskId.csv",
-      finalName = f"part-$jobTag-$partitionId%05d.csv")
+      finalName = f"part-$jobTag-$partitionId%05d.csv", conf)
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new GraftSinkDataWriter(path, queryId, schema,
+    new GraftSinkDataWriter(path, queryId, Some(epochId), schema,
       staged = f"epoch-$epochId-part-$partitionId%05d-a$taskId.csv",
-      finalName = f"epoch-$epochId-part-$partitionId%05d.csv")
+      finalName = f"epoch-$epochId-part-$partitionId%05d.csv", conf)
 }
 
 private[sources] class GraftSinkDataWriter(path: String, queryId: String,
-    schema: StructType, staged: String, finalName: String)
+    epoch: Option[Long], schema: StructType, staged: String, finalName: String,
+    conf: GraftHadoopConf)
     extends DataWriter[InternalRow] {
 
-  private val (fs, _) = GraftSinkIO.fs(path)
+  private val (fs, _) = GraftSinkIO.fs(path, conf.value)
   private val stagedPath =
-    new HPath(GraftSinkIO.stagingDir(path, queryId), staged)
+    new HPath(GraftSinkIO.stagingDir(path, queryId, epoch), staged)
   private lazy val out = {
     fs.mkdirs(stagedPath.getParent)
     new java.io.BufferedWriter(

@@ -15,6 +15,9 @@ class GraftSinkSpec extends SparkSpec {
   private val schema = StructType(Seq(
     StructField("id", LongType), StructField("v", DoubleType)))
 
+  // the session's Hadoop conf, as the write path captures it on the driver
+  private def hconf = new GraftHadoopConf(spark.sessionState.newHadoopConf())
+
   private def freshDir(tag: String): String = {
     val d = s"${sys.props("java.io.tmpdir")}/graft_sink_spec/$tag"
     val p = new HPath(d)
@@ -60,7 +63,7 @@ class GraftSinkSpec extends SparkSpec {
 
   test("task abort deletes its staged file and leaves the destination untouched") {
     val dir = freshDir("abort")
-    val factory = new GraftSinkWriterFactory(dir, schema, "qid-abort")
+    val factory = new GraftSinkWriterFactory(dir, schema, "qid-abort", hconf)
     val w = factory.createWriter(0, 7L)
     w.write(org.apache.spark.sql.catalyst.InternalRow(1L, 2.0))
     w.abort()
@@ -72,7 +75,7 @@ class GraftSinkSpec extends SparkSpec {
   test("duplicate attempts: only the committed attempt's file is published") {
     val dir = freshDir("dup")
     val qid = "qid-dup"
-    val factory = new GraftSinkWriterFactory(dir, schema, qid)
+    val factory = new GraftSinkWriterFactory(dir, schema, qid, hconf)
     // two attempts of partition 0 run concurrently (speculation); both
     // finish at task level, but the driver commits only attempt 3's message
     val w1 = factory.createWriter(0, 3L)
@@ -81,7 +84,7 @@ class GraftSinkSpec extends SparkSpec {
     w2.write(org.apache.spark.sql.catalyst.InternalRow(1L, 1.0))
     val m1 = w1.commit()
     w2.commit() // the losing attempt also reached task commit — still unpublished
-    new GraftSinkBatchWrite(dir, schema, qid, truncate = false)
+    new GraftSinkBatchWrite(dir, schema, qid, truncate = false, hconf)
       .commit(Array(m1))
     val rows = readBack(dir).count()
     assert(rows === 1L, "exactly one copy published despite two finished attempts")
@@ -93,12 +96,13 @@ class GraftSinkSpec extends SparkSpec {
   test("staged files are invisible to readers before job commit") {
     val dir = freshDir("invisible")
     val qid = "qid-inv"
-    val factory = new GraftSinkWriterFactory(dir, schema, qid)
+    val factory = new GraftSinkWriterFactory(dir, schema, qid, hconf)
     val w = factory.createWriter(0, 1L)
     w.write(org.apache.spark.sql.catalyst.InternalRow(1L, 1.0))
     val m = w.commit() // task-committed, job NOT committed
     assert(readBack(dir).count() === 0L, "glob-scoped readers see nothing yet")
-    new GraftSinkBatchWrite(dir, schema, qid, truncate = false).commit(Array(m))
+    new GraftSinkBatchWrite(dir, schema, qid, truncate = false, hconf)
+      .commit(Array(m))
     assert(readBack(dir).count() === 1L)
   }
 
@@ -162,8 +166,8 @@ class GraftSinkSpec extends SparkSpec {
   test("replayed streaming epoch commit is idempotent (same final names)") {
     val dir = freshDir("epoch")
     val qid = "qid-epoch"
-    val factory = new GraftSinkWriterFactory(dir, schema, qid)
-    val sw = new GraftSinkStreamingWrite(dir, schema, qid)
+    val factory = new GraftSinkWriterFactory(dir, schema, qid, hconf)
+    val sw = new GraftSinkStreamingWrite(dir, schema, qid, hconf)
     def runEpoch(attempt: Long): Unit = {
       val w = factory.createWriter(0, attempt, 5L)
       w.write(org.apache.spark.sql.catalyst.InternalRow(42L, 1.0))
@@ -174,5 +178,59 @@ class GraftSinkSpec extends SparkSpec {
     val n = spark.read.schema(schema)
       .option("pathGlobFilter", "epoch-*.csv").csv(dir).count()
     assert(n === 1L, "replay overwrote, not duplicated")
+  }
+
+  test("re-delivered commit with staged files already published is a no-op") {
+    // failover corner the rename-result fix exists for: the SAME commit
+    // message arrives twice, and by the second delivery the staged file is
+    // gone (published, staging dropped). The old delete-then-rename would
+    // delete the committed final file and silently "succeed" over lost
+    // data; the fixed publish sees source-gone + dest-present and skips.
+    val dir = freshDir("redeliver")
+    val qid = "qid-redeliver"
+    val factory = new GraftSinkWriterFactory(dir, schema, qid, hconf)
+    val sw = new GraftSinkStreamingWrite(dir, schema, qid, hconf)
+    val w = factory.createWriter(0, 1L, 7L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(7L, 7.0))
+    val msgs = Array(w.commit())
+    sw.commit(7L, msgs)
+    sw.commit(7L, msgs) // re-delivery of the SAME already-applied commit
+    val rows = spark.read.schema(schema)
+      .option("pathGlobFilter", "epoch-*.csv").csv(dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows === Seq((7L, 7.0)), "committed data survived the replay")
+  }
+
+  test("commit with staged file and final file both missing throws (data loss)") {
+    val dir = freshDir("lost")
+    val qid = "qid-lost"
+    val sw = new GraftSinkStreamingWrite(dir, schema, qid, hconf)
+    val ghost = GraftStaged("epoch-9-part-00000-a1.csv",
+      "epoch-9-part-00000.csv", 1L)
+    val e = intercept[java.io.IOException] {
+      sw.commit(9L, Array[org.apache.spark.sql.connector.write.WriterCommitMessage](ghost))
+    }
+    assert(e.getMessage.contains("lost"))
+  }
+
+  test("committing epoch N leaves epoch N+1's in-flight staged files intact") {
+    val dir = freshDir("epochs")
+    val qid = "qid-epochs"
+    val factory = new GraftSinkWriterFactory(dir, schema, qid, hconf)
+    val sw = new GraftSinkStreamingWrite(dir, schema, qid, hconf)
+    // epoch 11 is mid-flight (task-committed, job commit not yet delivered)
+    val w11 = factory.createWriter(0, 1L, 11L)
+    w11.write(org.apache.spark.sql.catalyst.InternalRow(11L, 1.0))
+    val m11 = w11.commit()
+    // epoch 10 commits fully — with per-epoch staging this cannot touch 11
+    val w10 = factory.createWriter(0, 1L, 10L)
+    w10.write(org.apache.spark.sql.catalyst.InternalRow(10L, 1.0))
+    sw.commit(10L, Array(w10.commit()))
+    // epoch 11's commit must still find its staged file
+    sw.commit(11L, Array(m11))
+    val ids = spark.read.schema(schema)
+      .option("pathGlobFilter", "epoch-*.csv").csv(dir)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(ids === Set(10L, 11L))
   }
 }
