@@ -7,11 +7,16 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata; decode/feature-extract run per-partition in
   * batches (the Scala analog of arrow-batched Python UDFs).
   *
-  * The actual codec step is a clearly marked STUB (no image/audio libs in
-  * this environment): `decodeStub` derives deterministic fake metadata from
-  * the payload bytes. Everything around it — schema, binary transport,
-  * partition-batched execution, frame-sampling explode — is real and tested,
-  * so a real decoder drops into `decodeBytes` without touching the topology.
+  * Two decode tiers:
+  *  - `decodeStub` — clearly marked STUB (no image/audio codec libs in this
+  *    environment): deterministic fake metadata from payload bytes;
+  *  - `packMedia`/`decodePacked` — a REAL fixed-layout binary container
+  *    (GRFT: magic + big-endian header + body) with a real positional
+  *    parser, so the mapPartitions decode path is load-bearing: magic
+  *    validation, endian-correct field reads, body slicing, digests.
+  * Everything around them — schema, binary transport, partition-batched
+  * execution, frame-sampling explode — is shared, so a codec decoder drops
+  * in without touching the topology.
   */
 object Multimodal {
 
@@ -61,6 +66,112 @@ object Multimodal {
         val digest = md.digest(r.payload).map("%02x".format(_)).mkString
         val (w, h, d) = decodeBytes(r.kind, r.payload)
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, digest, w, h, d)
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // GRFT container: a real fixed-layout binary format, parsed for real.
+  //
+  // The decode STUB above derives fake metadata from raw bytes; this pair
+  // makes the mapPartitions decode path LOAD-BEARING: `packMedia` writes a
+  // 17-byte big-endian header (magic 'GRFT', kind code, u16 width, u16
+  // height, u32 duration_ms, u32 n_frames) followed by the body bytes, and
+  // `decodePacked` parses it back — offsets, endianness, magic validation,
+  // body slicing all for real, exactly what a codec header reader
+  // (PNG IHDR / WAV fmt / MP4 mvhd) does. The header VALUES are generated
+  // by deterministic arithmetic on (doc_id, body length) so the DuckDB
+  // oracle can recompute them independently: encoder and decoder are two
+  // separate code paths meeting at the oracle — a misread offset or
+  // endianness flip fails the gate.
+  //
+  //   offset  size  field
+  //   0       4     magic 'G','R','F','T'
+  //   4       1     kind code (1=image, 2=audio, 3=video)
+  //   5       2     width  (u16, big-endian)
+  //   7       2     height (u16, big-endian)
+  //   9       4     duration_ms (u32, big-endian)
+  //   13      4     n_frames    (u32, big-endian)
+  //   17      …     body (payload bytes)
+  // ---------------------------------------------------------------------
+
+  final case class PackedMedia(media_id: Long, payload: Array[Byte])
+  final case class PackedFeatures(media_id: Long, kind: String, n_bytes: Long,
+      width: Long, height: Long, duration_ms: Long, n_frames: Long,
+      body_md5: String)
+
+  private val HeaderLen = 17
+
+  /** Metadata formulas, shared with the oracle (all values fit their
+    * header field widths by construction):
+    * image: 64+(id%97)·4 × 48+(id%89)·4, 0 ms, 1 frame;
+    * audio: 0×0, 1000+(len%1000)·40 ms;
+    * video: 320+(id%33)·8 × 240+(id%25)·8, same duration;
+    * n_frames = duration/40 for timed media.
+    */
+  private def meta(id: Long, bodyLen: Long): (Int, Int, Int, Long, Long) = {
+    val kc = (id % 3).toInt // 0 image, 1 audio, 2 video (fromDocuments order)
+    val dur = 1000L + (bodyLen % 1000L) * 40L
+    kc match {
+      case 0 => (1, (64 + (id % 97) * 4).toInt, (48 + (id % 89) * 4).toInt, 0L, 1L)
+      case 1 => (2, 0, 0, dur, dur / 40L)
+      case _ => (3, (320 + (id % 33) * 8).toInt, (240 + (id % 25) * 8).toInt,
+        dur, dur / 40L)
+    }
+  }
+
+  /** ENCODE: documents → GRFT containers (header + UTF-8 body). */
+  def packMedia(docs: DataFrame): Dataset[PackedMedia] = {
+    implicit val enc = Encoders.product[PackedMedia]
+    implicit val inEnc =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        val body = text.getBytes("UTF-8")
+        val (kindCode, w, h, dur, frames) = meta(id, body.length.toLong)
+        val buf = java.nio.ByteBuffer.allocate(HeaderLen + body.length) // BE
+        buf.put('G'.toByte).put('R'.toByte).put('F'.toByte).put('T'.toByte)
+        buf.put(kindCode.toByte)
+        buf.putShort(w.toShort).putShort(h.toShort)
+        buf.putInt(dur.toInt).putInt(frames.toInt)
+        buf.put(body)
+        PackedMedia(id, buf.array())
+    }
+  }
+
+  /** DECODE: parse the GRFT header from the payload bytes — a REAL parser
+    * (magic check, positional big-endian reads, body slice + digest), in
+    * the same partition-batched shape a codec decode runs in.
+    */
+  def decodePacked(packed: Dataset[PackedMedia]): Dataset[PackedFeatures] = {
+    implicit val enc = Encoders.product[PackedFeatures]
+    packed.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val p = r.payload
+        require(p.length >= HeaderLen && p(0) == 'G' && p(1) == 'R' &&
+          p(2) == 'F' && p(3) == 'T',
+          s"not a GRFT container (media_id=${r.media_id})")
+        val buf = java.nio.ByteBuffer.wrap(p) // big-endian by default
+        buf.position(4)
+        val kindCode = buf.get() & 0xff
+        val w = (buf.getShort() & 0xffff).toLong
+        val h = (buf.getShort() & 0xffff).toLong
+        val dur = buf.getInt().toLong & 0xffffffffL
+        val frames = buf.getInt().toLong & 0xffffffffL
+        val kind = kindCode match {
+          case 1 => "image"
+          case 2 => "audio"
+          case 3 => "video"
+          case other => throw new IllegalArgumentException(
+            s"unknown GRFT kind code $other (media_id=${r.media_id})")
+        }
+        md.reset()
+        val digest = md.digest(
+          java.util.Arrays.copyOfRange(p, HeaderLen, p.length))
+          .map("%02x".format(_)).mkString
+        PackedFeatures(r.media_id, kind, p.length.toLong, w, h, dur, frames,
+          digest)
       }
     }
   }

@@ -83,6 +83,45 @@ object MediaQueries {
        |FROM decoded WHERE kind = 'video'
        |ORDER BY media_id, frame_offset_ms""".stripMargin
 
+  /** REAL binary decode: documents are packed into GRFT containers
+    * (17-byte big-endian header + body, Multimodal.packMedia) and the
+    * query's decode path PARSES the header back — magic validation,
+    * positional big-endian field reads, body slice + digest. Encoder and
+    * decoder are separate code paths; the oracle recomputes every field
+    * from the generation arithmetic on (doc_id, byte length) and the body
+    * digest from the raw text, so a misread offset, an endianness flip, or
+    * a wrong body slice fails the hash gate. This is the load-bearing
+    * version of [[mediaDecode]]'s stub: same mapPartitions topology, real
+    * bytes in the middle.
+    */
+  val mediaDecodeReal: Q = (s, dir) =>
+    Multimodal.decodePacked(
+        Multimodal.packMedia(Tables.documents(s, dir)))
+      .toDF().orderBy(col("media_id"))
+
+  val mediaDecodeRealSql: String =
+    """WITH f AS (
+      |  SELECT doc_id AS media_id, doc_id % 3 AS kc,
+      |         CAST(octet_length(encode(text)) AS BIGINT) AS blen,
+      |         md5(text) AS body_md5
+      |  FROM documents)
+      |SELECT media_id,
+      |       CASE kc WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |               ELSE 'video' END AS kind,
+      |       CAST(17 + blen AS BIGINT) AS n_bytes,
+      |       CAST(CASE kc WHEN 0 THEN 64 + (media_id % 97) * 4
+      |                    WHEN 2 THEN 320 + (media_id % 33) * 8
+      |                    ELSE 0 END AS BIGINT) AS width,
+      |       CAST(CASE kc WHEN 0 THEN 48 + (media_id % 89) * 4
+      |                    WHEN 2 THEN 240 + (media_id % 25) * 8
+      |                    ELSE 0 END AS BIGINT) AS height,
+      |       CAST(CASE kc WHEN 0 THEN 0
+      |                    ELSE 1000 + (blen % 1000) * 40 END AS BIGINT) AS duration_ms,
+      |       CAST(CASE kc WHEN 0 THEN 1
+      |                    ELSE (1000 + (blen % 1000) * 40) // 40 END AS BIGINT) AS n_frames,
+      |       body_md5
+      |FROM f ORDER BY media_id""".stripMargin
+
   /** Media near-dup pairs via the stub perceptual hash (byte-4-gram
     * simhash, Multimodal.phashStub): two-band 16-bit blocking, full 32-bit
     * Hamming ≤ 3 confirm — the image-dedup pipeline shape with the codec
@@ -161,6 +200,7 @@ object MediaQueries {
     "media_phash_pairs" -> mediaPhashPairs,
     "media_meta" -> mediaMeta,
     "media_decode_stub" -> mediaDecode,
+    "media_decode_real" -> mediaDecodeReal,
     "media_frame_sample" -> mediaFrames)
 
   val oracleSql: Map[String, String] = Map(
@@ -168,5 +208,6 @@ object MediaQueries {
     "media_phash_pairs" -> mediaPhashPairsSql,
     "media_meta" -> mediaMetaSql,
     "media_decode_stub" -> mediaDecodeSql,
+    "media_decode_real" -> mediaDecodeRealSql,
     "media_frame_sample" -> mediaFramesSql)
 }
