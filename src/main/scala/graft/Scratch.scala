@@ -10,9 +10,20 @@ import org.apache.spark.sql.DataFrame
   * once, read it per consumer job — applied at bench scale. The write is
   * part of the calling query's execution, so benchmarks still pay the full
   * derivation on every run; only intra-query recompute multiplication goes
-  * away. Scratch dirs are temp dirs, removed on JVM exit.
+  * away.
+  *
+  * CLUSTER CAVEAT: the scratch location must be readable by EVERY
+  * executor. In local mode a driver-local temp dir is fine; on a real
+  * cluster set `spark.graft.scratch.dir` to a shared-filesystem root
+  * (HDFS/S3/NFS) — each table() call then writes under a unique child of
+  * that root. Without the conf, the driver-local temp-dir fallback is
+  * only correct when driver and executors share a filesystem (local
+  * mode), which is why the conf exists.
   */
 object Scratch {
+
+  /** Session conf naming the shared scratch root for cluster runs. */
+  val ScratchDirConf = "spark.graft.scratch.dir"
 
   // ONE shutdown hook draining a shared dir list — a hook per table() call
   // would spawn a JVM thread per scratch table at exit (a long bench run
@@ -31,12 +42,22 @@ object Scratch {
     ()
   }
 
+  private val counter = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def table(df: DataFrame, tag: String): DataFrame = {
     val spark = df.sparkSession
-    val dir = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
-    hook
-    dirs.add(dir)
-    val path = dir.resolve("data").toString
+    val path = spark.conf.getOption(ScratchDirConf) match {
+      case Some(root) =>
+        // shared-FS root: unique child per call; cleanup is the cluster
+        // operator's retention policy (a JVM-exit hook on the driver could
+        // not see executor-written files on another FS anyway)
+        s"${root.stripSuffix("/")}/graft-$tag-${counter.incrementAndGet()}/data"
+      case None =>
+        val dir = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
+        hook
+        dirs.add(dir)
+        dir.resolve("data").toString
+    }
     df.write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
   }
