@@ -302,6 +302,97 @@ object PipelineQueries {
       |  AND c.c_ts <= p.p_ts
       |ORDER BY p.purchase_id, c.click_id""".stripMargin
 
+  /** LEFT OUTER stream-stream join at the gate — the watermark-driven
+    * semantics the inner form can't show: every purchase reports exactly
+    * once, with NULL click columns when no click fell in its 30-minute
+    * window, and that null row is only emittable once the global watermark
+    * proves no future click can still match. A bounded run would withhold
+    * the last horizon's unmatched purchases forever (the watermark only
+    * advances on observed event time), so the fixture appends ONE
+    * far-future sentinel row per side — pushing the final watermark past
+    * every real purchase's window — and the query filters the sentinel
+    * pair back out. The result must equal the plain batch LEFT JOIN.
+    */
+  val streamAttributionOuter: Q = (s, dir) => {
+    val base = ensureFixture(s, "stream_attribution_outer", dir) { b =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      // one data file per side so maxFilesPerTrigger=1 yields exactly
+      // [real data] → [sentinel 1] → [sentinel 2] as micro-batches:
+      // sentinel 1's batch ADVANCES the watermark past every real window,
+      // sentinel 2's batch then runs eviction under it and FLUSHES the
+      // withheld null rows (eviction in batch N uses the watermark from
+      // batch N−1 — one trailing batch is structurally not enough)
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"), col("user_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$b/purchases")
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("c_ts"),
+          col("user_id").as("c_user_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$b/clicks")
+      Seq(1, 2).foreach { i =>
+        val ts = Timestamp.valueOf(s"2100-01-0$i 00:00:00")
+        appendSentinelFile(s, s"$b/purchases",
+          s.range(1).select(lit(-i.toLong).as("purchase_id"),
+            lit(ts).as("p_ts"), lit(-1L).as("user_id")), i)
+        appendSentinelFile(s, s"$b/clicks",
+          s.range(1).select(lit(-i.toLong).as("click_id"),
+            lit(ts).as("c_ts"), lit(-1L).as("c_user_id")), i)
+      }
+    }
+    val pSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("purchase_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p_ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType)))
+    val cSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("click_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("c_ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("c_user_id", org.apache.spark.sql.types.LongType)))
+    val name = "graft_stream_attribution_outer"
+    s.streams.active.filter(_.name == name).foreach(_.stop())
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      // NOTE: the sentinel filter must NOT live inside the streaming query.
+      // A deterministic predicate on the purchase side (user_id >= 0) gets
+      // pushed below the watermark operator — and inferred onto the click
+      // side through the join constraint — so the 2100 sentinels would be
+      // scan-filtered before ever advancing the watermark, silently
+      // re-opening the end-of-stream withholding this fixture exists to
+      // close. The sentinels flow through join + sink and are dropped when
+      // the result table is read back (below).
+      val q = graft.streaming.StreamJoin.attributionOuter(
+          s.readStream.schema(pSchema).option("maxFilesPerTrigger", "1")
+            .parquet(s"$base/purchases"),
+          s.readStream.schema(cSchema).option("maxFilesPerTrigger", "1")
+            .parquet(s"$base/clicks"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "stream_attribution_outer did not finish within 300s")
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(name).filter(col("user_id") >= 0L) // drop the sentinel pairs
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  val streamAttributionOuterSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+      |p AS (SELECT event_id AS purchase_id, ts AS p_ts, user_id FROM ev
+      |      WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS click_id, ts AS c_ts, user_id AS c_user_id FROM ev
+      |      WHERE event_type = 'click')
+      |SELECT p.purchase_id, c.click_id, p.user_id, p.p_ts, c.c_ts
+      |FROM p LEFT JOIN c ON p.user_id = c.c_user_id
+      |  AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+      |  AND c.c_ts <= p.p_ts
+      |ORDER BY p.purchase_id, c.click_id""".stripMargin
+
   /** The streaming SINK path end-to-end: streamed candles flow through
     * `foreachBatch` → IncrementalStore MERGE upsert (the reference's
     * exactly-once table semantics driven from a stream), and the persisted
@@ -795,6 +886,30 @@ object PipelineQueries {
     * them. The sentinel's own timer stays ahead of the watermark, so it
     * never emits.
     */
+  /** Write `row` (a 1-row frame) into `b` as `zz_sentinel$seq.parquet`
+    * with a modification time strictly AFTER every existing data file
+    * (+seq minutes) — the file source orders batches by mtime, so under
+    * `maxFilesPerTrigger=1` each sentinel becomes its own trailing
+    * micro-batch. The generalized form of [[appendMaxTsSentinel]] for
+    * sources whose sentinel needs a caller-chosen schema/timestamp.
+    */
+  private def appendSentinelFile(s: SparkSession, b: String,
+      row: DataFrame, seq: Int): Unit = {
+    val sentDir = s"${b}_sentinel$seq"
+    row.coalesce(1).write.mode("overwrite").parquet(sentDir)
+    val fs = new org.apache.hadoop.fs.Path(b)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dataMtime = fs.listStatus(new org.apache.hadoop.fs.Path(b))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getModificationTime).max
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(sentDir))
+      .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+    val dest = new org.apache.hadoop.fs.Path(b, s"zz_sentinel$seq.parquet")
+    fs.rename(part, dest)
+    fs.setTimes(dest, dataMtime + seq * 60000L, -1L)
+    fs.delete(new org.apache.hadoop.fs.Path(sentDir), true)
+  }
+
   private def appendMaxTsSentinel(s: SparkSession, b: String): Unit = {
     val mx = s.read.parquet(b).agg(max(col("ts"))).first().getTimestamp(0)
     import s.implicits._
@@ -956,6 +1071,7 @@ object PipelineQueries {
     "ingest_bronze" -> ingestBronze,
     "stream_ohlc_1h" -> streamOhlc1h,
     "stream_join_attribution" -> streamJoinAttribution,
+    "stream_attribution_outer" -> streamAttributionOuter,
     "stream_to_store" -> streamToStore,
     "quality_report" -> qualityReport,
     "compact_roundtrip" -> compactRoundtrip)
@@ -977,6 +1093,7 @@ object PipelineQueries {
     "ingest_bronze" -> ingestBronzeSql,
     "stream_ohlc_1h" -> ForexQueries.ohlc1hSql, // streaming vs the batch oracle
     "stream_join_attribution" -> streamJoinAttributionSql, // streaming vs batch join
+    "stream_attribution_outer" -> streamAttributionOuterSql, // watermark-driven null emission vs batch LEFT JOIN
     "stream_to_store" -> ForexQueries.ohlc1hSql, // stream->MERGE store vs batch candles
     "quality_report" -> qualityReportSql,
     "compact_roundtrip" -> compactRoundtripSql)

@@ -39,4 +39,35 @@ object StreamJoin {
       .select(col("purchase_id"), col("click_id"), col("user_id"),
         col("p_ts"), col("c_ts"))
   }
+
+  /** LEFT OUTER stream-stream join — the semantics inner can't express:
+    * every purchase is reported exactly once, attributed when a click
+    * matched, with NULL click columns when none did. The null row for an
+    * unmatched purchase can only be emitted once NO future click could
+    * still match it — i.e. when the global watermark passes the end of
+    * that purchase's attribution window — so outer results trail the
+    * inner ones by the watermark delay BY DESIGN. State is evicted on the
+    * identical schedule, so it stays O(events per watermark horizon)
+    * exactly as in the inner form.
+    *
+    * Bounded-run caveat (gates, backfills): the watermark only advances
+    * on observed event time, so the LAST horizon's unmatched purchases
+    * would stay withheld forever at end-of-stream. A bounded run must
+    * push the watermark past all real data — the gate query appends one
+    * far-future SENTINEL row per side and filters it back out — which is
+    * the same end-of-stream discipline `stream_open_gaps` applies.
+    */
+  def attributionOuter(purchases: DataFrame, clicks: DataFrame,
+      window: String = "30 minutes",
+      lateness: String = "1 hour"): DataFrame = {
+    val p = purchases.withWatermark("p_ts", lateness)
+    val c = clicks.withWatermark("c_ts", lateness)
+    p.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $window") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("p_ts"), col("c_ts"))
+  }
 }
