@@ -71,9 +71,61 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer sibling of [[VecDot]]: exact BIGINT dot product over two
+  * long-array columns — the scalar-quantization scoring hot loop
+  * (`ann_sq_topk`: code·code per candidate pair). The HOF form
+  * (`aggregate(zip_with(...))`) is CodegenFallback AND materializes the
+  * zipped array per row; this is a fused long loop. Integer addition is
+  * associative, so unlike VecDot there is no fold-order contract to
+  * preserve — only exactness, which long arithmetic gives for free
+  * (codes ≤ 255, dims ≤ 2²⁰ keep every partial < 2⁵⁵).
+  */
+case class VecDotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotLong =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column-level dot product over float/double array columns. */
   def vecDot(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       VecDot(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Exact BIGINT dot product over two long-array columns. */
+  def vecDotLong(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      VecDotLong(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }

@@ -605,6 +605,149 @@ object SimilarityQueries {
        |SELECT query_vec_id, vec_id, adc_dist, rank FROM ranked
        |WHERE rank <= 10 ORDER BY query_vec_id, rank""".stripMargin
 
+  /** Shared SQ-summary CTE chain: int8 scalar quantization against each
+    * vector's own [min,max] — codes, (mn, sc), and the exact BIGINT
+    * moments Σc / Σc², from which the reconstructed norm is one
+    * closed-form double. Mirrors [[Similarity.sqStats]] expression by
+    * expression (same IEEE tree, same integer reductions).
+    */
+  private val sqBaseSql: String =
+    s"""e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       |mm AS (SELECT vec_id, emb, list_min(emb) AS mn, list_max(emb) AS mx FROM e0),
+       |sp AS (SELECT vec_id, emb, mn,
+       |              CASE WHEN mx = mn THEN 0.0 ELSE (mx - mn) / 255.0 END AS sc
+       |       FROM mm),
+       |cd AS (SELECT vec_id, mn, sc,
+       |              list_transform(emb, x -> CASE WHEN sc = 0.0 THEN CAST(0 AS BIGINT)
+       |                ELSE least(CAST(255 AS BIGINT), CAST(floor((x - mn) / sc + 0.5) AS BIGINT)) END) AS codes
+       |       FROM sp),
+       |sq AS (SELECT vec_id, mn, sc, codes, CAST(len(codes) AS BIGINT) AS d,
+       |              list_reduce(list_prepend(CAST(0 AS BIGINT), codes), (a, c) -> a + c) AS sum_c,
+       |              list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |                list_transform(codes, c -> c * c)), (a, c) -> a + c) AS dot_cc
+       |       FROM cd),
+       |sqn AS (SELECT *, d * mn * mn + 2.0 * mn * sc * sum_c + sc * sc * dot_cc AS nhat2 FROM sq)""".stripMargin
+
+  /** Int8 scalar-quantization summary ([[Similarity.sqCodes]]): the
+    * 4×-compressed per-vector index record — codes against the vector's
+    * own [min,max], exact integer moments, reconstructed norm. The code
+    * arrays and BIGINT reductions must match bit-for-bit; nhat2 is the
+    * one closed-form double, pround at the edge.
+    */
+  val sqCodesQ: Q = (s, dir) =>
+    Similarity.sqCodes(Tables.embeddings(s, dir)).orderBy(col("vec_id"))
+
+  val sqCodesSql: String =
+    s"""WITH $sqBaseSql
+       |SELECT vec_id,
+       |       array_to_string(list_transform(codes, c -> CAST(c AS VARCHAR)), ',') AS codes,
+       |       sum_c, dot_cc,
+       |       ${graft.Parity.proundSql("nhat2", 6)} AS nhat2
+       |FROM sqn ORDER BY vec_id""".stripMargin
+
+  /** SQ ANN with symmetric distance ([[Similarity.annSqTopK]]): both
+    * sides quantized, per-pair score = closed-form dequantized cosine
+    * whose only array-walk is an EXACT integer dot product of code
+    * arrays — the scoring loop reads bytes and multiplies BIGINTs, so the
+    * only engine-contract surface is the final one-expression double.
+    * Top-10 per query (vec_ids 0..4), self excluded, vec_id tie-break.
+    */
+  val annSqTopK: Q = (s, dir) =>
+    Similarity.annSqTopK(
+        Tables.embeddings(s, dir), queryVecIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+      .orderBy(col("query_vec_id"), col("rank"))
+
+  val annSqTopKSql: String =
+    s"""WITH $sqBaseSql,
+       |q AS (SELECT vec_id AS query_vec_id, mn AS mnq, sc AS scq, codes AS qcodes,
+       |             sum_c AS sum_cq, nhat2 AS nhat2q
+       |      FROM sqn WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |pair AS (
+       |  SELECT q.query_vec_id, v.vec_id,
+       |         v.d * q.mnq * v.mn + q.mnq * v.sc * v.sum_c
+       |           + v.mn * q.scq * q.sum_cq
+       |           + q.scq * v.sc * (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |               list_transform(range(1, len(v.codes) + 1),
+       |                 i -> v.codes[i] * q.qcodes[i])), (x, y) -> x + y)) AS adot,
+       |         v.nhat2 AS nhat2v, q.nhat2q
+       |  FROM sqn v CROSS JOIN q WHERE v.vec_id <> q.query_vec_id),
+       |ranked AS (
+       |  SELECT query_vec_id, vec_id,
+       |         ${graft.Parity.proundSql("adot / sqrt(nhat2q * nhat2v)", 6)} AS sq_cos
+       |  FROM pair),
+       |rk AS (
+       |  SELECT query_vec_id, vec_id, sq_cos,
+       |         CAST(row_number() OVER (PARTITION BY query_vec_id
+       |                                 ORDER BY sq_cos DESC, vec_id) AS BIGINT) AS rank
+       |  FROM ranked)
+       |SELECT query_vec_id, vec_id, sq_cos, rank FROM rk
+       |WHERE rank <= 10 ORDER BY query_vec_id, rank""".stripMargin
+
+  /** Shared CTE chain replaying [[graft.ml.LogReg]] training in DuckDB:
+    * w0 = 0, then `iters` unrolled gradient steps (the pagerankSql
+    * pattern). Every cross-row reduction inside is either the sequential
+    * dot fold or the 1e7-quantized exact-DECIMAL gradient sum, so the
+    * weight vector is bit-identical to Spark's after every iteration.
+    */
+  private def logregBaseSql(iters: Int, lr: String = "0.5"): String = {
+    def step(i: Int): String =
+      s"""m$i AS (SELECT y, emb, ${dotSql("emb", "w.wl")} AS m
+         |        FROM c CROSS JOIN w${i - 1} w),
+         |g$i AS (SELECT dim,
+         |               CAST(sum(CAST(floor(x * err * 1e7 + 0.5) AS DECIMAL(25,0)))
+         |                    AS DOUBLE) / 1e7 / (SELECT n FROM nn) AS g
+         |        FROM (SELECT y - (0.5 + 0.5 * (m / (1 + abs(m)))) AS err,
+         |                     unnest(range(0, len(emb))) AS dim,
+         |                     unnest(emb) AS x
+         |              FROM m$i)
+         |        GROUP BY dim),
+         |w$i AS (SELECT list(w.wl[g.dim + 1] + $lr * g.g ORDER BY g.dim) AS wl
+         |        FROM g$i g CROSS JOIN w${i - 1} w)""".stripMargin
+    s"""c AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+       |             CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END AS y
+       |      FROM embeddings),
+       |nn AS (SELECT count(*) AS n FROM c),
+       |w0 AS (SELECT list_transform(range(0, 64), i -> CAST(0 AS DOUBLE)) AS wl),
+       |${(1 to iters).map(step).mkString(",\n")}""".stripMargin
+  }
+
+  /** In-engine classifier TRAINING ([[graft.ml.LogReg.train]]): 3
+    * full-batch gradient iterations, one distributed corpus pass each —
+    * weights ride as literal arrays (codegen'd VecDot margin, no join),
+    * gradients are 64-group map-side-partial aggregates with the
+    * 1e7-quantized exact sum, and the only driver materialization is the
+    * 64-row gradient per step (a bounded model artifact). The oracle
+    * REPLAYS all three iterations CTE by CTE; a single misordered IEEE op
+    * anywhere in the loop diverges the weight hash.
+    */
+  val logregTrain: Q = (s, dir) =>
+    graft.ml.LogReg.train(Tables.embeddings(s, dir))
+
+  val logregTrainSql: String =
+    s"""WITH ${logregBaseSql(3)}
+       |SELECT unnest(range(0, 64)) AS dim,
+       |       unnest(list_transform(wl, w -> floor(w * 1e8 + 0.5) / 1e8)) AS weight
+       |FROM w3 ORDER BY dim""".stripMargin
+
+  /** Train → broadcast → score, end to end ([[graft.ml.LogReg
+    * .trainAndScore]]): the trained weights from the same 3-step loop
+    * score the whole corpus map-only (one codegen'd dot + the rational
+    * sigmoid per row), top-20 by score. Closes the loop `embedding_score`
+    * only showed the inference half of — and the oracle re-derives the
+    * model INSIDE the query, so train and score must both match.
+    */
+  val logregScore: Q = (s, dir) =>
+    graft.ml.LogReg.trainAndScore(Tables.embeddings(s, dir))
+
+  val logregScoreSql: String =
+    s"""WITH ${logregBaseSql(3)},
+       |sc AS (SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+       |              ${dotSql("list_transform(e.embedding, x -> CAST(x AS DOUBLE))", "w.wl")} AS m
+       |       FROM embeddings e CROSS JOIN w3 w)
+       |SELECT vec_id, label,
+       |       ${graft.Parity.proundSql("0.5 + 0.5 * (m / (1 + abs(m)))", 6)} AS score
+       |FROM sc ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
+
   /** IVF+PQ with exact rerank ([[Similarity.annIvfPqTopK]]): coarse cells
     * prune candidates, ADC scores them as code bytes, and only the top-30
     * ADC survivors per query pay a full-precision cosine. Same quantizer as
@@ -725,6 +868,10 @@ object SimilarityQueries {
   val queries: Map[String, Q] = Map(
     "pq_codes" -> pqCodesQ,
     "ann_pq_topk" -> annPqTopK,
+    "sq_codes" -> sqCodesQ,
+    "ann_sq_topk" -> annSqTopK,
+    "logreg_train" -> logregTrain,
+    "logreg_score" -> logregScore,
     "ann_ivfpq_topk" -> annIvfPqTopK,
     "embedding_score" -> embeddingScore,
     "embedding_norms" -> embeddingNorms,
@@ -748,6 +895,10 @@ object SimilarityQueries {
   val oracleSql: Map[String, String] = Map(
     "pq_codes" -> pqCodesSql,
     "ann_pq_topk" -> annPqTopKSql,
+    "sq_codes" -> sqCodesSql,
+    "ann_sq_topk" -> annSqTopKSql,
+    "logreg_train" -> logregTrainSql,
+    "logreg_score" -> logregScoreSql,
     "ann_ivfpq_topk" -> annIvfPqTopKSql,
     "embedding_score" -> embeddingScoreSql,
     "ivf_train" -> ivfTrainSql,

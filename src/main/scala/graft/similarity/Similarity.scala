@@ -485,6 +485,93 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Int8 SCALAR quantization (the FAISS SQ8 / vector-DB "SQ" index): each
+    * vector compresses to one byte per dimension against its OWN [min,max]
+    * range — code_i = round((x_i − mn)/sc) with sc = (mx − mn)/255 —
+    * 4× smaller than float32 with none of PQ's codebook training. The
+    * per-vector summary carries everything scoring needs: codes, (mn, sc),
+    * and the two INTEGER moments Σc and Σc² (exact BIGINTs), from which
+    * the reconstructed norm ‖v̂‖² = d·mn² + 2·mn·sc·Σc + sc²·Σc² is one
+    * closed-form double expression — no per-dimension float walk at query
+    * time.
+    *
+    * Determinism: min/max/casts are exact; the quantization formula is a
+    * fixed IEEE expression tree (both engines floor(x+0.5) the same
+    * double); every cross-dimension reduction that feeds scoring is pure
+    * INTEGER arithmetic, which is associative — the one reduction class
+    * that needs no fold-order contract at all.
+    */
+  def sqStats(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .withColumn("mn", expr("array_min(emb)"))
+      .withColumn("mx", expr("array_max(emb)"))
+      .withColumn("sc", when(col("mx") === col("mn"), lit(0.0))
+        .otherwise((col("mx") - col("mn")) / lit(255.0)))
+      .withColumn("codes", expr(
+        "transform(emb, x -> IF(sc = 0D, 0L, " +
+          "least(255L, CAST(floor((x - mn) / sc + 0.5) AS BIGINT))))"))
+      .withColumn("d", size(col("codes")).cast("long"))
+      .withColumn("sum_c", expr("aggregate(codes, 0L, (acc, c) -> acc + c)"))
+      .withColumn("dot_cc", expr("aggregate(codes, 0L, (acc, c) -> acc + c * c)"))
+      .withColumn("nhat2",
+        col("d") * col("mn") * col("mn") +
+          lit(2.0) * col("mn") * col("sc") * col("sum_c") +
+          col("sc") * col("sc") * col("dot_cc"))
+
+  /** Per-vector SQ summary for the gate: codes as a comma string (the
+    * driver comparator cannot sort ARRAY cells) plus the integer moments.
+    */
+  def sqCodes(embeddings: DataFrame): DataFrame =
+    sqStats(embeddings).select(col("vec_id"),
+      expr("array_join(transform(codes, c -> CAST(c AS STRING)), ',')").as("codes"),
+      col("sum_c"), col("dot_cc"),
+      graft.Parity.pround(col("nhat2"), 6).as("nhat2"))
+
+  /** SQ ANN top-k with SYMMETRIC distance computation: queries quantize
+    * through the same summary, and a candidate's score dequantizes in
+    * closed form from ONE integer dot product of the two code arrays —
+    *   v̂·q̂ = d·mnq·mnv + mnq·scv·Σcv + mnv·scq·Σcq + scq·scv·(cq·cv)
+    * — then cosine against the reconstructed norms. The only per-pair
+    * work that touches the arrays is cq·cv, and it is exact BIGINT
+    * arithmetic: the scoring hot loop reads bytes and multiplies
+    * integers, never floats (the memory-bandwidth property that makes SQ
+    * indexes fast), and it is immune to fold-order nondeterminism by
+    * construction.
+    *
+    * Scale shape: the query summaries are a ≤|queries|-row broadcast; the
+    * corpus summary streams map-only through the scoring projection — no
+    * shuffle before the per-query top-k (TakeOrdered semantics via the
+    * rank filter). At 100 TB the summary relation IS the index: 64 bytes
+    * + 4 scalars per vector, built once, scanned compressed.
+    */
+  def annSqTopK(
+      embeddings: DataFrame, queryVecIds: Seq[Long], k: Int): DataFrame = {
+    val n = sqStats(embeddings)
+    val q = n.filter(col("vec_id").isin(queryVecIds: _*))
+      .select(col("vec_id").as("query_vec_id"), col("mn").as("mnq"),
+        col("sc").as("scq"), col("codes").as("qcodes"),
+        col("sum_c").as("sum_cq"), col("nhat2").as("nhat2q"))
+    // codegen'd exact integer dot (the HOF zip_with+aggregate form is
+    // CodegenFallback and allocates the zipped array per candidate row)
+    val idot = graft.functions.VectorExpressions.vecDotLong(
+      col("codes"), col("qcodes"))
+    val adot = col("d") * col("mnq") * col("mn") +
+      col("mnq") * col("sc") * col("sum_c") +
+      col("mn") * col("scq") * col("sum_cq") +
+      col("scq") * col("sc") * idot
+    val w = Window.partitionBy("query_vec_id")
+      .orderBy(col("sq_cos").desc, col("vec_id"))
+    n.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_vec_id"))
+      .select(col("query_vec_id"), col("vec_id"),
+        graft.Parity.pround(
+          adot / sqrt(col("nhat2q") * col("nhat2")), 6).as("sq_cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF+PQ with exact rerank — the composed index shape production ANN
     * systems (FAISS IVFADC, ScaNN) run at billion-vector scale, built from
     * the two index structures this library already proves separately:

@@ -1,0 +1,40 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** LogReg training: the oracle pins bit-parity of the weight vector; this
+  * pins that the training actually LEARNS — scores must separate the
+  * target class from the rest — and that iteration composes (more steps
+  * move the weights, same direction).
+  */
+class LogRegSpec extends SparkSpec {
+
+  test("3-step weights separate the target class on average") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val w = LogReg.trainedWeights(emb, targetLabel = 1L, iters = 3, lr = 0.5)
+    assert(w.exists(_ != 0.0), "training must move the weights")
+    val wCol = array(w.toIndexedSeq.map(lit): _*)
+    val m = graft.functions.VectorExpressions.vecDot(
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))"), wCol)
+    val scored = emb.select(col("label"), LogReg.squash(m).as("p"))
+    val Array(pos, neg) = scored
+      .groupBy((col("label") === 1).as("is_target"))
+      .agg(avg(col("p")).as("mean_p"))
+      .orderBy(col("is_target").desc)
+      .collect().map(_.getDouble(1))
+    assert(pos > neg,
+      s"mean score of target class ($pos) must exceed the rest ($neg)")
+  }
+
+  test("scores stay in (0,1) and top-k output is deterministic") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val a = LogReg.trainAndScore(emb).collect().map(_.toString).toSeq
+    val b = LogReg.trainAndScore(emb).collect().map(_.toString).toSeq
+    assert(a === b, "retraining on identical data must be bit-identical")
+    val bad = LogReg.trainAndScore(emb, k = 1000)
+      .filter(col("score") <= 0.0 || col("score") >= 1.0).count()
+    assert(bad === 0L)
+  }
+}
