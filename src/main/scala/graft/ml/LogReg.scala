@@ -82,6 +82,39 @@ object LogReg {
       .orderBy(col("dim"))
   }
 
+  /** Retrieval-style evaluation of the trained model: precision@k /
+    * recall@k / F1 over the top-k scored rows — the report a curation
+    * classifier ships with when it gates a selection budget (a fixed
+    * decision threshold is brittle: an unlucky model can predict zero
+    * positives and NaN the ratios; a rank cut never can). The ranking is
+    * engine-exact (prounded score, vec_id tie-break); the counts are
+    * exact BIGINTs; F1 guards the tp=0 corner identically on both
+    * engines. One corpus pass for scores, a WindowGroupLimit-style top-k,
+    * one 1-row positives count crossed back in.
+    */
+  def evaluateAtK(embeddings: DataFrame, targetLabel: Long = 1L,
+      iters: Int = 3, lr: Double = 0.5, k: Int = 50): DataFrame = {
+    val w = trainedWeights(embeddings, targetLabel, iters, lr)
+    val wCol = array(w.toIndexedSeq.map(lit): _*)
+    val m = graft.functions.VectorExpressions.vecDot(
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))"), wCol)
+    val top = embeddings.select(col("vec_id"),
+        (col("label") === targetLabel).as("y"),
+        graft.Parity.pround(squash(m), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id")).limit(k)
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("tp"))
+    val npos = embeddings
+      .agg(sum(when(col("label") === targetLabel, 1L).otherwise(0L)).as("n_pos"))
+    val prec = col("tp").cast("double") / lit(k.toDouble)
+    val rec = col("tp").cast("double") / col("n_pos").cast("double")
+    top.crossJoin(npos).select(lit(k.toLong).as("k"), col("n_pos"), col("tp"),
+      graft.Parity.pround(prec, 6).as("precision"),
+      graft.Parity.pround(rec, 6).as("recall"),
+      graft.Parity.pround(
+        when(col("tp") === 0L, lit(0.0))
+          .otherwise(lit(2.0) * prec * rec / (prec + rec)), 6).as("f1"))
+  }
+
   /** Train, then SCORE the corpus with the trained model in the same
     * plan — the end-to-end loop (train → broadcast weights → map-only
     * inference) that `embedding_score` only showed the second half of.

@@ -748,6 +748,44 @@ object SimilarityQueries {
        |       ${graft.Parity.proundSql("0.5 + 0.5 * (m / (1 + abs(m)))", 6)} AS score
        |FROM sc ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
 
+  /** Retrieval evaluation of the trained classifier
+    * ([[graft.ml.LogReg.evaluateAtK]]): precision/recall/F1 at a top-50
+    * rank cut — the selection-budget report (a fixed threshold can NaN on
+    * zero predicted positives; a rank cut cannot). Exact BIGINT counts,
+    * prounded ratios, F1's tp=0 corner guarded identically on both
+    * engines; the oracle re-derives the model through the same 3
+    * unrolled iterations.
+    */
+  val logregEval: Q = (s, dir) =>
+    graft.ml.LogReg.evaluateAtK(Tables.embeddings(s, dir))
+
+  val logregEvalSql: String =
+    s"""WITH ${logregBaseSql(3)},
+       |sc AS (SELECT e.vec_id, CASE WHEN e.label = 1 THEN 1 ELSE 0 END AS y,
+       |              ${graft.Parity.proundSql(
+                  s"0.5 + 0.5 * (m0 / (1 + abs(m0)))", 6)} AS score
+       |       FROM (SELECT e.vec_id, e.label,
+       |                    ${dotSql(
+                  "list_transform(e.embedding, x -> CAST(x AS DOUBLE))",
+                  "w.wl")} AS m0
+       |             FROM embeddings e CROSS JOIN w3 w) e),
+       |top AS (SELECT y FROM (
+       |          SELECT y, row_number() OVER (ORDER BY score DESC, vec_id) AS rn
+       |          FROM sc) WHERE rn <= 50),
+       |agg AS (SELECT CAST(sum(y) AS BIGINT) AS tp FROM top),
+       |np AS (SELECT CAST(count(*) FILTER (WHERE label = 1) AS BIGINT) AS n_pos
+       |       FROM embeddings)
+       |SELECT CAST(50 AS BIGINT) AS k, n_pos, tp,
+       |       ${graft.Parity.proundSql("CAST(tp AS DOUBLE) / 50.0", 6)} AS precision,
+       |       ${graft.Parity.proundSql(
+                  "CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE)", 6)} AS recall,
+       |       ${graft.Parity.proundSql(
+                  "CASE WHEN tp = 0 THEN 0.0 ELSE " +
+                    "2.0 * (CAST(tp AS DOUBLE) / 50.0) * (CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE)) " +
+                    "/ ((CAST(tp AS DOUBLE) / 50.0) + (CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE))) END",
+                  6)} AS f1
+       |FROM agg CROSS JOIN np""".stripMargin
+
   /** IVF+PQ with exact rerank ([[Similarity.annIvfPqTopK]]): coarse cells
     * prune candidates, ADC scores them as code bytes, and only the top-30
     * ADC survivors per query pay a full-precision cosine. Same quantizer as
@@ -872,6 +910,7 @@ object SimilarityQueries {
     "ann_sq_topk" -> annSqTopK,
     "logreg_train" -> logregTrain,
     "logreg_score" -> logregScore,
+    "logreg_eval" -> logregEval,
     "ann_ivfpq_topk" -> annIvfPqTopK,
     "embedding_score" -> embeddingScore,
     "embedding_norms" -> embeddingNorms,
@@ -899,6 +938,7 @@ object SimilarityQueries {
     "ann_sq_topk" -> annSqTopKSql,
     "logreg_train" -> logregTrainSql,
     "logreg_score" -> logregScoreSql,
+    "logreg_eval" -> logregEvalSql,
     "ann_ivfpq_topk" -> annIvfPqTopKSql,
     "embedding_score" -> embeddingScoreSql,
     "ivf_train" -> ivfTrainSql,

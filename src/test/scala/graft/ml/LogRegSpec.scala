@@ -28,6 +28,18 @@ class LogRegSpec extends SparkSpec {
       s"mean score of target class ($pos) must exceed the rest ($neg)")
   }
 
+  test("precision@50 beats the base rate (the model retrieves, not guesses)") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val row = LogReg.evaluateAtK(emb, k = 50).first()
+    val (nPos, tp) = (row.getAs[Long]("n_pos"), row.getAs[Long]("tp"))
+    val total = emb.count()
+    val baseRate = nPos.toDouble / total
+    val precision = row.getAs[Double]("precision")
+    assert(precision > baseRate,
+      s"precision@50 $precision must beat the base rate $baseRate (tp=$tp)")
+    assert(row.getAs[Double]("f1") > 0.0)
+  }
+
   test("scores stay in (0,1) and top-k output is deterministic") {
     val emb = graft.Tables.embeddings(spark, sf0001)
     val a = LogReg.trainAndScore(emb).collect().map(_.toString).toSeq
