@@ -176,6 +176,50 @@ object Multimodal {
     }
   }
 
+  final case class FrameSlice(media_id: Long, frame_idx: Long,
+      frame_off: Long, frame_len: Long, frame_md5: String)
+
+  /** REAL frame extraction from GRFT video containers: the body divides
+    * into `nSamples` evenly-spaced byte ranges (slice j =
+    * [⌊j·blen/n⌋, ⌊(j+1)·blen/n⌋) — the I-frame-sampling access pattern)
+    * and each slice is cut from the payload at its actual header-relative
+    * byte offset and digested. This replaces [[sampleFrames]]'s
+    * offset-arithmetic stub with genuine positional byte work: a
+    * miscomputed header length, an off-by-one in the slice bounds, or a
+    * wrong integer-division order shifts every digest. Non-video payloads
+    * produce no rows (the header's kind code decides — parsed, not
+    * joined). Same mapPartitions batch topology as the decoders; a codec
+    * frame reader (seek to sample offset, decode GOP) drops into the
+    * same slot.
+    */
+  def extractFrames(packed: Dataset[PackedMedia],
+      nSamples: Int = 8): Dataset[FrameSlice] = {
+    implicit val enc = Encoders.product[FrameSlice]
+    packed.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val p = r.payload
+        require(p.length >= HeaderLen && p(0) == 'G' && p(1) == 'R' &&
+          p(2) == 'F' && p(3) == 'T',
+          s"not a GRFT container (media_id=${r.media_id})")
+        val kindCode = p(4) & 0xff
+        if (kindCode != 3) Iterator.empty // video only, per the header
+        else {
+          val blen = (p.length - HeaderLen).toLong
+          (0 until nSamples).iterator.map { j =>
+            val off = j.toLong * blen / nSamples
+            val end = (j + 1).toLong * blen / nSamples
+            md.reset()
+            val digest = md.digest(java.util.Arrays.copyOfRange(
+                p, HeaderLen + off.toInt, HeaderLen + end.toInt))
+              .map("%02x".format(_)).mkString
+            FrameSlice(r.media_id, j.toLong, off, end - off, digest)
+          }
+        }
+      }
+    }
+  }
+
   final case class MediaHash(media_id: Long, phash: Long)
 
   /** STUB perceptual hash: a 32-bit simhash over the payload's byte

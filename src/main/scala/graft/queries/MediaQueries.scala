@@ -122,6 +122,38 @@ object MediaQueries {
       |       body_md5
       |FROM f ORDER BY media_id""".stripMargin
 
+  /** REAL frame extraction ([[Multimodal.extractFrames]]): GRFT video
+    * bodies cut into 8 evenly-spaced byte slices at their actual
+    * header-relative offsets, one md5 per slice. The oracle recomputes
+    * offsets with the same integer division over the text's byte length
+    * and digests the corresponding substring — the fixture corpus is
+    * ASCII by construction (octet_length == length at every SF), so
+    * 1-based character slicing in DuckDB addresses the identical bytes
+    * the Spark side cuts from the payload; any header-length or bounds
+    * error shifts every digest.
+    */
+  val mediaFramesReal: Q = (s, dir) =>
+    Multimodal.extractFrames(
+        Multimodal.packMedia(Tables.documents(s, dir)))
+      .toDF().orderBy(col("media_id"), col("frame_idx"))
+
+  val mediaFramesRealSql: String =
+    """WITH v AS (
+      |  SELECT doc_id AS media_id, text,
+      |         CAST(octet_length(encode(text)) AS BIGINT) AS blen
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |j AS (SELECT media_id, text, blen, unnest(range(0, 8)) AS frame_idx FROM v),
+      |sl AS (
+      |  SELECT media_id, frame_idx,
+      |         (frame_idx * blen) // 8 AS frame_off,
+      |         ((frame_idx + 1) * blen) // 8 - (frame_idx * blen) // 8 AS frame_len,
+      |         md5(substring(text, CAST((frame_idx * blen) // 8 + 1 AS BIGINT),
+      |                       CAST(((frame_idx + 1) * blen) // 8 - (frame_idx * blen) // 8 AS BIGINT)))
+      |           AS frame_md5
+      |  FROM j)
+      |SELECT media_id, frame_idx, frame_off, frame_len, frame_md5
+      |FROM sl ORDER BY media_id, frame_idx""".stripMargin
+
   /** Media near-dup pairs via the stub perceptual hash (byte-4-gram
     * simhash, Multimodal.phashStub): two-band 16-bit blocking, full 32-bit
     * Hamming ≤ 3 confirm — the image-dedup pipeline shape with the codec
@@ -201,6 +233,7 @@ object MediaQueries {
     "media_meta" -> mediaMeta,
     "media_decode_stub" -> mediaDecode,
     "media_decode_real" -> mediaDecodeReal,
+    "media_frames_real" -> mediaFramesReal,
     "media_frame_sample" -> mediaFrames)
 
   val oracleSql: Map[String, String] = Map(
@@ -209,5 +242,6 @@ object MediaQueries {
     "media_meta" -> mediaMetaSql,
     "media_decode_stub" -> mediaDecodeSql,
     "media_decode_real" -> mediaDecodeRealSql,
+    "media_frames_real" -> mediaFramesRealSql,
     "media_frame_sample" -> mediaFramesSql)
 }

@@ -34,6 +34,24 @@ class MultimodalSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("GRFT")))
   }
 
+  test("frame slices tile the body exactly (contiguous, lengths sum to blen)") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val frames = Multimodal.extractFrames(Multimodal.packMedia(docs)).toDF()
+    val bad = frames.groupBy(col("media_id"))
+      .agg(sum(col("frame_len")).as("total"),
+        min(col("frame_off")).as("first_off"),
+        max(col("frame_off") + col("frame_len")).as("last_end"),
+        count(lit(1)).as("n"))
+      .join(docs.select(col("doc_id").as("media_id"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("blen")), "media_id")
+      .filter(col("total") =!= col("blen") || col("first_off") =!= 0L ||
+        col("last_end") =!= col("blen") || col("n") =!= 8L)
+    assert(bad.count() === 0L, "slices must tile the body with no gap/overlap")
+    // only video payloads produce frames
+    assert(frames.filter(col("media_id") % 3 =!= 2).count() === 0L)
+    assert(frames.count() > 0L)
+  }
+
   test("decoded header fields are the generation formulas (independent recount)") {
     val docs = graft.Tables.documents(spark, sf0001)
     val got = Multimodal.decodePacked(Multimodal.packMedia(docs))
