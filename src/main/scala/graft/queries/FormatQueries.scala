@@ -96,6 +96,29 @@ object FormatQueries {
       |FROM range(100, 300) t(i)
       |ORDER BY tick_id""".stripMargin
 
+  /** Metadata columns over the custom source (`SupportsMetadataColumns` —
+    * the `_metadata` contract file sources implement): `_row_in_page` is
+    * hidden from the table schema and `SELECT *` but resolvable by name,
+    * and carries the row's ordinal WITHIN its original fetch page — the
+    * per-response provenance a paginated-ingest debugger asks for. The
+    * slice deliberately spans a page boundary (pages are 1250 ids at
+    * rows=10000/pages=8), so the gate proves the ordinal RESETS at the
+    * boundary and is computed from the page's original start even though
+    * the pushed range bounds clip the page mid-way.
+    */
+  val restMetaCols: Q = (s, _) =>
+    ticks(s)
+      .filter(col("tick_id") >= 1200L && col("tick_id") < 1300L)
+      .select(col("tick_id"), col("page"), col("_row_in_page"))
+      .orderBy(col("tick_id"))
+
+  val restMetaColsSql: String =
+    """SELECT i AS tick_id,
+      |       i // 1250 AS page,
+      |       i % 1250 AS _row_in_page
+      |FROM range(1200, 1300) t(i)
+      |ORDER BY tick_id""".stripMargin
+
   /** Aggregate over the custom source with BOTH pushdowns live: the
     * tick_id bounds reach the source (pages outside are never planned,
     * rows outside never generated) and column pruning drops `symbol`'s
@@ -361,6 +384,7 @@ object FormatQueries {
     "json_roundtrip" -> jsonRoundtrip,
     "orc_roundtrip" -> orcRoundtrip,
     "rest_ticks_rows" -> restTicksRows,
+    "rest_meta_cols" -> restMetaCols,
     "rest_source_agg" -> restSourceAgg,
     "rest_pushed_agg" -> restPushedAgg,
     "rest_limit_push" -> restLimitPush,
@@ -375,6 +399,7 @@ object FormatQueries {
     "json_roundtrip" -> roundtripSql,
     "orc_roundtrip" -> roundtripSql,
     "rest_ticks_rows" -> restTicksRowsSql,
+    "rest_meta_cols" -> restMetaColsSql,
     "rest_source_agg" -> restSourceAggSql,
     "rest_pushed_agg" -> restPushedAggSql,
     "rest_limit_push" -> restLimitPushSql,

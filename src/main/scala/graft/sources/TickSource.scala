@@ -68,11 +68,30 @@ object TickSource {
 }
 
 private[sources] class TickTable(rows: Long, pages: Int)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft_ticks(rows=$rows, pages=$pages)"
   override def schema(): StructType = TickSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+
+  /** Metadata columns (`SupportsMetadataColumns` — the `_metadata` file
+    * source contract): hidden from the table schema and `SELECT *`, but
+    * resolvable by name. `_row_in_page` is the row's ordinal WITHIN its
+    * fetch page — the provenance a paginated-ingest debugger wants
+    * ("which position of which response did this row come from") —
+    * computed by the reader from the page's ORIGINAL start, so pushed
+    * range bounds clip which rows exist but never renumber them.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_row_in_page"
+      override def dataType(): org.apache.spark.sql.types.DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "ordinal of the row within its original fetch page"
+    })
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TickScanBuilder(rows, pages,
       Option(options.get("maxTicksPerTrigger")).map(_.toLong))
@@ -278,7 +297,7 @@ private[sources] class TickScan(rows: Long, pages: Int,
       .map { p =>
         val s = math.max(lo, p * per)
         val e = math.min(hi, math.min(rows, (p + 1) * per))
-        TickPage(p, s, e)
+        TickPage(p, s, e, origin = p * per)
       }
       .filter(pp => pp.start < pp.end)
       // page-level runtime pruning: drop pages holding NONE of the build
@@ -313,7 +332,11 @@ private[sources] class TickAggReaderFactory(agg: TickAggregation)
     }
 }
 
-private[sources] case class TickPage(page: Int, start: Long, end: Long)
+/** `origin` is the page's ORIGINAL first id (pre-pushdown): metadata
+  * ordinals number rows within the page as fetched, not as filtered.
+  */
+private[sources] case class TickPage(page: Int, start: Long, end: Long,
+    origin: Long = 0L)
     extends InputPartition
 
 private[sources] class TickReaderFactory(required: StructType)
@@ -370,7 +393,7 @@ private[sources] class TickMicroBatchStream(rows: Long, pages: Int,
       .map { p =>
         val ps = math.max(s, p * per)
         val pe = math.min(e, math.min(rows, (p + 1) * per))
-        TickPage(p, ps, pe)
+        TickPage(p, ps, pe, origin = p * per)
       }
       .filter(pp => pp.start < pp.end)
       .toArray[InputPartition]
@@ -397,6 +420,7 @@ private[sources] class TickReader(page: TickPage, required: StructType)
       case "symbol" => (i: Long) =>
         UTF8String.fromString(TickSource.Symbols((i % 3L).toInt))
       case "price" => (i: Long) => 1.0 + ((i * 7919L) % 10000L).toDouble / 10000.0
+      case "_row_in_page" => (i: Long) => i - page.origin
       case other => throw new IllegalArgumentException(s"unknown column $other")
     }
   }

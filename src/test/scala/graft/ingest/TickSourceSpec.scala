@@ -15,6 +15,20 @@ class TickSourceSpec extends SparkSpec {
     spark.read.format("graft-ticks")
       .option("rows", rows.toString).option("pages", pages.toString).load()
 
+  test("metadata column _row_in_page: hidden from *, by-name resolvable, " +
+      "page-origin-anchored under pushdown") {
+    val df = ticks()
+    // hidden from the table schema and SELECT *
+    assert(!df.schema.fieldNames.contains("_row_in_page"))
+    // resolvable by name; ordinal computed from the page's ORIGINAL start
+    // even when the pushed range clips the page mid-way (page size 1250)
+    val rows = df.filter(col("tick_id") >= 1249L && col("tick_id") <= 1251L)
+      .select(col("tick_id"), col("_row_in_page"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows === Map(1249L -> 1249L, 1250L -> 0L, 1251L -> 1L),
+      "ordinal must reset at the page boundary and ignore pushed clipping")
+  }
+
   test("one input partition per page; pushed bounds drop whole pages") {
     assert(ticks().rdd.getNumPartitions === 8)
     // bounds [2500, 5000) intersect pages 2 and 3 only (1250 ids/page)
