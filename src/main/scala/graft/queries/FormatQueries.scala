@@ -336,6 +336,38 @@ object FormatQueries {
       |FROM range(0, 500) t(i)
       |ORDER BY tick_id""".stripMargin
 
+  /** The connector's own READ path closes the loop: write through the
+    * DSv2 sink, read back with `spark.read.format("graft-sink")` — no
+    * schema supplied, no manual CSV glob. Inference comes from the
+    * `_schema.json` the commit persisted; the scan lists exactly the
+    * committed final names (staged files live under `_staging-*` subdirs
+    * and can never leak in); the readers invert the writers' wire format
+    * cell by cell (timestamps as raw µs longs, "" = NULL). A user of the
+    * connector can now round-trip a table without knowing its layout.
+    */
+  val dsv2SinkReadback: Q = (s, _) => {
+    val target = s"${sys.props("java.io.tmpdir")}/graft_store/dsv2_sink_readback"
+    ticks(s)
+      .filter(col("tick_id") < 2000L)
+      .select(col("tick_id"), col("page"), unix_micros(col("ts")).as("ts_us"),
+        col("symbol"), col("price"))
+      .write.format("graft-sink").mode("overwrite").save(target)
+    s.read.format("graft-sink").load(target)
+      .select(col("tick_id"), col("page"),
+        timestamp_micros(col("ts_us")).as("ts"), col("symbol"), col("price"))
+      .orderBy(col("tick_id"))
+  }
+
+  val dsv2SinkReadbackSql: String =
+    """SELECT i AS tick_id,
+      |       i // 1250 AS page,
+      |       make_timestamp(CAST(1704067200000000 AS BIGINT) + i * 1000000) AS ts,
+      |       CASE i % 3 WHEN 0 THEN 'EURUSD' WHEN 1 THEN 'GBPUSD'
+      |            ELSE 'USDJPY' END AS symbol,
+      |       1.0 + CAST((i * 7919) % 10000 AS DOUBLE) / 10000.0 AS price
+      |FROM range(0, 2000) t(i)
+      |ORDER BY tick_id""".stripMargin
+
   /** STREAMING write through the sink: the rate-limited `graft-ticks`
     * stream (4 micro-batches under AvailableNow) lands as per-epoch
     * committed files — `StreamingWrite.commit(epochId)` renames each
@@ -390,6 +422,7 @@ object FormatQueries {
     "rest_limit_push" -> restLimitPush,
     "rest_runtime_filter" -> restRuntimeFilter,
     "dsv2_sink_roundtrip" -> dsv2SinkRoundtrip,
+    "dsv2_sink_readback" -> dsv2SinkReadback,
     "stream_dsv2_sink" -> streamDsv2Sink)
 
   val oracleSql: Map[String, String] = Map(
@@ -405,5 +438,6 @@ object FormatQueries {
     "rest_limit_push" -> restLimitPushSql,
     "rest_runtime_filter" -> restRuntimeFilterSql,
     "dsv2_sink_roundtrip" -> dsv2SinkRoundtripSql,
+    "dsv2_sink_readback" -> dsv2SinkReadbackSql,
     "stream_dsv2_sink" -> streamRestSourceSql) // same tiling arithmetic as the read
 }

@@ -68,12 +68,31 @@ class GraftSink extends TableProvider
 
   override def shortName(): String = "graft-sink"
 
-  // the written DataFrame's schema IS the table schema — no inference pass
+  // on WRITE the DataFrame's schema is the table schema (no inference);
+  // on READ the schema comes from the _schema.json the first commit wrote
   override def supportsExternalMetadata(): Boolean = true
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    throw new UnsupportedOperationException(
-      "graft-sink is write-only; the schema comes from the written DataFrame")
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = options.get("path")
+    require(path != null && path.nonEmpty, "graft-sink requires a path")
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    val (fs, root) = GraftSinkIO.fs(path, conf)
+    val meta = new HPath(root, "_schema.json")
+    if (!fs.exists(meta))
+      throw new UnsupportedOperationException(
+        s"graft-sink table at $path has no _schema.json yet — readable only " +
+          "after the first commit (the written DataFrame defines the schema)")
+    val in = fs.open(meta)
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
+    DataType.fromJson(new String(bytes, "UTF-8")).asInstanceOf[StructType]
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -103,12 +122,14 @@ private[sources] class GraftHadoopConf(@transient var value: Configuration)
 
 private[sources] class GraftSinkTable(path: String, tableSchema: StructType,
     clusterBy: Option[String])
-    extends Table with SupportsWrite {
+    extends Table with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
   override def name(): String = s"graft_sink($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.BATCH_READ)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // driver-side capture of the SESSION Hadoop conf (spark.hadoop.*,
     // credentials, defaultFS) — shipped to every writer
@@ -117,6 +138,119 @@ private[sources] class GraftSinkTable(path: String, tableSchema: StructType,
     new GraftSinkWriteBuilder(path, info.schema(), info.queryId(),
       truncate = false, clusterBy, conf)
   }
+
+  /** READ half — the other side of the connector's own commit protocol:
+    * the scan lists exactly the COMMITTED final names (`part-*.csv`,
+    * `epoch-*.csv`) at the table root. Staged files can never leak in by
+    * construction: they live under `_staging-*` subdirectories, and the
+    * listing takes root-level files only. One InputPartition per
+    * committed file; column pruning parses only the requested cells.
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder = {
+    val conf = new GraftHadoopConf(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    new GraftSinkScanBuilder(path, tableSchema, conf)
+  }
+}
+
+private[sources] class GraftSinkScanBuilder(path: String,
+    tableSchema: StructType, conf: GraftHadoopConf)
+    extends org.apache.spark.sql.connector.read.ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  private var required: StructType = tableSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    new GraftSinkScan(path, tableSchema, required, conf)
+}
+
+private[sources] case class GraftSinkFilePartition(file: String)
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+private[sources] class GraftSinkScan(path: String, tableSchema: StructType,
+    required: StructType, conf: GraftHadoopConf)
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def description(): String =
+    s"graft-sink read $path cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val (fs, root) = GraftSinkIO.fs(path, conf.value)
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root)
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && n.endsWith(".csv") &&
+          (n.startsWith("part-") || n.startsWith("epoch-"))
+      }
+      .sortBy(_.getPath.getName)
+      .map(st => GraftSinkFilePartition(st.getPath.toString)
+        : org.apache.spark.sql.connector.read.InputPartition)
+  }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new GraftSinkReaderFactory(tableSchema, required, conf)
+}
+
+private[sources] class GraftSinkReaderFactory(tableSchema: StructType,
+    required: StructType, conf: GraftHadoopConf)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+
+  override def createReader(
+      partition: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+    new GraftSinkFileReader(
+      partition.asInstanceOf[GraftSinkFilePartition].file,
+      tableSchema, required, conf)
+}
+
+/** Parses the writers' wire format back: headerless CSV, no quoting,
+  * timestamps as raw microsecond longs, "" = NULL — the exact inverse of
+  * GraftSinkDataWriter's cell serializers, resolved once per column.
+  */
+private[sources] class GraftSinkFileReader(file: String,
+    tableSchema: StructType, required: StructType, conf: GraftHadoopConf)
+    extends org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+
+  private val (fs, p) = GraftSinkIO.fs(file, conf.value)
+  private val in = new java.io.BufferedReader(
+    new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+
+  // required field -> (cell index in the full row, parser)
+  private val cols: Array[(Int, String => Any)] = required.fields.map { f =>
+    val idx = tableSchema.fieldIndex(f.name)
+    val parse: String => Any = f.dataType match {
+      case LongType | TimestampType => s => s.toLong // ts wire format IS µs
+      case IntegerType => s => s.toInt
+      case DoubleType => s => s.toDouble
+      case StringType => s => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported sink type $other")
+    }
+    (idx, parse)
+  }
+
+  private var line: String = _
+
+  override def next(): Boolean = { line = in.readLine(); line != null }
+
+  override def get(): InternalRow = {
+    val cells = line.split(",", -1)
+    InternalRow.fromSeq(cols.toSeq.map { case (i, parse) =>
+      if (cells(i).isEmpty) null else parse(cells(i))
+    })
+  }
+
+  override def close(): Unit = in.close()
 }
 
 private[sources] class GraftSinkWriteBuilder(path: String, schema: StructType,
@@ -198,7 +332,7 @@ private[sources] object GraftSinkIO {
     */
   def publish(path: String, queryId: String, epoch: Option[Long],
       messages: Array[WriterCommitMessage], dropExisting: Boolean,
-      conf: Configuration): Unit = {
+      conf: Configuration, schema: Option[StructType] = None): Unit = {
     val (fs, root) = GraftSinkIO.fs(path, conf)
     val staging = stagingDir(path, queryId, epoch)
     if (dropExisting && fs.exists(root)) {
@@ -226,6 +360,18 @@ private[sources] object GraftSinkIO {
       }
     }
     fs.delete(staging, true)
+    // table metadata: the written schema, persisted once at commit so the
+    // READ path can infer it (underscore name: invisible to data globs)
+    schema.foreach { sch =>
+      val meta = new HPath(root, "_schema.json")
+      // append commits keep the first-written schema; a truncate commit
+      // replaces the whole generation, metadata included
+      if (dropExisting || !fs.exists(meta)) {
+        val out = fs.create(meta, true)
+        out.write(sch.json.getBytes("UTF-8"))
+        out.close()
+      }
+    }
   }
 }
 
@@ -238,7 +384,7 @@ private[sources] class GraftSinkBatchWrite(path: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     GraftSinkIO.publish(path, queryId, None, messages,
-      dropExisting = truncate, conf.value)
+      dropExisting = truncate, conf.value, Some(schema))
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val (fs, _) = GraftSinkIO.fs(path, conf.value)
@@ -256,7 +402,7 @@ private[sources] class GraftSinkStreamingWrite(path: String, schema: StructType,
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     GraftSinkIO.publish(path, queryId, Some(epochId), messages,
-      dropExisting = false, conf.value)
+      dropExisting = false, conf.value, Some(schema))
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {

@@ -28,6 +28,39 @@ class GraftSinkSpec extends SparkSpec {
   private def readBack(dir: String) =
     spark.read.schema(schema).option("pathGlobFilter", "part-*.csv").csv(dir)
 
+  test("connector read path: schema inferred from _schema.json, staged " +
+      "files invisible, nulls round-trip") {
+    import spark.implicits._
+    val dir = freshDir("readpath")
+    val df = Seq((1L, Some(0.5)), (2L, None), (3L, Some(1.5)))
+      .toDF("id", "v")
+    df.write.format("graft-sink").mode("append").save(dir)
+    // plant a staged leftover that a naive glob would pick up
+    val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = new HPath(s"$dir/_staging-bogus", "part-bogus-00000-a9.csv")
+    fs.mkdirs(staged.getParent)
+    val out = fs.create(staged, true); out.write("99,9.9\n".getBytes); out.close()
+    val got = spark.read.format("graft-sink").load(dir)
+    assert(got.schema.fieldNames.toSeq === Seq("id", "v"))
+    val rows = got.collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))))
+      .toMap
+    assert(rows === Map(1L -> 0.5, 2L -> null, 3L -> 1.5),
+      "staged file must be invisible; '' must read back as NULL")
+    // column pruning: a single-column projection still resolves correctly
+    assert(spark.read.format("graft-sink").load(dir)
+      .select(col("id")).collect().map(_.getLong(0)).sorted === Array(1L, 2L, 3L))
+  }
+
+  test("connector read before any commit fails with the no-schema message") {
+    val dir = freshDir("readpath_empty")
+    val e = intercept[Exception] {
+      spark.read.format("graft-sink").load(dir).collect()
+    }
+    assert(e.getMessage.contains("_schema.json"), e.getMessage)
+  }
+
   test("batch round-trip: committed files hold exactly the written rows") {
     import spark.implicits._
     val dir = freshDir("roundtrip")
