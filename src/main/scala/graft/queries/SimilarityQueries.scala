@@ -786,6 +786,76 @@ object SimilarityQueries {
                   6)} AS f1
        |FROM agg CROSS JOIN np""".stripMargin
 
+  /** Shared CTE chain replaying [[graft.ml.SparseLogReg]] training in
+    * DuckDB: hashed bag-of-words features (the PortableHash md5 parse,
+    * mod 256), an EMPTY w0 relation (so iteration 1's margins are exactly
+    * 0 with no special-casing), then `iters` unrolled steps each made of
+    * the same three joins the Spark side plans — margin (features ⋈
+    * weights), gradient (features ⋈ errors), update (weights ⟗
+    * gradients). Both cross-row sums quantize per-term at 1e7 into exact
+    * DECIMAL.
+    */
+  private def sparseLogregBaseSql(iters: Int, lr: String = "0.5"): String = {
+    def step(i: Int): String =
+      s"""m$i AS (SELECT f.doc_id, f.y,
+         |               CAST(sum(CAST(floor(f.cnt * COALESCE(w.w, 0.0) * 1e7 + 0.5)
+         |                    AS DECIMAL(25,0))) AS DOUBLE) / 1e7 AS m
+         |        FROM f LEFT JOIN w${i - 1} w USING (feat) GROUP BY 1, 2),
+         |e$i AS (SELECT doc_id, y - (0.5 + 0.5 * (m / (1 + abs(m)))) AS err FROM m$i),
+         |g$i AS (SELECT f.feat,
+         |               CAST(sum(CAST(floor(f.cnt * e.err * 1e7 + 0.5)
+         |                    AS DECIMAL(25,0))) AS DOUBLE) / 1e7 / (SELECT n FROM nn) AS g
+         |        FROM f JOIN e$i e USING (doc_id) GROUP BY 1),
+         |w$i AS (SELECT COALESCE(w.feat, g.feat) AS feat,
+         |               COALESCE(w.w, 0.0) + $lr * COALESCE(g.g, 0.0) AS w
+         |        FROM w${i - 1} w FULL JOIN g$i g ON w.feat = g.feat)""".stripMargin
+    s"""tok AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |         unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, y, (${graft.functions.PortableHash.hash32Sql("token")}) % 256 AS feat,
+       |         count(*) AS cnt
+       |  FROM tok GROUP BY 1, 2, 3),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |w0 AS (SELECT CAST(NULL AS BIGINT) AS feat, CAST(NULL AS DOUBLE) AS w
+       |       WHERE 1 = 0),
+       |${(1 to iters).map(step).mkString(",\n")}""".stripMargin
+  }
+
+  /** SPARSE classifier training ([[graft.ml.SparseLogReg.train]]): the
+    * weights are a RELATION met only through key joins (margin, gradient,
+    * update — none broadcast-hinted, nothing model-sized on the driver),
+    * i.e. the shape that still works when the model outgrows a broadcast.
+    * The oracle replays both iterations join for join; 256 hashed dims
+    * keep it readable while exercising every join the 2²⁰-dim version
+    * would plan.
+    */
+  val logregSparseTrain: Q = (s, dir) =>
+    graft.ml.SparseLogReg.train(Tables.documents(s, dir))
+
+  val logregSparseTrainSql: String =
+    s"""WITH ${sparseLogregBaseSql(2)}
+       |SELECT feat, ${graft.Parity.proundSql("w", 8)} AS weight
+       |FROM w2 ORDER BY feat""".stripMargin
+
+  /** Sparse train → score through the SAME join shape (no model
+    * broadcast): per-doc quantized margin over features ⋈ weights, the
+    * rational sigmoid, top-20 docs.
+    */
+  val logregSparseScore: Q = (s, dir) =>
+    graft.ml.SparseLogReg.trainAndScore(Tables.documents(s, dir))
+
+  val logregSparseScoreSql: String =
+    s"""WITH ${sparseLogregBaseSql(2)},
+       |ms AS (SELECT f.doc_id, f.y,
+       |              CAST(sum(CAST(floor(f.cnt * COALESCE(w.w, 0.0) * 1e7 + 0.5)
+       |                   AS DECIMAL(25,0))) AS DOUBLE) / 1e7 AS m
+       |       FROM f LEFT JOIN w2 w USING (feat) GROUP BY 1, 2)
+       |SELECT doc_id, CAST(y AS BIGINT) AS is_target,
+       |       ${graft.Parity.proundSql("0.5 + 0.5 * (m / (1 + abs(m)))", 6)} AS score
+       |FROM ms ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   /** IVF+PQ with exact rerank ([[Similarity.annIvfPqTopK]]): coarse cells
     * prune candidates, ADC scores them as code bytes, and only the top-30
     * ADC survivors per query pay a full-precision cosine. Same quantizer as
@@ -911,6 +981,8 @@ object SimilarityQueries {
     "logreg_train" -> logregTrain,
     "logreg_score" -> logregScore,
     "logreg_eval" -> logregEval,
+    "logreg_sparse_train" -> logregSparseTrain,
+    "logreg_sparse_score" -> logregSparseScore,
     "ann_ivfpq_topk" -> annIvfPqTopK,
     "embedding_score" -> embeddingScore,
     "embedding_norms" -> embeddingNorms,
@@ -939,6 +1011,8 @@ object SimilarityQueries {
     "logreg_train" -> logregTrainSql,
     "logreg_score" -> logregScoreSql,
     "logreg_eval" -> logregEvalSql,
+    "logreg_sparse_train" -> logregSparseTrainSql,
+    "logreg_sparse_score" -> logregSparseScoreSql,
     "ann_ivfpq_topk" -> annIvfPqTopKSql,
     "embedding_score" -> embeddingScoreSql,
     "ivf_train" -> ivfTrainSql,

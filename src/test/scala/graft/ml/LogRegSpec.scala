@@ -40,6 +40,27 @@ class LogRegSpec extends SparkSpec {
     assert(row.getAs[Double]("f1") > 0.0)
   }
 
+  test("sparse trainer learns a text-derived label through the join shape") {
+    // the gate label (lang) is drawn independently of the tokens in this
+    // synthetic corpus, so it carries no lexical signal — train against a
+    // label the text CAN predict instead: "document mentions 'spark'"
+    val docs = graft.Tables.documents(spark, sf0001)
+    val label = when(col("text").contains("spark"), 1.0).otherwise(0.0)
+    val w = SparseLogReg.trainedWeightRelation(docs, label)
+    assert(w.filter(col("w") =!= 0.0).count() > 0L, "weights must move")
+    val scored = SparseLogReg.trainAndScore(docs, label, k = 10000)
+    val classes = scored
+      .groupBy(col("is_target")).agg(avg(col("score")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(classes.size === 2, s"need both classes in the corpus: $classes")
+    assert(classes(1L) > classes(0L),
+      s"mean score of mentioning docs (${classes(1L)}) must exceed the rest " +
+        s"(${classes(0L)})")
+    // determinism: retraining is bit-identical
+    val again = SparseLogReg.train(docs, label).collect().map(_.toString).toSeq
+    assert(again === SparseLogReg.train(docs, label).collect().map(_.toString).toSeq)
+  }
+
   test("scores stay in (0,1) and top-k output is deterministic") {
     val emb = graft.Tables.embeddings(spark, sf0001)
     val a = LogReg.trainAndScore(emb).collect().map(_.toString).toSeq
