@@ -498,7 +498,10 @@ object DedupQueries {
       .withColumn("hit", lit(true))
     docs.filter(col("doc_id") >= 50)
       .select(col("doc_id"))
-      .join(broadcast(hits), Seq("doc_id"), "left")
+      // hits GROWS with the corpus (every contaminated doc), so no hint —
+      // AQE broadcasts it while it fits, key-shuffles at 100 TB; only the
+      // benchmark-bounded shingle set above earns a hard broadcast
+      .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("contaminated"))
       .orderBy(col("doc_id"))
   }
