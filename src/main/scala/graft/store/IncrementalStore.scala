@@ -247,12 +247,35 @@ object IncrementalStore {
     * (silver path: existing rows of touched days survive unless replaced by
     * a batch row with the same key).
     */
+  /** MERGE upsert, returning OPERATION METRICS — the commit-info row every
+    * table format (Delta `operationMetrics`, Iceberg snapshot summary)
+    * reports with a write. The metrics ride the write job itself via
+    * `Dataset.observe` (a `CollectMetrics` node accumulating DURING the
+    * job — zero extra passes, exact even under retries because Spark
+    * only publishes metrics from the successful attempt): rows_written,
+    * min_ts/max_ts of the written slice (as epoch µs). At 100 TB an
+    * extra counting pass over the merged slice would double the write
+    * cost; observed metrics are free.
+    */
   def upsertByKey(
       batch: DataFrame, target: String, tsCol: String, keyCols: Seq[String],
-      clusterBy: Seq[String] = Nil): Unit = {
+      clusterBy: Seq[String] = Nil): Map[String, Long] = {
     val spark = batch.sparkSession
     val part = withPartition(batch, tsCol)
-    if (!exists(spark, target)) write(rangeLayout(part, tsCol, clusterBy), target)
+    def writeObserved(df: DataFrame): Map[String, Long] = {
+      val obs = org.apache.spark.sql.Observation(s"graft-merge")
+      // observe ABOVE the range layout: repartitionByRange runs a SAMPLING
+      // pass over its child to pick boundaries, so a CollectMetrics node
+      // below the exchange would accumulate every row twice — above it,
+      // each written row passes exactly once
+      val observed = rangeLayout(df, tsCol, clusterBy).observe(obs,
+        count(lit(1)).as("rows_written"),
+        min(unix_micros(col(tsCol))).as("min_ts_us"),
+        max(unix_micros(col(tsCol))).as("max_ts_us"))
+      write(observed, target)
+      obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
+    }
+    if (!exists(spark, target)) writeObserved(part)
     else {
       // the batch feeds three computations (day-list collect, anti-join
       // probe, merged write) — persist it once rather than re-running its
@@ -265,7 +288,7 @@ object IncrementalStore {
           .filter(col(PartitionCol).isin(days.toIndexedSeq: _*))
           .select(cached.columns.toIndexedSeq.map(col): _*) // align column order
         val merged = old.join(cached, keyCols, "left_anti").unionByName(cached)
-        write(rangeLayout(merged, tsCol, clusterBy), target)
+        writeObserved(merged)
       } finally cached.unpersist(blocking = false)
     }
   }

@@ -145,6 +145,7 @@ object ForexStream {
           IncrementalStore.upsertByKey(
             batch, targetDir, tsCol = "candle_start",
             keyCols = Seq("timeframe", "candle_start"))
+          () // operation metrics unused here; foreachBatch wants Unit
         }
       }
 }
