@@ -273,7 +273,9 @@ object IncrementalStore {
         min(unix_micros(col(tsCol))).as("min_ts_us"),
         max(unix_micros(col(tsCol))).as("max_ts_us"))
       write(observed, target)
-      obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
+      // an empty write observes NULL min/max (count stays 0) — drop the
+      // null entries rather than NPE on the cast
+      obs.get.collect { case (k, v: Long) => k -> v }.toMap
     }
     if (!exists(spark, target)) writeObserved(part)
     else {
