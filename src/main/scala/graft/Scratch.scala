@@ -44,6 +44,12 @@ object Scratch {
 
   private val counter = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  // JVM-unique component for shared-root paths: the counter alone restarts
+  // at 0 in every driver, so two applications pointing at the same shared
+  // root would clobber each other's scratch tables mid-read
+  private lazy val jvmTag: String =
+    java.util.UUID.randomUUID().toString.take(8)
+
   def table(df: DataFrame, tag: String): DataFrame = {
     val spark = df.sparkSession
     val path = spark.conf.getOption(ScratchDirConf) match {
@@ -51,7 +57,7 @@ object Scratch {
         // shared-FS root: unique child per call; cleanup is the cluster
         // operator's retention policy (a JVM-exit hook on the driver could
         // not see executor-written files on another FS anyway)
-        s"${root.stripSuffix("/")}/graft-$tag-${counter.incrementAndGet()}/data"
+        s"${root.stripSuffix("/")}/graft-$tag-$jvmTag-${counter.incrementAndGet()}/data"
       case None =>
         val dir = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
         hook

@@ -106,7 +106,10 @@ object LogReg {
     val npos = embeddings
       .agg(sum(when(col("label") === targetLabel, 1L).otherwise(0L)).as("n_pos"))
     val prec = col("tp").cast("double") / lit(k.toDouble)
-    val rec = col("tp").cast("double") / col("n_pos").cast("double")
+    // n_pos = 0 (label absent from the corpus) would make recall 0/0 = NaN
+    // — define recall as 0 there, identically to the oracle
+    val rec = when(col("n_pos") === 0L, lit(0.0))
+      .otherwise(col("tp").cast("double") / col("n_pos").cast("double"))
     top.crossJoin(npos).select(lit(k.toLong).as("k"), col("n_pos"), col("tp"),
       graft.Parity.pround(prec, 6).as("precision"),
       graft.Parity.pround(rec, 6).as("recall"),

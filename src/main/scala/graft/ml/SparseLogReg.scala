@@ -66,10 +66,19 @@ object SparseLogReg {
     * this with an empty w0 relation rather than special-casing step 1.
     */
   def trainedWeightRelation(docs: DataFrame, label: Column = EnglishLabel,
-      iters: Int = 2, lr: Double = 0.5, dims: Int = DefaultDims): DataFrame = {
-    val s = docs.sparkSession
-    val f = graft.Scratch.table(features(docs, label, dims), "slr-feats")
-    val n = docs.count()
+      iters: Int = 2, lr: Double = 0.5, dims: Int = DefaultDims): DataFrame =
+    trainOnFeatures(
+      graft.Scratch.table(features(docs, label, dims), "slr-feats"),
+      docs.count(), iters, lr)
+
+  /** The iteration loop over an ALREADY-materialized feature relation —
+    * split out so trainAndScore reuses the same scratch table for the
+    * scoring join instead of paying the tokenize+hash+aggregate corpus
+    * pass twice.
+    */
+  private def trainOnFeatures(f: DataFrame, n: Long,
+      iters: Int, lr: Double): DataFrame = {
+    val s = f.sparkSession
     import s.implicits._
     var w: DataFrame = Seq.empty[(Long, Double)].toDF("feat", "w")
     for (it <- 1 to iters) {
@@ -105,8 +114,8 @@ object SparseLogReg {
   def trainAndScore(docs: DataFrame, label: Column = EnglishLabel,
       iters: Int = 2, lr: Double = 0.5, dims: Int = DefaultDims,
       k: Int = 20): DataFrame = {
-    val w = trainedWeightRelation(docs, label, iters, lr, dims)
-    val f = features(docs, label, dims)
+    val f = graft.Scratch.table(features(docs, label, dims), "slr-feats")
+    val w = trainOnFeatures(f, docs.count(), iters, lr)
     f.join(w, Seq("feat"), "left")
       .groupBy(col("doc_id"), col("y"))
       .agg(quantSum(col("cnt") * coalesce(col("w"), lit(0.0))).as("m"))

@@ -905,7 +905,13 @@ object PipelineQueries {
     val part = fs.listStatus(new org.apache.hadoop.fs.Path(sentDir))
       .find(_.getPath.getName.endsWith(".parquet")).get.getPath
     val dest = new org.apache.hadoop.fs.Path(b, s"zz_sentinel$seq.parquet")
-    fs.rename(part, dest)
+    // a stale destination (half-built fixture from a crashed run) makes
+    // HDFS-semantics rename return false — which would silently drop the
+    // sentinel and withhold the outer join's last horizon forever
+    if (fs.exists(dest)) fs.delete(dest, false)
+    if (!fs.rename(part, dest)) {
+      throw new java.io.IOException(s"sentinel rename $part -> $dest failed")
+    }
     fs.setTimes(dest, dataMtime + seq * 60000L, -1L)
     fs.delete(new org.apache.hadoop.fs.Path(sentDir), true)
   }

@@ -778,7 +778,8 @@ object SimilarityQueries {
        |SELECT CAST(50 AS BIGINT) AS k, n_pos, tp,
        |       ${graft.Parity.proundSql("CAST(tp AS DOUBLE) / 50.0", 6)} AS precision,
        |       ${graft.Parity.proundSql(
-                  "CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE)", 6)} AS recall,
+                  "CASE WHEN n_pos = 0 THEN 0.0 " +
+                    "ELSE CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) END", 6)} AS recall,
        |       ${graft.Parity.proundSql(
                   "CASE WHEN tp = 0 THEN 0.0 ELSE " +
                     "2.0 * (CAST(tp AS DOUBLE) / 50.0) * (CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE)) " +

@@ -83,15 +83,8 @@ class GraftSink extends TableProvider
       throw new UnsupportedOperationException(
         s"graft-sink table at $path has no _schema.json yet — readable only " +
           "after the first commit (the written DataFrame defines the schema)")
-    val in = fs.open(meta)
-    val bytes = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](8192)
-      var n = in.read(chunk)
-      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      buf.toByteArray
-    } finally in.close()
-    DataType.fromJson(new String(bytes, "UTF-8")).asInstanceOf[StructType]
+    DataType.fromJson(GraftSinkIO.readSchemaJson(fs, meta))
+      .asInstanceOf[StructType]
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -244,10 +237,18 @@ private[sources] class GraftSinkFileReader(file: String,
   override def next(): Boolean = { line = in.readLine(); line != null }
 
   override def get(): InternalRow = {
+    // per-row hot loop: index the hoisted parser array directly (no Seq
+    // conversion / closure mapping per row — the read-side mirror of the
+    // writer's resolved-cell-serializer loop)
     val cells = line.split(",", -1)
-    InternalRow.fromSeq(cols.toSeq.map { case (i, parse) =>
-      if (cells(i).isEmpty) null else parse(cells(i))
-    })
+    val out = new Array[Any](cols.length)
+    var j = 0
+    while (j < cols.length) {
+      val (i, parse) = cols(j)
+      out(j) = if (cells(i).isEmpty) null else parse(cells(i))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
   }
 
   override def close(): Unit = in.close()
@@ -306,6 +307,18 @@ private[sources] object GraftSinkIO {
   def fs(path: String, conf: Configuration): (FileSystem, HPath) = {
     val p = new HPath(path)
     (p.getFileSystem(conf), p)
+  }
+
+  /** Full contents of a table-metadata file as UTF-8. */
+  def readSchemaJson(fs: FileSystem, meta: HPath): String = {
+    val in = fs.open(meta)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
   }
 
   /** Batch jobs stage under `_staging-<query>`; each streaming EPOCH
@@ -370,6 +383,16 @@ private[sources] object GraftSinkIO {
         val out = fs.create(meta, true)
         out.write(sch.json.getBytes("UTF-8"))
         out.close()
+      } else {
+        // an APPEND with a different schema would write cells the stored
+        // schema misparses (swapped same-type columns read back silently
+        // transposed) — reject it at commit, the table-format contract
+        val stored = readSchemaJson(fs, meta)
+        if (stored != sch.json) {
+          throw new IllegalArgumentException(
+            s"graft-sink append schema mismatch at $path: table has " +
+              s"$stored, batch writes ${sch.json}")
+        }
       }
     }
   }

@@ -308,7 +308,7 @@ private[sources] class TickScan(rows: Long, pages: Int,
         at < ids.length && ids(at) < pp.end
       })
       .toArray[InputPartition]
-    if (live.isEmpty && pushedAgg.isDefined) Array(TickPage(0, lo, lo))
+    if (live.isEmpty && pushedAgg.isDefined) Array(TickPage(0, lo, lo, origin = 0L))
     else live
   }
 
@@ -336,7 +336,7 @@ private[sources] class TickAggReaderFactory(agg: TickAggregation)
   * ordinals number rows within the page as fetched, not as filtered.
   */
 private[sources] case class TickPage(page: Int, start: Long, end: Long,
-    origin: Long = 0L)
+    origin: Long)
     extends InputPartition
 
 private[sources] class TickReaderFactory(required: StructType)

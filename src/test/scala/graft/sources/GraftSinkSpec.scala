@@ -53,6 +53,26 @@ class GraftSinkSpec extends SparkSpec {
       .select(col("id")).collect().map(_.getLong(0)).sorted === Array(1L, 2L, 3L))
   }
 
+  test("append with a mismatched schema is rejected at commit") {
+    import spark.implicits._
+    val dir = freshDir("schema_mismatch")
+    Seq((1L, 0.5)).toDF("id", "v")
+      .write.format("graft-sink").mode("append").save(dir)
+    val e = intercept[Exception] {
+      // same types, swapped column order: cells would silently transpose
+      Seq((0.7, 2L)).toDF("v", "id")
+        .write.format("graft-sink").mode("append").save(dir)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("schema mismatch")), msgs(e).mkString("|"))
+    // a truncate write with the new schema IS allowed and replaces metadata
+    Seq((0.7, 2L)).toDF("v", "id")
+      .write.format("graft-sink").mode("overwrite").save(dir)
+    assert(spark.read.format("graft-sink").load(dir)
+      .schema.fieldNames.toSeq === Seq("v", "id"))
+  }
+
   test("connector read before any commit fails with the no-schema message") {
     val dir = freshDir("readpath_empty")
     val e = intercept[Exception] {
