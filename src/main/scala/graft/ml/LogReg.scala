@@ -134,4 +134,21 @@ object LogReg {
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Train, then score the WHOLE corpus — the `(y, score)` frame the
+    * [[Eval]] reports (ROC-AUC, calibration) consume. Map-only after
+    * training (one codegen'd dot + rational sigmoid per row); score is
+    * 1e-6-quantized, which is what bounds Eval.rocAuc's per-score
+    * aggregate at 1e6+1 rows.
+    */
+  def scoreAll(embeddings: DataFrame, targetLabel: Long = 1L,
+      iters: Int = 3, lr: Double = 0.5): DataFrame = {
+    val w = trainedWeights(embeddings, targetLabel, iters, lr)
+    val wCol = array(w.toIndexedSeq.map(lit): _*)
+    val m = graft.functions.VectorExpressions.vecDot(
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))"), wCol)
+    embeddings.select(col("vec_id"),
+      when(col("label") === targetLabel, 1L).otherwise(0L).as("y"),
+      graft.Parity.pround(squash(m), 6).as("score"))
+  }
 }

@@ -118,6 +118,81 @@ object CurationQueries {
        |ORDER BY k.doc_id""".stripMargin
   }
 
-  val queries: Map[String, Q] = Map("corpus_curation" -> corpusCuration)
-  val oracleSql: Map[String, String] = Map("corpus_curation" -> corpusCurationSql)
+  /** Curriculum sharding — deterministic data ORDERING for training:
+    * rank the corpus by quality (best first, doc_id tie-break), then cut
+    * the ranked stream into shards of ~equal TOKEN budget (4096 here —
+    * a hyperparameter), so shard 0 is the highest-quality slice and a
+    * trainer can schedule easy→hard (or anneal mixture weights) by shard
+    * number. The assignment is a pure function of (quality, doc_id,
+    * token counts) — re-running on identical data yields identical
+    * shards, which is what makes a training run resumable.
+    *
+    * Scale shape: the only global coordination is the running token
+    * total in rank order, and that uses [[graft.relational.GlobalIndex
+    * .withPrefixSum]] — range-partition on the (quality desc, doc_id)
+    * key, parallel local running sums, cross-partition offsets from a
+    * per-partition SUM relation (one row per partition, broadcast back)
+    * — never `sum() OVER (ORDER BY …)`'s single-task funnel, which the
+    * oracle (corpus fits one node) is allowed to use but 100 TB is not.
+    * The shard id is exact integer floor-division of the EXCLUSIVE
+    * prefix (cum − own), so a whale document cannot straddle assignment.
+    */
+  val curriculumShards: Q = (s, dir) => {
+    val budget = 4096L
+    val docs = Tables.documents(s, dir)
+    val base = TextAnalysis.qualityScore(docs)
+      .join(docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        Seq("doc_id"))
+      // range keys sort ascending: negate the (already 1e-6-quantized,
+      // so exactly negatable) score for best-first order
+      .withColumn("ord", -col("quality_score"))
+    graft.relational.GlobalIndex
+      .withPrefixSum(base, Seq("ord", "doc_id"), "n_tokens",
+        cumName = "cum_tokens")
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"),
+        col("cum_tokens"),
+        // SQL `div`: exact BIGINT division (Spark's `/` is fractional —
+        // a float quotient truncated back can land on the wrong side of
+        // a boundary; DuckDB's `//` is the same exact integer op)
+        expr(s"(cum_tokens - n_tokens) div $budget").as("shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  val curriculumShardsSql: String = {
+    import TextQueries.{stopCountSql, stopEn}
+    s"""WITH ${TextQueries.normedSql},
+       |stats AS (
+       |  SELECT doc_id,
+       |         len(ws) AS word_count,
+       |         len(regexp_extract_all(text, '[.,;:!?]')) AS punct_count,
+       |         floor((CAST(${stopCountSql(stopEn)} AS DOUBLE) / len(ws)) * 1e6 + 0.5) / 1e6 AS stopword_ratio
+       |  FROM w),
+       |quality AS (
+       |  SELECT doc_id,
+       |         floor((0.4 * least(CAST(word_count AS DOUBLE) / 50, 1.0)
+       |             + 0.3 * least(stopword_ratio * 5, 1.0)
+       |             + 0.3 * greatest(0.0, 1.0 - CAST(punct_count AS DOUBLE) / greatest(word_count, 1))) * 1e6 + 0.5) / 1e6
+       |           AS quality_score
+       |  FROM stats),
+       |toks AS (
+       |  SELECT doc_id,
+       |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]|\\s+')) AS n_tokens
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT q.doc_id, q.quality_score, t.n_tokens,
+       |         CAST(sum(t.n_tokens) OVER (
+       |           ORDER BY q.quality_score DESC, q.doc_id) AS BIGINT) AS cum_tokens
+       |  FROM quality q JOIN toks t ON q.doc_id = t.doc_id)
+       |SELECT doc_id, quality_score, n_tokens, cum_tokens,
+       |       (cum_tokens - n_tokens) // 4096 AS shard
+       |FROM ranked ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "corpus_curation" -> corpusCuration,
+    "curriculum_shards" -> curriculumShards)
+  val oracleSql: Map[String, String] = Map(
+    "corpus_curation" -> corpusCurationSql,
+    "curriculum_shards" -> curriculumShardsSql)
 }

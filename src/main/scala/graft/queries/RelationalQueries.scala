@@ -2682,6 +2682,213 @@ object RelationalQueries {
   val pagerankAuthoritySql: String = pagerankSql(5)
   val pagerankAuthority20Sql: String = pagerankSql(20)
 
+  /** Deterministic random walks over the trade graph — the corpus-scale
+    * SAMPLING primitive graph-embedding pipelines (DeepWalk / node2vec)
+    * feed on: one length-4 walk started from EVERY vertex, emitted as
+    * (walk_id, step, node) context rows. "Random" is the portable-hash
+    * trick the sampling family uses everywhere instead of rand(): the
+    * next hop from the frontier is the neighbor minimizing
+    * hash32(walk_id ‖ step ‖ dst) — uniform-ish over neighbors, diverging
+    * across walks and across revisits, and exactly reproducible on both
+    * engines (and across retries, which rand() is not).
+    *
+    * Scale shape: walks advance ALL vertices simultaneously — each step is
+    * one frontier⋈edges join on the vertex key (the pagerank round shape)
+    * into a scratch-materialized candidate set, then TWO map-side-combined
+    * aggregates (min hash per walk, then min dst at that hash) instead of
+    * a per-walk ranking window: a hub vertex with 10⁹ neighbors costs its
+    * shuffle share, never one task's window buffer. Steps are a fixed
+    * small hyperparameter; output is (L+1)·|V| rows.
+    */
+  val graphRandomWalks: Q = (s, dir) => {
+    val walkLen = 4
+    val edges = pagerankEdges(s, dir).select(col("src"), col("dst"))
+    var frontier = edges.select(col("src")).distinct()
+      .select(col("src").as("walk_id"), col("src").as("cur"))
+    val steps = scala.collection.mutable.ArrayBuffer[DataFrame](
+      frontier.select(col("walk_id"), lit(0L).as("step"), col("cur").as("node")))
+    for (t <- 1 to walkLen) {
+      val cand = graft.Scratch.table(
+        frontier.join(edges, col("cur") === col("src"))
+          .select(col("walk_id"), col("dst"),
+            graft.functions.PortableHash.hash32(
+              concat_ws("|", col("walk_id"), lit(t), col("dst"))).as("h")),
+        s"walk-cand-$t")
+      val mh = cand.groupBy(col("walk_id")).agg(min(col("h")).as("mh"))
+      frontier = cand.join(mh, Seq("walk_id"))
+        .filter(col("h") === col("mh"))
+        .groupBy(col("walk_id")).agg(min(col("dst")).as("cur"))
+      steps += frontier.select(col("walk_id"), lit(t.toLong).as("step"),
+        col("cur").as("node"))
+    }
+    steps.reduce(_ unionAll _).orderBy(col("walk_id"), col("step"))
+  }
+
+  val graphRandomWalksSql: String = {
+    def step(t: Int): String =
+      s"""c$t AS (SELECT f.walk_id, e.dst,
+         |        ${graft.functions.PortableHash.hash32Sql(
+                s"CAST(f.walk_id AS VARCHAR) || '|$t|' || CAST(e.dst AS VARCHAR)")} AS h
+         |        FROM s${t - 1} f JOIN edges e ON f.cur = e.src),
+         |m$t AS (SELECT walk_id, min(h) AS mh FROM c$t GROUP BY 1),
+         |s$t AS (SELECT c.walk_id, min(c.dst) AS cur
+         |        FROM c$t c JOIN m$t m ON c.walk_id = m.walk_id AND c.h = m.mh
+         |        GROUP BY 1)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey AS c, -l_suppkey AS p
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (
+       |  SELECT c AS src, p AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT p AS src, c AS dst FROM pairs),
+       |s0 AS (SELECT DISTINCT src AS walk_id, src AS cur FROM edges),
+       |${(1 to 4).map(step).mkString(",\n")}
+       |SELECT walk_id, CAST(0 AS BIGINT) AS step, walk_id AS node FROM s0
+       |${(1 to 4).map(t =>
+          s"UNION ALL SELECT walk_id, CAST($t AS BIGINT) AS step, cur AS node FROM s$t")
+          .mkString("\n")}
+       |ORDER BY walk_id, step""".stripMargin
+  }
+
+  /** Sorted-neighborhood entity resolution (Hernández–Stolfo) over the
+    * customer relation: sort by the blocking key (name, custkey
+    * tiebreak), then compare each record only against its next `w = 3`
+    * neighbors in that order, matching when the segments agree and the
+    * name edit distance is ≤ 2. The candidate space is w·n — LINEAR in
+    * the corpus where naive pairwise ER is quadratic — and that is the
+    * whole point of the method.
+    *
+    * Scale shape: the global sort order comes from [[graft.relational
+    * .GlobalIndex.withGlobalIndex]] (range-partitioned parallel rank,
+    * never one task's window); each record then EXPLODES its w probe
+    * ranks and the candidate pairing is a rank-keyed equi-join —
+    * co-partitioned on a dense integer key, so neighbors that straddle a
+    * range-partition boundary still meet (the classic flaw of a
+    * per-partition sliding window) and the join is an even shuffle by
+    * construction (ranks are unique — zero skew). Levenshtein runs on
+    * the w·n candidate rows only.
+    */
+  val erSortedNeighborhood: Q = (s, dir) => {
+    val w = 3
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val idxed = graft.Scratch.table(
+      graft.relational.GlobalIndex.withGlobalIndex(
+        cust, Seq("c_name", "c_custkey"), idxName = "rnk"),
+      "er-snm-ranked")
+    val probes = idxed
+      .withColumn("probe",
+        explode(sequence(col("rnk") + lit(1L), col("rnk") + lit(w.toLong))))
+    val right = idxed.select(col("rnk").as("probe"),
+      col("c_custkey").as("custkey_b"), col("c_name").as("name_b"),
+      col("c_mktsegment").as("seg_b"))
+    probes.join(right, "probe")
+      .withColumn("dist", levenshtein(col("c_name"), col("name_b")).cast("long"))
+      .filter(col("c_mktsegment") === col("seg_b") && col("dist") <= 2L)
+      .select(col("c_custkey").as("custkey_a"), col("custkey_b"),
+        col("c_name").as("name_a"), col("name_b"), col("dist"))
+      .orderBy(col("custkey_a"), col("custkey_b"))
+  }
+
+  val erSortedNeighborhoodSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_name, c_mktsegment,
+      |         row_number() OVER (ORDER BY c_name, c_custkey) AS rnk
+      |  FROM customer)
+      |SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+      |       a.c_name AS name_a, b.c_name AS name_b,
+      |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM c a JOIN c b
+      |  ON b.rnk - a.rnk BETWEEN 1 AND 3
+      | AND a.c_mktsegment = b.c_mktsegment
+      |WHERE levenshtein(a.c_name, b.c_name) <= 2
+      |ORDER BY custkey_a, custkey_b""".stripMargin
+
+  /** Join-key skew profile — the diagnostic a pipeline runs BEFORE
+    * choosing a join/partitioning strategy at 100 TB: for each candidate
+    * lineitem join key, the distinct-key count, max per-key multiplicity,
+    * skew ratio (max/mean — how much heavier the heaviest key is than the
+    * average), top-10 heavy-hitter share, and the Herfindahl–Hirschman
+    * concentration index Σ share². skew_ratio ≈ 1 and tiny HHI → hash
+    * partitioning balances; a large ratio → that key needs salting or
+    * AQE skew-join.
+    *
+    * Scale shape: ONE lineitem scan fans each row out to its three
+    * (key_name, key) facts via explode; per-key counts are a map-side-
+    * combined hash aggregate, scratch-materialized once for its two
+    * consumers. The top-10 rank window is partitioned by key_name and
+    * filtered to rank ≤ 10, which WindowGroupLimit prunes to 10 rows per
+    * partition BEFORE any sort buffer grows (never a full per-key sort).
+    * All sums are exact integers (Σ cnt² stays in DECIMAL(38,0) —
+    * overflow-safe to ~10⁹-multiplicity keys); each reported ratio is a
+    * single IEEE division of exact integers, so the oracle matches
+    * bit-for-bit with no quantized-sum machinery.
+    */
+  val skewProfile: Q = (s, dir) => {
+    val keys = Tables.lineitem(s, dir).select(explode(array(
+        struct(lit("l_orderkey").as("key_name"), col("l_orderkey").as("key")),
+        struct(lit("l_partkey").as("key_name"), col("l_partkey").as("key")),
+        struct(lit("l_suppkey").as("key_name"), col("l_suppkey").as("key"))))
+        .as("s"))
+      .select(col("s.key_name").as("key_name"), col("s.key").as("key"))
+    val counts = graft.Scratch.table(
+      keys.groupBy(col("key_name"), col("key")).agg(count(lit(1)).as("cnt")),
+      "skew-key-counts")
+    val top10 = counts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("key_name"))
+          .orderBy(col("cnt").desc, col("key"))))
+      .filter(col("rk") <= 10)
+      .groupBy(col("key_name")).agg(sum(col("cnt")).as("top10"))
+    counts.groupBy(col("key_name"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("total_rows"),
+        max(col("cnt")).as("max_cnt"),
+        sum((col("cnt") * col("cnt")).cast(DecimalType(38, 0))).as("sumsq"))
+      .join(top10, "key_name")
+      .select(col("key_name"), col("n_keys"), col("total_rows"), col("max_cnt"),
+        graft.Parity.pround(
+          (col("max_cnt") * col("n_keys")).cast("double") /
+            col("total_rows").cast("double"), 6).as("skew_ratio"),
+        graft.Parity.pround(
+          col("top10").cast("double") / col("total_rows").cast("double"), 6)
+          .as("top10_share"),
+        graft.Parity.pround(
+          col("sumsq").cast("double") /
+            (col("total_rows") * col("total_rows")).cast("double"), 6)
+          .as("hhi"))
+      .orderBy(col("key_name"))
+  }
+
+  val skewProfileSql: String =
+    s"""WITH k AS (
+       |  SELECT 'l_orderkey' AS key_name, l_orderkey AS key FROM lineitem
+       |  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+       |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem),
+       |c AS (SELECT key_name, key, CAST(count(*) AS BIGINT) AS cnt
+       |      FROM k GROUP BY 1, 2),
+       |t10 AS (SELECT key_name, CAST(sum(cnt) AS BIGINT) AS top10 FROM (
+       |          SELECT key_name, cnt,
+       |                 row_number() OVER (PARTITION BY key_name
+       |                                    ORDER BY cnt DESC, key) AS rk
+       |          FROM c) WHERE rk <= 10 GROUP BY 1),
+       |st AS (SELECT key_name, CAST(count(*) AS BIGINT) AS n_keys,
+       |              CAST(sum(cnt) AS BIGINT) AS total_rows,
+       |              max(cnt) AS max_cnt,
+       |              CAST(sum(cnt * cnt) AS DECIMAL(38,0)) AS sumsq
+       |       FROM c GROUP BY 1)
+       |SELECT st.key_name, n_keys, total_rows, max_cnt,
+       |       ${graft.Parity.proundSql(
+                 "CAST(max_cnt * n_keys AS DOUBLE) / CAST(total_rows AS DOUBLE)",
+                 6)} AS skew_ratio,
+       |       ${graft.Parity.proundSql(
+                 "CAST(top10 AS DOUBLE) / CAST(total_rows AS DOUBLE)",
+                 6)} AS top10_share,
+       |       ${graft.Parity.proundSql(
+                 "CAST(sumsq AS DOUBLE) / CAST(total_rows * total_rows AS DOUBLE)",
+                 6)} AS hhi
+       |FROM st JOIN t10 USING (key_name) ORDER BY key_name""".stripMargin
+
   /** Association-rule mining (market-basket support/confidence/lift) over
     * order baskets — the classic co-occurrence analysis a curation pipeline
     * runs to find correlated attributes. Baskets are orders; items are the
@@ -3443,6 +3650,9 @@ object RelationalQueries {
     "events_grouping_sets" -> eventsGroupingSets,
     "kcore_parts" -> kcorePartsQ,
     "pagerank_authority" -> pagerankAuthority,
+    "graph_random_walks" -> graphRandomWalks,
+    "er_sorted_neighborhood" -> erSortedNeighborhood,
+    "skew_profile" -> skewProfile,
     "pagerank_authority20" -> pagerankAuthority20,
     "ppr_segment" -> pprSegment,
     "hll_merge_days" -> hllMergeDays,
@@ -3515,6 +3725,9 @@ object RelationalQueries {
     "events_grouping_sets" -> eventsGroupingSetsSql,
     "kcore_parts" -> kcorePartsSql,
     "pagerank_authority" -> pagerankAuthoritySql,
+    "graph_random_walks" -> graphRandomWalksSql,
+    "er_sorted_neighborhood" -> erSortedNeighborhoodSql,
+    "skew_profile" -> skewProfileSql,
     "pagerank_authority20" -> pagerankAuthority20Sql,
     "ppr_segment" -> pprSegmentSql,
     "hll_merge_days" -> hllMergeDaysSql,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -787,6 +788,82 @@ object SimilarityQueries {
                   6)} AS f1
        |FROM agg CROSS JOIN np""".stripMargin
 
+  /** Shared oracle CTE: the 3-iteration replayed model scoring the WHOLE
+    * corpus (`sc(vec_id, y, score)`) — the frame [[graft.ml.LogReg
+    * .scoreAll]] produces and both Eval reports consume.
+    */
+  private def logregScoredAllSql: String =
+    s"""${logregBaseSql(3)},
+       |sc AS (SELECT e.vec_id,
+       |              CAST(CASE WHEN e.label = 1 THEN 1 ELSE 0 END AS BIGINT) AS y,
+       |              ${graft.Parity.proundSql(
+                  "0.5 + 0.5 * (m0 / (1 + abs(m0)))", 6)} AS score
+       |       FROM (SELECT e.vec_id, e.label,
+       |                    ${dotSql(
+                  "list_transform(e.embedding, x -> CAST(x AS DOUBLE))",
+                  "w.wl")} AS m0
+       |             FROM embeddings e CROSS JOIN w3 w) e)""".stripMargin
+
+  /** Exact ROC-AUC of the trained classifier ([[graft.ml.Eval.rocAuc]]):
+    * the threshold-free companion to [[logregEval]]'s precision@k. The
+    * Mann–Whitney rank-sum runs on the PER-SCORE aggregate — 1e-6
+    * quantization bounds that relation at 1e6+1 rows no matter the corpus
+    * size, so the one global window is bounded by construction; ties get
+    * their exact average rank in closed form; everything is BIGINT until
+    * the final single division. The oracle re-derives the model through
+    * the same 3 unrolled iterations and the same rank identity.
+    */
+  val rocAucQ: Q = (s, dir) =>
+    graft.ml.Eval.rocAuc(graft.ml.LogReg.scoreAll(Tables.embeddings(s, dir)))
+
+  val rocAucSql: String =
+    s"""WITH $logregScoredAllSql,
+       |bys AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+       |               CAST(sum(y) AS BIGINT) AS np
+       |        FROM sc GROUP BY 1),
+       |rk AS (SELECT n, np,
+       |              COALESCE(CAST(sum(n) OVER (ORDER BY score
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |                AS BIGINT), 0) AS cum
+       |       FROM bys),
+       |agg AS (SELECT CAST(sum(np * (2 * cum + n + 1)) AS BIGINT) AS num2,
+       |               CAST(sum(np) AS BIGINT) AS n_pos,
+       |               CAST(sum(n - np) AS BIGINT) AS n_neg,
+       |               CAST(count(*) AS BIGINT) AS n_scores
+       |        FROM rk)
+       |SELECT n_pos, n_neg, n_scores,
+       |       ${graft.Parity.proundSql(
+                  "CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0.5 " +
+                    "ELSE CAST(num2 - n_pos * (n_pos + 1) AS DOUBLE) " +
+                    "/ CAST(2 * n_pos * n_neg AS DOUBLE) END", 6)} AS auc
+       |FROM agg""".stripMargin
+
+  /** Calibration / reliability table ([[graft.ml.Eval.calibrationBins]]):
+    * decile score bins × (count, positives, exact mean score, positive
+    * rate) — the report that says whether the classifier's probabilities
+    * MEAN anything before a pipeline thresholds on them. A 10-group hash
+    * aggregate over the scored corpus; the mean sums exact DECIMAL(18,6)
+    * (lossless for quantized scores), the rates are single divisions.
+    */
+  val calibrationBinsQ: Q = (s, dir) =>
+    graft.ml.Eval.calibrationBins(
+      graft.ml.LogReg.scoreAll(Tables.embeddings(s, dir)))
+
+  val calibrationBinsSql: String =
+    s"""WITH $logregScoredAllSql,
+       |b AS (SELECT least(CAST(floor(score * 10.0) AS BIGINT), 9) AS bin,
+       |             y, score
+       |      FROM sc),
+       |agg AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |               CAST(sum(y) AS BIGINT) AS n_pos,
+       |               CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS ssum
+       |        FROM b GROUP BY 1)
+       |SELECT bin, n, n_pos,
+       |       ${graft.Parity.proundSql("ssum / CAST(n AS DOUBLE)", 6)} AS mean_score,
+       |       ${graft.Parity.proundSql(
+                  "CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)", 6)} AS frac_pos
+       |FROM agg ORDER BY bin""".stripMargin
+
   /** Shared CTE chain replaying [[graft.ml.SparseLogReg]] training in
     * DuckDB: hashed bag-of-words features (the PortableHash md5 parse,
     * mod 256), an EMPTY w0 relation (so iteration 1's margins are exactly
@@ -974,6 +1051,175 @@ object SimilarityQueries {
        |LIMIT 20""".stripMargin
   }
 
+  /** Shared oracle CTE chain through `cv(i, j, n, covr)` — the exact
+    * upper-triangle covariance [[graft.ml.PCA.covariance]] computes
+    * (pre-rounding): per-dim means from 1e7-exact sums, per-row centering,
+    * and (i ≤ j)-keyed 1e7-exact product sums. The oracle pairs via a
+    * vec_id self-join (corpus fits one node); the engine's one-pass
+    * nested-transform expansion is the scale path.
+    */
+  private val covCtesSql: String =
+    """ex AS (
+      |  SELECT vec_id,
+      |         unnest(range(0, len(embedding))) AS i,
+      |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+      |  FROM embeddings),
+      |mn AS (
+      |  SELECT i, CAST(sum(CAST(floor(x * 1e7 + 0.5) AS DECIMAL(25,0)))
+      |              AS DOUBLE) / 1e7 / count(*) AS m
+      |  FROM ex GROUP BY 1),
+      |cx AS (SELECT e.vec_id, e.i, e.x - mn.m AS c FROM ex e JOIN mn USING (i)),
+      |cv AS (
+      |  SELECT a.i, b.i AS j, count(*) AS n,
+      |         CAST(sum(CAST(floor(a.c * b.c * 1e7 + 0.5) AS DECIMAL(25,0)))
+      |           AS DOUBLE) / 1e7 / count(*) AS covr
+      |  FROM cx a JOIN cx b ON a.vec_id = b.vec_id AND b.i >= a.i
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Exact embedding covariance matrix as a relation ([[graft.ml.PCA
+    * .covariance]]): the d·(d+1)/2 upper-triangle cells from ONE corpus
+    * pass of per-row centered outer products (nested HOFs, no join), with
+    * the means riding in as a literal d-array. 2,080 rows at d = 64.
+    */
+  val embeddingCovariance: Q = (s, dir) =>
+    graft.ml.PCA.covariance(Tables.embeddings(s, dir))
+      .orderBy(col("i"), col("j"))
+
+  val embeddingCovarianceSql: String =
+    s"""WITH $covCtesSql
+       |SELECT i, j, ${graft.Parity.proundSql("covr", 6)} AS cov
+       |FROM cv ORDER BY i, j""".stripMargin
+
+  /** Top principal component by 4 power-iteration rounds over the
+    * covariance RELATION ([[graft.ml.PCA.powerIteration]]): matrix⋈vector
+    * joins and exact quantized sums, never a driver-side matrix — the
+    * shape that survives d² outgrowing a broadcast. The oracle unrolls
+    * all four rounds CTE by CTE (the pagerank pattern).
+    */
+  val pcaPowerIter: Q = (s, dir) =>
+    graft.ml.PCA.powerIteration(
+        graft.ml.PCA.covariance(Tables.embeddings(s, dir)), iters = 4)
+      .orderBy(col("dim"))
+
+  val pcaPowerIterSql: String = {
+    def step(t: Int): String =
+      s"""y$t AS (
+         |  SELECT cf.i, CAST(sum(CAST(floor(cf.cov * v.v * 1e7 + 0.5)
+         |                AS DECIMAL(25,0))) AS DOUBLE) / 1e7 AS y
+         |  FROM cf JOIN v${t - 1} v ON cf.j = v.j GROUP BY 1),
+         |n$t AS (
+         |  SELECT sqrt(CAST(sum(CAST(floor(y * y * 1e12 + 0.5)
+         |                AS DECIMAL(38,0))) AS DOUBLE) / 1e12) AS nm
+         |  FROM y$t),
+         |v$t AS (
+         |  SELECT y.i AS j, floor(y.y / n.nm * 1e7 + 0.5) / 1e7 AS v
+         |  FROM y$t y CROSS JOIN n$t n)""".stripMargin
+    s"""WITH $covCtesSql,
+       |cvr AS (SELECT i, j, ${graft.Parity.proundSql("covr", 6)} AS cov FROM cv),
+       |cf AS (SELECT i, j, cov FROM cvr
+       |       UNION ALL
+       |       SELECT j AS i, i AS j, cov FROM cvr WHERE i < j),
+       |v0 AS (SELECT DISTINCT j, CAST(0.125 AS DOUBLE) AS v FROM cf),
+       |${(1 to 4).map(step).mkString(",\n")}
+       |SELECT v.j AS dim, v.v AS loading,
+       |       ${graft.Parity.proundSql("n.nm", 6)} AS eigenvalue
+       |FROM v4 v CROSS JOIN n4 n ORDER BY dim""".stripMargin
+  }
+
+  /** Active-learning batch selection: the 50 corpus rows the trained
+    * classifier is LEAST SURE about (smallest |score − ½| margin) — the
+    * uncertainty-sampling acquisition a labeling loop sends for human
+    * annotation next. Margin arithmetic is exact on the quantized score;
+    * the top-k is an `ORDER BY … LIMIT` (TakeOrdered per partition + a
+    * k-row driver merge), never a global sort.
+    */
+  val uncertaintySample: Q = (s, dir) =>
+    graft.ml.LogReg.scoreAll(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("y"), col("score"),
+        abs(col("score") - lit(0.5)).as("margin"))
+      .orderBy(col("margin"), col("vec_id"))
+      .limit(50)
+
+  val uncertaintySampleSql: String =
+    s"""WITH $logregScoredAllSql
+       |SELECT vec_id, y, score, abs(score - 0.5) AS margin
+       |FROM sc ORDER BY margin, vec_id LIMIT 50""".stripMargin
+
+  /** Hard-negative mining for contrastive training: for every anchor, the
+    * 3 most-cosine-similar vectors with a DIFFERENT label — the pairs a
+    * metric-learning loss learns most from. Pair space is blocked by IVF
+    * cell (the [[Similarity.clusterSample]] single-cell assignment —
+    * map-side `max_by` against broadcast centroids), so candidates are
+    * cell-cohabitants, never the n² all-pairs. The per-anchor top-3 is a
+    * rank window WindowGroupLimit prunes to 3 rows per anchor before any
+    * sort spills; cell size bounds the candidate list, and a denser
+    * centroid set tightens it at scale.
+    */
+  val hardNegatives: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding"), Similarity.l2Norm("embedding").as("norm"))
+    val cents = e.filter(col("vec_id").isin((100L until 116L): _*))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+    val assign = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (Similarity.dot("embedding", "c_emb") /
+          (col("norm") * col("c_norm"))).as("c_cos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"),
+        struct(col("c_cos"), (-col("cent_id")).as("tb"))).as("cell"))
+    val cellVecs = assign.join(e, "vec_id")
+    val pairs = cellVecs.as("a").join(cellVecs.as("b"),
+        col("a.cell") === col("b.cell") && col("a.label") =!= col("b.label"))
+      .select(col("a.vec_id").as("anchor"), col("a.label").as("anchor_label"),
+        col("b.vec_id").as("negative"), col("b.label").as("neg_label"),
+        graft.Parity.pround(
+          Similarity.dot("a.embedding", "b.embedding") /
+            (col("a.norm") * col("b.norm")), 6).as("cos_sim"))
+    pairs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("anchor"))
+          .orderBy(col("cos_sim").desc, col("negative"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy(col("anchor"), col("rank"))
+  }
+
+  val hardNegativesSql: String = {
+    val centIds = (100L until 116L).mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+       |         sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS c_emb, norm AS c_norm
+       |  FROM e WHERE vec_id IN ($centIds)),
+       |scored AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         (${dotSql("e.embedding", "c.c_emb")}) / (e.norm * c.c_norm) AS c_cos
+       |  FROM e CROSS JOIN cents c),
+       |assign AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY c_cos DESC, cent_id) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |cvx AS (SELECT a.vec_id, a.cell, e.label, e.embedding, e.norm
+       |        FROM assign a JOIN e ON a.vec_id = e.vec_id),
+       |pr AS (
+       |  SELECT a.vec_id AS anchor, a.label AS anchor_label,
+       |         b.vec_id AS negative, b.label AS neg_label,
+       |         floor(((${dotSql("a.embedding", "b.embedding")})
+       |                / (a.norm * b.norm)) * 1e6 + 0.5) / 1e6 AS cos_sim
+       |  FROM cvx a JOIN cvx b
+       |    ON a.cell = b.cell AND a.label <> b.label)
+       |SELECT anchor, anchor_label, negative, neg_label, cos_sim, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY anchor
+       |                               ORDER BY cos_sim DESC, negative) AS rank
+       |  FROM pr)
+       |WHERE rank <= 3 ORDER BY anchor, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "pq_codes" -> pqCodesQ,
     "ann_pq_topk" -> annPqTopK,
@@ -982,6 +1228,12 @@ object SimilarityQueries {
     "logreg_train" -> logregTrain,
     "logreg_score" -> logregScore,
     "logreg_eval" -> logregEval,
+    "roc_auc" -> rocAucQ,
+    "calibration_bins" -> calibrationBinsQ,
+    "embedding_covariance" -> embeddingCovariance,
+    "pca_power_iter" -> pcaPowerIter,
+    "uncertainty_sample" -> uncertaintySample,
+    "hard_negatives" -> hardNegatives,
     "logreg_sparse_train" -> logregSparseTrain,
     "logreg_sparse_score" -> logregSparseScore,
     "ann_ivfpq_topk" -> annIvfPqTopK,
@@ -1012,6 +1264,12 @@ object SimilarityQueries {
     "logreg_train" -> logregTrainSql,
     "logreg_score" -> logregScoreSql,
     "logreg_eval" -> logregEvalSql,
+    "roc_auc" -> rocAucSql,
+    "calibration_bins" -> calibrationBinsSql,
+    "embedding_covariance" -> embeddingCovarianceSql,
+    "pca_power_iter" -> pcaPowerIterSql,
+    "uncertainty_sample" -> uncertaintySampleSql,
+    "hard_negatives" -> hardNegativesSql,
     "logreg_sparse_train" -> logregSparseTrainSql,
     "logreg_sparse_score" -> logregSparseScoreSql,
     "ann_ivfpq_topk" -> annIvfPqTopKSql,

@@ -530,6 +530,163 @@ object TextQueries {
        |FROM t2 JOIN dft USING (token) CROSS JOIN nd
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Shared bigram stream: (doc_id, pos, token) → (doc_id, prev, cur) via
+    * a per-doc lag window (partition size = document length — bounded by
+    * the longest document, never by the corpus, the indicators argument).
+    * Documents with <2 tokens contribute nothing, on both engines.
+    */
+  private def bigramStream(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(filter(TextAnalysis.words(col("text")),
+        t => length(t) > 0)).as(Seq("pos", "token")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    toks.select(col("doc_id"),
+        lag(col("token"), 1).over(w).as("prev"), col("token").as("cur"))
+      .filter(col("prev").isNotNull)
+  }
+
+  /** Oracle mirror of [[bigramStream]] as CTEs `wf/tok/b2` (expects
+    * [[normedSql]] in scope). DuckDB zips parallel unnests of equal-length
+    * lists, which is what carries the position.
+    */
+  private val bigramStreamSql: String =
+    """wf AS (SELECT doc_id, list_filter(ws, x -> length(x) > 0) AS ws FROM w),
+      |tok AS (SELECT doc_id, unnest(ws) AS token,
+      |               unnest(range(1, len(ws) + 1)) AS pos
+      |        FROM wf),
+      |b2 AS (SELECT doc_id, prev, cur FROM (
+      |         SELECT doc_id,
+      |                lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+      |                token AS cur
+      |         FROM tok)
+      |       WHERE prev IS NOT NULL)""".stripMargin
+
+  /** Bigram-LM likelihood scoring — the sequence-aware tier of the
+    * perplexity-filter ladder ([[rarityScore]] is the unigram tier): train
+    * an add-one-smoothed bigram model ON the corpus, score each document
+    * by its mean transition probability p(cur|prev) = (c(prev,cur)+1) /
+    * (c(prev)+V). Fluent, formulaic text scores high; shuffled or
+    * gibberish token order scores low — the ordering a bigram-surprisal
+    * filter induces, but in the log-free exact-rational form (each p is
+    * ONE IEEE division of integers; ln() has no cross-engine bit
+    * contract; the per-doc mean is the exact-DECIMAL quantized sum).
+    *
+    * Scale shape: the bigram stream is scratch-materialized once (three
+    * consumers); bigram counts are one corpus-scale hash aggregate;
+    * context counts derive from the BIGRAM-COUNT relation (vocab²-bounded,
+    * far smaller than the stream) rather than a second corpus pass; the
+    * probe joins stream ⋈ model co-partitioned on (prev, cur) — the model
+    * grows with the vocabulary, so it is NOT broadcast (the tfidf
+    * argument); V rides in as a broadcast 1-row scalar.
+    */
+  val lmScoreBigram: Q = (s, dir) => {
+    val bg = graft.Scratch.table(
+      bigramStream(Tables.documents(s, dir)), "lm-bigrams")
+    val v = bg.agg(countDistinct(col("cur")).as("v"))
+    val cb = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cnt"))
+    val cc = cb.groupBy(col("prev")).agg(sum(col("cnt")).as("ctx"))
+    bg.join(cb.join(cc, Seq("prev")), Seq("prev", "cur"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        ((col("cnt") + lit(1L)).cast("double") /
+          (col("ctx") + col("v")).cast("double")).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.Parity.pround(
+          sum(col("p").cast(org.apache.spark.sql.types.DecimalType(30, 10)))
+            .cast("double") / count(lit(1)), 6).as("mean_bigram_p"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmScoreBigramSql: String =
+    s"""WITH $normedSql,
+       |$bigramStreamSql,
+       |v AS (SELECT count(DISTINCT cur) AS v FROM b2),
+       |cb AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM b2 GROUP BY 1, 2),
+       |cc AS (SELECT prev, CAST(sum(cnt) AS BIGINT) AS ctx FROM cb GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |       ${graft.Parity.proundSql(
+                 "CAST(sum(CAST(CAST(cnt + 1 AS DOUBLE) / CAST(ctx + v.v AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE) / count(*)",
+                 6)} AS mean_bigram_p
+       |FROM b2 JOIN cb USING (prev, cur) JOIN cc USING (prev) CROSS JOIN v
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** DSIR-style importance weights — data selection by target-domain
+    * likelihood ratio (Xie et al. 2023): hash each document's bigrams into
+    * B=256 buckets, estimate the add-one-smoothed bucket distribution on a
+    * TARGET slice (here lang='en' — the domain being matched) and on the
+    * RAW corpus, and weight each document by the mean probability ratio
+    * p_target(f)/p_raw(f) over its features. Documents whose hashed-bigram
+    * profile resembles the target domain get weight > 1; the weights drive
+    * resampling. The true DSIR weight exponentiates a sum of log ratios;
+    * this is the log-free exact-rational surrogate with the same induced
+    * ordering (each p is one integer-ratio IEEE division, each ratio one
+    * double division, the per-doc mean an exact-DECIMAL quantized sum).
+    *
+    * Scale shape: one scratch pass over the bigram stream feeds BOTH
+    * distribution estimates (the target estimate filters by the lang
+    * column carried on the stream) and the probe; both estimates are
+    * B-row relations — bounded at 256 BY CONSTRUCTION, independent of
+    * scale factor, so broadcasting the joined ratio table is safe where
+    * broadcasting a vocabulary would not be; the per-doc rollup is
+    * map-side combined.
+    */
+  val dsirWeights: Q = (s, dir) => {
+    val B = 256L
+    val docs = Tables.documents(s, dir)
+    val feats = graft.Scratch.table(
+      bigramStream(docs)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          pmod(graft.functions.PortableHash.hash32(
+            concat_ws(" ", col("prev"), col("cur"))), lit(B)).as("feature")),
+      "dsir-feats")
+    val raw = feats.groupBy(col("feature")).agg(count(lit(1)).as("cr"))
+    val tgt = feats.filter(col("lang") === "en")
+      .groupBy(col("feature")).agg(count(lit(1)).as("ct"))
+    val totals = raw.agg(sum(col("cr")).as("nr"))
+      .crossJoin(tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("nt")))
+    // ≤256 rows joined to 1: the ratio model is bounded by construction
+    val ratios = raw.join(tgt, Seq("feature"), "left_outer")
+      .crossJoin(totals)
+      .select(col("feature"),
+        (((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
+            (col("nt") + lit(B)).cast("double")) /
+          ((col("cr") + lit(1L)).cast("double") /
+            (col("nr") + lit(B)).cast("double"))).as("r"))
+    feats.join(broadcast(ratios), Seq("feature"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_features"),
+        graft.Parity.pround(
+          sum(col("r").cast(org.apache.spark.sql.types.DecimalType(30, 10)))
+            .cast("double") / count(lit(1)), 6).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dsirWeightsSql: String =
+    s"""WITH $normedSql,
+       |$bigramStreamSql,
+       |f AS (SELECT b2.doc_id, d.lang,
+       |             ${graft.functions.PortableHash.hash32Sql("prev || ' ' || cur")} % 256 AS feature
+       |      FROM b2 JOIN documents d ON b2.doc_id = d.doc_id),
+       |raw AS (SELECT feature, CAST(count(*) AS BIGINT) AS cr FROM f GROUP BY 1),
+       |tgt AS (SELECT feature, CAST(count(*) AS BIGINT) AS ct
+       |        FROM f WHERE lang = 'en' GROUP BY 1),
+       |tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS nr,
+       |               (SELECT COALESCE(CAST(sum(ct) AS BIGINT), 0) FROM tgt) AS nt),
+       |ratios AS (
+       |  SELECT raw.feature,
+       |         ((CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE) / CAST(tot.nt + 256 AS DOUBLE))
+       |          / (CAST(raw.cr + 1 AS DOUBLE) / CAST(tot.nr + 256 AS DOUBLE))) AS r
+       |  FROM raw LEFT JOIN tgt ON raw.feature = tgt.feature CROSS JOIN tot)
+       |SELECT doc_id, count(*) AS n_features,
+       |       ${graft.Parity.proundSql(
+                 "CAST(sum(CAST(r AS DECIMAL(30,10))) AS DOUBLE) / count(*)",
+                 6)} AS weight
+       |FROM f JOIN ratios USING (feature)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Per-document top-5 terms by TF-IDF — the relevance-ranking primitive
     * behind keyword extraction and topical filtering. Two hash aggregates
     * (term frequency per (doc, token); document frequency per token — both
@@ -1514,6 +1671,8 @@ object TextQueries {
     "vocab_topk" -> vocabTopK,
     "vocab_coverage" -> vocabCoverage,
     "rarity_score" -> rarityScore,
+    "lm_score_bigram" -> lmScoreBigram,
+    "dsir_weights" -> dsirWeights,
     "tfidf_topk" -> tfidfTopK,
     "gopher_filters" -> gopherFilters,
     "pii_scrub" -> piiScrub)
@@ -1544,6 +1703,8 @@ object TextQueries {
     "vocab_topk" -> vocabTopKSql,
     "vocab_coverage" -> vocabCoverageSql,
     "rarity_score" -> rarityScoreSql,
+    "lm_score_bigram" -> lmScoreBigramSql,
+    "dsir_weights" -> dsirWeightsSql,
     "tfidf_topk" -> tfidfTopKSql,
     "gopher_filters" -> gopherFiltersSql,
     "pii_scrub" -> piiScrubSql)

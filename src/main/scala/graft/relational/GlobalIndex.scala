@@ -76,4 +76,40 @@ object GlobalIndex {
       .withColumn(idxName, col("__offset") + col("__local"))
       .drop("__pid", "__local", "__offset")
   }
+
+  /** Append `cumName` = running total of LONG column `valueCol` in
+    * `orderCols` order (inclusive: each row's own value is counted) —
+    * the weighted generalization of [[withGlobalIndex]], and the same
+    * distributed rewrite: the naive `sum() OVER (ORDER BY …)` funnels
+    * everything through one task; here the range partitions carry local
+    * running totals in parallel and the cross-partition coordination is a
+    * prefix sum over per-partition SUMS (one row per partition,
+    * broadcast back). Exact for the same reason: `orderCols` must be a
+    * unique total order, so every boundary set yields the same prefix.
+    */
+  def withPrefixSum(
+      df: DataFrame, orderCols: Seq[String], valueCol: String,
+      numPartitions: Int = 0, cumName: String = "cum"): DataFrame = {
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else math.max(32, df.sparkSession.sparkContext.defaultParallelism)
+    val cols: Seq[Column] = orderCols.map(col)
+    val parted = graft.Scratch.table(
+      df.repartitionByRange(parts, cols: _*)
+        .withColumn("__pid", spark_partition_id()),
+      "gpsum-parted")
+    val localW = Window.partitionBy(col("__pid")).orderBy(cols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted.withColumn("__lcum", sum(col(valueCol)).over(localW))
+    val offsets = parted.groupBy(col("__pid")).agg(sum(col(valueCol)).as("__s"))
+      .withColumn("__offset",
+        coalesce(
+          sum(col("__s")).over(
+            Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(cumName, col("__offset") + col("__lcum"))
+      .drop("__pid", "__lcum", "__offset")
+  }
 }

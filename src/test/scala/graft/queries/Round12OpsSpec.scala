@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Round-12 additions beyond the Eval reports: curriculum sharding,
+  * deterministic random walks, hard-negative mining, PCA, and the
+  * sorted-neighborhood ER / skew-profile relational pair. The oracle pins
+  * cross-engine bit-parity; these pin the MATH — the invariants each
+  * operator's definition promises, checked independently of DuckDB.
+  */
+class Round12OpsSpec extends SparkSpec {
+
+  test("curriculum_shards: shard = exclusive-prefix // budget, quality-monotone") {
+    val rows = CurationQueries.curriculumShards(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cum = r.getAs[Long]("cum_tokens")
+      val n = r.getAs[Long]("n_tokens")
+      val shard = r.getAs[Long]("shard")
+      assert(shard === (cum - n) / 4096L,
+        s"shard must be exact floor-division of the exclusive prefix: $r")
+    }
+    // walking shards in id order must walk quality non-increasing:
+    // shard 0 is the best slice, by construction
+    val byShard = rows.groupBy(_.getAs[Long]("shard")).toSeq.sortBy(_._1)
+      .map { case (sh, rs) => sh -> rs.map(_.getAs[Double]("quality_score")) }
+    byShard.sliding(2).foreach {
+      case Seq((_, a), (_, b)) => assert(a.min >= b.max - 1e-9,
+        "every doc in shard k must be at least as good as any in shard k+1")
+      case _ =>
+    }
+    // shards are contiguous token slices: total tokens = last cum
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum ===
+      rows.map(_.getAs[Long]("cum_tokens")).max)
+  }
+
+  test("graph_random_walks: every step follows a real edge, one walk per vertex") {
+    val walks = RelationalQueries.graphRandomWalks(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("walk_id"), r.getAs[Long]("step"),
+        r.getAs[Long]("node")))
+    val byWalk = walks.groupBy(_._1)
+    // steps are dense 0..4 and step 0 is the start vertex
+    byWalk.foreach { case (wid, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+      assert(rows.find(_._2 == 0L).get._3 === wid)
+    }
+    // consecutive (node, next) pairs are edges of the bipartite trade graph
+    val o = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), (-col("l_suppkey")).as("p"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edgeSet = edges.flatMap(e => Seq(e, e.swap)).toSet
+    byWalk.foreach { case (_, rows) =>
+      rows.sortBy(_._2).map(_._3).sliding(2).foreach {
+        case Array(a, b) => assert(edgeSet.contains((a, b)),
+          s"walk hop $a -> $b is not an edge")
+        case _ =>
+      }
+    }
+  }
+
+  test("hard_negatives: cross-label only, top-3 per anchor, true cosine order") {
+    val rows = SimilarityQueries.hardNegatives(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("anchor_label") !== r.getAs[Long]("neg_label"))
+      val c = r.getAs[Double]("cos_sim")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+    rows.groupBy(_.getAs[Long]("anchor")).foreach { case (_, rs) =>
+      val ranked = rs.sortBy(_.getAs[Long]("rank"))
+      assert(ranked.map(_.getAs[Long]("rank")).toSeq ===
+        (1L to ranked.length.toLong))
+      assert(ranked.length <= 3)
+      // rank order IS descending similarity
+      val sims = ranked.map(_.getAs[Double]("cos_sim"))
+      sims.sliding(2).foreach {
+        case Array(a, b) => assert(a >= b)
+        case _ =>
+      }
+    }
+  }
+
+  test("pca: covariance diagonal is the variance (non-negative), matrix upper-triangle") {
+    val cov = graft.ml.PCA.covariance(Tables.embeddings(spark, sf0001)).collect()
+    val d = cov.map(_.getAs[Long]("j")).max + 1
+    assert(cov.length === (d * (d + 1) / 2))
+    cov.foreach { r =>
+      assert(r.getAs[Long]("i") <= r.getAs[Long]("j"))
+      if (r.getAs[Long]("i") == r.getAs[Long]("j"))
+        assert(r.getAs[Double]("cov") >= -1e-9, s"negative variance: $r")
+    }
+  }
+
+  test("pca: power iteration returns a unit vector whose Rayleigh quotient is the eigenvalue") {
+    val pc = graft.ml.PCA.powerIteration(
+        graft.ml.PCA.covariance(Tables.embeddings(spark, sf0001)), iters = 4)
+      .collect()
+    val norm2 = pc.map(r => { val v = r.getAs[Double]("loading"); v * v }).sum
+    assert(math.abs(norm2 - 1.0) < 1e-4, s"loading norm² $norm2 must be ~1")
+    val ev = pc.head.getAs[Double]("eigenvalue")
+    assert(ev > 0.0)
+    // dominant eigenvalue of a PSD matrix is at least the largest diagonal
+    // entry times (v's alignment) — sanity: it must be >= 0 and bounded by
+    // the trace
+    val trace = graft.ml.PCA.covariance(Tables.embeddings(spark, sf0001))
+      .filter(col("i") === col("j"))
+      .agg(sum(col("cov"))).first().getDouble(0)
+    assert(ev <= trace + 1e-6, s"eigenvalue $ev cannot exceed the trace $trace")
+  }
+
+  test("er_sorted_neighborhood equals the naive windowed self-join") {
+    val got = RelationalQueries.erSortedNeighborhood(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("custkey_a"), r.getAs[Long]("custkey_b"),
+        r.getAs[Long]("dist"))).toSet
+    // brute-force: global sort, all pairs within rank distance 3
+    val cust = Tables.customer(spark, sf0001)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(t => (t._2, t._1))
+    val expect = (for {
+      i <- cust.indices
+      j <- (i + 1) to math.min(i + 3, cust.length - 1)
+      if cust(i)._3 == cust(j)._3
+      d = levenshteinRef(cust(i)._2, cust(j)._2)
+      if d <= 2
+    } yield (cust(i)._1, cust(j)._1, d.toLong)).toSet
+    assert(got === expect)
+    assert(got.nonEmpty, "fixture must produce at least one candidate match")
+  }
+
+  /** Textbook DP Levenshtein, the independent reference. */
+  private def levenshteinRef(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
+
+  test("skew_profile: exact integer identities per key") {
+    val li = Tables.lineitem(spark, sf0001)
+    val total = li.count()
+    val rows = RelationalQueries.skewProfile(spark, sf0001).collect()
+    assert(rows.map(_.getAs[String]("key_name")).toSeq ===
+      Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_rows") === total)
+      val nKeys = r.getAs[Long]("n_keys")
+      val maxCnt = r.getAs[Long]("max_cnt")
+      assert(maxCnt >= total / nKeys, "max multiplicity is at least the mean")
+      assert(r.getAs[Double]("skew_ratio") >= 1.0 - 1e-6)
+      val t10 = r.getAs[Double]("top10_share")
+      assert(t10 > 0.0 && t10 <= 1.0)
+      val hhi = r.getAs[Double]("hhi")
+      // HHI of n equal keys is 1/n (the floor); 1.0 is one key owning all
+      assert(hhi >= 1.0 / nKeys - 1e-6 && hhi <= 1.0)
+    }
+    // orderkey is the fine key: more distinct values than suppkey
+    val byName = rows.map(r => r.getAs[String]("key_name") -> r.getAs[Long]("n_keys")).toMap
+    assert(byName("l_orderkey") > byName("l_suppkey"))
+  }
+}

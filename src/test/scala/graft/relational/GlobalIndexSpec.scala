@@ -66,4 +66,41 @@ class GlobalIndexSpec extends SparkSpec {
     // corpus-sized one must carry the __pid partition spec.
     assert(windowLines.exists(_.contains("__pid")), plan)
   }
+
+  private def naivePrefix = {
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("q"))
+    li.withColumn("cum",
+        sum(col("q")).over(
+          Window.orderBy(col("l_orderkey"), col("l_linenumber"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getAs[Long]("cum")).toMap
+  }
+
+  test("withPrefixSum equals the naive global running sum, for any partition count") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("q"))
+    def run(n: Int) = GlobalIndex.withPrefixSum(
+        li, Seq("l_orderkey", "l_linenumber"), "q", numPartitions = n)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getAs[Long]("cum")).toMap
+    val expect = naivePrefix
+    assert(run(1) === expect)
+    assert(run(8) === expect)
+    assert(run(64) === expect)
+    assert(run(0) === expect)
+  }
+
+  test("withPrefixSum's corpus-sized window is partitioned, never the global funnel") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("q"))
+    val plan = GlobalIndex.withPrefixSum(li, Seq("l_orderkey", "l_linenumber"), "q")
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("Window") && l.contains("__pid")),
+      plan)
+  }
 }
