@@ -2889,6 +2889,130 @@ object RelationalQueries {
                  6)} AS hhi
        |FROM st JOIN t10 USING (key_name) ORDER BY key_name""".stripMargin
 
+  /** Exact join-cardinality profile — [[skewProfile]]'s companion
+    * planning diagnostic: for each candidate equi-join, the EXACT output
+    * cardinality |A⋈B| = Σ_k c_A(k)·c_B(k) computed from the two per-key
+    * COUNT relations, never by materializing the join. The expansion
+    * factor (join rows per left row) is the number a pipeline checks
+    * before running a fan-out join at 100 TB — an unexpected 50×
+    * expansion is tomorrow's full-disk shuffle.
+    *
+    * Scale shape: each side collapses to its key-count relation first
+    * (map-side-combined aggregate — orders of magnitude smaller than the
+    * table), the two count relations meet co-partitioned on the key, and
+    * the Σ c_A·c_B products accumulate in DECIMAL(38,0) (two billion-row
+    * sides sharing a hot key overflow BIGINT). Output: one row per
+    * profiled join.
+    */
+  val joinSizeEstimate: Q = (s, dir) => {
+    def profile(name: String, left: DataFrame, right: DataFrame,
+        key: String): DataFrame = {
+      val ca = left.groupBy(col(key)).agg(count(lit(1)).as("ca"))
+      val cb = right.groupBy(col(key)).agg(count(lit(1)).as("cb"))
+      val agg = ca.join(cb, key)
+        .agg(sum((col("ca") * col("cb")).cast(DecimalType(38, 0)))
+            .as("join_rows"),
+          sum(col("ca").cast(DecimalType(38, 0))).as("left_matched"))
+      val totals = left.agg(count(lit(1)).as("left_rows"))
+        .crossJoin(right.agg(count(lit(1)).as("right_rows")))
+      agg.crossJoin(totals).select(
+        lit(name).as("join_name"),
+        col("left_rows"), col("right_rows"),
+        coalesce(col("join_rows"), lit(0)).cast("long").as("join_rows"),
+        graft.Parity.pround(
+          coalesce(col("join_rows"), lit(0)).cast("double") /
+            col("left_rows").cast("double"), 6).as("expansion"))
+    }
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    val c = Tables.customer(s, dir)
+      .withColumnRenamed("c_custkey", "o_custkey")
+    profile("customer_orders", c, o, "o_custkey")
+      .unionAll(profile("orders_lineitem",
+        o.withColumnRenamed("o_orderkey", "l_orderkey"), l, "l_orderkey"))
+      .unionAll(profile("lineitem_lineitem_samesupp", l, l, "l_suppkey"))
+      .orderBy(col("join_name"))
+  }
+
+  val joinSizeEstimateSql: String = {
+    def one(name: String, lt: String, rt: String, lk: String,
+        rk: String): String =
+      s"""SELECT '$name' AS join_name,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $lt) AS left_rows,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $rt) AS right_rows,
+         |  COALESCE(CAST((SELECT sum(ca * cb) FROM
+         |     (SELECT $lk AS k, CAST(count(*) AS BIGINT) AS ca
+         |      FROM $lt GROUP BY 1) a
+         |     JOIN
+         |     (SELECT $rk AS k, CAST(count(*) AS BIGINT) AS cb
+         |      FROM $rt GROUP BY 1) b USING (k)) AS BIGINT), 0) AS join_rows,
+         |  ${graft.Parity.proundSql(
+             s"""CAST(COALESCE((SELECT sum(ca * cb) FROM
+                |     (SELECT $lk AS k, CAST(count(*) AS BIGINT) AS ca
+                |      FROM $lt GROUP BY 1) a
+                |     JOIN
+                |     (SELECT $rk AS k, CAST(count(*) AS BIGINT) AS cb
+                |      FROM $rt GROUP BY 1) b USING (k)), 0) AS DOUBLE)
+                | / (SELECT CAST(count(*) AS DOUBLE) FROM $lt)""".stripMargin,
+             6)} AS expansion""".stripMargin
+    s"""${one("customer_orders", "customer", "orders", "c_custkey", "o_custkey")}
+       |UNION ALL
+       |${one("orders_lineitem", "orders", "lineitem", "o_orderkey", "l_orderkey")}
+       |UNION ALL
+       |${one("lineitem_lineitem_samesupp", "lineitem", "lineitem",
+           "l_suppkey", "l_suppkey")}
+       |ORDER BY join_name""".stripMargin
+  }
+
+  /** First-order Markov transition matrix over user event journeys — the
+    * behavioral model a funnel/attribution analysis generalizes to: for
+    * every ordered pair of event types, how often does `prev` lead
+    * directly to `cur` within a user's stream, and with what conditional
+    * probability p(cur | prev). The matrix drives journey simulation,
+    * anomaly scoring (improbable transitions), and next-event prediction.
+    *
+    * Scale shape: ONE hash exchange on user_id feeds the lag window
+    * (partition = a user's event count — the sessionize whale bound);
+    * transition counts are a map-side-combined aggregate into a
+    * |types|²-bounded group set; row totals derive from the COUNT
+    * relation, not a second corpus pass; p is a single IEEE division of
+    * exact integers. The (ts, event_id) order key makes the lag
+    * deterministic under same-timestamp events.
+    */
+  val markovTransitions: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = ev
+      .select(col("user_id"), lag(col("event_type"), 1).over(w).as("prev"),
+        col("event_type").as("cur"))
+      .filter(col("prev").isNotNull)
+    val cnt = trans.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cnt"))
+    val tot = cnt.groupBy(col("prev")).agg(sum(col("cnt")).as("tot"))
+    cnt.join(tot, "prev")
+      .select(col("prev"), col("cur"), col("cnt"),
+        graft.Parity.pround(
+          col("cnt").cast("double") / col("tot").cast("double"), 6).as("p"))
+      .orderBy(col("prev"), col("cur"))
+  }
+
+  val markovTransitionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+      |  FROM events),
+      |tr AS (SELECT prev, cur FROM (
+      |         SELECT lag(event_type) OVER (PARTITION BY user_id
+      |                                      ORDER BY ts, event_id) AS prev,
+      |                event_type AS cur
+      |         FROM e)
+      |       WHERE prev IS NOT NULL),
+      |c AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM tr GROUP BY 1, 2),
+      |t AS (SELECT prev, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY 1)
+      |SELECT c.prev, c.cur, c.cnt,
+      |       floor((CAST(c.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS p
+      |FROM c JOIN t USING (prev) ORDER BY prev, cur""".stripMargin
+
   /** Association-rule mining (market-basket support/confidence/lift) over
     * order baskets — the classic co-occurrence analysis a curation pipeline
     * runs to find correlated attributes. Baskets are orders; items are the
@@ -3653,6 +3777,8 @@ object RelationalQueries {
     "graph_random_walks" -> graphRandomWalks,
     "er_sorted_neighborhood" -> erSortedNeighborhood,
     "skew_profile" -> skewProfile,
+    "join_size_estimate" -> joinSizeEstimate,
+    "markov_transitions" -> markovTransitions,
     "pagerank_authority20" -> pagerankAuthority20,
     "ppr_segment" -> pprSegment,
     "hll_merge_days" -> hllMergeDays,
@@ -3728,6 +3854,8 @@ object RelationalQueries {
     "graph_random_walks" -> graphRandomWalksSql,
     "er_sorted_neighborhood" -> erSortedNeighborhoodSql,
     "skew_profile" -> skewProfileSql,
+    "join_size_estimate" -> joinSizeEstimateSql,
+    "markov_transitions" -> markovTransitionsSql,
     "pagerank_authority20" -> pagerankAuthority20Sql,
     "ppr_segment" -> pprSegmentSql,
     "hll_merge_days" -> hllMergeDaysSql,

@@ -687,6 +687,223 @@ object TextQueries {
        |FROM f JOIN ratios USING (feature)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** χ² feature selection — the top-10 tokens most ASSOCIATED with each
+    * language, by the chi-square statistic over the 2×2 document-presence
+    * contingency table (a = lang docs containing the token, b = lang docs
+    * without it, c = other docs containing it, d = the rest). The tokens a
+    * bag-of-words language classifier would keep; also the corpus-drift
+    * probe ("which tokens distinguish this slice").
+    *
+    * Scale shape: presence is ONE distinct over exploded (doc, token) —
+    * the inverted-index shuffle every text query here pays; the (lang,
+    * token) aggregate is map-side combined; per-lang doc totals are a
+    * lang-bounded relation broadcast back; the per-lang top-10 is a rank
+    * window WindowGroupLimit prunes to 10 rows per language before any
+    * sort grows. χ² is computed in DOUBLE with a fixed factored op order
+    * — (N·Δ/((a+b)(c+d)))·(Δ/((a+c)(b+d))), Δ = ad−bc — each factor one
+    * IEEE op sequence both engines replay identically, with no BIGINT
+    * overflow risk from the raw four-way product. min-df 5 keeps
+    * single-doc flukes out.
+    */
+  val chi2Features: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pres = graft.Scratch.table(
+      docs.select(col("doc_id"), col("lang"),
+          explode(array_distinct(filter(TextAnalysis.words(col("text")),
+            t => length(t) > 0))).as("token")),
+      "chi2-presence")
+    val byLangTok = pres.groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("a"))
+    val byTok = byLangTok.groupBy(col("token")).agg(sum(col("a")).as("df"))
+    val langTotals = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val cells = byLangTok
+      .join(byTok, "token")
+      .join(broadcast(langTotals), "lang")
+      .crossJoin(broadcast(n))
+      .filter(col("df") >= 5)
+      .select(col("lang"), col("token"),
+        col("a").cast("double").as("a"),
+        (col("n_lang") - col("a")).cast("double").as("b"),
+        (col("df") - col("a")).cast("double").as("c"),
+        (col("n_docs") - col("n_lang") - (col("df") - col("a")))
+          .cast("double").as("d"),
+        col("n_docs").cast("double").as("n"))
+    val chi2 = cells.select(col("lang"), col("token"),
+      graft.Parity.pround(
+        ((col("n") * (col("a") * col("d") - col("b") * col("c"))) /
+          ((col("a") + col("b")) * (col("c") + col("d")))) *
+          ((col("a") * col("d") - col("b") * col("c")) /
+            ((col("a") + col("c")) * (col("b") + col("d")))), 6).as("chi2"))
+    chi2.withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("chi2").desc, col("token"))).cast("long"))
+      .filter(col("rank") <= 10)
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val chi2FeaturesSql: String = {
+    val delta = "(a * d - b * c)"
+    s"""WITH $normedSql,
+       |pres AS (SELECT DISTINCT w.doc_id, d.lang, t.token
+       |         FROM w JOIN documents d ON w.doc_id = d.doc_id,
+       |              unnest(list_filter(ws, x -> length(x) > 0)) AS t(token)),
+       |blt AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS a
+       |        FROM pres GROUP BY 1, 2),
+       |bt AS (SELECT token, CAST(sum(a) AS BIGINT) AS df FROM blt GROUP BY 1),
+       |lt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+       |       FROM documents GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |cells AS (
+       |  SELECT blt.lang, blt.token,
+       |         CAST(a AS DOUBLE) AS a,
+       |         CAST(n_lang - a AS DOUBLE) AS b,
+       |         CAST(df - a AS DOUBLE) AS c,
+       |         CAST(n_docs - n_lang - (df - a) AS DOUBLE) AS d,
+       |         CAST(n_docs AS DOUBLE) AS n
+       |  FROM blt JOIN bt USING (token) JOIN lt USING (lang) CROSS JOIN n
+       |  WHERE df >= 5),
+       |x2 AS (
+       |  SELECT lang, token,
+       |         ${graft.Parity.proundSql(
+                   s"((n * $delta) / ((a + b) * (c + d))) * ($delta / ((a + c) * (b + d)))",
+                   6)} AS chi2
+       |  FROM cells)
+       |SELECT lang, token, chi2, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY lang
+       |                               ORDER BY chi2 DESC, token) AS rank
+       |  FROM x2)
+       |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin
+  }
+
+  /** PMI collocations — the 20 strongest two-word phrases in the corpus
+    * by pointwise mutual information, in the log-free ratio form
+    * N·c(a,b)/(c(a)·c(b)) (log is monotone, so the RANKING is identical
+    * and the value is exactly replayable — ln() has no cross-engine bit
+    * contract). c(a) / c(b) are the bigram stream's left/right marginals,
+    * so "the the" scores low and a phrase whose words rarely appear apart
+    * scores high — the phrase-mining primitive a tokenizer-vocab or
+    * boilerplate pass runs. min-support 5.
+    *
+    * Scale shape: one scratch pass over the shared bigram stream feeds
+    * the pair counts and both marginals (each a map-side-combined
+    * aggregate over the SAME shuffle key family); the ratio joins pair
+    * counts to the two marginal relations co-partitioned on the word key
+    * (vocabulary-sized — NOT broadcast, the tfidf argument); N rides in
+    * as a 1-row broadcast. The global top-20 is ORDER BY + LIMIT —
+    * TakeOrdered's per-partition heads, never a full sort.
+    */
+  val pmiCollocations: Q = (s, dir) => {
+    val bg = graft.Scratch.table(
+      bigramStream(Tables.documents(s, dir)), "pmi-bigrams")
+    val pair = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cab"))
+    val la = bg.groupBy(col("prev")).agg(count(lit(1)).as("ca"))
+    val rb = bg.groupBy(col("cur")).agg(count(lit(1)).as("cb"))
+    val n = bg.agg(count(lit(1)).as("nb"))
+    pair.filter(col("cab") >= 5)
+      .join(la, "prev").join(rb, "cur")
+      .crossJoin(broadcast(n))
+      .select(col("prev"), col("cur"), col("cab"),
+        graft.Parity.pround(
+          (col("cab").cast("double") / col("ca").cast("double")) *
+            (col("nb").cast("double") / col("cb").cast("double")), 6)
+          .as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("prev"), col("cur"))
+      .limit(20)
+  }
+
+  val pmiCollocationsSql: String =
+    s"""WITH $normedSql,
+       |$bigramStreamSql,
+       |pair AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cab
+       |         FROM b2 GROUP BY 1, 2),
+       |la AS (SELECT prev, CAST(count(*) AS BIGINT) AS ca FROM b2 GROUP BY 1),
+       |rb AS (SELECT cur, CAST(count(*) AS BIGINT) AS cb FROM b2 GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM b2)
+       |SELECT prev, cur, cab,
+       |       ${graft.Parity.proundSql(
+                 "(CAST(cab AS DOUBLE) / CAST(ca AS DOUBLE)) * (CAST(nb AS DOUBLE) / CAST(cb AS DOUBLE))",
+                 6)} AS pmi_ratio
+       |FROM pair JOIN la USING (prev) JOIN rb USING (cur) CROSS JOIN n
+       |WHERE cab >= 5
+       |ORDER BY pmi_ratio DESC, prev, cur LIMIT 20""".stripMargin
+
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, the MOSS
+    * algorithm) — position-local near-dup detection with a GUARANTEE the
+    * MinHash family lacks: any shared run of ≥ k+w−1 tokens (k = 3-token
+    * grams, w = 4-gram windows → 6 tokens here) shares at least one
+    * selected fingerprint. Each document hashes its token 3-grams, slides
+    * a 4-hash window selecting the window MINIMUM, and keeps the distinct
+    * selected hashes; documents sharing ≥ 2 fingerprints are reported
+    * with their overlap — the copy-detection pass for templated/boiler-
+    * plate corpora where shingle MinHash dilutes a short exact copy.
+    *
+    * Scale shape: gram construction is two lead() windows per doc
+    * (partition = document length, the bigram-stream bound); window-min
+    * another per-doc frame window; the pair report joins the DISTINCT
+    * (doc, fp) relation with itself on fp — exactly the LSH band-bucket
+    * collision shape, linear in collisions, never all-pairs (a
+    * boilerplate fingerprint shared by B docs costs its B² collision
+    * pairs, the same whale every bucket-join here prices).
+    */
+  val winnowFingerprints: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir).select(col("doc_id"),
+      posexplode(filter(TextAnalysis.words(col("text")),
+        t => length(t) > 0)).as(Seq("pos", "token")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = toks.select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("token"),
+          lead(col("token"), 1).over(w),
+          lead(col("token"), 2).over(w)).as("gram"),
+        lead(col("token"), 2).over(w).isNotNull.as("fullg"))
+      .filter(col("fullg"))
+      .select(col("doc_id"), col("pos"),
+        graft.functions.PortableHash.hash32(col("gram")).as("h"))
+    val wmin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, 3)
+    val last3 = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // canonical winnowing: only FULL 4-hash windows select (a doc with
+    // g grams has g-3 windows); trailing short windows select nothing
+    val fps = grams
+      .select(col("doc_id"), min(col("h")).over(wmin).as("fp"),
+        lead(col("h"), 3).over(last3).isNotNull.as("fullw"))
+      .filter(col("fullw"))
+      .select(col("doc_id"), col("fp")).distinct()
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= 2)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val winnowFingerprintsSql: String =
+    s"""WITH $normedSql,
+       |wf AS (SELECT doc_id, list_filter(ws, x -> length(x) > 0) AS ws FROM w),
+       |tok AS (SELECT doc_id, unnest(ws) AS token,
+       |               unnest(range(1, len(ws) + 1)) AS pos
+       |        FROM wf),
+       |g0 AS (SELECT doc_id, pos,
+       |              token || ' ' || lead(token, 1) OVER dw
+       |                    || ' ' || lead(token, 2) OVER dw AS gram,
+       |              lead(token, 2) OVER dw IS NOT NULL AS fullg
+       |       FROM tok WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+       |h AS (SELECT doc_id, pos,
+       |             ${graft.functions.PortableHash.hash32Sql("gram")} AS h
+       |      FROM g0 WHERE fullg),
+       |fp AS (SELECT DISTINCT doc_id, fp FROM (
+       |         SELECT doc_id,
+       |                min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+       |                lead(h, 3) OVER (PARTITION BY doc_id ORDER BY pos)
+       |                  IS NOT NULL AS fullw
+       |         FROM h) WHERE fullw)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(count(*) AS BIGINT) AS shared_fps
+       |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Per-document top-5 terms by TF-IDF — the relevance-ranking primitive
     * behind keyword extraction and topical filtering. Two hash aggregates
     * (term frequency per (doc, token); document frequency per token — both
@@ -1673,6 +1890,9 @@ object TextQueries {
     "rarity_score" -> rarityScore,
     "lm_score_bigram" -> lmScoreBigram,
     "dsir_weights" -> dsirWeights,
+    "chi2_features" -> chi2Features,
+    "pmi_collocations" -> pmiCollocations,
+    "winnow_fingerprints" -> winnowFingerprints,
     "tfidf_topk" -> tfidfTopK,
     "gopher_filters" -> gopherFilters,
     "pii_scrub" -> piiScrub)
@@ -1705,6 +1925,9 @@ object TextQueries {
     "rarity_score" -> rarityScoreSql,
     "lm_score_bigram" -> lmScoreBigramSql,
     "dsir_weights" -> dsirWeightsSql,
+    "chi2_features" -> chi2FeaturesSql,
+    "pmi_collocations" -> pmiCollocationsSql,
+    "winnow_fingerprints" -> winnowFingerprintsSql,
     "tfidf_topk" -> tfidfTopKSql,
     "gopher_filters" -> gopherFiltersSql,
     "pii_scrub" -> piiScrubSql)

@@ -149,6 +149,125 @@ class Round12OpsSpec extends SparkSpec {
     dp(a.length)
   }
 
+  test("chi2_features: dense per-lang top-10, non-negative, brute-force cell check") {
+    val rows = TextQueries.chi2Features(spark, sf0001).collect()
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq ===
+        (1L to rs.length.toLong))
+      assert(rs.length <= 10)
+    }
+    rows.foreach(r => assert(r.getAs[Double]("chi2") >= 0.0,
+      s"chi-square is a squared association, never negative: $r"))
+    // brute-force one reported cell from raw presence counts
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val first = rows.minBy(r => (r.getAs[String]("lang"), r.getAs[Long]("rank")))
+    val (lang, token) = (first.getAs[String]("lang"), first.getAs[String]("token"))
+    def toks(t: String) = t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      .split(" ").filter(_.nonEmpty).toSet
+    val n = docs.length.toDouble
+    val a = docs.count(d => d._2 == lang && toks(d._3).contains(token)).toDouble
+    val b = docs.count(d => d._2 == lang && !toks(d._3).contains(token)).toDouble
+    val c = docs.count(d => d._2 != lang && toks(d._3).contains(token)).toDouble
+    val dd = n - a - b - c
+    val delta = a * dd - b * c
+    val expect = ((n * delta) / ((a + b) * (c + dd))) * (delta / ((a + c) * (b + dd)))
+    assert(math.abs(first.getAs[Double]("chi2") - expect) < 1e-5,
+      s"engine chi2 ${first.getAs[Double]("chi2")} vs brute $expect for ($lang, $token)")
+  }
+
+  test("pmi_collocations: top-20 by the exact count-ratio identity") {
+    val rows = TextQueries.pmiCollocations(spark, sf0001).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("cab") >= 5L))
+    // ranking is strictly by (ratio desc, prev, cur)
+    rows.sliding(2).foreach {
+      case Array(x, y) =>
+        val (px, py) = (x.getAs[Double]("pmi_ratio"), y.getAs[Double]("pmi_ratio"))
+        assert(px > py || (px == py &&
+          (x.getAs[String]("prev"), x.getAs[String]("cur")).toString <
+            (y.getAs[String]("prev"), y.getAs[String]("cur")).toString))
+      case _ =>
+    }
+  }
+
+  test("winnow_fingerprints equals an independent winnowing implementation") {
+    val got = TextQueries.winnowFingerprints(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("shared_fps"))).toSet
+    // independent reimplementation (k=3-token grams, w=4 windows, the
+    // engine's portable hash) on collected docs
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def fps(text: String): Set[Long] = {
+      val ts = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" ").filter(_.nonEmpty)
+      val grams = ts.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toArray
+      val hs = grams.map(hash32Ref)
+      if (hs.length < 4) Set.empty
+      else hs.sliding(4).map(_.min).toSet
+    }
+    val all = docs.map { case (id, t) => id -> fps(t) }
+    val expect = (for {
+      (ida, fa) <- all; (idb, fb) <- all
+      if ida < idb
+      shared = (fa & fb).size
+      if shared >= 2
+    } yield (ida, idb, shared.toLong)).toSet
+    assert(got === expect)
+  }
+
+  /** First 8 hex chars of md5 as a big-endian int — PortableHash.hash32's
+    * contract, re-derived independently.
+    */
+  private def hash32Ref(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  test("join_size_estimate matches the materialized join exactly") {
+    val o = Tables.orders(spark, sf0001)
+    val l = Tables.lineitem(spark, sf0001)
+    val c = Tables.customer(spark, sf0001)
+    val got = RelationalQueries.joinSizeEstimate(spark, sf0001).collect()
+      .map(r => r.getAs[String]("join_name") -> r.getAs[Long]("join_rows")).toMap
+    assert(got("customer_orders") ===
+      c.join(o, col("c_custkey") === col("o_custkey")).count())
+    assert(got("orders_lineitem") ===
+      o.join(l, col("o_orderkey") === col("l_orderkey")).count())
+    assert(got("lineitem_lineitem_samesupp") ===
+      l.select(col("l_suppkey")).as("a")
+        .join(l.select(col("l_suppkey")).as("b"), "l_suppkey").count())
+  }
+
+  test("markov_transitions: rows sum to 1 per prev, counts match a brute-force lag") {
+    val rows = RelationalQueries.markovTransitions(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("prev")).foreach { case (_, rs) =>
+      val psum = rs.map(_.getAs[Double]("p")).sum
+      // each p is 1e-6-rounded, so the row sum drifts at most |cur| ulps
+      assert(math.abs(psum - 1.0) < 1e-5 * rs.length,
+        s"transition probabilities must sum to 1 per prev state, got $psum")
+    }
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getString(3)))
+    val brute = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (e._2, e._3)).map(_._4).sliding(2).collect {
+        case Array(a, b) => (a, b)
+      }
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = rows.map(r => (r.getAs[String]("prev"), r.getAs[String]("cur")) ->
+      r.getAs[Long]("cnt")).toMap
+    assert(got === brute)
+  }
+
   test("skew_profile: exact integer identities per key") {
     val li = Tables.lineitem(spark, sf0001)
     val total = li.count()
