@@ -53,9 +53,12 @@ object Eval {
     val agg = byScore
       .withColumn("cum", coalesce(sum(col("n")).over(w), lit(0L)))
       .agg(
-        sum(col("np") * (lit(2L) * col("cum") + col("n") + lit(1L))).as("num2"),
-        sum(col("np")).as("n_pos"),
-        sum(col("n") - col("np")).as("n_neg"),
+        // coalesce: an EMPTY scored frame sums to null, which would slip
+        // past the `=== 0` guard below and null the promised 0.5
+        coalesce(sum(col("np") * (lit(2L) * col("cum") + col("n") + lit(1L))),
+          lit(0L)).as("num2"),
+        coalesce(sum(col("np")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("n") - col("np")), lit(0L)).as("n_neg"),
         count(lit(1)).as("n_scores"))
     agg.select(col("n_pos"), col("n_neg"), col("n_scores"),
       graft.Parity.pround(

@@ -94,15 +94,11 @@ object LogReg {
     */
   def evaluateAtK(embeddings: DataFrame, targetLabel: Long = 1L,
       iters: Int = 3, lr: Double = 0.5, k: Int = 50): DataFrame = {
-    val w = trainedWeights(embeddings, targetLabel, iters, lr)
-    val wCol = array(w.toIndexedSeq.map(lit): _*)
-    val m = graft.functions.VectorExpressions.vecDot(
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))"), wCol)
-    val top = embeddings.select(col("vec_id"),
-        (col("label") === targetLabel).as("y"),
-        graft.Parity.pround(squash(m), 6).as("score"))
+    // one scoring pipeline shared with the Eval reports — the oracle
+    // depends on every consumer quantizing the identical expression
+    val top = scoreAll(embeddings, targetLabel, iters, lr)
       .orderBy(col("score").desc, col("vec_id")).limit(k)
-      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("tp"))
+      .agg(sum(col("y")).as("tp"))
     val npos = embeddings
       .agg(sum(when(col("label") === targetLabel, 1L).otherwise(0L)).as("n_pos"))
     val prec = col("tp").cast("double") / lit(k.toDouble)

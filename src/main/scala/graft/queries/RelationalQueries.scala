@@ -2844,18 +2844,24 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_keys"),
         sum(col("cnt")).as("total_rows"),
         max(col("cnt")).as("max_cnt"),
-        sum((col("cnt") * col("cnt")).cast(DecimalType(38, 0))).as("sumsq"))
+        // cast BEFORE squaring: a >3e9-multiplicity key would wrap the
+        // Long product before a cast-after-multiply could rescue it
+        sum(col("cnt").cast(DecimalType(19, 0)) * col("cnt")).as("sumsq"))
       .join(top10, "key_name")
       .select(col("key_name"), col("n_keys"), col("total_rows"), col("max_cnt"),
+        // products computed in DOUBLE (exact-int conversions, fixed IEEE
+        // op order on both engines): max_cnt·n_keys and total² overflow
+        // BIGINT precisely at the corpus scale this profiles
         graft.Parity.pround(
-          (col("max_cnt") * col("n_keys")).cast("double") /
+          (col("max_cnt").cast("double") * col("n_keys").cast("double")) /
             col("total_rows").cast("double"), 6).as("skew_ratio"),
         graft.Parity.pround(
           col("top10").cast("double") / col("total_rows").cast("double"), 6)
           .as("top10_share"),
         graft.Parity.pround(
           col("sumsq").cast("double") /
-            (col("total_rows") * col("total_rows")).cast("double"), 6)
+            (col("total_rows").cast("double") *
+              col("total_rows").cast("double")), 6)
           .as("hhi"))
       .orderBy(col("key_name"))
   }
@@ -2875,17 +2881,17 @@ object RelationalQueries {
        |st AS (SELECT key_name, CAST(count(*) AS BIGINT) AS n_keys,
        |              CAST(sum(cnt) AS BIGINT) AS total_rows,
        |              max(cnt) AS max_cnt,
-       |              CAST(sum(cnt * cnt) AS DECIMAL(38,0)) AS sumsq
+       |              CAST(sum(CAST(cnt AS DECIMAL(19,0)) * cnt) AS DECIMAL(38,0)) AS sumsq
        |       FROM c GROUP BY 1)
        |SELECT st.key_name, n_keys, total_rows, max_cnt,
        |       ${graft.Parity.proundSql(
-                 "CAST(max_cnt * n_keys AS DOUBLE) / CAST(total_rows AS DOUBLE)",
+                 "(CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)) / CAST(total_rows AS DOUBLE)",
                  6)} AS skew_ratio,
        |       ${graft.Parity.proundSql(
                  "CAST(top10 AS DOUBLE) / CAST(total_rows AS DOUBLE)",
                  6)} AS top10_share,
        |       ${graft.Parity.proundSql(
-                 "CAST(sumsq AS DOUBLE) / CAST(total_rows * total_rows AS DOUBLE)",
+                 "CAST(sumsq AS DOUBLE) / (CAST(total_rows AS DOUBLE) * CAST(total_rows AS DOUBLE))",
                  6)} AS hhi
        |FROM st JOIN t10 USING (key_name) ORDER BY key_name""".stripMargin
 
@@ -2909,10 +2915,11 @@ object RelationalQueries {
         key: String): DataFrame = {
       val ca = left.groupBy(col(key)).agg(count(lit(1)).as("ca"))
       val cb = right.groupBy(col(key)).agg(count(lit(1)).as("cb"))
+      // cast BEFORE the product — two ~4e9-multiplicity sides sharing a
+      // key would wrap the Long multiply before a cast-after could help
       val agg = ca.join(cb, key)
-        .agg(sum((col("ca") * col("cb")).cast(DecimalType(38, 0)))
-            .as("join_rows"),
-          sum(col("ca").cast(DecimalType(38, 0))).as("left_matched"))
+        .agg(sum(col("ca").cast(DecimalType(19, 0)) * col("cb"))
+          .as("join_rows"))
       val totals = left.agg(count(lit(1)).as("left_rows"))
         .crossJoin(right.agg(count(lit(1)).as("right_rows")))
       agg.crossJoin(totals).select(
@@ -2940,14 +2947,14 @@ object RelationalQueries {
       s"""SELECT '$name' AS join_name,
          |  (SELECT CAST(count(*) AS BIGINT) FROM $lt) AS left_rows,
          |  (SELECT CAST(count(*) AS BIGINT) FROM $rt) AS right_rows,
-         |  COALESCE(CAST((SELECT sum(ca * cb) FROM
+         |  COALESCE(CAST((SELECT sum(CAST(ca AS DECIMAL(19,0)) * cb) FROM
          |     (SELECT $lk AS k, CAST(count(*) AS BIGINT) AS ca
          |      FROM $lt GROUP BY 1) a
          |     JOIN
          |     (SELECT $rk AS k, CAST(count(*) AS BIGINT) AS cb
          |      FROM $rt GROUP BY 1) b USING (k)) AS BIGINT), 0) AS join_rows,
          |  ${graft.Parity.proundSql(
-             s"""CAST(COALESCE((SELECT sum(ca * cb) FROM
+             s"""CAST(COALESCE((SELECT sum(CAST(ca AS DECIMAL(19,0)) * cb) FROM
                 |     (SELECT $lk AS k, CAST(count(*) AS BIGINT) AS ca
                 |      FROM $lt GROUP BY 1) a
                 |     JOIN

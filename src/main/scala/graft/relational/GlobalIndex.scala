@@ -52,30 +52,13 @@ object GlobalIndex {
     */
   def withGlobalIndex(
       df: DataFrame, orderCols: Seq[String], numPartitions: Int = 0,
-      idxName: String = "idx"): DataFrame = {
-    val parts =
-      if (numPartitions > 0) numPartitions
-      else math.max(32, df.sparkSession.sparkContext.defaultParallelism)
-    val cols: Seq[Column] = orderCols.map(col)
-    val parted = graft.Scratch.table(
-      df.repartitionByRange(parts, cols: _*)
-        .withColumn("__pid", spark_partition_id()),
-      "gidx-parted")
-    val localW = Window.partitionBy(col("__pid")).orderBy(cols: _*)
-    val local = parted.withColumn("__local", row_number().over(localW))
-    // one row per partition; the running-total window is over ≤numPartitions
-    // rows, then rides back as a broadcast
-    val offsets = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
-      .withColumn("__offset",
-        coalesce(
-          sum(col("__n")).over(
-            Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("__pid"), col("__offset"))
-    local.join(broadcast(offsets), Seq("__pid"))
-      .withColumn(idxName, col("__offset") + col("__local"))
-      .drop("__pid", "__local", "__offset")
-  }
+      idxName: String = "idx"): DataFrame =
+    // the row number IS the inclusive prefix count: one copy of the
+    // boundary-sensitive scaffold (range partition, materialize-once,
+    // offsets, broadcast join-back) lives in withPrefixSum
+    withPrefixSum(df.withColumn("__one", lit(1L)), orderCols, "__one",
+      numPartitions, cumName = idxName)
+      .drop("__one")
 
   /** Append `cumName` = running total of LONG column `valueCol` in
     * `orderCols` order (inclusive: each row's own value is counted) —

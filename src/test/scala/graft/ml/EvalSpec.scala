@@ -37,6 +37,14 @@ class EvalSpec extends SparkSpec {
     assert(row.getAs[Long]("n_scores") === 3L)
   }
 
+  test("rocAuc: an EMPTY scored frame still reports the defined 0.5, not null") {
+    val row = Eval.rocAuc(scoredFrame(Seq.empty)).first()
+    assert(row.getAs[Long]("n_pos") === 0L)
+    assert(row.getAs[Long]("n_neg") === 0L)
+    assert(row.getAs[Long]("n_scores") === 0L)
+    assert(row.getAs[Double]("auc") === 0.5)
+  }
+
   test("rocAuc: a single-class corpus has no ranking to measure — 0.5") {
     val onlyPos = scoredFrame(Seq((1L, 0.9), (1L, 0.1)))
     assert(Eval.rocAuc(onlyPos).first().getAs[Double]("auc") === 0.5)
