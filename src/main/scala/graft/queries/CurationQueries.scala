@@ -189,10 +189,196 @@ object CurationQueries {
        |FROM ranked ORDER BY doc_id""".stripMargin
   }
 
+  /** Cohen's κ agreement between the corpus's two quality raters — the
+    * Gopher rule-battery gate ([[TextQueries.gopherFilters]]' `keep`) and
+    * the composite score threshold (quality_score ≥ ½). κ corrects raw
+    * agreement for chance, which is the statistic a curation team checks
+    * before trusting one cheap filter as a proxy for another (or for
+    * human labels): high raw agreement with κ ≈ 0 means the filters
+    * agree only because both mostly say "keep".
+    *
+    * Scale shape: two per-row rule batteries over one corpus scan each,
+    * joined on doc_id, collapsed by ONE map-side-combined aggregate into
+    * four cells — everything after the 2×2 table is driver-free scalar
+    * arithmetic on a 1-row frame. All products are computed in DOUBLE
+    * with a fixed op order (marginal products overflow BIGINT at ~3e9
+    * docs); po and pe are single divisions; κ's pe=1 degeneracy (both
+    * raters constant) is defined 1 on perfect agreement, 0 otherwise,
+    * identically in the oracle.
+    */
+  val kappaAgreement: Q = (s, dir) => {
+    val ra = TextQueries.gopherFilters(s, dir)
+      .select(col("doc_id"), col("keep").as("ra"))
+    val rb = TextAnalysis.qualityScore(Tables.documents(s, dir))
+      .select(col("doc_id"), (col("quality_score") >= 0.5).as("rb"))
+    val cells = ra.join(rb, "doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ra") && col("rb"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("ra") && !col("rb"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("ra") && col("rb"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("ra") && !col("rb"), 1L).otherwise(0L)).as("n00"))
+    val nd = col("n").cast("double")
+    val po = (col("n11") + col("n00")).cast("double") / nd
+    val pe = ((col("n11") + col("n10")).cast("double") *
+        (col("n11") + col("n01")).cast("double") +
+      (col("n01") + col("n00")).cast("double") *
+        (col("n10") + col("n00")).cast("double")) / (nd * nd)
+    cells.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      graft.Parity.pround(po, 6).as("po"),
+      graft.Parity.pround(pe, 6).as("pe"),
+      graft.Parity.pround(
+        when(pe === 1.0, when(po === 1.0, lit(1.0)).otherwise(lit(0.0)))
+          .otherwise((po - pe) / (lit(1.0) - pe)), 6).as("kappa"))
+  }
+
+  val kappaAgreementSql: String = {
+    import TextQueries.{stopCountSql, stopEn}
+    val po = "CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)"
+    val pe = "(CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE) " +
+      "+ CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE)) " +
+      "/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+    s"""WITH ${TextQueries.normedSql},
+       |base AS (
+       |  SELECT doc_id,
+       |         CAST(len(ws) AS BIGINT) AS word_count,
+       |         list_sum(list_transform(ws, x -> length(x))) AS word_chars,
+       |         CAST(${stopCountSql(stopEn)} AS BIGINT) AS stopword_count,
+       |         CAST(greatest(len(ws) - 2, 0) AS BIGINT) AS n_ngrams,
+       |         CASE WHEN len(ws) >= 3
+       |              THEN CAST(len(list_distinct(list_transform(range(0, len(ws) - 2),
+       |                     i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS BIGINT)
+       |              ELSE CAST(0 AS BIGINT) END AS n_distinct,
+       |         len(regexp_extract_all(text, '[.,;:!?]')) AS punct_count
+       |  FROM w),
+       |stats AS (
+       |  SELECT doc_id, word_count,
+       |         floor((CAST(word_chars AS DOUBLE) / word_count) * 1e6 + 0.5) / 1e6 AS avg_word_len,
+       |         stopword_count,
+       |         CASE WHEN n_ngrams > 0
+       |              THEN floor((1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_ngrams AS DOUBLE)) * 1e6 + 0.5) / 1e6
+       |              ELSE 0.0 END AS dup_ratio,
+       |         floor((CAST(stopword_count AS DOUBLE) / word_count) * 1e6 + 0.5) / 1e6 AS stopword_ratio,
+       |         punct_count
+       |  FROM base),
+       |ra AS (
+       |  SELECT doc_id,
+       |         (word_count >= 20 AND word_count <= 1000
+       |          AND avg_word_len >= 4.0 AND avg_word_len <= 10.0
+       |          AND stopword_count >= 2 AND dup_ratio <= 0.05) AS ra
+       |  FROM stats),
+       |rb AS (
+       |  SELECT doc_id,
+       |         floor((0.4 * least(CAST(word_count AS DOUBLE) / 50, 1.0)
+       |             + 0.3 * least(stopword_ratio * 5, 1.0)
+       |             + 0.3 * greatest(0.0, 1.0 - CAST(punct_count AS DOUBLE) / greatest(word_count, 1))) * 1e6 + 0.5) / 1e6
+       |           >= 0.5 AS rb
+       |  FROM stats),
+       |cells AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(count(*) FILTER (WHERE ra AND rb) AS BIGINT) AS n11,
+       |         CAST(count(*) FILTER (WHERE ra AND NOT rb) AS BIGINT) AS n10,
+       |         CAST(count(*) FILTER (WHERE NOT ra AND rb) AS BIGINT) AS n01,
+       |         CAST(count(*) FILTER (WHERE NOT ra AND NOT rb) AS BIGINT) AS n00
+       |  FROM ra JOIN rb USING (doc_id))
+       |SELECT n, n11, n10, n01, n00,
+       |       ${graft.Parity.proundSql(po, 6)} AS po,
+       |       ${graft.Parity.proundSql(pe, 6)} AS pe,
+       |       ${graft.Parity.proundSql(
+                 s"CASE WHEN ($pe) = 1.0 THEN (CASE WHEN ($po) = 1.0 THEN 1.0 ELSE 0.0 END) " +
+                   s"ELSE (($po) - ($pe)) / (1.0 - ($pe)) END", 6)} AS kappa
+       |FROM cells""".stripMargin
+  }
+
+  /** Source-mixture waterfilling — the allocation step AFTER
+    * [[SamplingQueries]]' fixed-rate mixing: given a total token BUDGET
+    * (half the corpus here), give every source an equal share except
+    * where a source simply doesn't have that many tokens, and
+    * redistribute the slack to the bigger sources — i.e. find the level
+    * c with Σ min(avail_s, c) = budget. Equalizing over-concentrated
+    * sources is exactly how pretraining mixtures cap a dominant crawl
+    * without starving small high-quality sources.
+    *
+    * Scale shape: per-source token totals are one map-side-combined
+    * aggregate (the corpus-scale pass); everything after lives on the
+    * |sources|-bounded relation — source is a closed vocabulary, so the
+    * unpartitioned prefix-sum window here is bounded by CONSTRUCTION
+    * (the HLL-register argument), not by data. The level j (how many
+    * sources saturate) is picked by the closed-form feasibility test
+    * avail_k·(n−k) + prefix_k ≤ budget per row and one max; the water
+    * level is a single division, allocations one least() each.
+    */
+  val mixtureWaterfill: Q = (s, dir) => {
+    val avail = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("avail"))
+    val tot = avail.agg(sum(col("avail")).as("total"),
+      count(lit(1)).as("n_src"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("avail"), col("source"))
+    val ranked = graft.Scratch.table(
+      avail.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("total div 2"))
+        .withColumn("k", row_number().over(w).cast("long"))
+        .withColumn("prefix", sum(col("avail")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow))),
+      "waterfill-ranked")
+    // j = #sources that saturate (take all their tokens) at the level
+    val j = ranked.agg(coalesce(max(when(
+        col("avail") * (col("n_src") - col("k")) + col("prefix") <= col("budget"),
+        col("k"))), lit(0L)).as("j"))
+    val level = ranked.join(broadcast(j), col("k") === col("j"))
+      .select((col("budget") - col("prefix")).cast("double") /
+        (col("n_src") - col("j")).cast("double"))
+      .unionAll(j.filter(col("j") === 0L)
+        .crossJoin(broadcast(tot))
+        .select(expr("total div 2").cast("double") / col("n_src").cast("double")))
+      .toDF("level")
+    ranked.crossJoin(broadcast(level))
+      .select(col("source"), col("avail"),
+        graft.Parity.pround(col("level"), 6).as("level"),
+        graft.Parity.pround(
+          least(col("avail").cast("double"), col("level")), 6).as("alloc_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val mixtureWaterfillSql: String =
+    s"""WITH av AS (
+       |  SELECT source,
+       |         CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]|\\s+'))) AS BIGINT) AS avail
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(avail) AS BIGINT) AS total,
+       |               CAST(count(*) AS BIGINT) AS n_src
+       |        FROM av),
+       |rk AS (
+       |  SELECT source, avail, total // 2 AS budget, n_src,
+       |         row_number() OVER (ORDER BY avail, source) AS k,
+       |         CAST(sum(avail) OVER (ORDER BY avail, source
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix
+       |  FROM av CROSS JOIN tot),
+       |j AS (SELECT COALESCE(max(CASE WHEN avail * (n_src - k) + prefix <= budget
+       |                               THEN k END), 0) AS j
+       |      FROM rk),
+       |lvl AS (
+       |  SELECT CAST(budget - prefix AS DOUBLE) / CAST(n_src - j.j AS DOUBLE) AS level
+       |  FROM rk JOIN j ON rk.k = j.j
+       |  UNION ALL
+       |  SELECT CAST(total // 2 AS DOUBLE) / CAST(n_src AS DOUBLE)
+       |  FROM j CROSS JOIN tot WHERE j.j = 0)
+       |SELECT source, avail,
+       |       ${graft.Parity.proundSql("level", 6)} AS level,
+       |       ${graft.Parity.proundSql(
+                 "least(CAST(avail AS DOUBLE), level)", 6)} AS alloc_tokens
+       |FROM rk CROSS JOIN lvl ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "corpus_curation" -> corpusCuration,
-    "curriculum_shards" -> curriculumShards)
+    "curriculum_shards" -> curriculumShards,
+    "kappa_agreement" -> kappaAgreement,
+    "mixture_waterfill" -> mixtureWaterfill)
   val oracleSql: Map[String, String] = Map(
     "corpus_curation" -> corpusCurationSql,
-    "curriculum_shards" -> curriculumShardsSql)
+    "curriculum_shards" -> curriculumShardsSql,
+    "kappa_agreement" -> kappaAgreementSql,
+    "mixture_waterfill" -> mixtureWaterfillSql)
 }

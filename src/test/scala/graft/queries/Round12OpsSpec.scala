@@ -268,6 +268,43 @@ class Round12OpsSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("kappa_agreement: cells partition the corpus, kappa matches the closed form") {
+    val r = CurationQueries.kappaAgreement(spark, sf0001).first()
+    val (n, n11, n10, n01, n00) = (r.getAs[Long]("n"), r.getAs[Long]("n11"),
+      r.getAs[Long]("n10"), r.getAs[Long]("n01"), r.getAs[Long]("n00"))
+    assert(n11 + n10 + n01 + n00 === n)
+    assert(n === Tables.documents(spark, sf0001).count())
+    val po = (n11 + n00).toDouble / n
+    val pe = ((n11 + n10).toDouble * (n11 + n01).toDouble +
+      (n01 + n00).toDouble * (n10 + n00).toDouble) / (n.toDouble * n.toDouble)
+    val kappa = (po - pe) / (1.0 - pe)
+    assert(math.abs(r.getAs[Double]("kappa") - kappa) < 1e-6)
+    assert(kappa >= -1.0 && kappa <= 1.0)
+    // the two raters genuinely disagree somewhere, or the stat is vacuous
+    assert(n10 + n01 > 0, "fixture must exercise disagreement")
+  }
+
+  test("mixture_waterfill: allocations exhaust the budget at the water level") {
+    val rows = CurationQueries.mixtureWaterfill(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val level = rows.head.getAs[Double]("level")
+    assert(rows.forall(_.getAs[Double]("level") == level))
+    val totalAvail = rows.map(_.getAs[Long]("avail")).sum
+    val budget = totalAvail / 2
+    rows.foreach { r =>
+      val alloc = r.getAs[Double]("alloc_tokens")
+      assert(alloc <= r.getAs[Long]("avail").toDouble + 1e-6)
+      assert(alloc <= level + 1e-6)
+      // a source under the level is taken whole
+      if (r.getAs[Long]("avail").toDouble < level)
+        assert(alloc === r.getAs[Long]("avail").toDouble)
+    }
+    // sum(min(avail, level)) == budget, up to the 1e-6 edge rounding
+    val spent = rows.map(_.getAs[Double]("alloc_tokens")).sum
+    assert(math.abs(spent - budget.toDouble) < 1e-3 * rows.length,
+      s"waterfill must exhaust the budget: spent $spent of $budget")
+  }
+
   test("skew_profile: exact integer identities per key") {
     val li = Tables.lineitem(spark, sf0001)
     val total = li.count()
