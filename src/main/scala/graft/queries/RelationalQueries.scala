@@ -2694,11 +2694,15 @@ object RelationalQueries {
     *
     * Scale shape: walks advance ALL vertices simultaneously — each step is
     * one frontier⋈edges join on the vertex key (the pagerank round shape)
-    * into a scratch-materialized candidate set, then TWO map-side-combined
-    * aggregates (min hash per walk, then min dst at that hash) instead of
-    * a per-walk ranking window: a hub vertex with 10⁹ neighbors costs its
-    * shuffle share, never one task's window buffer. Steps are a fixed
-    * small hyperparameter; output is (L+1)·|V| rows.
+    * collapsed by ONE map-side-combined `min_by(dst, (h, dst))` aggregate
+    * (argmin over the hash with a dst tiebreak — exactly "min hash, then
+    * min dst at that hash" in a single partial-aggregable pass) instead
+    * of a per-walk ranking window: a hub vertex with 10⁹ neighbors costs
+    * its shuffle share, never one task's window buffer. Only the
+    * |V|-sized FRONTIER is scratch-materialized per step (it has two
+    * consumers: the next round's join and the output union) — the
+    * |frontier|·degree candidate stream stays in flight, never on disk.
+    * Steps are a fixed small hyperparameter; output is (L+1)·|V| rows.
     */
   val graphRandomWalks: Q = (s, dir) => {
     val walkLen = 4
@@ -2708,16 +2712,14 @@ object RelationalQueries {
     val steps = scala.collection.mutable.ArrayBuffer[DataFrame](
       frontier.select(col("walk_id"), lit(0L).as("step"), col("cur").as("node")))
     for (t <- 1 to walkLen) {
-      val cand = graft.Scratch.table(
+      frontier = graft.Scratch.table(
         frontier.join(edges, col("cur") === col("src"))
           .select(col("walk_id"), col("dst"),
             graft.functions.PortableHash.hash32(
-              concat_ws("|", col("walk_id"), lit(t), col("dst"))).as("h")),
-        s"walk-cand-$t")
-      val mh = cand.groupBy(col("walk_id")).agg(min(col("h")).as("mh"))
-      frontier = cand.join(mh, Seq("walk_id"))
-        .filter(col("h") === col("mh"))
-        .groupBy(col("walk_id")).agg(min(col("dst")).as("cur"))
+              concat_ws("|", col("walk_id"), lit(t), col("dst"))).as("h"))
+          .groupBy(col("walk_id"))
+          .agg(min_by(col("dst"), struct(col("h"), col("dst"))).as("cur")),
+        s"walk-frontier-$t")
       steps += frontier.select(col("walk_id"), lit(t.toLong).as("step"),
         col("cur").as("node"))
     }
