@@ -160,21 +160,11 @@ object CurationQueries {
   }
 
   val curriculumShardsSql: String = {
-    import TextQueries.{stopCountSql, stopEn}
     s"""WITH ${TextQueries.normedSql},
-       |stats AS (
-       |  SELECT doc_id,
-       |         len(ws) AS word_count,
-       |         len(regexp_extract_all(text, '[.,;:!?]')) AS punct_count,
-       |         floor((CAST(${stopCountSql(stopEn)} AS DOUBLE) / len(ws)) * 1e6 + 0.5) / 1e6 AS stopword_ratio
-       |  FROM w),
+       |${TextQueries.gopherStatsSql},
        |quality AS (
-       |  SELECT doc_id,
-       |         floor((0.4 * least(CAST(word_count AS DOUBLE) / 50, 1.0)
-       |             + 0.3 * least(stopword_ratio * 5, 1.0)
-       |             + 0.3 * greatest(0.0, 1.0 - CAST(punct_count AS DOUBLE) / greatest(word_count, 1))) * 1e6 + 0.5) / 1e6
-       |           AS quality_score
-       |  FROM stats),
+       |  SELECT doc_id, ${TextQueries.qualityScoreColSql} AS quality_score
+       |  FROM gstats),
        |toks AS (
        |  SELECT doc_id,
        |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]|\\s+')) AS n_tokens
@@ -197,26 +187,34 @@ object CurationQueries {
     * human labels): high raw agreement with κ ≈ 0 means the filters
     * agree only because both mostly say "keep".
     *
-    * Scale shape: two per-row rule batteries over one corpus scan each,
-    * joined on doc_id, collapsed by ONE map-side-combined aggregate into
-    * four cells — everything after the 2×2 table is driver-free scalar
-    * arithmetic on a 1-row frame. All products are computed in DOUBLE
-    * with a fixed op order (marginal products overflow BIGINT at ~3e9
-    * docs); po and pe are single divisions; κ's pe=1 degeneracy (both
-    * raters constant) is defined 1 on perfect agreement, 0 otherwise,
-    * identically in the oracle.
+    * Scale shape: BOTH rule batteries come from ONE corpus scan — the
+    * shared [[TextQueries.gopherStats]] projection carries every stat
+    * either rater needs, the flags are per-row expressions over it
+    * ([[TextQueries.gopherKeepCol]] / [[TextAnalysis.qualityScoreCol]] —
+    * the same single definitions the standalone gates use), and the 2×2
+    * table is ONE map-side-combined aggregate; no corpus-wide join, no
+    * second pass. Everything after the four cells is driver-free scalar
+    * arithmetic on a 1-row frame. Cells are count(when(...)) — count
+    * never nulls on an empty corpus, matching the oracle's FILTER
+    * semantics. All marginal products are computed in DOUBLE with a
+    * fixed op order (they overflow BIGINT at ~3e9 docs); po and pe are
+    * single divisions; κ's pe=1 degeneracy (both raters constant) is
+    * defined 1 on perfect agreement, 0 otherwise, identically in the
+    * oracle.
     */
   val kappaAgreement: Q = (s, dir) => {
-    val ra = TextQueries.gopherFilters(s, dir)
-      .select(col("doc_id"), col("keep").as("ra"))
-    val rb = TextAnalysis.qualityScore(Tables.documents(s, dir))
-      .select(col("doc_id"), (col("quality_score") >= 0.5).as("rb"))
-    val cells = ra.join(rb, "doc_id")
+    val st = TextQueries.gopherStats(Tables.documents(s, dir))
+    val flags = st.select(
+      TextQueries.gopherKeepCol(col("word_count"), col("avg_word_len"),
+        col("stopword_count"), col("dup_ratio")).as("ra"),
+      (TextAnalysis.qualityScoreCol(col("word_count"), col("stopword_ratio"),
+        col("punct_count")) >= 0.5).as("rb"))
+    val cells = flags
       .agg(count(lit(1)).as("n"),
-        sum(when(col("ra") && col("rb"), 1L).otherwise(0L)).as("n11"),
-        sum(when(col("ra") && !col("rb"), 1L).otherwise(0L)).as("n10"),
-        sum(when(!col("ra") && col("rb"), 1L).otherwise(0L)).as("n01"),
-        sum(when(!col("ra") && !col("rb"), 1L).otherwise(0L)).as("n00"))
+        count(when(col("ra") && col("rb"), true)).as("n11"),
+        count(when(col("ra") && !col("rb"), true)).as("n10"),
+        count(when(!col("ra") && col("rb"), true)).as("n01"),
+        count(when(!col("ra") && !col("rb"), true)).as("n00"))
     val nd = col("n").cast("double")
     val po = (col("n11") + col("n00")).cast("double") / nd
     val pe = ((col("n11") + col("n10")).cast("double") *
@@ -232,54 +230,23 @@ object CurationQueries {
   }
 
   val kappaAgreementSql: String = {
-    import TextQueries.{stopCountSql, stopEn}
     val po = "CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)"
     val pe = "(CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE) " +
       "+ CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE)) " +
       "/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
     s"""WITH ${TextQueries.normedSql},
-       |base AS (
-       |  SELECT doc_id,
-       |         CAST(len(ws) AS BIGINT) AS word_count,
-       |         list_sum(list_transform(ws, x -> length(x))) AS word_chars,
-       |         CAST(${stopCountSql(stopEn)} AS BIGINT) AS stopword_count,
-       |         CAST(greatest(len(ws) - 2, 0) AS BIGINT) AS n_ngrams,
-       |         CASE WHEN len(ws) >= 3
-       |              THEN CAST(len(list_distinct(list_transform(range(0, len(ws) - 2),
-       |                     i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS BIGINT)
-       |              ELSE CAST(0 AS BIGINT) END AS n_distinct,
-       |         len(regexp_extract_all(text, '[.,;:!?]')) AS punct_count
-       |  FROM w),
-       |stats AS (
-       |  SELECT doc_id, word_count,
-       |         floor((CAST(word_chars AS DOUBLE) / word_count) * 1e6 + 0.5) / 1e6 AS avg_word_len,
-       |         stopword_count,
-       |         CASE WHEN n_ngrams > 0
-       |              THEN floor((1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_ngrams AS DOUBLE)) * 1e6 + 0.5) / 1e6
-       |              ELSE 0.0 END AS dup_ratio,
-       |         floor((CAST(stopword_count AS DOUBLE) / word_count) * 1e6 + 0.5) / 1e6 AS stopword_ratio,
-       |         punct_count
-       |  FROM base),
-       |ra AS (
-       |  SELECT doc_id,
-       |         (word_count >= 20 AND word_count <= 1000
-       |          AND avg_word_len >= 4.0 AND avg_word_len <= 10.0
-       |          AND stopword_count >= 2 AND dup_ratio <= 0.05) AS ra
-       |  FROM stats),
-       |rb AS (
-       |  SELECT doc_id,
-       |         floor((0.4 * least(CAST(word_count AS DOUBLE) / 50, 1.0)
-       |             + 0.3 * least(stopword_ratio * 5, 1.0)
-       |             + 0.3 * greatest(0.0, 1.0 - CAST(punct_count AS DOUBLE) / greatest(word_count, 1))) * 1e6 + 0.5) / 1e6
-       |           >= 0.5 AS rb
-       |  FROM stats),
+       |${TextQueries.gopherStatsSql},
+       |flags AS (
+       |  SELECT ${TextQueries.gopherKeepSql} AS ra,
+       |         (${TextQueries.qualityScoreColSql}) >= 0.5 AS rb
+       |  FROM gstats),
        |cells AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n,
        |         CAST(count(*) FILTER (WHERE ra AND rb) AS BIGINT) AS n11,
        |         CAST(count(*) FILTER (WHERE ra AND NOT rb) AS BIGINT) AS n10,
        |         CAST(count(*) FILTER (WHERE NOT ra AND rb) AS BIGINT) AS n01,
        |         CAST(count(*) FILTER (WHERE NOT ra AND NOT rb) AS BIGINT) AS n00
-       |  FROM ra JOIN rb USING (doc_id))
+       |  FROM flags)
        |SELECT n, n11, n10, n01, n00,
        |       ${graft.Parity.proundSql(po, 6)} AS po,
        |       ${graft.Parity.proundSql(pe, 6)} AS pe,
@@ -327,12 +294,18 @@ object CurationQueries {
     val j = ranked.agg(coalesce(max(when(
         col("avail") * (col("n_src") - col("k")) + col("prefix") <= col("budget"),
         col("k"))), lit(0L)).as("j"))
+    // level from the scratch'd |sources|-row relation only — never a
+    // second corpus pass (ranked already carries budget and n_src). The
+    // j = n_src corner (zero-token corpus: budget 0, every source
+    // "saturates") would divide 0/0 — NULL on Spark, NaN on DuckDB —
+    // so it is pinned to level 0 on both engines.
     val level = ranked.join(broadcast(j), col("k") === col("j"))
-      .select((col("budget") - col("prefix")).cast("double") /
-        (col("n_src") - col("j")).cast("double"))
-      .unionAll(j.filter(col("j") === 0L)
-        .crossJoin(broadcast(tot))
-        .select(expr("total div 2").cast("double") / col("n_src").cast("double")))
+      .select(when(col("n_src") === col("j"), lit(0.0))
+        .otherwise((col("budget") - col("prefix")).cast("double") /
+          (col("n_src") - col("j")).cast("double")))
+      .unionAll(ranked.filter(col("k") === 1L)
+        .crossJoin(broadcast(j)).filter(col("j") === 0L)
+        .select(col("budget").cast("double") / col("n_src").cast("double")))
       .toDF("level")
     ranked.crossJoin(broadcast(level))
       .select(col("source"), col("avail"),
@@ -360,11 +333,13 @@ object CurationQueries {
        |                               THEN k END), 0) AS j
        |      FROM rk),
        |lvl AS (
-       |  SELECT CAST(budget - prefix AS DOUBLE) / CAST(n_src - j.j AS DOUBLE) AS level
+       |  SELECT CASE WHEN n_src = j.j THEN 0.0
+       |              ELSE CAST(budget - prefix AS DOUBLE) / CAST(n_src - j.j AS DOUBLE)
+       |         END AS level
        |  FROM rk JOIN j ON rk.k = j.j
        |  UNION ALL
-       |  SELECT CAST(total // 2 AS DOUBLE) / CAST(n_src AS DOUBLE)
-       |  FROM j CROSS JOIN tot WHERE j.j = 0)
+       |  SELECT CAST(budget AS DOUBLE) / CAST(n_src AS DOUBLE)
+       |  FROM rk CROSS JOIN j WHERE rk.k = 1 AND j.j = 0)
        |SELECT source, avail,
        |       ${graft.Parity.proundSql("level", 6)} AS level,
        |       ${graft.Parity.proundSql(

@@ -2707,8 +2707,12 @@ object RelationalQueries {
   val graphRandomWalks: Q = (s, dir) => {
     val walkLen = 4
     val edges = pagerankEdges(s, dir).select(col("src"), col("dst"))
-    var frontier = edges.select(col("src")).distinct()
-      .select(col("src").as("walk_id"), col("src").as("cur"))
+    // the start frontier has the same two consumers every later frontier
+    // has (round-1 join + output union) — scratch it for the same reason
+    var frontier = graft.Scratch.table(
+      edges.select(col("src")).distinct()
+        .select(col("src").as("walk_id"), col("src").as("cur")),
+      "walk-frontier-0")
     val steps = scala.collection.mutable.ArrayBuffer[DataFrame](
       frontier.select(col("walk_id"), lit(0L).as("step"), col("cur").as("node")))
     for (t <- 1 to walkLen) {

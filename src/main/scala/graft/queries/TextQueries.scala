@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -968,8 +968,13 @@ object TextQueries {
     * calibrated so the synthetic corpus exercises BOTH outcomes of every
     * flag (pass-through booleans that never vary would verify nothing).
     */
-  val gopherFilters: Q = (s, dir) => {
-    val stats = Tables.documents(s, dir)
+  /** The Gopher stat battery from ONE corpus scan — plus the punctuation
+    * count and stopword ratio the composite quality score needs, so a
+    * consumer comparing both gates (kappa_agreement) pays one pass, not
+    * two scans and a corpus-wide join.
+    */
+  private[queries] def gopherStats(docs: DataFrame): DataFrame =
+    docs
       .withColumn("w", TextAnalysis.words(col("text")))
       .select(col("doc_id"),
         size(col("w")).cast("long").as("word_count"),
@@ -980,29 +985,49 @@ object TextQueries {
         greatest(size(col("w")) - 2, lit(0)).cast("long").as("n_ngrams"),
         expr("""CASE WHEN size(w) >= 3 THEN CAST(size(array_distinct(
                |  transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS BIGINT)
-               |ELSE CAST(0 AS BIGINT) END""".stripMargin).as("n_distinct"))
+               |ELSE CAST(0 AS BIGINT) END""".stripMargin).as("n_distinct"),
+        size(expr("regexp_extract_all(text, '[.,;:!?]', 0)")).as("punct_count"))
       .select(col("doc_id"), col("word_count"),
         graft.Parity.pround(col("word_chars").cast("double") / col("word_count"), 6)
           .as("avg_word_len"),
         col("stopword_count"),
+        graft.Parity.pround(
+          col("stopword_count").cast("double") / col("word_count"), 6)
+          .as("stopword_ratio"),
         when(col("n_ngrams") > 0,
           graft.Parity.pround(
             lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams").cast("double"), 6))
-          .otherwise(lit(0.0)).as("dup_ratio"))
-    stats.select(col("doc_id"), col("word_count"), col("avg_word_len"),
+          .otherwise(lit(0.0)).as("dup_ratio"),
+        col("punct_count"))
+
+  /** The Gopher keep conjunction over already-computed stats — the single
+    * threshold definition [[gopherFilters]] and kappa_agreement share.
+    */
+  private[queries] def gopherKeepCol(wordCount: Column, avgWordLen: Column,
+      stopwordCount: Column, dupRatio: Column): Column =
+    (wordCount >= 20 && wordCount <= 1000) &&
+      (avgWordLen >= 4.0 && avgWordLen <= 10.0) &&
+      (stopwordCount >= 2) && (dupRatio <= 0.05)
+
+  val gopherFilters: Q = (s, dir) =>
+    gopherStats(Tables.documents(s, dir))
+      .select(col("doc_id"), col("word_count"), col("avg_word_len"),
         col("stopword_count"), col("dup_ratio"),
         (col("word_count") >= 20 && col("word_count") <= 1000).as("flag_words"),
         (col("avg_word_len") >= 4.0 && col("avg_word_len") <= 10.0).as("flag_avg_len"),
         (col("stopword_count") >= 2).as("flag_stop"),
         (col("dup_ratio") <= 0.05).as("flag_rep"))
-      .withColumn("keep",
-        col("flag_words") && col("flag_avg_len") && col("flag_stop") && col("flag_rep"))
+      .withColumn("keep", gopherKeepCol(col("word_count"), col("avg_word_len"),
+        col("stopword_count"), col("dup_ratio")))
       .orderBy(col("doc_id"))
-  }
 
-  val gopherFiltersSql: String =
-    s"""WITH $normedSql,
-       |base AS (
+  /** DuckDB mirror of [[gopherStats]] as CTEs `gbase`/`gstats` (expects
+    * [[normedSql]]'s `w` in scope) — the shared fragment
+    * [[gopherFiltersSql]] and kappa_agreement's oracle both build on, so
+    * a threshold or stat change cannot drift one oracle and not the other.
+    */
+  private[queries] val gopherStatsSql: String =
+    s"""gbase AS (
        |  SELECT doc_id,
        |         CAST(len(ws) AS BIGINT) AS word_count,
        |         list_sum(list_transform(ws, x -> length(x))) AS word_chars,
@@ -1011,23 +1036,46 @@ object TextQueries {
        |         CASE WHEN len(ws) >= 3
        |              THEN CAST(len(list_distinct(list_transform(range(0, len(ws) - 2),
        |                     i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS BIGINT)
-       |              ELSE CAST(0 AS BIGINT) END AS n_distinct
+       |              ELSE CAST(0 AS BIGINT) END AS n_distinct,
+       |         len(regexp_extract_all(text, '[.,;:!?]')) AS punct_count
        |  FROM w),
-       |stats AS (
+       |gstats AS (
        |  SELECT doc_id, word_count,
        |         floor((CAST(word_chars AS DOUBLE) / word_count) * 1e6 + 0.5) / 1e6 AS avg_word_len,
        |         stopword_count,
+       |         floor((CAST(stopword_count AS DOUBLE) / word_count) * 1e6 + 0.5) / 1e6 AS stopword_ratio,
        |         CASE WHEN n_ngrams > 0
        |              THEN floor((1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_ngrams AS DOUBLE)) * 1e6 + 0.5) / 1e6
-       |              ELSE 0.0 END AS dup_ratio
-       |  FROM base),
+       |              ELSE 0.0 END AS dup_ratio,
+       |         punct_count
+       |  FROM gbase)""".stripMargin
+
+  /** The keep conjunction as SQL over `gstats` columns — [[gopherStatsSql]]'s
+    * companion, mirroring [[gopherKeepCol]].
+    */
+  private[queries] val gopherKeepSql: String =
+    "(word_count >= 20 AND word_count <= 1000 " +
+      "AND avg_word_len >= 4.0 AND avg_word_len <= 10.0 " +
+      "AND stopword_count >= 2 AND dup_ratio <= 0.05)"
+
+  /** SQL for the composite quality score over `gstats` columns — mirrors
+    * [[TextAnalysis.qualityScoreCol]], one definition per engine.
+    */
+  private[queries] val qualityScoreColSql: String =
+    "floor((0.4 * least(CAST(word_count AS DOUBLE) / 50, 1.0) " +
+      "+ 0.3 * least(stopword_ratio * 5, 1.0) " +
+      "+ 0.3 * greatest(0.0, 1.0 - CAST(punct_count AS DOUBLE) / greatest(word_count, 1))) * 1e6 + 0.5) / 1e6"
+
+  val gopherFiltersSql: String =
+    s"""WITH $normedSql,
+       |$gopherStatsSql,
        |flagged AS (
        |  SELECT doc_id, word_count, avg_word_len, stopword_count, dup_ratio,
        |         (word_count >= 20 AND word_count <= 1000) AS flag_words,
        |         (avg_word_len >= 4.0 AND avg_word_len <= 10.0) AS flag_avg_len,
        |         (stopword_count >= 2) AS flag_stop,
        |         (dup_ratio <= 0.05) AS flag_rep
-       |  FROM stats)
+       |  FROM gstats)
        |SELECT doc_id, word_count, avg_word_len, stopword_count, dup_ratio,
        |       flag_words, flag_avg_len, flag_stop, flag_rep,
        |       (flag_words AND flag_avg_len AND flag_stop AND flag_rep) AS keep

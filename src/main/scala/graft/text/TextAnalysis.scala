@@ -56,19 +56,28 @@ object TextAnalysis {
       graft.Parity.pround(stopwordCount("text").cast("double") / wc, 6).as("stopword_ratio"))
   }
 
+  /** The composite quality formula over already-computed stat columns —
+    * the SINGLE definition every consumer ([[qualityScore]], the
+    * kappa-agreement rater, curriculum sharding's oracle twin) must share:
+    * a constant drifting in one copy would silently diverge the gates.
+    */
+  def qualityScoreCol(wordCount: Column, stopwordRatio: Column,
+      punctCount: Column): Column = {
+    val lengthTerm = least(wordCount.cast("double") / 50d, lit(1d))
+    val stopTerm = least(stopwordRatio * 5d, lit(1d))
+    val punctTerm = greatest(lit(0d),
+      lit(1d) - punctCount.cast("double") / greatest(wordCount, lit(1)))
+    graft.Parity.pround(
+      lit(0.4) * lengthTerm + lit(0.3) * stopTerm + lit(0.3) * punctTerm, 6)
+  }
+
   /** Heuristic quality score in [0,1]: favors mid-length docs with a sane
     * stopword ratio and low punctuation density. Deterministic per-row math.
     */
-  def qualityScore(docs: DataFrame): DataFrame = {
-    val s = textStats(docs)
-    val lengthTerm = least(col("word_count").cast("double") / 50d, lit(1d))
-    val stopTerm = least(col("stopword_ratio") * 5d, lit(1d))
-    val punctTerm = greatest(lit(0d),
-      lit(1d) - col("punct_count").cast("double") / greatest(col("word_count"), lit(1)))
-    s.select(col("doc_id"),
-      graft.Parity.pround(lit(0.4) * lengthTerm + lit(0.3) * stopTerm + lit(0.3) * punctTerm, 6)
-        .as("quality_score"))
-  }
+  def qualityScore(docs: DataFrame): DataFrame =
+    textStats(docs).select(col("doc_id"),
+      qualityScoreCol(col("word_count"), col("stopword_ratio"),
+        col("punct_count")).as("quality_score"))
 
   /** BPE-ish token count: letter runs, single digits, punctuation runs,
     * whitespace runs — the standard pre-tokenizer shape.
