@@ -2788,9 +2788,14 @@ object RelationalQueries {
     val right = idxed.select(col("rnk").as("probe"),
       col("c_custkey").as("custkey_b"), col("c_name").as("name_b"),
       col("c_mktsegment").as("seg_b"))
+    // thresholded levenshtein: the DP runs a bounded band and bails at
+    // distance > 2 (returns -1) — on long keys the per-pair cost is
+    // O(len·threshold), not O(len²)
     probes.join(right, "probe")
-      .withColumn("dist", levenshtein(col("c_name"), col("name_b")).cast("long"))
-      .filter(col("c_mktsegment") === col("seg_b") && col("dist") <= 2L)
+      .withColumn("dist",
+        levenshtein(col("c_name"), col("name_b"), 2).cast("long"))
+      .filter(col("c_mktsegment") === col("seg_b") &&
+        col("dist") >= 0L && col("dist") <= 2L)
       .select(col("c_custkey").as("custkey_a"), col("custkey_b"),
         col("c_name").as("name_a"), col("name_b"), col("dist"))
       .orderBy(col("custkey_a"), col("custkey_b"))
