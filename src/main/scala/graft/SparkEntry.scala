@@ -49,7 +49,8 @@ object SparkEntry {
       DedupQueries.queries ++ SimilarityQueries.queries ++ MediaQueries.queries ++
       RelationalQueries.queries ++ SamplingQueries.queries ++
       StoreQueries.queries ++ PipelineQueries.queries ++ CurationQueries.queries ++
-      MultiSymQueries.queries ++ DriftQueries.queries ++ FormatQueries.queries)
+      MultiSymQueries.queries ++ DriftQueries.queries ++ FormatQueries.queries ++
+      FeatureQueries.queries)
       .map { case (name, fn) =>
         name -> ((s: SparkSession, dir: String) => normalizeOutputs(fn(s, dir)))
       }
@@ -63,5 +64,6 @@ object SparkEntry {
       RelationalQueries.oracleSql ++ SamplingQueries.oracleSql ++
       StoreQueries.oracleSql ++ PipelineQueries.oracleSql ++
       CurationQueries.oracleSql ++ MultiSymQueries.oracleSql ++
-      DriftQueries.oracleSql ++ FormatQueries.oracleSql
+      DriftQueries.oracleSql ++ FormatQueries.oracleSql ++
+      FeatureQueries.oracleSql
 }

@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Supervised feature-engineering over `events`/`embeddings` — the
+  * tabular-side preprocessing a training-data pipeline runs before any
+  * model sees a row: leakage-safe categorical encoding, deterministic
+  * cross-validation folds, and recency weighting.
+  *
+  * Parity notes (the house rules): cross-row double sums quantize to
+  * exact DECIMAL before summing (float addition is not associative across
+  * engines/partitionings); every derived double expression is written with
+  * the SAME operation order on both sides; weights that must be exact are
+  * built from integer bit-shifts (2^-k), never libm `pow` (no cross-engine
+  * bit contract).
+  */
+object FeatureQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def sumDec(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(30, 10)))
+
+  // ------------------------------------------------------------ target_encode
+
+  /** Smoothed target (mean) encoding of a categorical feature — the
+    * standard high-cardinality-categorical treatment for tabular training
+    * data: encode each `event_type` by a shrunk mean of the target
+    * (`value`), `enc = (Σ_c y + m·ȳ) / (n_c + m)` with prior weight
+    * m = 100. Rare categories collapse to the global mean (no leakage
+    * from tiny cells), frequent ones keep their own mean.
+    *
+    * Scale shape: ONE map-side-combined aggregate per category plus a
+    * 1-row global-moment relation broadcast back — no window, no second
+    * corpus scan (the global sums derive from the per-category relation,
+    * which is vocabulary-bounded, not corpus-bounded). At 100 TB the only
+    * corpus-scale stage is the first partial aggregate.
+    */
+  val targetEncode: Q = (s, dir) => {
+    val perCat = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sy"))
+    val globals = perCat.agg(
+      sum(col("n")).as("ng"), sum(col("sy")).as("syg"))
+    perCat.crossJoin(broadcast(globals))
+      .withColumn("gmean",
+        col("syg").cast("double") / col("ng").cast("double"))
+      .select(col("event_type"), col("n"),
+        graft.Parity.pround(
+          (col("sy").cast("double") + lit(100.0) * col("gmean")) /
+            (col("n").cast("double") + lit(100.0)), 6).as("enc"))
+      .orderBy(col("event_type"))
+  }
+
+  val targetEncodeSql: String =
+    s"""WITH pc AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |         sum(CAST(value AS DECIMAL(30,10))) AS sy
+       |  FROM events GROUP BY 1),
+       |g AS (SELECT CAST(sum(n) AS BIGINT) AS ng, sum(sy) AS syg FROM pc)
+       |SELECT event_type, n,
+       |       ${graft.Parity.proundSql(
+                 "(CAST(sy AS DOUBLE) + 100.0 * (CAST(syg AS DOUBLE) / CAST(ng AS DOUBLE))) / (CAST(n AS DOUBLE) + 100.0)",
+                 6)} AS enc
+       |FROM pc CROSS JOIN g ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------ kfold_assign
+
+  /** Deterministic k-fold cross-validation assignment with a fold-balance
+    * report: fold(row) = hash(vec_id) mod 5 via the engine-portable hash,
+    * so every re-run — and every engine — assigns identical folds without
+    * persisting an assignment table. The output is the per-(fold, label)
+    * contingency: the balance check run before training to confirm no
+    * fold is label-skewed.
+    *
+    * Scale shape: per-row hash + one map-side-combined aggregate; the
+    * result is (k × |labels|)-bounded. `rand()`-based folding would be
+    * neither reproducible across retries nor consistent across engines —
+    * the same argument as [[SamplingQueries]]' portable-hash splits.
+    */
+  val kfoldAssign: Q = (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(pmod(graft.functions.PortableHash.hash32(col("vec_id")),
+        lit(5L)).as("fold"), col("label"))
+      .groupBy(col("fold"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("fold"), col("label"))
+
+  val kfoldAssignSql: String =
+    s"""SELECT ${graft.functions.PortableHash.hash32Sql("vec_id")} % 5 AS fold,
+       |       CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n
+       |FROM embeddings GROUP BY 1, 2 ORDER BY fold, label""".stripMargin
+
+  // ------------------------------------------------------------ decay_weighted
+
+  /** Recency-weighted per-user mean — the time-decay aggregate a feature
+    * store computes ("user's recent activity level"): each event weighs
+    * 2^-k where k = age-in-weeks at the corpus high-watermark, i.e. a
+    * 1-week half-life in weekly steps. The weight is built as
+    * `1 / (1 << k)` — an integer shift then one exact IEEE division by a
+    * power of two — NOT `pow(0.5, k)`: libm pow carries no cross-engine
+    * bit contract, shifts do. k caps at 62 (shift-width bound; 2^-62 is
+    * already 0 at the DECIMAL(30,10) quantization both engines share).
+    *
+    * Scale shape: the high-watermark is a 1-row broadcast (the
+    * [[graft.store.IncrementalStore]] watermark pattern); then one
+    * map-side-combined aggregate per user. No window, no per-user sort —
+    * at 100 TB the whale user costs nothing beyond its row count.
+    */
+  val decayWeighted: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val hw = ev.agg(max(to_date(col("ts"))).as("mx"))
+    ev.crossJoin(broadcast(hw))
+      .withColumn("k",
+        least(floor(datediff(col("mx"), to_date(col("ts"))) / lit(7))
+          .cast("int"), lit(62)))
+      .withColumn("w",
+        lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), k)").cast("double"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        graft.Parity.pround(
+          sumDec(col("value") * col("w")).cast("double") /
+            sumDec(col("w")).cast("double"), 6).as("decayed_mean"))
+      .orderBy(col("user_id"))
+  }
+
+  val decayWeightedSql: String =
+    s"""WITH hw AS (SELECT max(CAST(ts AS DATE)) AS mx FROM events),
+       |wts AS (
+       |  SELECT user_id, value,
+       |         1.0 / CAST((CAST(1 AS BIGINT) << LEAST(
+       |           CAST(floor(date_diff('day', CAST(ts AS DATE), mx) / 7) AS INTEGER),
+       |           62)) AS DOUBLE) AS w
+       |  FROM events CROSS JOIN hw)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       |       ${graft.Parity.proundSql(
+                 "CAST(sum(CAST(value * w AS DECIMAL(30,10))) AS DOUBLE) / CAST(sum(CAST(w AS DECIMAL(30,10))) AS DOUBLE)",
+                 6)} AS decayed_mean
+       |FROM wts GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, Q] = Map(
+    "target_encode" -> targetEncode,
+    "kfold_assign" -> kfoldAssign,
+    "decay_weighted" -> decayWeighted)
+
+  val oracleSql: Map[String, String] = Map(
+    "target_encode" -> targetEncodeSql,
+    "kfold_assign" -> kfoldAssignSql,
+    "decay_weighted" -> decayWeightedSql)
+}
