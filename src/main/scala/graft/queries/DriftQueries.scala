@@ -313,15 +313,136 @@ object DriftQueries {
        |FROM ev e JOIN b USING (event_type)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Benford leading-digit audit over `o_totalprice` — the forensic
+    * data-quality check for fabricated or truncated numeric feeds:
+    * naturally-occurring multi-scale amounts follow P(d) = log10(1+1/d);
+    * a synthetic source (constant scale, uniform noise, price floors)
+    * departs visibly. The output is the observed leading-digit
+    * distribution against the Benford expectation — the reviewer eyeballs
+    * (or thresholds) the gap.
+    *
+    * The nine expected shares are PRE-COMPUTED 6-dp literals, not
+    * `log10()` calls: ln/log10 carry no cross-engine bit contract, and
+    * the reference distribution is a constant anyway. The leading digit
+    * is string-extracted from the integer part (exact; no float log
+    * tricks), so the whole query is one map-side-combined 9-group
+    * aggregate plus a 1-row total broadcast.
+    */
+  val benfordCheck: Q = (s, dir) => {
+    val expected = typedLit(Map(
+      1L -> 0.30103, 2L -> 0.176091, 3L -> 0.124939, 4L -> 0.09691,
+      5L -> 0.079181, 6L -> 0.066947, 7L -> 0.057992, 8L -> 0.051153,
+      9L -> 0.045757))
+    val digits = Tables.orders(s, dir)
+      .filter(col("o_totalprice") >= lit(1.0))
+      .select(substring(floor(col("o_totalprice")).cast("long")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("ntot"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        graft.Parity.pround(
+          col("n").cast("double") / col("ntot").cast("double"), 6)
+          .as("share"),
+        element_at(expected, col("digit")).as("expected"))
+      .orderBy(col("digit"))
+  }
+
+  val benfordCheckSql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM orders WHERE o_totalprice >= 1.0),
+       |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM g)
+       |SELECT digit, n,
+       |       ${graft.Parity.proundSql(
+                 "CAST(n AS DOUBLE) / CAST(ntot AS DOUBLE)", 6)} AS share,
+       |       CAST(CASE digit WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091
+       |                  WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691
+       |                  WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+       |                  WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+       |                  WHEN 9 THEN 0.045757 END AS DOUBLE) AS expected
+       |FROM g CROSS JOIN t ORDER BY digit""".stripMargin
+
+  /** Welch's two-sample t between every pair of event_types — the A/B
+    * experiment readout (unequal variances, unequal n): t and the
+    * Welch–Satterthwaite degrees of freedom for each (a, b) pair,
+    * a < b lexicographically. The input is the SAME per-type moment
+    * battery as [[valueOutliers]] (count + two exact-DECIMAL moments,
+    * one map-side-combined corpus pass); the pair cross is
+    * |types|²-bounded — a vocabulary-scale self-join, never corpus-scale.
+    *
+    * `sqrt` is IEEE-754 correctly rounded on both engines (unlike ln/pow),
+    * so the statistic is written directly: every intermediate (se terms,
+    * numerator, df parts) is a named single expression evaluated in the
+    * same order on both sides.
+    */
+  val abWelchT: Q = (s, dir) => {
+    val stats = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sumDec(col("value")).cast("double").as("sx"),
+        sumDec(col("value") * col("value")).cast("double").as("sxx"))
+      .filter(col("n") > 1L)
+      .withColumn("mean", col("sx") / col("n").cast("double"))
+      .withColumn("se", greatest(
+        (col("sxx") - col("n").cast("double") * col("mean") * col("mean"))
+          / (col("n").cast("double") - lit(1.0)), lit(0.0))
+        / col("n").cast("double"))
+    val a = stats.select(col("event_type").as("type_a"), col("n").as("n_a"),
+      col("mean").as("mean_a"), col("se").as("se_a"))
+    val b = stats.select(col("event_type").as("type_b"), col("n").as("n_b"),
+      col("mean").as("mean_b"), col("se").as("se_b"))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .filter(col("se_a") + col("se_b") > lit(0.0))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        graft.Parity.pround(
+          (col("mean_a") - col("mean_b")) / sqrt(col("se_a") + col("se_b")),
+          6).as("t_stat"),
+        graft.Parity.pround(
+          ((col("se_a") + col("se_b")) * (col("se_a") + col("se_b"))) /
+            (col("se_a") * col("se_a") / (col("n_a").cast("double") - lit(1.0)) +
+              col("se_b") * col("se_b") / (col("n_b").cast("double") - lit(1.0))),
+          6).as("df"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val abWelchTSql: String =
+    s"""WITH st AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+       |         CAST(sum(CAST(value * value AS DECIMAL(30,10))) AS DOUBLE) AS sxx
+       |  FROM events GROUP BY 1 HAVING count(*) > 1),
+       |m AS (SELECT event_type, n, sx / CAST(n AS DOUBLE) AS mean, sxx FROM st),
+       |v AS (SELECT event_type, n, mean,
+       |             greatest((sxx - CAST(n AS DOUBLE) * mean * mean)
+       |                        / (CAST(n AS DOUBLE) - 1.0), 0.0)
+       |               / CAST(n AS DOUBLE) AS se
+       |      FROM m)
+       |SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |       a.n AS n_a, b.n AS n_b,
+       |       ${graft.Parity.proundSql(
+                 "(a.mean - b.mean) / sqrt(a.se + b.se)", 6)} AS t_stat,
+       |       ${graft.Parity.proundSql(
+                 "((a.se + b.se) * (a.se + b.se)) / (a.se * a.se / (CAST(a.n AS DOUBLE) - 1.0) + b.se * b.se / (CAST(b.n AS DOUBLE) - 1.0))",
+                 6)} AS df
+       |FROM v a JOIN v b ON a.event_type < b.event_type
+       |WHERE a.se + b.se > 0.0
+       |ORDER BY type_a, type_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "value_outliers" -> valueOutliers,
     "robust_outliers" -> robustOutliers,
     "winsorize_stats" -> winsorizeStats,
-    "dist_drift" -> distDrift)
+    "dist_drift" -> distDrift,
+    "benford_check" -> benfordCheck,
+    "ab_welch_t" -> abWelchT)
 
   val oracleSql: Map[String, String] = Map(
     "value_outliers" -> valueOutliersSql,
     "robust_outliers" -> robustOutliersSql,
     "winsorize_stats" -> winsorizeStatsSql,
-    "dist_drift" -> distDriftSql)
+    "dist_drift" -> distDriftSql,
+    "benford_check" -> benfordCheckSql,
+    "ab_welch_t" -> abWelchTSql)
 }
