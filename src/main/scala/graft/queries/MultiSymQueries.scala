@@ -494,7 +494,130 @@ object MultiSymQueries {
        |FROM g ORDER BY symbol_a, symbol_b""".stripMargin
   }
 
+  /** Per-symbol OLS price trend — the closed-form simple regression of
+    * price on time, computed entirely as SUFFICIENT STATISTICS (n, Σx,
+    * Σy, Σxy, Σx²) in one map-side-combined aggregate: regression as an
+    * aggregation, never an iterative solver. x is seconds since the
+    * SYMBOL's first tick — centering x per symbol keeps Σx² within
+    * DECIMAL(38,0) at any corpus age (raw epoch-µs squared overflows even
+    * 38 digits once row counts grow), and the per-symbol minimum is an
+    * instrument-universe-bounded relation broadcast back. slope/intercept
+    * are derived in doubles from the exact-DECIMAL sums with one fixed
+    * operation order on both engines.
+    */
+  val olsTrend: Q = (s, dir) => {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = graft.Tables.events(s, dir)
+      .select(col("event_type").as("symbol"),
+        unix_micros(col("ts")).as("us"), col("value").as("y"))
+    val mins = ev.groupBy(col("symbol")).agg(min(col("us")).as("mn"))
+    val xy = ev.join(broadcast(mins), "symbol")
+      .withColumn("x", expr("(us - mn) DIV 1000000"))
+    val g = xy.groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 0))).cast("double").as("sx"),
+        sum(col("y").cast(DecimalType(30, 10))).cast("double").as("sy"),
+        sum((col("x").cast("double") * col("y"))
+          .cast(DecimalType(38, 10))).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 0)))
+          .cast("double").as("sxx"))
+      .withColumn("nd", col("n").cast("double"))
+      .filter(col("nd") * col("sxx") - col("sx") * col("sx") > lit(0.0))
+      .withColumn("slope", (col("nd") * col("sxy") - col("sx") * col("sy")) /
+        (col("nd") * col("sxx") - col("sx") * col("sx")))
+    g.select(col("symbol"), col("n"),
+        graft.Parity.pround(col("slope") * lit(1e9), 6).as("slope_per_gs"),
+        graft.Parity.pround(
+          (col("sy") - col("slope") * col("sx")) / col("nd"), 6)
+          .as("intercept"))
+      .orderBy(col("symbol"))
+  }
+
+  val olsTrendSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type AS symbol, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value AS y
+       |  FROM events),
+       |mins AS (SELECT symbol, min(us) AS mn FROM ev GROUP BY 1),
+       |xy AS (SELECT ev.symbol, (us - mn) // 1000000 AS x, y
+       |       FROM ev JOIN mins USING (symbol)),
+       |g AS (
+       |  SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+       |         CAST(sum(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+       |         CAST(sum(CAST(CAST(x AS DOUBLE) * y AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+       |         CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+       |  FROM xy GROUP BY 1),
+       |d AS (
+       |  SELECT symbol, n, sx, sy, sxy, sxx, CAST(n AS DOUBLE) AS nd,
+       |         (CAST(n AS DOUBLE) * sxy - sx * sy)
+       |           / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope
+       |  FROM g WHERE CAST(n AS DOUBLE) * sxx - sx * sx > 0.0)
+       |SELECT symbol, n,
+       |       ${graft.Parity.proundSql("slope * 1e9", 6)} AS slope_per_gs,
+       |       ${graft.Parity.proundSql("(sy - slope * sx) / nd", 6)} AS intercept
+       |FROM d ORDER BY symbol""".stripMargin
+
+  /** Per-symbol maximum drawdown — the peak-to-trough risk metric:
+    * min over time of price/runningPeak − 1 under the deterministic
+    * (ts, event_id) tick order. The running peak is computed WITHOUT a
+    * whale window: max is associative, so the series splits into
+    * time-contiguous day chunks — per-chunk peaks (one aggregate), a
+    * prefix peak over the chunk RELATION (a window over #days rows per
+    * symbol, bounded by span, the [[graft.forex.IndicatorsChunked]]
+    * assembly shape), then a within-chunk running max over day-bounded
+    * partitions. greatest(carry, within) is the exact running peak; the
+    * final min per symbol is a plain aggregate. No task ever sorts more
+    * than one symbol-day.
+    *
+    * Parity: runmax is a max of raw doubles (exact, order-free given the
+    * pinned total order), dd is ONE division + subtraction per row, and
+    * min(dd) involves no summation — bit-equal by construction.
+    */
+  val maxDrawdown: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400000000L
+    val ev = graft.Tables.events(s, dir)
+      .select(col("event_type").as("symbol"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("chunk", expr(s"us DIV ${dayUs}L"))
+    val chunkPeaks = ev.groupBy(col("symbol"), col("chunk"))
+      .agg(max(col("value")).as("cmax"))
+    val carry = chunkPeaks.withColumn("carry",
+      max(col("cmax")).over(Window.partitionBy(col("symbol"))
+        .orderBy(col("chunk"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("symbol"), col("chunk"), col("carry"))
+    val within = Window.partitionBy(col("symbol"), col("chunk"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.join(carry, Seq("symbol", "chunk"))
+      .withColumn("runmax",
+        greatest(coalesce(col("carry"), col("value")),
+          max(col("value")).over(within)))
+      .withColumn("dd", col("value") / col("runmax") - lit(1.0))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_ticks"),
+        graft.Parity.pround(min(col("dd")), 6).as("max_drawdown"))
+      .orderBy(col("symbol"))
+  }
+
+  val maxDrawdownSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type AS symbol, event_id,
+       |         epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+       |  FROM events),
+       |r AS (
+       |  SELECT symbol, value,
+       |         max(value) OVER (PARTITION BY symbol ORDER BY us, event_id
+       |                          ROWS UNBOUNDED PRECEDING) AS runmax
+       |  FROM ev)
+       |SELECT symbol, CAST(count(*) AS BIGINT) AS n_ticks,
+       |       ${graft.Parity.proundSql("min(value / runmax - 1.0)", 6)} AS max_drawdown
+       |FROM r GROUP BY symbol ORDER BY symbol""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ols_trend" -> olsTrend,
+    "max_drawdown" -> maxDrawdown,
     "price_correlation" -> priceCorrelation,
     "stream_ewma" -> streamEwma,
     "fct_timeframes_multisym" -> fctTimeframesMultisym,
@@ -508,6 +631,8 @@ object MultiSymQueries {
     "stream_ohlc_multisym" -> streamOhlcMultisym)
 
   val oracleSql: Map[String, String] = Map(
+    "ols_trend" -> olsTrendSql,
+    "max_drawdown" -> maxDrawdownSql,
     "price_correlation" -> priceCorrelationSql,
     "fct_timeframes_multisym" -> fctTimeframesMultisymSql,
     "indicators_multisym" -> indicatorsMultisymSql,

@@ -1910,7 +1910,138 @@ object TextQueries {
        |                ELSE '' END) AS clean_md5
        |FROM cov ORDER BY doc_id""".stripMargin
 
+  /** Per-document Simpson diversity — the LOG-FREE lexical-concentration
+    * score: 1 − Σ_t (c_t/n)² over the document's token counts (the
+    * probability two random tokens coincide, complemented). Repetitive
+    * boilerplate scores near 0, diverse prose near 1 — the same signal a
+    * Shannon-entropy filter gives, but as an EXACT RATIONAL: the statistic
+    * reduces to 1 − Σc²/n², two integer aggregates and ONE IEEE division,
+    * so no ln() bit contract and no decimal quantization is even needed.
+    *
+    * Scale shape: the standard inverted-index explode → (doc, token)
+    * count → per-doc rollup, both aggregates map-side combined; no
+    * windows, no driver state. Complements [[dupNgramRatio]] (n-gram
+    * repetition) at the unigram tier.
+    */
+  val tokenSimpson: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.words(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("cnt")).as("ssq"))
+      .select(col("doc_id"), col("n_tokens"),
+        graft.Parity.pround(
+          lit(1.0) - col("ssq").cast("double") /
+            (col("n_tokens") * col("n_tokens")).cast("double"), 6)
+          .as("simpson"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenSimpsonSql: String =
+    s"""WITH $normedSql,
+       |tok AS (SELECT doc_id, unnest(ws) AS token FROM w),
+       |c AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS cnt
+       |      FROM tok WHERE token <> '' GROUP BY 1, 2),
+       |g AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |             CAST(sum(cnt * cnt) AS BIGINT) AS ssq
+       |      FROM c GROUP BY 1)
+       |SELECT doc_id, n_tokens,
+       |       ${graft.Parity.proundSql(
+                 "1.0 - CAST(ssq AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE)",
+                 6)} AS simpson
+       |FROM g ORDER BY doc_id""".stripMargin
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) — damped PageRank
+    * over the word co-occurrence graph: vertices are corpus words, edges
+    * connect ADJACENT words (the [[bigramStream]] bigrams, symmetrized,
+    * self-loops dropped) weighted by co-occurrence count, and the top-15
+    * ranked words are the corpus keywords. The graph machinery is the
+    * [[RelationalQueries.pagerankAuthority]] round re-expressed weighted:
+    * r'(v) = 3/20 + 17/20 · Σ_u r(u)·w(u,v)/wout(u), each round ONE
+    * src-keyed co-partitioned join plus one dst-keyed exact
+    * integer-quantized sum (map-side partials; a hub word with millions of
+    * neighbors costs only its shuffle share).
+    *
+    * The edge relation is vocabulary²-bounded but corpus-derived, so it is
+    * scratch-materialized ONCE (five consumers — one per round) and NEVER
+    * broadcast (the lm-model argument). The quantization scale auto-sizes
+    * from |V| exactly like pagerank (1e10 up to 450k words — the oracle's
+    * fixed grid; larger vocabularies coarsen the grid in lockstep with
+    * the 2^52 exactness bound).
+    */
+  val textrankKeywords: Q = (s, dir) => {
+    import org.apache.spark.sql.types.DecimalType
+    val b2 = bigramStream(Tables.documents(s, dir))
+      .filter(col("prev") =!= col("cur"))
+    val edges = b2.select(col("prev").as("src"), col("cur").as("dst"))
+      .union(b2.select(col("cur").as("src"), col("prev").as("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val eo = graft.Scratch.table(
+      edges.withColumn("wout",
+        sum(col("w")).over(Window.partitionBy(col("src")))),
+      "textrank-edges")
+    val nV = eo.select(col("src")).distinct().count()
+    val scale = math.pow(10,
+      math.min(10, math.floor(math.log10(math.pow(2, 52) / math.max(1L, nV).toDouble)).toInt))
+    var ranks = eo.select(col("src").as("v")).distinct()
+      .withColumn("rank", lit(1.0))
+    for (_ <- 1 to 5) {
+      ranks = eo.join(ranks, eo("src") === ranks("v"))
+        .select(col("dst"),
+          (col("rank") * (col("w").cast("double") / col("wout").cast("double")))
+            .as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(floor(col("contrib") * lit(scale) + lit(0.5))
+          .cast(DecimalType(20, 0))).as("si"))
+        .select(col("dst").as("v"),
+          (lit(3.0 / 20.0) + lit(17.0 / 20.0) *
+            (col("si").cast("double") / lit(scale))).as("rank"))
+    }
+    ranks.select(col("v").as("word"),
+        graft.Parity.pround(col("rank"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("word"))
+      .limit(15)
+  }
+
+  /** `wout` window note: the oracle partitions by src over the EDGE
+    * relation (vocab-bounded), not the corpus — same shape as the Spark
+    * side's window, so no whale-partition asymmetry to pin.
+    */
+  val textrankKeywordsSql: String = {
+    def fold(prev: String): String =
+      s"""SELECT eo.dst AS v,
+         |       CAST(3 AS DOUBLE) / CAST(20 AS DOUBLE) +
+         |       (CAST(17 AS DOUBLE) / CAST(20 AS DOUBLE)) *
+         |       (CAST(sum(CAST(floor((r.rank * (CAST(eo.w AS DOUBLE) / CAST(eo.wout AS DOUBLE))) * 1e10 + 0.5)
+         |                      AS DECIMAL(20,0))) AS DOUBLE) / 1e10) AS rank
+         |FROM eo JOIN $prev r ON eo.src = r.v
+         |GROUP BY eo.dst""".stripMargin
+    val folds = (1 to 5).map(i => s"r$i AS (${fold(s"r${i - 1}")})").mkString(",\n")
+    s"""WITH $normedSql,
+       |$bigramStreamSql,
+       |bg AS (SELECT prev, cur FROM b2 WHERE prev <> cur),
+       |edges AS (
+       |  SELECT prev AS src, cur AS dst FROM bg
+       |  UNION ALL
+       |  SELECT cur AS src, prev AS dst FROM bg),
+       |ew AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+       |       FROM edges GROUP BY 1, 2),
+       |eo AS (SELECT src, dst, w,
+       |              CAST(sum(w) OVER (PARTITION BY src) AS BIGINT) AS wout
+       |       FROM ew),
+       |r0 AS (SELECT DISTINCT src AS v, CAST(1 AS DOUBLE) AS rank FROM eo),
+       |$folds
+       |SELECT v AS word, ${graft.Parity.proundSql("rank", 6)} AS rank
+       |FROM r5 ORDER BY rank DESC, word LIMIT 15""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "token_simpson" -> tokenSimpson,
+    "textrank_keywords" -> textrankKeywords,
     "bm25_topk" -> bm25TopK,
     "bpe_train" -> bpeTrain,
     "bpe_train20" -> bpeTrain20,
@@ -1946,6 +2077,8 @@ object TextQueries {
     "pii_scrub" -> piiScrub)
 
   val oracleSql: Map[String, String] = Map(
+    "token_simpson" -> tokenSimpsonSql,
+    "textrank_keywords" -> textrankKeywordsSql,
     "bm25_topk" -> bm25TopKSql,
     "bpe_train" -> bpeTrainSql,
     "bpe_train20" -> bpeTrain20Sql,
