@@ -113,6 +113,35 @@ object DocDedup {
   private def materializedSignatures(docs: DataFrame): DataFrame =
     scratchTable(minhashSignatures(docs), "minhash-sigs")
 
+  /** Estimated AND exact Jaccard side by side for every LSH candidate pair,
+    * from ONE signature scratch, ONE banded self-join, and ONE shingle-set
+    * scratch — the input an estimator-quality audit needs. Calling
+    * [[estimatedJaccardPairs]] and [[exactJaccardPairs]] separately would
+    * re-run the whole corpus-scan → shingle-explode → signature pipeline
+    * and the band join twice (the exact waste [[materializedSignatures]]
+    * exists to prevent).
+    */
+  def estVsExactPairs(docs: DataFrame): DataFrame = {
+    val sigs = materializedSignatures(docs)
+    val pairs = pairsFromSigs(sigs)
+    val docSets = scratchTable(shingleSets(docs), "shingle-sets")
+    val eqCount = (0 until NumHashes)
+      .map(j => when(col(s"a.mh_$j") === col(s"b.mh_$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val nCommon = size(array_intersect(col("za.shs"), col("zb.shs")))
+    pairs
+      .join(sigs.as("a"), pairs("doc_id_a") === col("a.doc_id"))
+      .join(sigs.as("b"), pairs("doc_id_b") === col("b.doc_id"))
+      .join(docSets.as("za"), pairs("doc_id_a") === col("za.doc_id"))
+      .join(docSets.as("zb"), pairs("doc_id_b") === col("zb.doc_id"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        graft.Parity.pround(eqCount.cast("double") / NumHashes, 6)
+          .as("est_jaccard"),
+        graft.Parity.pround(nCommon.cast("double") /
+          (size(col("za.shs")) + size(col("zb.shs")) - nCommon), 6)
+          .as("jaccard"))
+  }
+
   /** Band rows of a doc set — the (doc_id, band_idx, band_key) bucket
     * relation, i.e. the unit the incremental dedup path persists. Public
     * so plan capture (tools/dump_plans) and store integrations can name

@@ -571,7 +571,147 @@ object DedupQueries {
       |WHERE levenshtein(a.pfx, b.pfx) <= 20
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Asymmetric shingle CONTAINMENT for LSH candidates — |A∩B|/|A| and
+    * |A∩B|/|B|. Jaccard misses subset relationships (a tweet quoted inside
+    * a long article has tiny Jaccard but containment ≈ 1); dedup policies
+    * that drop the CONTAINED side need the directed measure. Same
+    * collision-bounded shape as [[ngramJaccard]]: candidates join the
+    * per-doc distinct shingle SETS, the intersection is a per-pair
+    * `array_intersect` — the shingle stream is never self-joined, so cost
+    * is ∝ LSH collisions at any corpus size. Each containment is ONE IEEE
+    * division of exact integers.
+    */
+  val containmentPairs: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val docSets = graft.Scratch.table(
+      DocDedup.shingleSets(docs), "containment-sets")
+    val nCommon = size(array_intersect(col("za.shs"), col("zb.shs")))
+    DocDedup.lshCandidatePairs(docs)
+      .join(docSets.as("za"), col("doc_id_a") === col("za.doc_id"))
+      .join(docSets.as("zb"), col("doc_id_b") === col("zb.doc_id"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        graft.Parity.pround(
+          nCommon.cast("double") / size(col("za.shs")).cast("double"), 6)
+          .as("contain_a_in_b"),
+        graft.Parity.pround(
+          nCommon.cast("double") / size(col("zb.shs")).cast("double"), 6)
+          .as("contain_b_in_a"))
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
+
+  val containmentPairsSql: String =
+    s"""WITH $sigsSql,
+       |$bandsSql,
+       |$pairsSql,
+       |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shd GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_id_a, c.doc_id_b, count(*) AS n_common
+       |  FROM cand c
+       |  JOIN shd sa ON c.doc_id_a = sa.doc_id
+       |  JOIN shd sb ON c.doc_id_b = sb.doc_id AND sa.shingle = sb.shingle
+       |  GROUP BY 1, 2)
+       |SELECT c.doc_id_a, c.doc_id_b,
+       |       ${graft.Parity.proundSql(
+                 "CAST(coalesce(i.n_common, 0) AS DOUBLE) / CAST(za.n_shingles AS DOUBLE)",
+                 6)} AS contain_a_in_b,
+       |       ${graft.Parity.proundSql(
+                 "CAST(coalesce(i.n_common, 0) AS DOUBLE) / CAST(zb.n_shingles AS DOUBLE)",
+                 6)} AS contain_b_in_a
+       |FROM cand c
+       |LEFT JOIN inter i ON c.doc_id_a = i.doc_id_a AND c.doc_id_b = i.doc_id_b
+       |JOIN sizes za ON c.doc_id_a = za.doc_id
+       |JOIN sizes zb ON c.doc_id_b = zb.doc_id
+       |ORDER BY c.doc_id_a, c.doc_id_b""".stripMargin
+
+  /** MinHash estimator quality report — ONE row auditing the sketch the
+    * whole near-dup family trusts: over the LSH candidate pairs, compare
+    * the signature-agreement estimate against the exact shingle Jaccard
+    * at the τ = 0.5 decision both engines use ([[sourceOverlap]],
+    * [[neardupMinhash]]): confusion counts, precision/recall of the
+    * estimator AS A CLASSIFIER of "exact ≥ τ" (candidate-restricted — LSH
+    * recall itself is a different, unobservable quantity without the
+    * quadratic ground truth this query exists to avoid), and the mean
+    * absolute estimation error. Both inputs are collision-bounded
+    * relations already computed by their own queries; the eval is a
+    * pair-keyed join plus one global aggregate.
+    */
+  val minhashEstEval: Q = (s, dir) => {
+    import org.apache.spark.sql.types.DecimalType
+    DocDedup.estVsExactPairs(Tables.documents(s, dir))
+      .select(col("est_jaccard").as("e"), col("jaccard").as("x"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("e") >= 0.5 && col("x") >= 0.5, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("e") >= 0.5 && col("x") < 0.5, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("e") < 0.5 && col("x") >= 0.5, 1L).otherwise(0L)).as("fn"),
+        sum(abs(col("e") - col("x")).cast(DecimalType(30, 10))).as("sae"))
+      .select(col("n_pairs"), col("tp"), col("fp"), col("fn"),
+        graft.Parity.pround(when(col("tp") + col("fp") > 0L,
+          col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .otherwise(lit(0.0)), 6).as("precision"),
+        graft.Parity.pround(when(col("tp") + col("fn") > 0L,
+          col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+          .otherwise(lit(0.0)), 6).as("recall"),
+        graft.Parity.pround(
+          col("sae").cast("double") / col("n_pairs").cast("double"), 6)
+          .as("mae"))
+  }
+
+  /** Oracle: `est` and `exact` re-derived from the shared CTE chain —
+    * |A∩B| via the distinct-shingle equi-join, the estimate via the
+    * signature-agreement count, joined on the pair key. */
+  val minhashEstEvalSql: String = {
+    val eq = (0 until NumHashes)
+      .map(j => s"CASE WHEN sa.mh_$j = sb.mh_$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $sigsSql,
+       |$bandsSql,
+       |$pairsSql,
+       |est AS (
+       |  SELECT c.doc_id_a, c.doc_id_b,
+       |         floor((CAST($eq AS DOUBLE) / ${NumHashes}) * 1e6 + 0.5) / 1e6 AS e
+       |  FROM cand c
+       |  JOIN sigs sa ON c.doc_id_a = sa.doc_id
+       |  JOIN sigs sb ON c.doc_id_b = sb.doc_id),
+       |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shd GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_id_a, c.doc_id_b, count(*) AS n_common
+       |  FROM cand c
+       |  JOIN shd sa ON c.doc_id_a = sa.doc_id
+       |  JOIN shd sb ON c.doc_id_b = sb.doc_id AND sa.shingle = sb.shingle
+       |  GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT c.doc_id_a, c.doc_id_b,
+       |         floor((CAST(coalesce(i.n_common, 0) AS DOUBLE)
+       |               / (za.n_shingles + zb.n_shingles - coalesce(i.n_common, 0))) * 1e6 + 0.5) / 1e6 AS x
+       |  FROM cand c
+       |  LEFT JOIN inter i ON c.doc_id_a = i.doc_id_a AND c.doc_id_b = i.doc_id_b
+       |  JOIN sizes za ON c.doc_id_a = za.doc_id
+       |  JOIN sizes zb ON c.doc_id_b = zb.doc_id),
+       |j AS (SELECT e, x FROM est JOIN exact USING (doc_id_a, doc_id_b)),
+       |g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |         CAST(sum(CASE WHEN e >= 0.5 AND x >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |         CAST(sum(CASE WHEN e >= 0.5 AND x < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |         CAST(sum(CASE WHEN e < 0.5 AND x >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |         sum(CAST(abs(e - x) AS DECIMAL(30,10))) AS sae
+       |  FROM j)
+       |SELECT n_pairs, tp, fp, fn,
+       |       ${graft.Parity.proundSql(
+                 "CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) ELSE 0.0 END",
+                 6)} AS precision,
+       |       ${graft.Parity.proundSql(
+                 "CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) ELSE 0.0 END",
+                 6)} AS recall,
+       |       ${graft.Parity.proundSql(
+                 "CAST(sae AS DOUBLE) / CAST(n_pairs AS DOUBLE)", 6)} AS mae
+       |FROM g""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "containment_pairs" -> containmentPairs,
+    "minhash_est_eval" -> minhashEstEval,
     "decontaminate" -> decontaminate,
     "fuzzy_pairs" -> fuzzyPairs,
     "dedup_keep_docs" -> dedupKeepDocs,
@@ -591,6 +731,8 @@ object DedupQueries {
     "simhash_pairs" -> simhashPairs)
 
   val oracleSql: Map[String, String] = Map(
+    "containment_pairs" -> containmentPairsSql,
+    "minhash_est_eval" -> minhashEstEvalSql,
     "decontaminate" -> decontaminateSql,
     "fuzzy_pairs" -> fuzzyPairsSql,
     "simhash_pairs" -> simhashPairsSql,
