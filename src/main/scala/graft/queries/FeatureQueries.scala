@@ -122,9 +122,17 @@ object FeatureQueries {
         lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), k)").cast("double"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"),
+        sumDec(col("value") * col("w")).as("svw"),
+        sumDec(col("w")).as("sw"))
+      // a user whose entire history is older than ~35 weeks quantizes
+      // every weight to 0 at DECIMAL(30,10): no recency signal exists, so
+      // the row is dropped rather than emitting 0/0 (NULL on Spark, NaN on
+      // DuckDB — a guaranteed cross-engine divergence)
+      .filter(col("sw") > lit(0))
+      .select(col("user_id"), col("n"),
         graft.Parity.pround(
-          sumDec(col("value") * col("w")).cast("double") /
-            sumDec(col("w")).cast("double"), 6).as("decayed_mean"))
+          col("svw").cast("double") / col("sw").cast("double"), 6)
+          .as("decayed_mean"))
       .orderBy(col("user_id"))
   }
 
@@ -140,17 +148,109 @@ object FeatureQueries {
        |       ${graft.Parity.proundSql(
                  "CAST(sum(CAST(value * w AS DECIMAL(30,10))) AS DOUBLE) / CAST(sum(CAST(w AS DECIMAL(30,10))) AS DOUBLE)",
                  6)} AS decayed_mean
-       |FROM wts GROUP BY user_id ORDER BY user_id""".stripMargin
+       |FROM wts GROUP BY user_id
+       |HAVING sum(CAST(w AS DECIMAL(30,10))) > 0
+       |ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------ gini_activity
+
+  /** Gini coefficient of per-user activity — the whale-user inequality
+    * profile (how concentrated is the event stream?), the number a
+    * sampling strategy consults before deciding per-user caps. Exact rank
+    * formula G = (2·Σᵢ i·cᵢ − (n+1)·Σc) / (n·Σc) over counts sorted
+    * ascending — the rank i comes from [[graft.relational.GlobalIndex]]
+    * (range-partitioned global row number), NEVER a single-partition
+    * `row_number() OVER (ORDER BY …)`: the count relation is
+    * |users|-sized, which at 100 TB is itself billions of rows. Both Σ
+    * accumulate in DECIMAL(38,0) (i·c products reach ~1e27 at profiled
+    * scale); the final expression is three exact integer casts and fixed
+    * double arithmetic. ONE output row.
+    */
+  val giniActivity: Q = (s, dir) => {
+    val counts = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val idxed = graft.relational.GlobalIndex.withGlobalIndex(
+      counts, Seq("c", "user_id"))
+    // cast BEFORE multiplying: idx·c wraps BIGINT at exactly the scale
+    // this profile diagnoses (the skew_profile lesson); 19+19 digit
+    // operands keep the product inside both engines' DECIMAL(38,0)
+    idxed.agg(count(lit(1)).as("n_users"),
+        sum(col("c").cast(DecimalType(38, 0))).as("sc"),
+        sum(col("idx").cast(DecimalType(19, 0)) *
+          col("c").cast(DecimalType(19, 0))).as("src"))
+      .select(col("n_users"), col("sc").cast("long").as("total_events"),
+        graft.Parity.pround(
+          (lit(2.0) * col("src").cast("double") -
+            (col("n_users").cast("double") + lit(1.0)) * col("sc").cast("double")) /
+            (col("n_users").cast("double") * col("sc").cast("double")), 6)
+          .as("gini"))
+  }
+
+  val giniActivitySql: String =
+    s"""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+       |           FROM events GROUP BY 1),
+       |r AS (SELECT c, CAST(row_number() OVER (ORDER BY c, user_id) AS BIGINT) AS idx
+       |      FROM c),
+       |g AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+       |             sum(CAST(c AS DECIMAL(38,0))) AS sc,
+       |             sum(CAST(idx AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS src
+       |      FROM r)
+       |SELECT n_users, CAST(sc AS BIGINT) AS total_events,
+       |       ${graft.Parity.proundSql(
+                 "(2.0 * CAST(src AS DOUBLE) - (CAST(n_users AS DOUBLE) + 1.0) * CAST(sc AS DOUBLE)) / (CAST(n_users AS DOUBLE) * CAST(sc AS DOUBLE))",
+                 6)} AS gini
+       |FROM g""".stripMargin
+
+  // ------------------------------------------------------------ churn_labels
+
+  /** Churn label generation — the supervised-label derivation a training
+    * pipeline runs against its own event log: the observation window ends
+    * 14 days before the corpus high-watermark; users active in the
+    * observation window get `churned = 1` iff they have NO event in the
+    * final 14 days. Features (here: observation-window event count) and
+    * label come from the SAME single conditional aggregate, so the label
+    * boundary is leak-proof by construction (no post-cutoff data feeds a
+    * feature). One corpus pass, one 1-row cutoff broadcast.
+    */
+  val churnLabels: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val hw = ev.agg(date_sub(max(to_date(col("ts"))), 14).as("cutoff"))
+    ev.crossJoin(broadcast(hw))
+      .groupBy(col("user_id"))
+      .agg(sum(when(to_date(col("ts")) < col("cutoff"), 1L).otherwise(0L))
+          .as("n_before"),
+        sum(when(to_date(col("ts")) >= col("cutoff"), 1L).otherwise(0L))
+          .as("n_after"))
+      .filter(col("n_before") > 0L)
+      .select(col("user_id"), col("n_before"),
+        when(col("n_after") === 0L, 1L).otherwise(0L).as("churned"))
+      .orderBy(col("user_id"))
+  }
+
+  val churnLabelsSql: String =
+    s"""WITH hw AS (SELECT max(CAST(ts AS DATE)) - 14 AS cutoff FROM events),
+       |g AS (
+       |  SELECT user_id,
+       |         CAST(sum(CASE WHEN CAST(ts AS DATE) < cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+       |         CAST(sum(CASE WHEN CAST(ts AS DATE) >= cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+       |  FROM events CROSS JOIN hw GROUP BY user_id)
+       |SELECT user_id, n_before,
+       |       CAST(CASE WHEN n_after = 0 THEN 1 ELSE 0 END AS BIGINT) AS churned
+       |FROM g WHERE n_before > 0 ORDER BY user_id""".stripMargin
 
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
     "target_encode" -> targetEncode,
     "kfold_assign" -> kfoldAssign,
-    "decay_weighted" -> decayWeighted)
+    "decay_weighted" -> decayWeighted,
+    "gini_activity" -> giniActivity,
+    "churn_labels" -> churnLabels)
 
   val oracleSql: Map[String, String] = Map(
     "target_encode" -> targetEncodeSql,
     "kfold_assign" -> kfoldAssignSql,
-    "decay_weighted" -> decayWeightedSql)
+    "decay_weighted" -> decayWeightedSql,
+    "gini_activity" -> giniActivitySql,
+    "churn_labels" -> churnLabelsSql)
 }
