@@ -1955,6 +1955,89 @@ object TextQueries {
                  6)} AS simpson
        |FROM g ORDER BY doc_id""".stripMargin
 
+  /** Naive-Bayes language classifier, trained and evaluated in-engine —
+    * the supervised upgrade of the stopword-heuristic [[langConfusion]]
+    * tier: per-language add-one-smoothed unigram models from the corpus's
+    * own labels, each document scored against EVERY language, argmax
+    * prediction, and the (actual, predicted) confusion matrix out. The
+    * per-token likelihood is p(t|ℓ) = (c+1)/(n_ℓ+V); the document score
+    * is the MEAN likelihood — the log-free exact-rational surrogate with
+    * the same argmax for near-uniform token evidence (each p is one
+    * integer-ratio IEEE division; the per-doc sum is exact-DECIMAL
+    * quantized, so the argmax compares bit-identical doubles on both
+    * engines; ties break lexicographically).
+    *
+    * Scale shape: the model is a (lang × vocab) RELATION — grows with the
+    * vocabulary, so it is NEVER broadcast; the probe joins the token
+    * stream co-partitioned on (lang, token). Only the |langs|-row totals
+    * and the 1-row vocabulary size ride in as broadcasts. The per-doc
+    * argmax is a window over |langs| rows per doc — bounded by the closed
+    * language set, the legitimate small-partition window. Output is
+    * |langs|²-bounded.
+    */
+  val nbLangConfusion: Q = (s, dir) => {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = graft.Scratch.table(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang").as("actual_lang"),
+          explode(TextAnalysis.words(col("text"))).as("token"))
+        .filter(col("token") =!= ""),
+      "nb-toks")
+    val model = toks.groupBy(col("actual_lang").as("lang"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val totals = model.groupBy(col("lang")).agg(sum(col("c")).as("nl"))
+    val vocab = model.select(col("token")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val scored = toks
+      .crossJoin(broadcast(totals.select(col("lang").as("cand_lang"), col("nl"))))
+      .crossJoin(broadcast(vocab))
+      .join(model, col("cand_lang") === model("lang") &&
+        toks("token") === model("token"), "left_outer")
+      .select(col("doc_id"), col("actual_lang"), col("cand_lang"),
+        ((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+          (col("nl") + col("v")).cast("double")).as("p"))
+      .groupBy(col("doc_id"), col("actual_lang"), col("cand_lang"))
+      .agg((sum(col("p").cast(DecimalType(30, 10))).cast("double") /
+        count(lit(1))).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cand_lang"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("actual_lang"), col("cand_lang").as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("actual_lang"), col("pred_lang"))
+  }
+
+  val nbLangConfusionSql: String =
+    s"""WITH $normedSql,
+       |tok AS (
+       |  SELECT d.doc_id, d.lang AS actual_lang, t.token
+       |  FROM (SELECT doc_id, unnest(ws) AS token FROM w) t
+       |  JOIN documents d ON t.doc_id = d.doc_id
+       |  WHERE t.token <> ''),
+       |model AS (SELECT actual_lang AS lang, token, CAST(count(*) AS BIGINT) AS c
+       |          FROM tok GROUP BY 1, 2),
+       |totals AS (SELECT lang, CAST(sum(c) AS BIGINT) AS nl FROM model GROUP BY 1),
+       |vocab AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM model),
+       |scored AS (
+       |  SELECT t.doc_id, t.actual_lang, tt.lang AS cand_lang,
+       |         CAST(sum(CAST(CAST(coalesce(m.c, 0) + 1 AS DOUBLE)
+       |                       / CAST(tt.nl + vocab.v AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE)
+       |           / count(*) AS score
+       |  FROM tok t
+       |  CROSS JOIN totals tt
+       |  CROSS JOIN vocab
+       |  LEFT JOIN model m ON m.lang = tt.lang AND m.token = t.token
+       |  GROUP BY 1, 2, 3),
+       |pred AS (
+       |  SELECT doc_id, actual_lang, cand_lang,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY score DESC, cand_lang) AS rn
+       |  FROM scored)
+       |SELECT actual_lang, cand_lang AS pred_lang, CAST(count(*) AS BIGINT) AS n
+       |FROM pred WHERE rn = 1
+       |GROUP BY 1, 2 ORDER BY actual_lang, pred_lang""".stripMargin
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004) — damped PageRank
     * over the word co-occurrence graph: vertices are corpus words, edges
     * connect ADJACENT words (the [[bigramStream]] bigrams, symmetrized,
@@ -2042,6 +2125,7 @@ object TextQueries {
   val queries: Map[String, Q] = Map(
     "token_simpson" -> tokenSimpson,
     "textrank_keywords" -> textrankKeywords,
+    "nb_lang_confusion" -> nbLangConfusion,
     "bm25_topk" -> bm25TopK,
     "bpe_train" -> bpeTrain,
     "bpe_train20" -> bpeTrain20,
@@ -2079,6 +2163,7 @@ object TextQueries {
   val oracleSql: Map[String, String] = Map(
     "token_simpson" -> tokenSimpsonSql,
     "textrank_keywords" -> textrankKeywordsSql,
+    "nb_lang_confusion" -> nbLangConfusionSql,
     "bm25_topk" -> bm25TopKSql,
     "bpe_train" -> bpeTrainSql,
     "bpe_train20" -> bpeTrain20Sql,

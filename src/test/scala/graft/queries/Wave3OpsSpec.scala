@@ -89,11 +89,13 @@ class Wave3OpsSpec extends SparkSpec {
   test("ols_trend: slope/intercept equal the driver-side closed form") {
     val got = FeatureQueriesSpecHelp.olsBySymbol(spark, sf0001)
     val want = Tables.events(spark, sf0001)
-      .select(col("event_type"), col("ts").cast("long"), col("value")).collect()
+      .select(col("event_type"), unix_micros(col("ts")), col("value")).collect()
       .groupBy(_.getString(0)).map { case (sym, rs) =>
         val ts = rs.map(_.getLong(1))
         val mn = ts.min
-        val xs = ts.map(t => (t - mn).toDouble) // ts cast long = seconds
+        // mirror the query's (us - mn) DIV 1000000 — differencing BEFORE
+        // truncation; per-row second-casts would disagree on sub-second ticks
+        val xs = ts.map(t => ((t - mn) / 1000000L).toDouble)
         val ys = rs.map(_.getDouble(2))
         val n = xs.length.toDouble
         val (sx, sy) = (xs.sum, ys.sum)
