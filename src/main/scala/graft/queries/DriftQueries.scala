@@ -430,7 +430,86 @@ object DriftQueries {
        |WHERE a.se + b.se > 0.0
        |ORDER BY type_a, type_b""".stripMargin
 
+  /** Higher-moment distribution report per event_type — skewness and
+    * excess kurtosis alongside the mean/std battery: the drift signals a
+    * variance monitor misses (a source can keep its mean and variance
+    * while its tail behavior flips — fat tails show in m₄, asymmetry in
+    * m₃). All four raw power sums accumulate exact-DECIMAL in the SAME
+    * one-pass map-side-combined aggregate ([[valueOutliers]]' battery
+    * extended); central moments derive from raw ones in doubles with one
+    * fixed operation order, σ via the bit-portable sqrt. Σx⁴ uses
+    * DECIMAL(38,6): 32 integer digits hold 560⁴ × 10¹² rows with room to
+    * spare, where (30,10) would saturate.
+    */
+  val momentsReport: Q = (s, dir) => {
+    def sumDec6(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(38, 6)))
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sumDec(col("value")).cast("double").as("sx"),
+        sumDec(col("value") * col("value")).cast("double").as("sxx"),
+        sumDec6(col("value") * col("value") * col("value")).cast("double").as("sx3"),
+        sumDec6(col("value") * col("value") * col("value") * col("value"))
+          .cast("double").as("sx4"))
+      .filter(col("n") > 1L)
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("mu", col("sx") / col("nd"))
+      .withColumn("q2", col("sxx") / col("nd"))
+      .withColumn("q3", col("sx3") / col("nd"))
+      .withColumn("q4", col("sx4") / col("nd"))
+      .withColumn("m2", col("q2") - col("mu") * col("mu"))
+      .filter(col("m2") > lit(0.0))
+      .withColumn("sd", sqrt(col("m2")))
+      .select(col("event_type"), col("n"),
+        graft.Parity.pround(col("mu"), 6).as("mean"),
+        graft.Parity.pround(col("sd"), 6).as("std"),
+        graft.Parity.pround(
+          (col("q3") - lit(3.0) * col("mu") * col("q2") +
+            lit(2.0) * col("mu") * col("mu") * col("mu")) /
+            (col("sd") * col("sd") * col("sd")), 6).as("skewness"),
+        graft.Parity.pround(
+          (col("q4") - lit(4.0) * col("mu") * col("q3") +
+            lit(6.0) * col("mu") * col("mu") * col("q2") -
+            lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu")) /
+            (col("m2") * col("m2")) - lit(3.0), 6).as("kurtosis_excess"))
+      .orderBy(col("event_type"))
+  }
+
+  val momentsReportSql: String =
+    s"""WITH st AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+       |         CAST(sum(CAST(value * value AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+       |         CAST(sum(CAST(value * value * value AS DECIMAL(38,6))) AS DOUBLE) AS sx3,
+       |         CAST(sum(CAST(value * value * value * value AS DECIMAL(38,6))) AS DOUBLE) AS sx4
+       |  FROM events GROUP BY 1 HAVING count(*) > 1),
+       |d1 AS (
+       |  SELECT event_type, n, CAST(n AS DOUBLE) AS nd, sx, sxx, sx3, sx4
+       |  FROM st),
+       |d2 AS (
+       |  SELECT event_type, n, nd, sx / nd AS mu, sxx / nd AS q2,
+       |         sx3 / nd AS q3, sx4 / nd AS q4
+       |  FROM d1),
+       |d3 AS (
+       |  SELECT event_type, n, mu, q2, q3, q4, q2 - mu * mu AS m2
+       |  FROM d2),
+       |d4 AS (
+       |  SELECT event_type, n, mu, q2, q3, q4, m2, sqrt(m2) AS sd
+       |  FROM d3 WHERE m2 > 0.0)
+       |SELECT event_type, n,
+       |       ${graft.Parity.proundSql("mu", 6)} AS mean,
+       |       ${graft.Parity.proundSql("sd", 6)} AS std,
+       |       ${graft.Parity.proundSql(
+                 "(q3 - 3.0 * mu * q2 + 2.0 * mu * mu * mu) / (sd * sd * sd)",
+                 6)} AS skewness,
+       |       ${graft.Parity.proundSql(
+                 "(q4 - 4.0 * mu * q3 + 6.0 * mu * mu * q2 - 3.0 * mu * mu * mu * mu) / (m2 * m2) - 3.0",
+                 6)} AS kurtosis_excess
+       |FROM d4 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "moments_report" -> momentsReport,
     "value_outliers" -> valueOutliers,
     "robust_outliers" -> robustOutliers,
     "winsorize_stats" -> winsorizeStats,
@@ -439,6 +518,7 @@ object DriftQueries {
     "ab_welch_t" -> abWelchT)
 
   val oracleSql: Map[String, String] = Map(
+    "moments_report" -> momentsReportSql,
     "value_outliers" -> valueOutliersSql,
     "robust_outliers" -> robustOutliersSql,
     "winsorize_stats" -> winsorizeStatsSql,
