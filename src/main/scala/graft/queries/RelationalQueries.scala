@@ -3784,7 +3784,152 @@ object RelationalQueries {
        |FROM l4 ORDER BY v""".stripMargin
   }
 
+  /** Degree assortativity of the trade graph — Newman's r: the Pearson
+    * correlation of endpoint degrees over the (symmetrized) edge list.
+    * Positive r = hubs prefer hubs (social-network shape), negative r =
+    * hubs fan out to leaves (the bipartite/infrastructure shape this
+    * graph should show). The whole statistic is SUFFICIENT STATISTICS in
+    * one aggregate over edges⋈degrees — the [[priceCorrelation]] /
+    * ols_trend pattern applied to graph topology. The dst-side degree
+    * join is |V|-keyed co-partitioned, never broadcast (the degree
+    * relation grows with the graph); products cast to DECIMAL(19,0)
+    * BEFORE multiplying — degree² wraps BIGINT exactly on the hubby
+    * graphs this statistic diagnoses.
+    */
+  val degreeAssortativity: Q = (s, dir) => {
+    val eo = pagerankEdges(s, dir) // (src, dst, outdeg) — symmetrized
+    val deg = eo.select(col("src").as("dst"), col("outdeg").as("dy")).distinct()
+    val xy = eo.select(col("dst"), col("outdeg").as("dx")).join(deg, "dst")
+    def d19(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
+    val g = xy.agg(count(lit(1)).as("n"),
+      sum(d19(col("dx"))).cast("double").as("sx"),
+      sum(d19(col("dy"))).cast("double").as("sy"),
+      sum(d19(col("dx")) * d19(col("dy"))).cast("double").as("sxy"),
+      sum(d19(col("dx")) * d19(col("dx"))).cast("double").as("sxx"),
+      sum(d19(col("dy")) * d19(col("dy"))).cast("double").as("syy"))
+      .withColumn("nd", col("n").cast("double"))
+      .filter(col("nd") * col("sxx") - col("sx") * col("sx") > lit(0.0) &&
+        col("nd") * col("syy") - col("sy") * col("sy") > lit(0.0))
+    g.select(col("n").as("n_edges"),
+      graft.Parity.pround(
+        (col("nd") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("nd") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("nd") * col("syy") - col("sy") * col("sy"))), 6)
+        .as("assortativity"))
+  }
+
+  val degreeAssortativitySql: String =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey AS c, -l_suppkey AS p
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (
+       |  SELECT c AS src, p AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT p AS src, c AS dst FROM pairs),
+       |outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+       |xy AS (
+       |  SELECT a.d AS dx, b.d AS dy
+       |  FROM edges e JOIN outdeg a ON e.src = a.src
+       |               JOIN outdeg b ON e.dst = b.src),
+       |g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) AS DOUBLE) AS nd,
+       |         CAST(sum(CAST(dx AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+       |         CAST(sum(CAST(dy AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+       |         CAST(sum(CAST(dx AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0))) AS DOUBLE) AS sxy,
+       |         CAST(sum(CAST(dx AS DECIMAL(19,0)) * CAST(dx AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+       |         CAST(sum(CAST(dy AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0))) AS DOUBLE) AS syy
+       |  FROM xy)
+       |SELECT n AS n_edges,
+       |       ${graft.Parity.proundSql(
+                 "(nd * sxy - sx * sy) / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))",
+                 6)} AS assortativity
+       |FROM g
+       |WHERE nd * sxx - sx * sx > 0.0 AND nd * syy - sy * sy > 0.0""".stripMargin
+
+  /** HLL audience-overlap matrix — |A∩B| for every event_type pair by
+    * inclusion–exclusion over MERGED sketches: est(A) + est(B) − est(A∪B),
+    * where the union sketch is the per-bucket register max (exact
+    * mergeability — the property the per-day registers already rely on in
+    * [[hllMergeDays]]). This is the pre-join diagnostic for audience/user
+    * overlap at 100 TB: three 64-register estimates per pair instead of a
+    * corpus-scale set intersection. The exact intersection rides along
+    * (one user-keyed co-partitioned self-join of the distinct relation)
+    * as the accuracy reference the estimator is judged against.
+    */
+  val hllOverlap: Q = (s, dir) => {
+    import graft.relational.Sketches
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"))
+    val regs = graft.Scratch.table(
+      Sketches.hllRegisters(ev, Seq("event_type"), col("user_id")),
+      "hll-overlap-regs")
+    val est = Sketches.hllFromRegisters(regs, Seq("event_type"))
+    val pairs = est.select(col("event_type").as("ta"), col("hll_est").as("est_a"))
+      .join(est.select(col("event_type").as("tb"), col("hll_est").as("est_b")),
+        col("ta") < col("tb"))
+    // union registers: per-bucket max across the pair's two register sets;
+    // the pair relation is |types|²-bounded BY CONSTRUCTION — broadcastable
+    val ureg = pairs.select(col("ta"), col("tb"))
+      .join(regs, col("event_type") === col("ta") ||
+        col("event_type") === col("tb"))
+      .groupBy(col("ta"), col("tb"), col("__bucket"))
+      .agg(max(col("__m")).as("__m"))
+    val uest = Sketches.hllFromRegisters(ureg, Seq("ta", "tb"))
+      .select(col("ta"), col("tb"), col("hll_est").as("est_union"))
+    val du = ev.distinct()
+    val exact = du.select(col("event_type").as("ta"), col("user_id"))
+      .join(du.select(col("event_type").as("tb"), col("user_id")), "user_id")
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("exact_overlap"))
+    pairs.join(uest, Seq("ta", "tb"))
+      .join(exact, Seq("ta", "tb"), "left_outer")
+      .select(col("ta"), col("tb"),
+        graft.Parity.pround(col("est_a"), 6).as("est_a"),
+        graft.Parity.pround(col("est_b"), 6).as("est_b"),
+        graft.Parity.pround(col("est_union"), 6).as("est_union"),
+        graft.Parity.pround(col("est_a") + col("est_b") - col("est_union"), 6)
+          .as("est_overlap"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  val hllOverlapSql: String = {
+    import graft.relational.Sketches
+    s"""WITH ev AS (SELECT event_type, user_id FROM events),
+       |${Sketches.hllRegistersSql("ev", Seq("event_type"), "user_id", "regs")},
+       |${Sketches.hllEstimateSql("regs", Seq("event_type"), "ht")},
+       |prs AS (
+       |  SELECT a.event_type AS ta, b.event_type AS tb,
+       |         a.hll_est AS est_a, b.hll_est AS est_b
+       |  FROM ht a JOIN ht b ON a.event_type < b.event_type),
+       |ureg AS (
+       |  SELECT p.ta, p.tb, r.bucket, max(r.m) AS m
+       |  FROM prs p JOIN regs r
+       |    ON r.event_type = p.ta OR r.event_type = p.tb
+       |  GROUP BY 1, 2, 3),
+       |${Sketches.hllEstimateSql("ureg", Seq("ta", "tb"), "hu")},
+       |du AS (SELECT DISTINCT event_type, user_id FROM ev),
+       |ex AS (
+       |  SELECT a.event_type AS ta, b.event_type AS tb,
+       |         CAST(count(*) AS BIGINT) AS exact_overlap
+       |  FROM du a JOIN du b
+       |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+       |  GROUP BY 1, 2)
+       |SELECT p.ta, p.tb,
+       |       ${graft.Parity.proundSql("p.est_a", 6)} AS est_a,
+       |       ${graft.Parity.proundSql("p.est_b", 6)} AS est_b,
+       |       ${graft.Parity.proundSql("hu.hll_est", 6)} AS est_union,
+       |       ${graft.Parity.proundSql(
+                 "p.est_a + p.est_b - hu.hll_est", 6)} AS est_overlap,
+       |       COALESCE(ex.exact_overlap, 0) AS exact_overlap
+       |FROM prs p JOIN hu USING (ta, tb)
+       |LEFT JOIN ex ON ex.ta = p.ta AND ex.tb = p.tb
+       |ORDER BY ta, tb""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "degree_assortativity" -> degreeAssortativity,
+    "hll_overlap" -> hllOverlap,
     "label_prop" -> labelProp,
     "modularity_score" -> modularityScore,
     "window_distribution" -> windowDistribution,
@@ -3868,6 +4013,8 @@ object RelationalQueries {
     "range_frame_sum" -> rangeFrameSumSql,
     "events_grouping_sets" -> eventsGroupingSetsSql,
     "kcore_parts" -> kcorePartsSql,
+    "degree_assortativity" -> degreeAssortativitySql,
+    "hll_overlap" -> hllOverlapSql,
     "pagerank_authority" -> pagerankAuthoritySql,
     "graph_random_walks" -> graphRandomWalksSql,
     "er_sorted_neighborhood" -> erSortedNeighborhoodSql,
