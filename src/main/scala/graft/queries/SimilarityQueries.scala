@@ -1101,7 +1101,12 @@ object SimilarityQueries {
         graft.ml.PCA.covariance(Tables.embeddings(s, dir)), iters = 4)
       .orderBy(col("dim"))
 
-  val pcaPowerIterSql: String = {
+  /** Shared oracle CTE chain through `v4`/`n4` — the four unrolled power
+    * rounds over the symmetrized covariance, used by [[pcaPowerIterSql]]
+    * (loadings out) and [[pcaProjectSql]] (loadings applied back to the
+    * centered rows).
+    */
+  private val pcaChainSql: String = {
     def step(t: Int): String =
       s"""y$t AS (
          |  SELECT cf.i, CAST(sum(CAST(floor(cf.cov * v.v * 1e7 + 0.5)
@@ -1114,17 +1119,63 @@ object SimilarityQueries {
          |v$t AS (
          |  SELECT y.i AS j, floor(y.y / n.nm * 1e7 + 0.5) / 1e7 AS v
          |  FROM y$t y CROSS JOIN n$t n)""".stripMargin
-    s"""WITH $covCtesSql,
+    s"""$covCtesSql,
        |cvr AS (SELECT i, j, ${graft.Parity.proundSql("covr", 6)} AS cov FROM cv),
        |cf AS (SELECT i, j, cov FROM cvr
        |       UNION ALL
        |       SELECT j AS i, i AS j, cov FROM cvr WHERE i < j),
        |v0 AS (SELECT DISTINCT j, CAST(0.125 AS DOUBLE) AS v FROM cf),
-       |${(1 to 4).map(step).mkString(",\n")}
+       |${(1 to 4).map(step).mkString(",\n")}""".stripMargin
+  }
+
+  val pcaPowerIterSql: String =
+    s"""WITH $pcaChainSql
        |SELECT v.j AS dim, v.v AS loading,
        |       ${graft.Parity.proundSql("n.nm", 6)} AS eigenvalue
        |FROM v4 v CROSS JOIN n4 n ORDER BY dim""".stripMargin
+
+  /** Project every embedding onto the learned top principal component —
+    * the TRANSFORM arm of the PCA pipeline ([[pcaPowerIter]] is the fit):
+    * the 1-D representation used for curriculum ordering, coarse binning,
+    * or drift monitoring along the dominant variance axis. The loading
+    * vector is a d-row relation — bounded BY CONSTRUCTION by the embedding
+    * dimensionality, so it broadcasts where the covariance itself may not;
+    * the projection is one posexplode ⋈ loadings join and a per-vec
+    * quantized-exact sum (the [[graft.ml.PCA.powerIteration]] y-step
+    * applied to rows instead of the matrix). Centering reuses the same
+    * 1e7-exact per-dim means the covariance was built from.
+    */
+  val pcaProject: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val pc = graft.ml.PCA.powerIteration(graft.ml.PCA.covariance(emb), iters = 4)
+      .select(col("dim"), col("loading"))
+    val m = graft.ml.PCA.dimMeans(emb)
+    val mLit = array(m.toIndexedSeq.map(lit): _*)
+    emb.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        (col("x").cast("double") - element_at(mLit, col("dim") + 1)).as("c"))
+      .join(broadcast(pc), "dim")
+      .groupBy(col("vec_id"), col("label"))
+      .agg((sum(floor(col("c") * col("loading") * lit(1e7) + lit(0.5))
+        .cast(org.apache.spark.sql.types.DecimalType(25, 0)))
+        .cast("double") / lit(1e7)).as("p0"))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        graft.Parity.pround(col("p0"), 6).as("projection"))
+      .orderBy(col("vec_id"))
   }
+
+  val pcaProjectSql: String =
+    s"""WITH $pcaChainSql,
+       |proj AS (
+       |  SELECT cx.vec_id,
+       |         CAST(sum(CAST(floor(cx.c * v.v * 1e7 + 0.5)
+       |               AS DECIMAL(25,0))) AS DOUBLE) / 1e7 AS p0
+       |  FROM cx JOIN v4 v ON cx.i = v.j GROUP BY 1)
+       |SELECT p.vec_id, CAST(e.label AS BIGINT) AS label,
+       |       ${graft.Parity.proundSql("p.p0", 6)} AS projection
+       |FROM proj p JOIN embeddings e USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
 
   /** Active-learning batch selection: the 50 corpus rows the trained
     * classifier is LEAST SURE about (smallest |score − ½| margin) — the
@@ -1232,6 +1283,7 @@ object SimilarityQueries {
     "calibration_bins" -> calibrationBinsQ,
     "embedding_covariance" -> embeddingCovariance,
     "pca_power_iter" -> pcaPowerIter,
+    "pca_project" -> pcaProject,
     "uncertainty_sample" -> uncertaintySample,
     "hard_negatives" -> hardNegatives,
     "logreg_sparse_train" -> logregSparseTrain,
@@ -1268,6 +1320,7 @@ object SimilarityQueries {
     "calibration_bins" -> calibrationBinsSql,
     "embedding_covariance" -> embeddingCovarianceSql,
     "pca_power_iter" -> pcaPowerIterSql,
+    "pca_project" -> pcaProjectSql,
     "uncertainty_sample" -> uncertaintySampleSql,
     "hard_negatives" -> hardNegativesSql,
     "logreg_sparse_train" -> logregSparseTrainSql,

@@ -630,7 +630,73 @@ object StoreQueries {
        |SELECT user_id, n_events, value_sum, CAST(gen AS BIGINT) AS src_gen
        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** Right-to-be-forgotten purge — delete every row of a requested user
+    * set from a keyed store table, touching ONLY the partitions that
+    * contain them: the affected-day list is a bounded collect (the store's
+    * sanctioned day-list pattern), each affected day is rewritten as
+    * surviving-rows-only via partition overwrite, and a day left with zero
+    * survivors has its directory deleted outright (dynamic overwrite
+    * cannot replace a partition with emptiness — the [[IncrementalStore
+    * .retainDays]] filesystem arm handles it). Untouched days are never
+    * read. At 100 TB a purge of k users costs O(partitions containing
+    * them), not a corpus rewrite.
+    *
+    * The request set here is deterministic (`user_id % 97 = 0`) so the
+    * oracle can state the post-purge table exactly; output is the per-day
+    * row count plus the count of purged-user rows REMAINING (the
+    * compliance check — all zeros or the purge failed).
+    */
+  val gdprPurge: Q = (s, dir) => {
+    val target = s"${sys.props("java.io.tmpdir")}/graft_store/gdpr_purge"
+    val p = new org.apache.hadoop.fs.Path(target)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // idempotent scratch store
+    val ev = graft.Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    // plain partitioned build — there is no pre-existing table to merge
+    // into, so the upsert machinery would be dead weight here
+    IncrementalStore.overwriteDayPartitions(ev, target, "ts")
+    val purged = col("user_id") % 97 === 0
+    val stored = IncrementalStore.readTable(s, target)
+    // ONE aggregate pass yields both bounded day lists: partitions holding
+    // requested users, and among those the ones left with zero survivors
+    val dayStats = stored.groupBy(col(IncrementalStore.PartitionCol))
+      .agg(sum(when(purged, 1L).otherwise(0L)).as("n_purged"),
+        sum(when(purged, 0L).otherwise(1L)).as("n_keep"))
+      .filter(col("n_purged") > 0L)
+      .collect()
+    val days = dayStats.map(_.getDate(0))
+    if (days.nonEmpty) {
+      val survivors = stored
+        .filter(col(IncrementalStore.PartitionCol).isin(days.toIndexedSeq: _*))
+        .filter(!purged)
+        .drop(IncrementalStore.PartitionCol)
+      IncrementalStore.overwriteDayPartitions(survivors, target, "ts")
+      // fully-purged days: overwrite can't empty them — drop the directory
+      // (bounded: one fs call per such day)
+      dayStats.filter(_.getAs[Long]("n_keep") == 0L).map(_.getDate(0)).foreach { d =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          target, s"${IncrementalStore.PartitionCol}=$d"), true)
+      }
+    }
+    IncrementalStore.readTable(s, target)
+      .groupBy(col(IncrementalStore.PartitionCol).as("p_date"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(purged, 1L).otherwise(0L)).as("n_purged_remaining"))
+      .orderBy(col("p_date"))
+  }
+
+  val gdprPurgeSql: String =
+    """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS p_date,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(0 AS BIGINT) AS n_purged_remaining
+      |FROM events
+      |WHERE user_id % 97 <> 0
+      |GROUP BY 1 ORDER BY p_date""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "gdpr_purge" -> gdprPurge,
     "store_time_travel" -> storeTimeTravel,
     "store_retention" -> storeRetention,
     "schema_evolution" -> schemaEvolution,
@@ -643,6 +709,7 @@ object StoreQueries {
     "zorder_store" -> zorderStore,
     "bucketed_join" -> bucketedJoin)
   val oracleSql: Map[String, String] = Map(
+    "gdpr_purge" -> gdprPurgeSql,
     "store_time_travel" -> storeTimeTravelSql,
     "store_retention" -> storeRetentionSql,
     "schema_evolution" -> schemaEvolutionSql,

@@ -1997,7 +1997,12 @@ object TextQueries {
         ((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
           (col("nl") + col("v")).cast("double")).as("p"))
       .groupBy(col("doc_id"), col("actual_lang"), col("cand_lang"))
-      .agg((sum(col("p").cast(DecimalType(30, 10))).cast("double") /
+      // DECIMAL(38,30), not the house (30,10): p = (c+1)/(nl+V) shrinks
+      // with corpus size, and at nl ~ 2e10 a 1e-10 grid would quantize
+      // every probability to 0 (degenerate argmax). 30 fractional digits
+      // keep p exact down to nl ~ 1e30; 8 integer digits still hold any
+      // per-doc token count.
+      .agg((sum(col("p").cast(DecimalType(38, 30))).cast("double") /
         count(lit(1))).as("score"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("cand_lang"))
@@ -2022,7 +2027,7 @@ object TextQueries {
        |scored AS (
        |  SELECT t.doc_id, t.actual_lang, tt.lang AS cand_lang,
        |         CAST(sum(CAST(CAST(coalesce(m.c, 0) + 1 AS DOUBLE)
-       |                       / CAST(tt.nl + vocab.v AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE)
+       |                       / CAST(tt.nl + vocab.v AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)
        |           / count(*) AS score
        |  FROM tok t
        |  CROSS JOIN totals tt

@@ -87,9 +87,11 @@ class Wave4OpsSpec extends SparkSpec {
       assert(langs.contains(r.getAs[String]("actual_lang")))
       assert(langs.contains(r.getAs[String]("pred_lang")))
     }
+    // ≥1 NORMALIZED token: split of "" still yields [""], so filter the
+    // empties out before sizing (a doc of pure punctuation is unscoreable)
     val nScoreable = Tables.documents(spark, sf0001)
-      .filter(size(split(trim(regexp_replace(lower(col("text")),
-        "[^a-z0-9]+", " ")), " ")) > 0 && trim(col("text")) =!= "")
+      .filter(size(expr(
+        "filter(split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '), t -> t <> '')")) > 0)
       .count()
     assert(rows.map(_.getAs[Long]("n")).sum === nScoreable,
       "confusion matrix must cover every doc with at least one token")
