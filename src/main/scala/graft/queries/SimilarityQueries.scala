@@ -838,6 +838,91 @@ object SimilarityQueries {
                     "/ CAST(2 * n_pos * n_neg AS DOUBLE) END", 6)} AS auc
        |FROM agg""".stripMargin
 
+  /** Brier score of the trained classifier — mean squared error of the
+    * predicted probability against the outcome, the strictly proper
+    * scoring rule that [[calibrationBinsQ]] eyeballs and this number
+    * summarizes. Scores are 6-dp quantized, so (score−y)² is an EXACT
+    * 12-dp rational and DECIMAL(30,12) sums it losslessly — the statistic
+    * has zero float-association exposure end to end. One aggregate row.
+    */
+  val brierScore: Q = (s, dir) => {
+    import org.apache.spark.sql.types.DecimalType
+    graft.ml.LogReg.scoreAll(Tables.embeddings(s, dir))
+      .select(((col("score") - col("y").cast("double")) *
+        (col("score") - col("y").cast("double"))).as("se"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("se").cast(DecimalType(30, 12))).as("sse"))
+      .select(col("n"),
+        graft.Parity.pround(
+          col("sse").cast("double") / col("n").cast("double"), 6).as("brier"))
+  }
+
+  val brierScoreSql: String =
+    s"""WITH $logregScoredAllSql,
+       |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |             sum(CAST((score - CAST(y AS DOUBLE)) * (score - CAST(y AS DOUBLE))
+       |                      AS DECIMAL(30,12))) AS sse
+       |      FROM sc)
+       |SELECT n, ${graft.Parity.proundSql(
+                 "CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)", 6)} AS brier
+       |FROM g""".stripMargin
+
+  /** Cumulative-gains / lift table at deciles — "how much better than
+    * random is the model's top k%": corpus ranked by score descending,
+    * split into ten equal-count slices by EXACT integer rank arithmetic,
+    * each slice's positive rate compared to the base rate cumulatively.
+    * The rank comes from [[graft.relational.GlobalIndex]] (the scored
+    * relation is corpus-sized — a global `row_number() OVER (ORDER BY
+    * score)` would be the single-task anti-pattern); the decile rollup
+    * and its 10-row cumulative window are bounded by construction.
+    */
+  val liftDeciles: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val scored = graft.ml.LogReg.scoreAll(Tables.embeddings(s, dir))
+      .withColumn("neg", -col("score"))
+    val idxed = graft.relational.GlobalIndex.withGlobalIndex(
+      scored, Seq("neg", "vec_id"))
+    val tot = idxed.agg(count(lit(1)).as("c"),
+      sum(col("y")).as("p"))
+    val byDecile = idxed.crossJoin(broadcast(tot))
+      .withColumn("decile", expr("((idx - 1) * 10) DIV c"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("positives"),
+        min(col("c")).as("c"), min(col("p")).as("p"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDecile
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_positives", sum(col("positives")).over(w))
+      .select(col("decile"), col("n"), col("positives"), col("cum_positives"),
+        graft.Parity.pround(
+          (col("cum_positives").cast("double") / col("cum_n").cast("double")) /
+            (col("p").cast("double") / col("c").cast("double")), 6).as("lift"))
+      .orderBy(col("decile"))
+  }
+
+  val liftDecilesSql: String =
+    s"""WITH $logregScoredAllSql,
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS p FROM sc),
+       |r AS (SELECT y, CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS idx
+       |      FROM sc),
+       |d AS (SELECT ((idx - 1) * 10) // c AS decile, y FROM r CROSS JOIN tot),
+       |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+       |             CAST(sum(y) AS BIGINT) AS positives
+       |      FROM d GROUP BY 1),
+       |cum AS (
+       |  SELECT decile, n, positives,
+       |         CAST(sum(n) OVER (ORDER BY decile
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+       |         CAST(sum(positives) OVER (ORDER BY decile
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_positives
+       |  FROM g)
+       |SELECT decile, n, positives, cum_positives,
+       |       ${graft.Parity.proundSql(
+                 "(CAST(cum_positives AS DOUBLE) / CAST(cum_n AS DOUBLE)) / (CAST(p AS DOUBLE) / CAST(c AS DOUBLE))",
+                 6)} AS lift
+       |FROM cum CROSS JOIN tot ORDER BY decile""".stripMargin
+
   /** Calibration / reliability table ([[graft.ml.Eval.calibrationBins]]):
     * decile score bins × (count, positives, exact mean score, positive
     * rate) — the report that says whether the classifier's probabilities
@@ -1281,6 +1366,8 @@ object SimilarityQueries {
     "logreg_eval" -> logregEval,
     "roc_auc" -> rocAucQ,
     "calibration_bins" -> calibrationBinsQ,
+    "brier_score" -> brierScore,
+    "lift_deciles" -> liftDeciles,
     "embedding_covariance" -> embeddingCovariance,
     "pca_power_iter" -> pcaPowerIter,
     "pca_project" -> pcaProject,
@@ -1318,6 +1405,8 @@ object SimilarityQueries {
     "logreg_eval" -> logregEvalSql,
     "roc_auc" -> rocAucSql,
     "calibration_bins" -> calibrationBinsSql,
+    "brier_score" -> brierScoreSql,
+    "lift_deciles" -> liftDecilesSql,
     "embedding_covariance" -> embeddingCovarianceSql,
     "pca_power_iter" -> pcaPowerIterSql,
     "pca_project" -> pcaProjectSql,
