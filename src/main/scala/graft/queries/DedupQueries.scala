@@ -58,6 +58,35 @@ object DedupQueries {
       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
       |   AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Shared CTE chain `simp/cedges/reach/lbl` (expects sigs/bands/cand in
+    * scope, statement must open `WITH RECURSIVE`): est-Jaccard ≥ 0.5
+    * edges, symmetrized, recursive reachability, min-id cluster labels —
+    * THE cluster labeling. Every cluster-consuming oracle
+    * ([[dedupClustersSql]], [[dedupKeepBestSql]], [[goldenRecordsSql]])
+    * must share this single definition: a threshold or rounding change
+    * here changes them all together, which is the contract.
+    */
+  private val clusterLabelCtesSql: String = {
+    val eq = (0 until NumHashes)
+      .map(j => s"CASE WHEN sa.mh_$j = sb.mh_$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""simp AS (
+       |  SELECT c.doc_id_a, c.doc_id_b
+       |  FROM cand c
+       |  JOIN sigs sa ON c.doc_id_a = sa.doc_id
+       |  JOIN sigs sb ON c.doc_id_b = sb.doc_id
+       |  WHERE floor((CAST($eq AS DOUBLE) / $NumHashes) * 1e6 + 0.5) / 1e6 >= 0.5),
+       |cedges AS (
+       |  SELECT doc_id_a AS s, doc_id_b AS d FROM simp
+       |  UNION ALL
+       |  SELECT doc_id_b AS s, doc_id_a AS d FROM simp),
+       |reach AS (
+       |  SELECT doc_id AS v, doc_id AS u FROM documents
+       |  UNION
+       |  SELECT r.v, e.d FROM reach r JOIN cedges e ON r.u = e.s),
+       |lbl AS (SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v)""".stripMargin
+  }
+
   // ---------------------------------------------------------------- queries
 
   val dedupExactDocs: Q = (s, dir) =>
@@ -376,33 +405,15 @@ object DedupQueries {
     */
   val dedupClustersStar: Q = clustersVia(Components.connectedComponentsStar)
 
-  val dedupClustersSql: String = {
-    val eq = (0 until NumHashes)
-      .map(j => s"CASE WHEN sa.mh_$j = sb.mh_$j THEN 1 ELSE 0 END")
-      .mkString(" + ")
+  val dedupClustersSql: String =
     s"""WITH RECURSIVE $sigsSql,
        |$bandsSql,
        |$pairsSql,
-       |simp AS (
-       |  SELECT c.doc_id_a, c.doc_id_b
-       |  FROM cand c
-       |  JOIN sigs sa ON c.doc_id_a = sa.doc_id
-       |  JOIN sigs sb ON c.doc_id_b = sb.doc_id
-       |  WHERE floor((CAST($eq AS DOUBLE) / $NumHashes) * 1e6 + 0.5) / 1e6 >= 0.5),
-       |edges AS (
-       |  SELECT doc_id_a AS s, doc_id_b AS d FROM simp
-       |  UNION ALL
-       |  SELECT doc_id_b AS s, doc_id_a AS d FROM simp),
-       |reach AS (
-       |  SELECT doc_id AS v, doc_id AS u FROM documents
-       |  UNION
-       |  SELECT r.v, e.d FROM reach r JOIN edges e ON r.u = e.s),
-       |lbl AS (SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v),
+       |$clusterLabelCtesSql,
        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY cluster_id)
        |SELECT l.doc_id, l.cluster_id, s.cluster_size
        |FROM lbl l JOIN sz s USING (cluster_id)
        |ORDER BY l.doc_id""".stripMargin
-  }
 
   /** Quality-aware canonical selection: per near-dup cluster, keep the
     * HIGHEST-QUALITY member (tie → min doc_id) instead of the min-id one —
@@ -428,28 +439,11 @@ object DedupQueries {
   }
 
   val dedupKeepBestSql: String = {
-    val eq = (0 until NumHashes)
-      .map(j => s"CASE WHEN sa.mh_$j = sb.mh_$j THEN 1 ELSE 0 END")
-      .mkString(" + ")
     val stopCnt = TextQueries.stopCountSql(TextQueries.stopEn)
     s"""WITH RECURSIVE $sigsSql,
        |$bandsSql,
        |$pairsSql,
-       |simp AS (
-       |  SELECT c.doc_id_a, c.doc_id_b
-       |  FROM cand c
-       |  JOIN sigs sa ON c.doc_id_a = sa.doc_id
-       |  JOIN sigs sb ON c.doc_id_b = sb.doc_id
-       |  WHERE floor((CAST($eq AS DOUBLE) / $NumHashes) * 1e6 + 0.5) / 1e6 >= 0.5),
-       |cedges AS (
-       |  SELECT doc_id_a AS s, doc_id_b AS d FROM simp
-       |  UNION ALL
-       |  SELECT doc_id_b AS s, doc_id_a AS d FROM simp),
-       |reach AS (
-       |  SELECT doc_id AS v, doc_id AS u FROM documents
-       |  UNION
-       |  SELECT r.v, e.d FROM reach r JOIN cedges e ON r.u = e.s),
-       |lbl AS (SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v),
+       |$clusterLabelCtesSql,
        |qw AS (
        |  SELECT doc_id, text,
        |         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
@@ -709,7 +703,113 @@ object DedupQueries {
        |FROM g""".stripMargin
   }
 
+  /** Shingle novelty per document — what fraction of a doc's distinct
+    * 3-gram shingles appear in NO earlier document (doc_id order standing
+    * in for arrival order): the memorization/redundancy signal a
+    * curriculum or dedup-threshold decision reads, finer than pairwise
+    * near-dup (a doc can be 60% recycled boilerplate without any single
+    * close pair). Shape: the distinct (doc, shingle) relation → one
+    * shingle-keyed aggregate for each shingle's FIRST doc (map-side
+    * combined min) → join back co-partitioned on the shingle → per-doc
+    * exact ratio. No pair space at all — linear in the shingle stream.
+    */
+  val shingleNovelty: Q = (s, dir) => {
+    val shd = graft.Scratch.table(
+      DocDedup.shingleSets(Tables.documents(s, dir))
+        .select(col("doc_id"), explode(col("shs")).as("shingle")),
+      "novelty-shd")
+    val first = shd.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+    shd.join(first, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
+      .select(col("doc_id"), col("n_shingles"),
+        graft.Parity.pround(
+          lit(1.0) - col("n_seen").cast("double") /
+            col("n_shingles").cast("double"), 6).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  val shingleNoveltySql: String =
+    s"""WITH $sigsSql,
+       |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+       |fst AS (SELECT shingle, min(doc_id) AS first_doc FROM shd GROUP BY 1),
+       |g AS (
+       |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |         CAST(sum(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+       |  FROM shd s JOIN fst f USING (shingle)
+       |  GROUP BY 1)
+       |SELECT doc_id, n_shingles,
+       |       ${graft.Parity.proundSql(
+                 "1.0 - CAST(n_seen AS DOUBLE) / CAST(n_shingles AS DOUBLE)",
+                 6)} AS novelty
+       |FROM g ORDER BY doc_id""".stripMargin
+
+  /** Survivorship merge — the MDM "golden record" per near-dup cluster:
+    * instead of SELECTING one member ([[dedupKeepBest]]'s quality argmax),
+    * each output FIELD is merged independently by its own rule — canonical
+    * id = min member (stable), lang = majority vote (tie → lexicographic),
+    * length = the longest member's. The field rules are all exact
+    * aggregates over the cluster-keyed join of labels × documents; the
+    * majority vote is a (cluster, lang) count with a per-cluster
+    * row_number window — bounded by |langs per cluster|, a closed
+    * vocabulary, never corpus-scale.
+    */
+  val goldenRecords: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val labeled = graft.Scratch.table(
+      clusterLabels(docs, Components.connectedComponents)
+        .join(docs.select(col("doc_id"), col("lang"), col("n_chars")), "doc_id"),
+      "golden-labeled")
+    val base = labeled.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("doc_id")).as("canonical_doc_id"),
+        max(col("n_chars")).as("max_chars"))
+    val langVote = labeled.groupBy(col("cluster_id"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("cnt").desc, col("lang"))
+    val majority = langVote.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("lang").as("majority_lang"))
+    base.join(majority, "cluster_id")
+      .select(col("cluster_id"), col("n_members"),
+        col("canonical_doc_id"), col("majority_lang"), col("max_chars"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Field rules over the ONE shared cluster labeling
+    * ([[clusterLabelCtesSql]] — the same `lbl` dedup_clusters states). */
+  val goldenRecordsSql: String = {
+    s"""WITH RECURSIVE $sigsSql,
+       |$bandsSql,
+       |$pairsSql,
+       |$clusterLabelCtesSql,
+       |lj AS (SELECT l.cluster_id, d.doc_id, d.lang, d.n_chars
+       |       FROM lbl l JOIN documents d USING (doc_id)),
+       |base AS (
+       |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |         min(doc_id) AS canonical_doc_id,
+       |         max(n_chars) AS max_chars
+       |  FROM lj GROUP BY 1),
+       |vote AS (SELECT cluster_id, lang, count(*) AS cnt FROM lj GROUP BY 1, 2),
+       |mj AS (
+       |  SELECT cluster_id, lang AS majority_lang
+       |  FROM (SELECT cluster_id, lang,
+       |               row_number() OVER (PARTITION BY cluster_id
+       |                                  ORDER BY cnt DESC, lang) AS rn
+       |        FROM vote)
+       |  WHERE rn = 1)
+       |SELECT b.cluster_id, b.n_members, b.canonical_doc_id,
+       |       m.majority_lang, b.max_chars
+       |FROM base b JOIN mj m USING (cluster_id)
+       |ORDER BY cluster_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "golden_records" -> goldenRecords,
+    "shingle_novelty" -> shingleNovelty,
     "containment_pairs" -> containmentPairs,
     "minhash_est_eval" -> minhashEstEval,
     "decontaminate" -> decontaminate,
@@ -731,6 +831,8 @@ object DedupQueries {
     "simhash_pairs" -> simhashPairs)
 
   val oracleSql: Map[String, String] = Map(
+    "golden_records" -> goldenRecordsSql,
+    "shingle_novelty" -> shingleNoveltySql,
     "containment_pairs" -> containmentPairsSql,
     "minhash_est_eval" -> minhashEstEvalSql,
     "decontaminate" -> decontaminateSql,

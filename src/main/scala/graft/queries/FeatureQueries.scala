@@ -238,6 +238,41 @@ object FeatureQueries {
        |       CAST(CASE WHEN n_after = 0 THEN 1 ELSE 0 END AS BIGINT) AS churned
        |FROM g WHERE n_before > 0 ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------------ seasonality
+
+  /** Calendar seasonality profile — mean value per (event_type, ISO
+    * weekday, hour-of-day): the time-feature extraction a forecasting or
+    * anomaly pipeline joins back onto raw events ("is this value odd FOR
+    * A SUNDAY 3AM?"). One map-side-combined aggregate into a
+    * (|types|×7×24)-bounded relation. Weekday parity trap: Spark's
+    * `dayofweek` is Sunday=1 while DuckDB's `dayofweek` is Sunday=0, so
+    * BOTH sides are written in the ISO convention instead (Monday=1 …
+    * Sunday=7: Spark `weekday()+1`, DuckDB `isodow()`), which no engine
+    * disagrees on.
+    */
+  val seasonalityProfile: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        (expr("weekday(ts)") + lit(1)).cast("long").as("isodow"),
+        hour(col("ts")).cast("long").as("hod"), col("value"))
+      .groupBy(col("event_type"), col("isodow"), col("hod"))
+      .agg(count(lit(1)).as("n"),
+        graft.Parity.pround(
+          sumDec(col("value")).cast("double") / count(lit(1)).cast("double"),
+          6).as("mean_value"))
+      .orderBy(col("event_type"), col("isodow"), col("hod"))
+
+  val seasonalityProfileSql: String =
+    s"""SELECT event_type,
+       |       CAST(isodow(CAST(ts AS TIMESTAMP)) AS BIGINT) AS isodow,
+       |       CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       ${graft.Parity.proundSql(
+                 "CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / CAST(count(*) AS DOUBLE)",
+                 6)} AS mean_value
+       |FROM events
+       |GROUP BY 1, 2, 3 ORDER BY event_type, isodow, hod""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -245,12 +280,14 @@ object FeatureQueries {
     "kfold_assign" -> kfoldAssign,
     "decay_weighted" -> decayWeighted,
     "gini_activity" -> giniActivity,
-    "churn_labels" -> churnLabels)
+    "churn_labels" -> churnLabels,
+    "seasonality_profile" -> seasonalityProfile)
 
   val oracleSql: Map[String, String] = Map(
     "target_encode" -> targetEncodeSql,
     "kfold_assign" -> kfoldAssignSql,
     "decay_weighted" -> decayWeightedSql,
     "gini_activity" -> giniActivitySql,
-    "churn_labels" -> churnLabelsSql)
+    "churn_labels" -> churnLabelsSql,
+    "seasonality_profile" -> seasonalityProfileSql)
 }

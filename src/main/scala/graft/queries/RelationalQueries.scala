@@ -3031,6 +3031,44 @@ object RelationalQueries {
       |       floor((CAST(c.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS p
       |FROM c JOIN t USING (prev) ORDER BY prev, cur""".stripMargin
 
+  /** Top navigation paths — the most frequent length-3 event-type
+    * sequences across user journeys ([[markovTransitions]] is the
+    * order-1 view; this is the sequence-mining tier that catches what a
+    * transition matrix factorizes away, e.g. view→click→purchase vs
+    * view→click→error). Same shape: one per-user ordered window (the
+    * user-key whale bound the markov/sessionize family already pins),
+    * then a map-side-combined count into a ≤|types|³-bounded relation;
+    * the global top-10 is an ORDER BY … LIMIT (per-task heaps + a 10-row
+    * driver merge), never a full sort.
+    */
+  val topPaths: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.select(col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("e1"), col("e2"), col("e3"))
+      .limit(10)
+  }
+
+  val topPathsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+      |  FROM events),
+      |seq AS (SELECT e1, e2, e3 FROM (
+      |          SELECT event_type AS e1,
+      |                 lead(event_type, 1) OVER w AS e2,
+      |                 lead(event_type, 2) OVER w AS e3
+      |          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |        WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+      |SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS cnt
+      |FROM seq GROUP BY 1, 2, 3
+      |ORDER BY cnt DESC, e1, e2, e3 LIMIT 10""".stripMargin
+
   /** Association-rule mining (market-basket support/confidence/lift) over
     * order baskets — the classic co-occurrence analysis a curation pipeline
     * runs to find correlated attributes. Baskets are orders; items are the
@@ -3930,6 +3968,7 @@ object RelationalQueries {
   val queries: Map[String, Q] = Map(
     "degree_assortativity" -> degreeAssortativity,
     "hll_overlap" -> hllOverlap,
+    "top_paths" -> topPaths,
     "label_prop" -> labelProp,
     "modularity_score" -> modularityScore,
     "window_distribution" -> windowDistribution,
@@ -4015,6 +4054,7 @@ object RelationalQueries {
     "kcore_parts" -> kcorePartsSql,
     "degree_assortativity" -> degreeAssortativitySql,
     "hll_overlap" -> hllOverlapSql,
+    "top_paths" -> topPathsSql,
     "pagerank_authority" -> pagerankAuthoritySql,
     "graph_random_walks" -> graphRandomWalksSql,
     "er_sorted_neighborhood" -> erSortedNeighborhoodSql,
