@@ -615,7 +615,94 @@ object MultiSymQueries {
        |       ${graft.Parity.proundSql("min(value / runmax - 1.0)", 6)} AS max_drawdown
        |FROM r GROUP BY symbol ORDER BY symbol""".stripMargin
 
+  /** Autocorrelation of the hourly price series at lags 1–3 per symbol —
+    * the stationarity probe run before fitting any time-series model (an
+    * ACF near 1 at lag 1 = strong persistence; near 0 = the series is
+    * already noise). The series is the per-(symbol, hour) mean price —
+    * QUANTIZED (pround 6) at construction so both engines correlate
+    * bit-identical series — and each lag's Pearson r reduces to
+    * sufficient statistics over (x_t, x_{t+L}) pairs from a lead window
+    * partitioned by symbol over the HOURLY relation (bounded by time
+    * span per symbol — the candle-window precedent, never raw ticks).
+    */
+  val acfHourly: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    def sd(c: org.apache.spark.sql.Column) = sum(c.cast(DecimalType(30, 10)))
+    val hourly = graft.Scratch.table(
+      graft.Tables.events(s, dir)
+        .select(col("event_type").as("symbol"),
+          expr("unix_micros(ts) DIV 3600000000").as("hr"), col("value"))
+        .groupBy(col("symbol"), col("hr"))
+        .agg(graft.Parity.pround(
+          sd(col("value")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("x")),
+      "acf-hourly")
+    val w = Window.partitionBy(col("symbol")).orderBy(col("hr"))
+    // ONE window pass computes all three leads (three would re-sort the
+    // partition per lag); the per-lag rows unpivot from it
+    val lagged = hourly
+      .select(col("symbol"), col("x"),
+        lead(col("x"), 1).over(w).as("y1"),
+        lead(col("x"), 2).over(w).as("y2"),
+        lead(col("x"), 3).over(w).as("y3"))
+      .select(col("symbol"), col("x"), explode(array(
+        struct(lit(1L).as("lag"), col("y1").as("y")),
+        struct(lit(2L).as("lag"), col("y2").as("y")),
+        struct(lit(3L).as("lag"), col("y3").as("y")))).as("ly"))
+      .select(col("symbol"), col("ly.lag").as("lag"), col("x"), col("ly.y").as("y"))
+      .filter(col("y").isNotNull)
+    lagged.groupBy(col("symbol"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sd(col("x")).cast("double").as("sx"),
+        sd(col("y")).cast("double").as("sy"),
+        sd(col("x") * col("y")).cast("double").as("sxy"),
+        sd(col("x") * col("x")).cast("double").as("sxx"),
+        sd(col("y") * col("y")).cast("double").as("syy"))
+      .withColumn("nd", col("n_pairs").cast("double"))
+      .filter(col("nd") * col("sxx") - col("sx") * col("sx") > lit(0.0) &&
+        col("nd") * col("syy") - col("sy") * col("sy") > lit(0.0))
+      .select(col("symbol"), col("lag"), col("n_pairs"),
+        graft.Parity.pround(
+          (col("nd") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("nd") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("nd") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("acf"))
+      .orderBy(col("symbol"), col("lag"))
+  }
+
+  val acfHourlySql: String = {
+    def sx(e: String) = s"CAST(sum(CAST($e AS DECIMAL(30,10))) AS DOUBLE)"
+    s"""WITH hourly AS (
+       |  SELECT event_type AS symbol,
+       |         epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+       |         ${graft.Parity.proundSql(
+                   "CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / CAST(count(*) AS DOUBLE)",
+                   6)} AS x
+       |  FROM events GROUP BY 1, 2),
+       |lagged AS (
+       |  ${(1 to 3).map(l =>
+            s"""SELECT symbol, CAST($l AS BIGINT) AS lag, x,
+               |         lead(x, $l) OVER (PARTITION BY symbol ORDER BY hr) AS y
+               |  FROM hourly""".stripMargin).mkString("\n  UNION ALL\n  ")}),
+       |p AS (SELECT * FROM lagged WHERE y IS NOT NULL),
+       |g AS (
+       |  SELECT symbol, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+       |         CAST(count(*) AS DOUBLE) AS nd,
+       |         ${sx("x")} AS sx, ${sx("y")} AS sy, ${sx("x * y")} AS sxy,
+       |         ${sx("x * x")} AS sxx, ${sx("y * y")} AS syy
+       |  FROM p GROUP BY 1, 2)
+       |SELECT symbol, lag, n_pairs,
+       |       ${graft.Parity.proundSql(
+                 "(nd * sxy - sx * sy) / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))",
+                 6)} AS acf
+       |FROM g
+       |WHERE nd * sxx - sx * sx > 0.0 AND nd * syy - sy * sy > 0.0
+       |ORDER BY symbol, lag""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "acf_hourly" -> acfHourly,
     "ols_trend" -> olsTrend,
     "max_drawdown" -> maxDrawdown,
     "price_correlation" -> priceCorrelation,
@@ -631,6 +718,7 @@ object MultiSymQueries {
     "stream_ohlc_multisym" -> streamOhlcMultisym)
 
   val oracleSql: Map[String, String] = Map(
+    "acf_hourly" -> acfHourlySql,
     "ols_trend" -> olsTrendSql,
     "max_drawdown" -> maxDrawdownSql,
     "price_correlation" -> priceCorrelationSql,
