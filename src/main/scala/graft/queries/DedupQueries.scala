@@ -807,7 +807,105 @@ object DedupQueries {
        |ORDER BY cluster_id""".stripMargin
   }
 
+  /** Fellegi–Sunter field-weight calibration over the LSH candidate
+    * space — probabilistic record linkage's m/u estimation run where
+    * GENUINE match labels exist: "matched" is the engine's own near-dup
+    * decision (signature-agreement estimate ≥ 0.5 — every eighth is
+    * binary-exact, so the label is engine-independent), and the
+    * unmatched side is the LSH near-misses — exactly the hard pairs a
+    * linker must discriminate. For each metadata field (lang equality,
+    * source equality, length within 20%), m = P(agree | matched),
+    * u = P(agree | unmatched), weight = m/u in the log-free ratio form
+    * the FS scoring rule multiplies. The length predicate is pure
+    * integer arithmetic (|Δ|·5 ≤ max — no division). Output: 3 exact
+    * count-ratio rows; pair space ∝ LSH collisions, never quadratic.
+    */
+  val fsFieldWeights: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val meta = docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val pairs = DocDedup.estimatedJaccardPairs(docs)
+      .withColumn("matched", (col("est_jaccard") >= 0.5).cast("long"))
+      .join(meta.select(col("doc_id").as("doc_id_a"), col("lang").as("lang_a"),
+        col("source").as("src_a"), col("n_chars").as("nc_a")), "doc_id_a")
+      .join(meta.select(col("doc_id").as("doc_id_b"), col("lang").as("lang_b"),
+        col("source").as("src_b"), col("n_chars").as("nc_b")), "doc_id_b")
+      .select(col("matched"),
+        (col("lang_a") === col("lang_b")).cast("long").as("lang"),
+        (col("src_a") === col("src_b")).cast("long").as("source"),
+        (abs(col("nc_a") - col("nc_b")) * lit(5L) <=
+          greatest(col("nc_a"), col("nc_b"))).cast("long").as("length"))
+    pairs.select(col("matched"), explode(array(
+        struct(lit("lang").as("field"), col("lang").as("agree")),
+        struct(lit("length").as("field"), col("length").as("agree")),
+        struct(lit("source").as("field"), col("source").as("agree")))).as("fa"))
+      .select(col("matched"), col("fa.field").as("field"), col("fa.agree"))
+      .groupBy(col("field"))
+      .agg(sum(col("matched")).as("n_matched"),
+        sum(lit(1L) - col("matched")).as("n_unmatched"),
+        sum(col("agree") * col("matched")).as("am"),
+        sum(col("agree") * (lit(1L) - col("matched"))).as("au"))
+      .filter(col("n_matched") > 0L && col("n_unmatched") > 0L)
+      .withColumn("m", col("am").cast("double") / col("n_matched").cast("double"))
+      .withColumn("u", col("au").cast("double") / col("n_unmatched").cast("double"))
+      .select(col("field"), col("n_matched"), col("n_unmatched"),
+        graft.Parity.pround(col("m"), 6).as("m"),
+        graft.Parity.pround(col("u"), 6).as("u"),
+        graft.Parity.pround(
+          when(col("u") > lit(0.0), col("m") / col("u")).otherwise(lit(0.0)),
+          6).as("weight"))
+      .orderBy(col("field"))
+  }
+
+  val fsFieldWeightsSql: String = {
+    val eq = (0 until NumHashes)
+      .map(j => s"CASE WHEN sa.mh_$j = sb.mh_$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $sigsSql,
+       |$bandsSql,
+       |$pairsSql,
+       |est AS (
+       |  SELECT c.doc_id_a, c.doc_id_b,
+       |         CAST(CASE WHEN floor((CAST($eq AS DOUBLE) / $NumHashes) * 1e6 + 0.5) / 1e6 >= 0.5
+       |              THEN 1 ELSE 0 END AS BIGINT) AS matched
+       |  FROM cand c
+       |  JOIN sigs sa ON c.doc_id_a = sa.doc_id
+       |  JOIN sigs sb ON c.doc_id_b = sb.doc_id),
+       |prs AS (
+       |  SELECT e.matched,
+       |         CAST(CASE WHEN da.lang = db.lang THEN 1 ELSE 0 END AS BIGINT) AS lang,
+       |         CAST(CASE WHEN da.source = db.source THEN 1 ELSE 0 END AS BIGINT) AS source,
+       |         CAST(CASE WHEN abs(da.n_chars - db.n_chars) * 5 <= greatest(da.n_chars, db.n_chars)
+       |              THEN 1 ELSE 0 END AS BIGINT) AS length
+       |  FROM est e
+       |  JOIN documents da ON e.doc_id_a = da.doc_id
+       |  JOIN documents db ON e.doc_id_b = db.doc_id),
+       |f AS (
+       |  SELECT matched, 'lang' AS field, lang AS agree FROM prs
+       |  UNION ALL
+       |  SELECT matched, 'length' AS field, length AS agree FROM prs
+       |  UNION ALL
+       |  SELECT matched, 'source' AS field, source AS agree FROM prs),
+       |g AS (
+       |  SELECT field,
+       |         CAST(sum(matched) AS BIGINT) AS n_matched,
+       |         CAST(sum(1 - matched) AS BIGINT) AS n_unmatched,
+       |         CAST(sum(agree * matched) AS BIGINT) AS am,
+       |         CAST(sum(agree * (1 - matched)) AS BIGINT) AS au
+       |  FROM f GROUP BY 1),
+       |d AS (
+       |  SELECT field, n_matched, n_unmatched,
+       |         CAST(am AS DOUBLE) / CAST(n_matched AS DOUBLE) AS m,
+       |         CAST(au AS DOUBLE) / CAST(n_unmatched AS DOUBLE) AS u
+       |  FROM g WHERE n_matched > 0 AND n_unmatched > 0)
+       |SELECT field, n_matched, n_unmatched,
+       |       floor(m * 1e6 + 0.5) / 1e6 AS m,
+       |       floor(u * 1e6 + 0.5) / 1e6 AS u,
+       |       floor((CASE WHEN u > 0.0 THEN m / u ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS weight
+       |FROM d ORDER BY field""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "fs_field_weights" -> fsFieldWeights,
     "golden_records" -> goldenRecords,
     "shingle_novelty" -> shingleNovelty,
     "containment_pairs" -> containmentPairs,
@@ -831,6 +929,7 @@ object DedupQueries {
     "simhash_pairs" -> simhashPairs)
 
   val oracleSql: Map[String, String] = Map(
+    "fs_field_weights" -> fsFieldWeightsSql,
     "golden_records" -> goldenRecordsSql,
     "shingle_novelty" -> shingleNoveltySql,
     "containment_pairs" -> containmentPairsSql,

@@ -1955,6 +1955,73 @@ object TextQueries {
                  6)} AS simpson
        |FROM g ORDER BY doc_id""".stripMargin
 
+  /** Vocabulary-growth (Heaps'-law) curve — cumulative distinct token
+    * TYPES against cumulative token OCCURRENCES at ten corpus
+    * checkpoints in doc_id order: the saturation diagnostic that says
+    * whether more data still buys new vocabulary or the corpus has gone
+    * stale. Each token type is attributed to its FIRST document (one
+    * shingle-novelty-style min aggregate); docs then bucket into deciles
+    * by their [[graft.relational.GlobalIndex]] rank (doc_id order, never
+    * a single-task global window), per-bucket sums are map-side
+    * combined, and the cumulative fold is a 10-row window — bounded by
+    * construction. Empty docs count toward the doc deciles but add
+    * nothing to either sum.
+    */
+  val vocabGrowth: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val docs = Tables.documents(s, dir)
+    val toks = graft.Scratch.table(
+      docs.select(col("doc_id"),
+          explode(TextAnalysis.words(col("text"))).as("token"))
+        .filter(col("token") =!= ""),
+      "vocab-growth-toks")
+    val perDoc = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_occ"))
+    val newTypes = toks.groupBy(col("token")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))
+    val ranked = graft.relational.GlobalIndex.withGlobalIndex(
+      docs.select(col("doc_id")), Seq("doc_id"))
+    val n = ranked.agg(count(lit(1)).as("n_docs"))
+    val byBucket = ranked.crossJoin(broadcast(n))
+      .withColumn("decile", expr("((idx - 1) * 10) DIV n_docs"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .join(newTypes, Seq("doc_id"), "left_outer")
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("n_occ"), lit(0L))).as("occ"),
+        sum(coalesce(col("n_new"), lit(0L))).as("nw"))
+    val w = W.orderBy(col("decile"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    byBucket
+      .select(col("decile"), col("n_docs"),
+        sum(col("occ")).over(w).as("tokens_cum"),
+        sum(col("nw")).over(w).as("vocab_cum"))
+      .orderBy(col("decile"))
+  }
+
+  val vocabGrowthSql: String =
+    s"""WITH $normedSql,
+       |tok AS (SELECT doc_id, unnest(ws) AS token FROM w),
+       |tk AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+       |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ FROM tk GROUP BY 1),
+       |nt AS (SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_new
+       |       FROM (SELECT token, min(doc_id) AS first_doc FROM tk GROUP BY 1)
+       |       GROUP BY 1),
+       |rk AS (SELECT doc_id,
+       |              CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS idx,
+       |              CAST(count(*) OVER () AS BIGINT) AS n_docs
+       |       FROM documents),
+       |b AS (
+       |  SELECT ((idx - 1) * 10) // n_docs AS decile,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(COALESCE(pd.n_occ, 0)) AS BIGINT) AS occ,
+       |         CAST(sum(COALESCE(nt.n_new, 0)) AS BIGINT) AS nw
+       |  FROM rk LEFT JOIN pd USING (doc_id) LEFT JOIN nt USING (doc_id)
+       |  GROUP BY 1)
+       |SELECT decile, n_docs,
+       |       CAST(sum(occ) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_cum,
+       |       CAST(sum(nw) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
+       |FROM b ORDER BY decile""".stripMargin
+
   /** Naive-Bayes language classifier, trained and evaluated in-engine —
     * the supervised upgrade of the stopword-heuristic [[langConfusion]]
     * tier: per-language add-one-smoothed unigram models from the corpus's
@@ -2131,6 +2198,7 @@ object TextQueries {
     "token_simpson" -> tokenSimpson,
     "textrank_keywords" -> textrankKeywords,
     "nb_lang_confusion" -> nbLangConfusion,
+    "vocab_growth" -> vocabGrowth,
     "bm25_topk" -> bm25TopK,
     "bpe_train" -> bpeTrain,
     "bpe_train20" -> bpeTrain20,
@@ -2169,6 +2237,7 @@ object TextQueries {
     "token_simpson" -> tokenSimpsonSql,
     "textrank_keywords" -> textrankKeywordsSql,
     "nb_lang_confusion" -> nbLangConfusionSql,
+    "vocab_growth" -> vocabGrowthSql,
     "bm25_topk" -> bm25TopKSql,
     "bpe_train" -> bpeTrainSql,
     "bpe_train20" -> bpeTrain20Sql,
