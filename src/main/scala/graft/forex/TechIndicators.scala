@@ -25,9 +25,11 @@ import org.apache.spark.sql.functions._
   * Cost: O(frame²) per row for bounded frames (Bollinger: 20² per candle),
   * O(n²) per series for the unbounded recursions (RSI/MACD) — acceptable
   * because input is candle-level (720 rows/month at 1h), the same documented
-  * ceiling as Indicators' windows. The 100 TB path for long series is a
-  * parallel prefix scan (EMA is a linear recurrence, associative in
-  * (mul, add) matrix form); candle counts do not reach it.
+  * ceiling as Indicators' windows. The 100 TB path for long series is the
+  * chunk-parallel family below (EMA is a linear recurrence, associative in
+  * affine (mul, add) form): per-chunk folds in parallel, carries composed by
+  * the grid-hierarchical [[graft.relational.MonoidScan]] whose window tasks
+  * are bounded at 64 rows at any history length.
   */
 object TechIndicators {
 
@@ -102,8 +104,14 @@ object TechIndicators {
     val tails = c.groupBy(col("__ck"))
       .agg(expr(s"reverse(slice(reverse(array_sort(collect_list(struct(candle_start, close_price)))), 1, $m))")
         .as("tail"))
+    // frame bounded at m preceding chunk rows: every row in `tails` is a
+    // non-empty chunk (groupBy emits only chunks that hold candles), so m
+    // preceding tails always cover ≥m candles and the post-flatten last-m
+    // slice is content-identical to the unbounded-preceding accumulation —
+    // O(m·|chunks|) through the chunk-level window instead of O(|chunks|²)
+    // (VERDICT r12 finding #1a)
     val wPrev = Window.orderBy(col("__ck"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+      .rowsBetween(-m, -1)
     val carries = tails
       .withColumn("__tails", collect_list(col("tail")).over(wPrev))
       .withColumn("carry", expr(
@@ -159,9 +167,13 @@ object TechIndicators {
     *     candle grid — same chunking as IndicatorsChunked);
     *  2. per chunk, IN PARALLEL: fold each row's prefix to its local
     *     (A_j, B_j) — row value given any incoming state s is A_j·s + B_j;
-    *  3. compose the per-chunk totals in chunk order (|chunks| rows, a
-    *     window + fold, no driver loop) seeded with the series' first
-    *     close — yielding each chunk's incoming state S_c;
+    *  3. compose the per-chunk totals in chunk order via the grid-
+    *     hierarchical [[graft.relational.MonoidScan]], seeded with the
+    *     series' first close — each chunk's incoming state S_c, with every
+    *     window task bounded at 64 rows regardless of history length
+    *     (≤64 chunks take the scan's base case — the flat seeded fold,
+    *     bit-identical to the original association, which the chunk-form
+    *     oracles pin);
     *  4. finish per row: ewma = A_j·S_c + B_j.
     *
     * Parallelism is #chunks; no single task ever sees the whole series —
@@ -245,24 +257,30 @@ object TechIndicators {
     val first =
       if (keyCols.isEmpty) df.agg(firstAggs.head, firstAggs.tail: _*)
       else df.groupBy(keyCols.map(col): _*).agg(firstAggs.head, firstAggs.tail: _*)
-    // chunk-level composition: |chunks| rows per series, keyed windows
-    val wPrev = Window.partitionBy(keyCols.map(col): _*).orderBy(col(ck))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // chunk-level composition: the seeded exclusive scan over per-chunk
+    // affine totals, distributed via the grid-hierarchical MonoidScan —
+    // every window task sees ≤64 chunk rows (VERDICT r12 finding #1b; the
+    // old collect-the-full-prefix form was O(|chunks|²) in one task). At
+    // ≤64 chunks per series (true of the sf0.01/sf0.1 candle grids) the
+    // scan IS the original flat seeded fold, bit-identical, so the
+    // chunk-form oracles (IndicatorQueries.affineScanSql) stay exact;
+    // beyond that the association is the documented fanout-64 hierarchy.
     val totals = withAb
       .groupBy((keyCols :+ ck).map(col): _*)
       .agg(max_by(col(ab), col("candle_start")).as(s"${p}_tot"))
-    val seeded =
-      if (keyCols.isEmpty) totals.crossJoin(broadcast(first))
-      else totals.join(broadcast(first), keyCols)
-    val incoming = seeded
-      .withColumn(s"${p}_prev", collect_list(col(s"${p}_tot")).over(wPrev))
-      .withColumn(s"${p}_sin", expr(
-        s"aggregate(${p}_prev, named_struct(" +
-          perSpec(sp => s"named_struct('a', 1.0D, 'b', ${sp.outCol}_first)") +
-          "), (acc, f) -> named_struct(" +
-          perSpec(sp => s"named_struct('a', 1.0D, " +
-            s"'b', f.${sp.outCol}.a * acc.${sp.outCol}.b + f.${sp.outCol}.b)") + "))"))
-      .select((keyCols :+ ck).map(col) :+ col(s"${p}_sin"): _*)
+    val seeds = first.select(keyCols.map(col) :+ expr(
+      s"named_struct(" +
+        perSpec(sp => s"named_struct('a', 1.0D, 'b', ${sp.outCol}_first)") +
+        ")").as("__seed0"): _*)
+    val seededStep = "(acc, f) -> named_struct(" +
+      perSpec(sp => s"named_struct('a', 1.0D, " +
+        s"'b', f.${sp.outCol}.a * acc.${sp.outCol}.b + f.${sp.outCol}.b)") + ")"
+    val composeStep = "(acc, f) -> named_struct(" +
+      perSpec(sp => s"named_struct('a', f.${sp.outCol}.a * acc.${sp.outCol}.a, " +
+        s"'b', f.${sp.outCol}.a * acc.${sp.outCol}.b + f.${sp.outCol}.b)") + ")"
+    val incoming = graft.relational.MonoidScan.scanIncoming(
+      totals, keyCols, ck, s"${p}_tot", seeds, "__seed0",
+      seededStep, composeStep, fanout = 64, outName = s"${p}_sin")
     specs.foldLeft(withAb.join(incoming, keyCols :+ ck)) { (acc, sp) =>
       acc.withColumn(sp.outCol,
         expr(s"$ab.${sp.outCol}.a * ${p}_sin.${sp.outCol}.b + $ab.${sp.outCol}.b"))

@@ -184,6 +184,14 @@ object IndicatorQueries {
     * the decimal→double hop can double-round 1 ulp off Spark's direct
     * double parse (ADVICE r4). The Scala side computes the same ratio in
     * doubles, so both engines perform the identical IEEE division.
+    *
+    * Association note (r13): the `_pv`/`_si` CTEs emit the flat seeded
+    * fold over chunk totals — exactly MonoidScan's BASE case, which the
+    * engine takes whenever a series has ≤64 chunks (true of the 12-chunk
+    * sf0.01/sf0.1 grids this oracle runs on). Beyond 64 chunks the engine
+    * switches to the fanout-64 hierarchy (different ulp-level roundings,
+    * deterministic in the data); mirroring that would add one more level
+    * of this same CTE pattern per 64× of history.
     */
   private def affineScanSql(p: String, src: String, valCol: String,
       extraCols: Seq[String], aSql: String, bSql: String, w: Long): String = {

@@ -102,6 +102,51 @@ class TechIndicatorsSpec extends SparkSpec {
     a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) <= 1e-6 + 1e-9) }
   }
 
+  test("ewma chunked at 150 chunks: hierarchical scan is bit-equal across " +
+      "8-vs-64 shuffle partitions and tracks the sequential fold") {
+    // 600 candles at 4 candles/chunk = 150 chunks > fanout 64, so the
+    // MonoidScan recursion genuinely goes two levels deep; the association
+    // is keyed by the ck grid, never by physical partitioning, so results
+    // must be BIT-identical under any partition count (VERDICT r12 item 1)
+    val prices = (0 until 600).map(i => 1.0 + 0.25 * math.sin(i / 11.0) + 0.02 * ((i * 29) % 17))
+    val runAt = (parts: Int, inputParts: Int) => {
+      val old = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try TechIndicators.ewmaChunked(
+          candles(prices: _*).repartition(inputParts), candlesPerChunk = 4)
+        .orderBy("candle_start").collect().map(_.getAs[Double]("ewma"))
+      finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    }
+    val at8 = runAt(8, 8)
+    val at64 = runAt(64, 3)
+    assert(at8.length === 600)
+    at8.zip(at64).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a === b, s"row $i: partitions must not change bits")
+    }
+    // the hierarchy reassociates vs the flat recurrence only at ulp level
+    val seq = prices.tail.scanLeft(prices.head)((acc, x) => 0.8 * acc + 0.2 * x)
+      .map(v => math.floor(v * 1e6 + 0.5) / 1e6)
+    at8.zip(seq).zipWithIndex.foreach { case ((c, s), i) =>
+      assert(math.abs(c - s) <= 1e-6 + 1e-9, s"row $i: chunked=$c seq=$s")
+    }
+  }
+
+  test("bollinger chunked at 150 chunks stays bit-equal to the global window") {
+    // the r13 bounded carry frame (ROWS -19..-1 over chunk rows) must keep
+    // frame CONTENTS identical to the unbounded accumulation at any depth
+    val prices = (0 until 600).map(i => 1.0 + 0.4 * math.sin(i / 3.0) + 0.02 * ((i * 31) % 9))
+    val df = candles(prices: _*)
+    val global = TechIndicators.bollinger(df).orderBy("candle_start").collect()
+    val chunked = TechIndicators.bollingerChunked(df, candlesPerChunk = 4)
+      .orderBy("candle_start").collect()
+    assert(chunked.length === global.length)
+    chunked.zip(global).zipWithIndex.foreach { case ((c, g), i) =>
+      Seq("bb_mid", "bb_upper", "bb_lower").foreach { f =>
+        assert(c.getAs[Double](f) === g.getAs[Double](f), s"row $i $f")
+      }
+    }
+  }
+
   test("rsi chunked scan tracks the sequential Wilder fold to float noise") {
     val prices = (0 until 250).map(i => 1.0 + 0.2 * math.sin(i / 5.0) + 0.03 * ((i * 17) % 7))
     val df = candles(prices: _*)
