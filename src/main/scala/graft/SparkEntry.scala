@@ -50,7 +50,7 @@ object SparkEntry {
       RelationalQueries.queries ++ SamplingQueries.queries ++
       StoreQueries.queries ++ PipelineQueries.queries ++ CurationQueries.queries ++
       MultiSymQueries.queries ++ DriftQueries.queries ++ FormatQueries.queries ++
-      FeatureQueries.queries)
+      FeatureQueries.queries ++ KllQueries.queries)
       .map { case (name, fn) =>
         name -> ((s: SparkSession, dir: String) => normalizeOutputs(fn(s, dir)))
       }
@@ -65,5 +65,5 @@ object SparkEntry {
       StoreQueries.oracleSql ++ PipelineQueries.oracleSql ++
       CurationQueries.oracleSql ++ MultiSymQueries.oracleSql ++
       DriftQueries.oracleSql ++ FormatQueries.oracleSql ++
-      FeatureQueries.oracleSql
+      FeatureQueries.oracleSql ++ KllQueries.oracleSql
 }

@@ -1,0 +1,212 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** Mergeable rank-error quantile sketch — the KLL/MRL-class primitive that
+  * completes the sketch family beside [[Sketches.histCounts]] (reference
+  * analog: the percentile read-outs a monitoring pass runs over metric
+  * streams). The histogram needs a pre-chosen bin width — fine for bounded
+  * domains, wrong for heavy-tailed unknown ranges where a fixed grid
+  * under-resolves the tail; [[GlobalIndex]] is exact but costs a full
+  * range-repartition of the corpus per quantile query. This sketch keeps
+  * ACTUAL data values (selection, not arithmetic — so estimates are
+  * bit-exact corpus elements on any engine) with a rank-error bound, and
+  * two sketches merge by union + re-compaction, the per-day/per-partition
+  * serving pattern of the HLL registers and CMS counters.
+  *
+  * Algorithm: leveled compaction with DERANDOMIZED coin flips. Every value
+  * starts at level 0 with weight 1. Round r sorts the level-r items per
+  * group by (value, tiebreak), pairs them by rank, keeps ONE member of each
+  * pair — chosen by the parity of a portable 32-bit hash of
+  * (group, level, pair), not rand(), so both engines replay the identical
+  * sketch — and promotes it to level r+1 with doubled weight; an unpaired
+  * last item stays put. Classic KLL flips a fair coin per compaction; the
+  * hash parity derandomizes it (the md5 bits are uncorrelated with the
+  * data ordering), keeping the expected-case analysis while making the
+  * sketch a pure function of the data. Each round halves the level-r
+  * count and preserves total weight exactly, so after R rounds the sketch
+  * holds ≤ n/2^R items at level R plus ≤1 leftover per lower level, and
+  * any threshold's weighted rank differs from its true rank by at most
+  * Σ_{r<R} 2^r < 2^R (one compaction at level r displaces a rank estimate
+  * by at most one level-(r+1) weight; KllSketchSpec measures the bound
+  * against GlobalIndex exact ranks).
+  *
+  * Scale shape: every ranking runs through [[GlobalIndex]]'s range-
+  * partitioned two-phase form (never a per-group single-task window — the
+  * level-0 sort is over the full corpus), rounds touch geometrically
+  * shrinking relations (total work ≈ 2n), and the quantile read-out
+  * windows over SKETCH rows (2^R× smaller than the data; R is the caller's
+  * accuracy/size dial, log2(n/k) for a k-item sketch). Rounds are an
+  * UNCONDITIONAL pinned count, not a data-dependent while-loop: the oracle
+  * unrolls exactly R CTE rounds (the pagerank pattern), and a
+  * conditional "compact only when over capacity" branch would make the
+  * SQL mirror data-dependent.
+  */
+object KllSketch {
+
+  /** Per-group rank (1-based, ordered by `orderCols`) via the GlobalIndex
+    * two-phase form: global index over (groupCols ++ orderCols), then
+    * subtract each group's min index — the sort stays range-parallel, and
+    * the per-group offset relation is |groups| rows. `groupCols ++
+    * orderCols` must be a unique total order.
+    */
+  private def perGroupRank(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    val gi = GlobalIndex.withGlobalIndex(df, groupCols ++ orderCols,
+      idxName = "__gidx")
+    val mins =
+      if (groupCols.isEmpty) gi.select(min(col("__gidx")).as("__g0"))
+      else gi.groupBy(groupCols.map(col): _*).agg(min(col("__gidx")).as("__g0"))
+    val joined =
+      if (groupCols.isEmpty) gi.crossJoin(broadcast(mins))
+      else gi.join(mins, groupCols)
+    joined.withColumn("rk", col("__gidx") - col("__g0") + 1L)
+      .drop("__gidx", "__g0")
+  }
+
+  /** Lift raw rows to level-0 sketch items: (groupCols…, level, value,
+    * tid, w=1). `tidCol` must be unique per row (the deterministic sort
+    * tiebreak and the item identity through promotions).
+    */
+  def items0(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      tidCol: Column): DataFrame =
+    df.select(groupCols.map(col) ++ Seq(lit(0).as("level"),
+      valueCol.cast("double").as("value"), tidCol.cast("long").as("tid"),
+      lit(1L).as("w")): _*)
+
+  /** Run compaction rounds `fromLevel until toLevel`: round r halves the
+    * level-r items into level r+1 (hash-chosen member of each rank pair,
+    * weight doubled; odd leftover stays at level r). Usable both to BUILD
+    * a sketch (fromLevel 0 over level-0 items) and to MERGE sketches
+    * (union the item relations, then re-compact — levels over capacity
+    * cascade upward through the same rounds).
+    */
+  def compact(itemsIn: DataFrame, groupCols: Seq[String],
+      fromLevel: Int, toLevel: Int): DataFrame = {
+    var items = itemsIn
+    for (r <- fromLevel until toLevel) {
+      val cur = items.filter(col("level") === r)
+      val rest = items.filter(col("level") =!= r)
+      val ranked = perGroupRank(cur, groupCols, Seq("value", "tid"))
+        .withColumn("pair", expr("(rk - 1L) DIV 2L"))
+      val paired = ranked.withColumn("pc",
+        count(lit(1)).over(
+          Window.partitionBy((groupCols :+ "pair").map(col): _*)))
+      // hash parity picks the surviving pair member; the key renders group
+      // values, the level literal, and the pair ordinal identically in
+      // both engines (ISO dates, plain integers)
+      val keyCols = groupCols.map(c => col(c).cast("string")) ++
+        Seq(lit(r.toString), col("pair").cast("string"))
+      val keepPos = PortableHash.hash32(concat_ws("|", keyCols: _*)) % 2L
+      val promoted = paired
+        .filter(col("pc") === 2L && (col("rk") - 1L) % 2L === keepPos)
+        .select(groupCols.map(col) ++ Seq(lit(r + 1).as("level"),
+          col("value"), col("tid"), (col("w") * 2L).as("w")): _*)
+      val leftover = paired.filter(col("pc") === 1L)
+        .select(groupCols.map(col) ++ Seq(col("level"), col("value"),
+          col("tid"), col("w")): _*)
+      items = rest.unionByName(promoted).unionByName(leftover)
+    }
+    items
+  }
+
+  /** Build a sketch in `rounds` compaction rounds: ≤ n/2^rounds items at
+    * the top level plus ≤1 leftover per lower level, total weight = n.
+    */
+  def sketch(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      tidCol: Column, rounds: Int): DataFrame =
+    compact(items0(df, groupCols, valueCol, tidCol), groupCols, 0, rounds)
+
+  /** Quantile read-out: for each q, the smallest sketch value whose
+    * cumulative weight reaches ⌈q·n⌉ — an actual corpus element (selection,
+    * not interpolation), over-/under-reporting the true quantile's rank by
+    * at most the compaction bound. The cumulative window runs over SKETCH
+    * rows per group (2^rounds× smaller than the data), the
+    * [[Sketches.histQuantiles]] shape.
+    */
+  def quantiles(sk: DataFrame, groupCols: Seq[String],
+      qs: Seq[Double]): DataFrame = {
+    val wCum = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("value"), col("tid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sk
+      .withColumn("cum", sum(col("w")).over(wCum))
+      .withColumn("total",
+        sum(col("w")).over(Window.partitionBy(groupCols.map(col): _*)))
+    val ests = qs.map { q =>
+      min(when(col("cum") >= ceil(lit(q) * col("total")), col("value")))
+        .as(s"p${(q * 100).round}")
+    }
+    val out = cum.groupBy(groupCols.map(col): _*)
+      .agg(max(col("total")).cast("long").as("n_rows"), ests: _*)
+    out
+  }
+
+  // ------------------------------------------------------------ SQL mirror
+
+  /** DuckDB CTE chain mirroring [[compact]]: `src` must expose
+    * (groupCols…, level, value, tid, w); emits `<out>` with the same
+    * shape after rounds `fromLevel until toLevel`. The per-group rank is
+    * row_number over (value, tid) — value-identical to the engine's
+    * GlobalIndex two-phase rank (same unique total order).
+    */
+  def compactSql(src: String, groupCols: Seq[String],
+      fromLevel: Int, toLevel: Int, out: String): String = {
+    val g = groupCols.mkString(", ")
+    val part = if (groupCols.isEmpty) "" else s"PARTITION BY $g "
+    val steps = (fromLevel until toLevel).map { r =>
+      val prev = if (r == fromLevel) src else s"${out}_k$r"
+      val nxt = if (r + 1 == toLevel) out else s"${out}_k${r + 1}"
+      val keyParts = groupCols.map(c => s"CAST($c AS VARCHAR)") ++
+        Seq(s"'$r'", "CAST(pair AS VARCHAR)")
+      // MATERIALIZED: each round references the previous round's CTE twice
+      // (level<>r carry-through + the ranked branch) — inlined, the chain
+      // re-evaluates 2^rounds times and DuckDB exhausts file handles on the
+      // base scan; materialized, each round runs exactly once (as Spark does)
+      s"""${out}_r${r}_ranked AS MATERIALIZED (
+         |  SELECT *, (row_number() OVER (${part}ORDER BY value, tid) - 1) // 2 AS pair,
+         |         (row_number() OVER (${part}ORDER BY value, tid) - 1) % 2 AS pos
+         |  FROM $prev WHERE level = $r),
+         |${out}_r${r}_paired AS MATERIALIZED (
+         |  SELECT *, count(*) OVER (PARTITION BY ${if (g.isEmpty) "pair" else s"$g, pair"}) AS pc
+         |  FROM ${out}_r${r}_ranked),
+         |$nxt AS MATERIALIZED (
+         |  SELECT ${if (g.isEmpty) "" else s"$g, "}level, value, tid, w
+         |  FROM $prev WHERE level <> $r
+         |  UNION ALL
+         |  SELECT ${if (g.isEmpty) "" else s"$g, "}level, value, tid, w
+         |  FROM ${out}_r${r}_paired WHERE pc = 1
+         |  UNION ALL
+         |  SELECT ${if (g.isEmpty) "" else s"$g, "}$r + 1 AS level, value, tid, w * 2 AS w
+         |  FROM ${out}_r${r}_paired
+         |  WHERE pc = 2 AND pos = ${PortableHash.hash32Sql(
+               s"concat_ws('|', ${keyParts.mkString(", ")})")} % 2)""".stripMargin
+    }
+    steps.mkString(",\n")
+  }
+
+  /** DuckDB mirror of [[quantiles]] over sketch CTE `sk`: emits `<out>`
+    * with (groupCols…, n_rows, p<q>…).
+    */
+  def quantilesSql(sk: String, groupCols: Seq[String], qs: Seq[Double],
+      out: String): String = {
+    val g = groupCols.mkString(", ")
+    val part = if (groupCols.isEmpty) "" else s"PARTITION BY $g "
+    val ests = qs.map { q =>
+      s"min(CASE WHEN cum >= ceil($q * total) THEN value END) AS p${(q * 100).round}"
+    }.mkString(",\n         ")
+    s"""${out}_cum AS (
+       |  SELECT *, sum(w) OVER (${part}ORDER BY value, tid
+       |           ROWS UNBOUNDED PRECEDING) AS cum,
+       |         sum(w) OVER (${part.stripSuffix(" ")}) AS total
+       |  FROM $sk),
+       |$out AS (
+       |  SELECT ${if (g.isEmpty) "" else s"$g, "}CAST(max(total) AS BIGINT) AS n_rows,
+       |         $ests
+       |  FROM ${out}_cum${if (g.isEmpty) "" else s" GROUP BY $g"})""".stripMargin
+  }
+}
