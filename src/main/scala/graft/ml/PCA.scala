@@ -90,12 +90,28 @@ object PCA {
     * d = 64); covariance is PSD so the iteration's sign is stable from a
     * positive start, and both engines replay identical arithmetic anyway.
     */
-  def powerIteration(cov: DataFrame, iters: Int): DataFrame = {
-    // mirror the upper triangle to the full symmetric matrix, once
-    val cf = graft.Scratch.table(
+  def powerIteration(cov: DataFrame, iters: Int): DataFrame =
+    iterate(symmetrize(cov), iters)
+
+  /** Mirror the upper triangle to the full symmetric matrix, scratch-
+    * materialized once (read per iteration round).
+    */
+  private def symmetrize(cov: DataFrame): DataFrame =
+    graft.Scratch.table(
       cov.unionAll(cov.filter(col("i") < col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("cov"))),
       "pca-cov-full")
+
+  /** The iteration loop over an already-full symmetric (i, j, cov)
+    * relation — shared by the top component and the Gram–Schmidt second.
+    * When `ortho` is set (a d-row (j, v1) relation), each round projects
+    * the mat-vec product off that direction BEFORE normalizing:
+    * z = y − (y·v1)·v1. The projection is a d-row broadcast join plus a
+    * 1-row dot-product aggregate per round — bounded BY CONSTRUCTION by
+    * the embedding dimensionality.
+    */
+  private def iterate(cf: DataFrame, iters: Int,
+      ortho: Option[DataFrame] = None): DataFrame = {
     var v = cf.select(col("j")).distinct()
       .select(col("j"), lit(0.125).as("v"))
     var norm: DataFrame = null
@@ -104,15 +120,48 @@ object PCA {
         .groupBy(col("i"))
         .agg((sum(floor(col("cov") * col("v") * lit(1e7) + lit(0.5))
             .cast(DecimalType(25, 0))).cast("double") / lit(1e7)).as("y"))
-      norm = y.agg(
+      val z = ortho match {
+        case None => y
+        case Some(v1) =>
+          val yv = y.join(broadcast(v1.select(col("j").as("i"),
+            col("v").as("v1"))), "i")
+          val dot = yv.agg(
+            (sum(floor(col("y") * col("v1") * lit(1e7) + lit(0.5))
+              .cast(DecimalType(25, 0))).cast("double") / lit(1e7)).as("dt"))
+          yv.crossJoin(broadcast(dot))
+            .select(col("i"),
+              graft.Parity.pround(
+                col("y") - col("dt") * col("v1"), 7).as("y"))
+      }
+      norm = z.agg(
         sqrt(sum(floor(col("y") * col("y") * lit(1e12) + lit(0.5))
             .cast(DecimalType(38, 0))).cast("double") / lit(1e12)).as("nm"))
-      v = y.crossJoin(broadcast(norm))
+      v = z.crossJoin(broadcast(norm))
         .select(col("i").as("j"),
           graft.Parity.pround(col("y") / col("nm"), 7).as("v"))
     }
     v.crossJoin(broadcast(norm))
       .select(col("j").as("dim"), col("v").as("loading"),
         graft.Parity.pround(col("nm"), 6).as("eigenvalue"))
+  }
+
+  /** Second principal component by per-round Gram–Schmidt against pc1:
+    * power-iterate the SAME (i, j, cov) relation, projecting each
+    * mat-vec product off the reported v₁ before normalizing. Unlike
+    * one-shot Hotelling deflation (C − λ₁v₁v₁ᵀ), whose orthogonality
+    * error inherits v₁'s own convergence residual (measured ≈0.15 dot at
+    * 4 rounds on the test corpus), the projection makes v₂ ⊥ v₁ BY
+    * CONSTRUCTION at every round — up to the 1e7 quantization — no
+    * matter how converged v₁ is, and skips materializing a second d²
+    * relation entirely (the projection is d-row work per round). With
+    * pc1 the 1-D [[powerIteration]] projection becomes a real 2-D map.
+    * Returns (dim, loading, eigenvalue) of the second component.
+    */
+  def secondComponent(cov: DataFrame, iters: Int): DataFrame = {
+    val cf = symmetrize(cov)
+    val pc1 = graft.Scratch.table(
+      iterate(cf, iters).select(col("dim").as("j"), col("loading").as("v")),
+      "pca-pc1-vec")
+    iterate(cf, iters, ortho = Some(pc1))
   }
 }

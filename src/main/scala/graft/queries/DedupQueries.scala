@@ -126,7 +126,7 @@ object DedupQueries {
     */
   val neardupIncremental: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val target = s"${sys.props("java.io.tmpdir")}/graft_store/neardup_incremental"
+    val target = StoreQueries.scratchPath(s, s"graft_store/neardup_incremental")
     DocDedup.incrementalCandidatePairs(s,
       Seq(docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1)),
@@ -147,7 +147,7 @@ object DedupQueries {
     */
   val dedupIncrementalExact: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val target = s"${sys.props("java.io.tmpdir")}/graft_store/dedup_incremental_exact"
+    val target = StoreQueries.scratchPath(s, s"graft_store/dedup_incremental_exact")
     DocDedup.incrementalExactDuplicates(s,
       Seq(docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1)),
@@ -165,7 +165,7 @@ object DedupQueries {
     */
   val dedupClustersIncremental: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val target = s"${sys.props("java.io.tmpdir")}/graft_store/dedup_clusters_incremental"
+    val target = StoreQueries.scratchPath(s, s"graft_store/dedup_clusters_incremental")
     val labels = DocDedup.incrementalClusterLabels(s,
       Seq(docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1)),
@@ -820,10 +820,16 @@ object DedupQueries {
     * integer arithmetic (|Δ|·5 ≤ max — no division). Output: 3 exact
     * count-ratio rows; pair space ∝ LSH collisions, never quadratic.
     */
-  val fsFieldWeights: Q = (s, dir) => {
+  /** The per-candidate-pair agreement relation shared by the M-step
+    * calibration ([[fsFieldWeights]]) and the EM round ([[fsEmRound]]):
+    * (matched, lang, source, length) — matched is the engine's own
+    * signature-agreement decision, the field columns are 0/1 agreement
+    * indicators.
+    */
+  private def fsPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val meta = docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-    val pairs = DocDedup.estimatedJaccardPairs(docs)
+    DocDedup.estimatedJaccardPairs(docs)
       .withColumn("matched", (col("est_jaccard") >= 0.5).cast("long"))
       .join(meta.select(col("doc_id").as("doc_id_a"), col("lang").as("lang_a"),
         col("source").as("src_a"), col("n_chars").as("nc_a")), "doc_id_a")
@@ -834,6 +840,10 @@ object DedupQueries {
         (col("src_a") === col("src_b")).cast("long").as("source"),
         (abs(col("nc_a") - col("nc_b")) * lit(5L) <=
           greatest(col("nc_a"), col("nc_b"))).cast("long").as("length"))
+  }
+
+  val fsFieldWeights: Q = (s, dir) => {
+    val pairs = fsPairs(s, dir)
     pairs.select(col("matched"), explode(array(
         struct(lit("lang").as("field"), col("lang").as("agree")),
         struct(lit("length").as("field"), col("length").as("agree")),
@@ -856,11 +866,14 @@ object DedupQueries {
       .orderBy(col("field"))
   }
 
-  val fsFieldWeightsSql: String = {
+  /** Shared oracle CTE chain through `prs(matched, lang, source, length)`
+    * — the DuckDB mirror of [[fsPairs]].
+    */
+  private val fsPrsCtesSql: String = {
     val eq = (0 until NumHashes)
       .map(j => s"CASE WHEN sa.mh_$j = sb.mh_$j THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""WITH $sigsSql,
+    s"""$sigsSql,
        |$bandsSql,
        |$pairsSql,
        |est AS (
@@ -878,7 +891,11 @@ object DedupQueries {
        |              THEN 1 ELSE 0 END AS BIGINT) AS length
        |  FROM est e
        |  JOIN documents da ON e.doc_id_a = da.doc_id
-       |  JOIN documents db ON e.doc_id_b = db.doc_id),
+       |  JOIN documents db ON e.doc_id_b = db.doc_id)""".stripMargin
+  }
+
+  val fsFieldWeightsSql: String = {
+    s"""WITH $fsPrsCtesSql,
        |f AS (
        |  SELECT matched, 'lang' AS field, lang AS agree FROM prs
        |  UNION ALL
@@ -904,8 +921,173 @@ object DedupQueries {
        |FROM d ORDER BY field""".stripMargin
   }
 
+  /** One Fellegi–Sunter EM iteration over the candidate-pair agreement
+    * relation — the calibration loop a real linker runs where
+    * [[fsFieldWeights]] is a single M-step on fixed labels:
+    *
+    *  - initial (m⁰, u⁰, p⁰) from the engine-labeled counts (clamped into
+    *    [10⁻⁶, 1−10⁻⁶] so degenerate fields can't zero a likelihood);
+    *  - E-step: per-pair posterior match probability under conditional
+    *    independence, P = p⁰·Πf(m) / (p⁰·Πf(m) + (1−p⁰)·Πf(u)) — pure
+    *    per-row IEEE arithmetic in the identical literal order on both
+    *    engines;
+    *  - M-step: posterior-weighted re-estimates m¹/u¹/p¹. Cross-row sums
+    *    of posteriors quantize at 1e7 and sum exact DECIMAL (the
+    *    association-free house pattern); the complement weights reuse the
+    *    SAME quantized value (1e7 − q), so m¹ and u¹ come from one exact
+    *    partition of the mass.
+    *
+    * Output: one row per field (m⁰, u⁰ → m¹, u¹, weight¹ = m¹/u¹) plus the
+    * re-estimated class prior. Pair space ∝ LSH collisions, one aggregate
+    * pass per step — the iteration parallelizes exactly like the M-step.
+    */
+  val fsEmRound: Q = (s, dir) => {
+    // two consumers (initial params + the E-step scan) — materialize once
+    val prs = graft.Scratch.table(fsPairs(s, dir), "fs-em-pairs")
+    def clamp(c: org.apache.spark.sql.Column) =
+      least(greatest(c, lit(0.000001)), lit(0.999999))
+    // a day with zero matched (or zero unmatched) LSH pairs must not kill
+    // the job: an empty class carries no evidence, so its conditionals
+    // fall back to the uninformative 0.5 (then clamp as usual)
+    def safeRatio(num: org.apache.spark.sql.Column,
+        den: org.apache.spark.sql.Column) =
+      clamp(when(den === lit(0L), lit(0.5))
+        .otherwise(num.cast("double") / den.cast("double")))
+    val params = prs.agg(
+      count(lit(1)).as("n"),
+      sum(col("matched")).as("nm"),
+      sum(col("lang") * col("matched")).as("aml"),
+      sum(col("lang") * (lit(1L) - col("matched"))).as("aul"),
+      sum(col("source") * col("matched")).as("ams"),
+      sum(col("source") * (lit(1L) - col("matched"))).as("aus"),
+      sum(col("length") * col("matched")).as("amn"),
+      sum(col("length") * (lit(1L) - col("matched"))).as("aun"))
+      .select(
+        safeRatio(col("aml"), col("nm")).as("m0_lang"),
+        safeRatio(col("aul"), col("n") - col("nm")).as("u0_lang"),
+        safeRatio(col("ams"), col("nm")).as("m0_src"),
+        safeRatio(col("aus"), col("n") - col("nm")).as("u0_src"),
+        safeRatio(col("amn"), col("nm")).as("m0_len"),
+        safeRatio(col("aun"), col("n") - col("nm")).as("u0_len"),
+        safeRatio(col("nm"), col("n")).as("p0"))
+    def term(a: String, p: String) =
+      when(col(a) === lit(1L), col(p)).otherwise(lit(1.0) - col(p))
+    val e = prs.crossJoin(broadcast(params))
+      .withColumn("num", col("p0") * term("lang", "m0_lang")
+        * term("source", "m0_src") * term("length", "m0_len"))
+      .withColumn("den", (lit(1.0) - col("p0")) * term("lang", "u0_lang")
+        * term("source", "u0_src") * term("length", "u0_len"))
+      .withColumn("qp", floor(col("num") / (col("num") + col("den")) * lit(1e7) + lit(0.5)))
+    val dec = org.apache.spark.sql.types.DecimalType(25, 0)
+    val m = e.groupBy(col("m0_lang"), col("u0_lang"), col("m0_src"),
+        col("u0_src"), col("m0_len"), col("u0_len"))
+      .agg(
+        count(lit(1)).as("n2"),
+        sum(col("qp").cast(dec)).as("sp"),
+        sum((lit(1e7) - col("qp")).cast(dec)).as("su"),
+        sum((col("qp") * col("lang")).cast(dec)).as("spl"),
+        sum(((lit(1e7) - col("qp")) * col("lang")).cast(dec)).as("sul"),
+        sum((col("qp") * col("source")).cast(dec)).as("sps"),
+        sum(((lit(1e7) - col("qp")) * col("source")).cast(dec)).as("sus"),
+        sum((col("qp") * col("length")).cast(dec)).as("spn"),
+        sum(((lit(1e7) - col("qp")) * col("length")).cast(dec)).as("sun"))
+      .withColumn("p1",
+        col("sp").cast("double") / (col("n2").cast("double") * lit(1e7)))
+    // same degenerate-class guard post-E-step: all posterior mass on one
+    // side (every qp 0 or 1e7) leaves the other class without evidence;
+    // the clamp keeps the re-estimates proper probabilities so the FS
+    // weight m1/u1 stays finite when a field agrees on every pair
+    def m1(spa: String) = clamp(when(col("sp") === lit(0L), lit(0.5))
+      .otherwise(col(spa).cast("double") / col("sp").cast("double")))
+    def u1(sua: String) = clamp(when(col("su") === lit(0L), lit(0.5))
+      .otherwise(col(sua).cast("double") / col("su").cast("double")))
+    m.select(explode(array(
+        struct(lit("lang").as("field"), col("m0_lang").as("m0"),
+          col("u0_lang").as("u0"), m1("spl").as("m1"), u1("sul").as("u1")),
+        struct(lit("length").as("field"), col("m0_len").as("m0"),
+          col("u0_len").as("u0"), m1("spn").as("m1"), u1("sun").as("u1")),
+        struct(lit("source").as("field"), col("m0_src").as("m0"),
+          col("u0_src").as("u0"), m1("sps").as("m1"), u1("sus").as("u1"))))
+        .as("fr"), col("p1"))
+      .select(col("fr.field").as("field"),
+        graft.Parity.pround(col("fr.m0"), 6).as("m0"),
+        graft.Parity.pround(col("fr.u0"), 6).as("u0"),
+        graft.Parity.pround(col("fr.m1"), 6).as("m1"),
+        graft.Parity.pround(col("fr.u1"), 6).as("u1"),
+        graft.Parity.pround(col("fr.m1") / col("fr.u1"), 6).as("weight1"),
+        graft.Parity.pround(col("p1"), 6).as("p1"))
+      .orderBy(col("field"))
+  }
+
+  val fsEmRoundSql: String =
+    s"""WITH $fsPrsCtesSql,
+       |g AS (
+       |  SELECT count(*) AS n, sum(matched) AS nm,
+       |         sum(lang * matched) AS aml, sum(lang * (1 - matched)) AS aul,
+       |         sum(source * matched) AS ams, sum(source * (1 - matched)) AS aus,
+       |         sum(length * matched) AS amn, sum(length * (1 - matched)) AS aun
+       |  FROM prs),
+       |par AS (
+       |  -- degenerate-class guard mirrors safeRatio: empty class -> 0.5
+       |  SELECT least(greatest(CASE WHEN nm = 0 THEN 0.5 ELSE CAST(aml AS DOUBLE) / CAST(nm AS DOUBLE) END, 0.000001), 0.999999) AS m0_lang,
+       |         least(greatest(CASE WHEN n - nm = 0 THEN 0.5 ELSE CAST(aul AS DOUBLE) / CAST(n - nm AS DOUBLE) END, 0.000001), 0.999999) AS u0_lang,
+       |         least(greatest(CASE WHEN nm = 0 THEN 0.5 ELSE CAST(ams AS DOUBLE) / CAST(nm AS DOUBLE) END, 0.000001), 0.999999) AS m0_src,
+       |         least(greatest(CASE WHEN n - nm = 0 THEN 0.5 ELSE CAST(aus AS DOUBLE) / CAST(n - nm AS DOUBLE) END, 0.000001), 0.999999) AS u0_src,
+       |         least(greatest(CASE WHEN nm = 0 THEN 0.5 ELSE CAST(amn AS DOUBLE) / CAST(nm AS DOUBLE) END, 0.000001), 0.999999) AS m0_len,
+       |         least(greatest(CASE WHEN n - nm = 0 THEN 0.5 ELSE CAST(aun AS DOUBLE) / CAST(n - nm AS DOUBLE) END, 0.000001), 0.999999) AS u0_len,
+       |         least(greatest(CASE WHEN n = 0 THEN 0.5 ELSE CAST(nm AS DOUBLE) / CAST(n AS DOUBLE) END, 0.000001), 0.999999) AS p0
+       |  FROM g),
+       |e AS (
+       |  SELECT floor(num / (num + den) * 1e7 + 0.5) AS qp, lang, source, length
+       |  FROM (
+       |    SELECT p.lang, p.source, p.length,
+       |           pr.p0 * (CASE WHEN p.lang = 1 THEN pr.m0_lang ELSE 1.0 - pr.m0_lang END)
+       |                 * (CASE WHEN p.source = 1 THEN pr.m0_src ELSE 1.0 - pr.m0_src END)
+       |                 * (CASE WHEN p.length = 1 THEN pr.m0_len ELSE 1.0 - pr.m0_len END) AS num,
+       |           (1.0 - pr.p0) * (CASE WHEN p.lang = 1 THEN pr.u0_lang ELSE 1.0 - pr.u0_lang END)
+       |                 * (CASE WHEN p.source = 1 THEN pr.u0_src ELSE 1.0 - pr.u0_src END)
+       |                 * (CASE WHEN p.length = 1 THEN pr.u0_len ELSE 1.0 - pr.u0_len END) AS den
+       |    FROM prs p CROSS JOIN par pr)),
+       |mm AS (
+       |  SELECT count(*) AS n2,
+       |         sum(CAST(qp AS DECIMAL(25,0))) AS sp,
+       |         sum(CAST(1e7 - qp AS DECIMAL(25,0))) AS su,
+       |         sum(CAST(qp * lang AS DECIMAL(25,0))) AS spl,
+       |         sum(CAST((1e7 - qp) * lang AS DECIMAL(25,0))) AS sul,
+       |         sum(CAST(qp * source AS DECIMAL(25,0))) AS sps,
+       |         sum(CAST((1e7 - qp) * source AS DECIMAL(25,0))) AS sus,
+       |         sum(CAST(qp * length AS DECIMAL(25,0))) AS spn,
+       |         sum(CAST((1e7 - qp) * length AS DECIMAL(25,0))) AS sun
+       |  FROM e),
+       |r AS (
+       |  SELECT par.*, mm.*,
+       |         CAST(sp AS DOUBLE) / (CAST(n2 AS DOUBLE) * 1e7) AS p1
+       |  FROM mm CROSS JOIN par),
+       |uf AS (
+       |  -- clamp mirrors the engine: proper probabilities, finite weight
+       |  SELECT 'lang' AS field, m0_lang AS m0, u0_lang AS u0,
+       |         least(greatest(CASE WHEN sp = 0 THEN 0.5 ELSE CAST(spl AS DOUBLE) / CAST(sp AS DOUBLE) END, 0.000001), 0.999999) AS m1,
+       |         least(greatest(CASE WHEN su = 0 THEN 0.5 ELSE CAST(sul AS DOUBLE) / CAST(su AS DOUBLE) END, 0.000001), 0.999999) AS u1, p1 FROM r
+       |  UNION ALL
+       |  SELECT 'length', m0_len, u0_len,
+       |         least(greatest(CASE WHEN sp = 0 THEN 0.5 ELSE CAST(spn AS DOUBLE) / CAST(sp AS DOUBLE) END, 0.000001), 0.999999),
+       |         least(greatest(CASE WHEN su = 0 THEN 0.5 ELSE CAST(sun AS DOUBLE) / CAST(su AS DOUBLE) END, 0.000001), 0.999999), p1 FROM r
+       |  UNION ALL
+       |  SELECT 'source', m0_src, u0_src,
+       |         least(greatest(CASE WHEN sp = 0 THEN 0.5 ELSE CAST(sps AS DOUBLE) / CAST(sp AS DOUBLE) END, 0.000001), 0.999999),
+       |         least(greatest(CASE WHEN su = 0 THEN 0.5 ELSE CAST(sus AS DOUBLE) / CAST(su AS DOUBLE) END, 0.000001), 0.999999), p1 FROM r)
+       |SELECT field,
+       |       ${graft.Parity.proundSql("m0", 6)} AS m0,
+       |       ${graft.Parity.proundSql("u0", 6)} AS u0,
+       |       ${graft.Parity.proundSql("m1", 6)} AS m1,
+       |       ${graft.Parity.proundSql("u1", 6)} AS u1,
+       |       ${graft.Parity.proundSql("m1 / u1", 6)} AS weight1,
+       |       ${graft.Parity.proundSql("p1", 6)} AS p1
+       |FROM uf ORDER BY field""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "fs_field_weights" -> fsFieldWeights,
+    "fs_em_round" -> fsEmRound,
     "golden_records" -> goldenRecords,
     "shingle_novelty" -> shingleNovelty,
     "containment_pairs" -> containmentPairs,
@@ -930,6 +1112,7 @@ object DedupQueries {
 
   val oracleSql: Map[String, String] = Map(
     "fs_field_weights" -> fsFieldWeightsSql,
+    "fs_em_round" -> fsEmRoundSql,
     "golden_records" -> goldenRecordsSql,
     "shingle_novelty" -> shingleNoveltySql,
     "containment_pairs" -> containmentPairsSql,

@@ -335,7 +335,7 @@ object SimilarityQueries {
     */
   val annIvfStore: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
-    val target = s"${sys.props("java.io.tmpdir")}/graft_store/ann_ivf_store"
+    val target = StoreQueries.scratchPath(s, s"graft_store/ann_ivf_store")
     Similarity.annIvfStoreTopK(s, emb,
         Seq(emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1)),
         target, queryVecIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
@@ -1191,33 +1191,87 @@ object SimilarityQueries {
     * (loadings out) and [[pcaProjectSql]] (loadings applied back to the
     * centered rows).
     */
-  private val pcaChainSql: String = {
-    def step(t: Int): String =
-      s"""y$t AS (
-         |  SELECT cf.i, CAST(sum(CAST(floor(cf.cov * v.v * 1e7 + 0.5)
+  /** Unrolled power-iteration CTE rounds over symmetric matrix CTE `mat`
+    * (step arithmetic identical to [[graft.ml.PCA]].iterate); `pfx`
+    * namespaces the y/n/v chain so the Gram–Schmidt second-component run
+    * can share the builder. `ortho` names a (j, v) CTE to project each
+    * mat-vec product off before normalizing (PCA.iterate's ortho arm).
+    */
+  private def powerChainSql(mat: String, pfx: String, iters: Int,
+      ortho: Option[String] = None): String = {
+    // MATERIALIZED throughout: every y step references mat and the previous
+    // v, and v references y twice — inlined, DuckDB re-evaluates the whole
+    // prefix per reference (exponential in iters; the deflated pc2 chain
+    // exhausted file handles on the embeddings scan), materialized each
+    // round runs once, as Spark's checkpointed iterate does
+    def step(t: Int): String = {
+      // the post-projection relation the norm/normalize stages read:
+      // with ortho, z subtracts the (y·v1)-scaled v1 per row first
+      val zed = ortho match {
+        case None => s"y$pfx$t"
+        case Some(_) => s"z$pfx$t"
+      }
+      val proj = ortho.fold("") { o =>
+        s"""
+           |d$pfx$t AS MATERIALIZED (
+           |  SELECT CAST(sum(CAST(floor(y.y * o.v * 1e7 + 0.5)
+           |                AS DECIMAL(25,0))) AS DOUBLE) / 1e7 AS dt
+           |  FROM y$pfx$t y JOIN $o o ON o.j = y.i),
+           |z$pfx$t AS MATERIALIZED (
+           |  SELECT y.i, floor((y.y - d.dt * o.v) * 1e7 + 0.5) / 1e7 AS y
+           |  FROM y$pfx$t y JOIN $o o ON o.j = y.i CROSS JOIN d$pfx$t d),""".stripMargin
+      }
+      s"""y$pfx$t AS MATERIALIZED (
+         |  SELECT m.i, CAST(sum(CAST(floor(m.cov * v.v * 1e7 + 0.5)
          |                AS DECIMAL(25,0))) AS DOUBLE) / 1e7 AS y
-         |  FROM cf JOIN v${t - 1} v ON cf.j = v.j GROUP BY 1),
-         |n$t AS (
+         |  FROM $mat m JOIN v$pfx${t - 1} v ON m.j = v.j GROUP BY 1),$proj
+         |n$pfx$t AS MATERIALIZED (
          |  SELECT sqrt(CAST(sum(CAST(floor(y * y * 1e12 + 0.5)
          |                AS DECIMAL(38,0))) AS DOUBLE) / 1e12) AS nm
-         |  FROM y$t),
-         |v$t AS (
+         |  FROM $zed),
+         |v$pfx$t AS MATERIALIZED (
          |  SELECT y.i AS j, floor(y.y / n.nm * 1e7 + 0.5) / 1e7 AS v
-         |  FROM y$t y CROSS JOIN n$t n)""".stripMargin
+         |  FROM $zed y CROSS JOIN n$pfx$t n)""".stripMargin
+    }
+    s"""v${pfx}0 AS MATERIALIZED (SELECT DISTINCT j, CAST(0.125 AS DOUBLE) AS v FROM $mat),
+       |${(1 to iters).map(step).mkString(",\n")}""".stripMargin
+  }
+
+  private val pcaChainSql: String =
     s"""$covCtesSql,
-       |cvr AS (SELECT i, j, ${graft.Parity.proundSql("covr", 6)} AS cov FROM cv),
-       |cf AS (SELECT i, j, cov FROM cvr
+       |cvr AS MATERIALIZED (SELECT i, j, ${graft.Parity.proundSql("covr", 6)} AS cov FROM cv),
+       |cf AS MATERIALIZED (SELECT i, j, cov FROM cvr
        |       UNION ALL
        |       SELECT j AS i, i AS j, cov FROM cvr WHERE i < j),
-       |v0 AS (SELECT DISTINCT j, CAST(0.125 AS DOUBLE) AS v FROM cf),
-       |${(1 to 4).map(step).mkString(",\n")}""".stripMargin
-  }
+       |${powerChainSql("cf", "", 4)}""".stripMargin
 
   val pcaPowerIterSql: String =
     s"""WITH $pcaChainSql
        |SELECT v.j AS dim, v.v AS loading,
        |       ${graft.Parity.proundSql("n.nm", 6)} AS eigenvalue
        |FROM v4 v CROSS JOIN n4 n ORDER BY dim""".stripMargin
+
+  /** Second principal component by per-round Gram–Schmidt against pc1
+    * ([[graft.ml.PCA.secondComponent]]): four more power rounds over the
+    * SAME symmetric (i, j, cov) relation, each mat-vec product projected
+    * off the reported v₁ (a d-row bounded relation joining in per round —
+    * never a driver matrix, and no second d² deflated-matrix relation)
+    * before normalizing. Orthogonality to pc1 holds BY CONSTRUCTION —
+    * one-shot Hotelling deflation inherits v₁'s convergence residual
+    * (≈0.15 dot at 4 rounds on this corpus) — and with pc1 this makes
+    * pca_project a real 2-D projection surface.
+    */
+  val pcaPc2: Q = (s, dir) =>
+    graft.ml.PCA.secondComponent(
+        graft.ml.PCA.covariance(Tables.embeddings(s, dir)), iters = 4)
+      .orderBy(col("dim"))
+
+  val pcaPc2Sql: String =
+    s"""WITH $pcaChainSql,
+       |${powerChainSql("cf", "b", 4, ortho = Some("v4"))}
+       |SELECT v.j AS dim, v.v AS loading,
+       |       ${graft.Parity.proundSql("n.nm", 6)} AS eigenvalue
+       |FROM vb4 v CROSS JOIN nb4 n ORDER BY dim""".stripMargin
 
   /** Project every embedding onto the learned top principal component —
     * the TRANSFORM arm of the PCA pipeline ([[pcaPowerIter]] is the fit):
@@ -1370,6 +1424,7 @@ object SimilarityQueries {
     "lift_deciles" -> liftDeciles,
     "embedding_covariance" -> embeddingCovariance,
     "pca_power_iter" -> pcaPowerIter,
+    "pca_pc2" -> pcaPc2,
     "pca_project" -> pcaProject,
     "uncertainty_sample" -> uncertaintySample,
     "hard_negatives" -> hardNegatives,
@@ -1409,6 +1464,7 @@ object SimilarityQueries {
     "lift_deciles" -> liftDecilesSql,
     "embedding_covariance" -> embeddingCovarianceSql,
     "pca_power_iter" -> pcaPowerIterSql,
+    "pca_pc2" -> pcaPc2Sql,
     "pca_project" -> pcaProjectSql,
     "uncertainty_sample" -> uncertaintySampleSql,
     "hard_negatives" -> hardNegativesSql,
