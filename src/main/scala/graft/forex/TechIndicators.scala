@@ -222,13 +222,60 @@ object TechIndicators {
     * INPUT columns all pre-exist (rsi: gain & loss; macd: fast & slow EMA of
     * close); a scan OVER a prior scan's output (macd signal) still composes.
     */
+  /** The shared carried-state chunk-scan scaffold: grid chunk key →
+    * per-chunk inclusive prefix fold of monoid elements (in parallel per
+    * chunk) → per-chunk totals → [[graft.relational.MonoidScan]] for each
+    * chunk's seeded incoming state → join back. Callers supply the monoid
+    * (element builder over the collected input struct, composition, and
+    * the seeded application step) plus the per-series seed relation, and
+    * read back `<p>_ab` (the row's composed in-chunk prefix) and
+    * `<p>_sin` (the chunk's incoming state) to finish. One copy of the
+    * carry-scan discipline for every carried-state indicator —
+    * [[affineScanN]] instantiates it with the scalar affine monoid,
+    * [[holtChunked]] with the 2×2 matrix-affine one.
+    */
+  private def chunkScan(df: DataFrame, valueCols: Seq[String],
+      elemLambda: String, composeLambda: String, seededLambda: String,
+      seeds: DataFrame, candlesPerChunk: Int, gridUs: Long,
+      keyCols: Seq[String], p: String): DataFrame = {
+    val w = gridUs * candlesPerChunk
+    val ck = s"${p}_chunk"
+    val px = s"${p}_px"
+    val fs = s"${p}_fs"
+    val ab = s"${p}_ab"
+    val c = df.withColumn(ck, expr(s"unix_micros(candle_start) DIV ${w}L"))
+    val wPre = Window.partitionBy((keyCols :+ ck).map(col): _*)
+      .orderBy(col("candle_start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withAb = c
+      .withColumn(px, collect_list(struct(valueCols.map(col): _*)).over(wPre))
+      .withColumn(fs, expr(s"transform($px, $elemLambda)"))
+      .withColumn(ab, expr(
+        s"aggregate(slice($fs, 2, size($fs) - 1), $fs[0], $composeLambda)"))
+    // chunk-level composition: the seeded exclusive scan over per-chunk
+    // totals, distributed via the grid-hierarchical MonoidScan — every
+    // window task sees ≤64 chunk rows (VERDICT r12 finding #1b; the old
+    // collect-the-full-prefix form was O(|chunks|²) in one task). At ≤64
+    // chunks per series (true of the sf0.01/sf0.1 candle grids) the scan
+    // IS the original flat seeded fold, bit-identical, so the chunk-form
+    // oracles (IndicatorQueries.affineScanSql and the holt recursive
+    // mirror) stay exact; beyond that the association is the documented
+    // fanout-64 hierarchy.
+    val totals = withAb
+      .groupBy((keyCols :+ ck).map(col): _*)
+      .agg(max_by(col(ab), col("candle_start")).as(s"${p}_tot"))
+    val incoming = graft.relational.MonoidScan.scanIncoming(
+      totals, keyCols, ck, s"${p}_tot", seeds, "__seed0",
+      seededLambda, composeLambda, fanout = 64, outName = s"${p}_sin")
+    withAb.join(incoming, keyCols :+ ck)
+  }
+
   private[forex] def affineScanN(df: DataFrame, specs: Seq[ScanSpec],
       candlesPerChunk: Int, gridUs: Long,
       keyCols: Seq[String] = Nil): DataFrame = {
     require(specs.nonEmpty)
     specs.foreach(sp =>
       require(math.abs(sp.a + sp.b - 1.0) < 1e-15, "seeding needs a + b = 1"))
-    val w = gridUs * candlesPerChunk
     val p = specs.head.outCol
     val ck = s"${p}_chunk"
     val px = s"${p}_px"
@@ -237,51 +284,29 @@ object TechIndicators {
     // one list of input structs per row; duplicate inputs (macd: fast and
     // slow both scan close_price) are collected once
     val valueCols = specs.map(_.valueCol).distinct
-    val c = df.withColumn(ck, expr(s"unix_micros(candle_start) DIV ${w}L"))
-    val wPre = Window.partitionBy((keyCols :+ ck).map(col): _*)
-      .orderBy(col("candle_start"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def perSpec(f: ScanSpec => String): String =
       specs.map(sp => s"'${sp.outCol}', ${f(sp)}").mkString(", ")
-    val withAb = c
-      .withColumn(px, collect_list(struct(valueCols.map(col): _*)).over(wPre))
-      .withColumn(fs, expr(s"transform($px, x -> named_struct(" +
-        perSpec(sp => s"named_struct('a', ${sp.a}D, 'b', ${sp.b}D * x.${sp.valueCol})") + "))"))
-      .withColumn(ab, expr(
-        s"aggregate(slice($fs, 2, size($fs) - 1), $fs[0], (acc, f) -> named_struct(" +
-          perSpec(sp => s"named_struct('a', f.${sp.outCol}.a * acc.${sp.outCol}.a, " +
-            s"'b', f.${sp.outCol}.a * acc.${sp.outCol}.b + f.${sp.outCol}.b)") + "))"))
+    val elem = "x -> named_struct(" +
+      perSpec(sp => s"named_struct('a', ${sp.a}D, 'b', ${sp.b}D * x.${sp.valueCol})") + ")"
+    val composeStep = "(acc, f) -> named_struct(" +
+      perSpec(sp => s"named_struct('a', f.${sp.outCol}.a * acc.${sp.outCol}.a, " +
+        s"'b', f.${sp.outCol}.a * acc.${sp.outCol}.b + f.${sp.outCol}.b)") + ")"
+    val seededStep = "(acc, f) -> named_struct(" +
+      perSpec(sp => s"named_struct('a', 1.0D, " +
+        s"'b', f.${sp.outCol}.a * acc.${sp.outCol}.b + f.${sp.outCol}.b)") + ")"
     // per-series seeds: one row (global) or one per key — broadcast either way
     val firstAggs = specs.map(sp =>
       min_by(col(sp.valueCol), col("candle_start")).as(s"${sp.outCol}_first"))
     val first =
       if (keyCols.isEmpty) df.agg(firstAggs.head, firstAggs.tail: _*)
       else df.groupBy(keyCols.map(col): _*).agg(firstAggs.head, firstAggs.tail: _*)
-    // chunk-level composition: the seeded exclusive scan over per-chunk
-    // affine totals, distributed via the grid-hierarchical MonoidScan —
-    // every window task sees ≤64 chunk rows (VERDICT r12 finding #1b; the
-    // old collect-the-full-prefix form was O(|chunks|²) in one task). At
-    // ≤64 chunks per series (true of the sf0.01/sf0.1 candle grids) the
-    // scan IS the original flat seeded fold, bit-identical, so the
-    // chunk-form oracles (IndicatorQueries.affineScanSql) stay exact;
-    // beyond that the association is the documented fanout-64 hierarchy.
-    val totals = withAb
-      .groupBy((keyCols :+ ck).map(col): _*)
-      .agg(max_by(col(ab), col("candle_start")).as(s"${p}_tot"))
     val seeds = first.select(keyCols.map(col) :+ expr(
       s"named_struct(" +
         perSpec(sp => s"named_struct('a', 1.0D, 'b', ${sp.outCol}_first)") +
         ")").as("__seed0"): _*)
-    val seededStep = "(acc, f) -> named_struct(" +
-      perSpec(sp => s"named_struct('a', 1.0D, " +
-        s"'b', f.${sp.outCol}.a * acc.${sp.outCol}.b + f.${sp.outCol}.b)") + ")"
-    val composeStep = "(acc, f) -> named_struct(" +
-      perSpec(sp => s"named_struct('a', f.${sp.outCol}.a * acc.${sp.outCol}.a, " +
-        s"'b', f.${sp.outCol}.a * acc.${sp.outCol}.b + f.${sp.outCol}.b)") + ")"
-    val incoming = graft.relational.MonoidScan.scanIncoming(
-      totals, keyCols, ck, s"${p}_tot", seeds, "__seed0",
-      seededStep, composeStep, fanout = 64, outName = s"${p}_sin")
-    specs.foldLeft(withAb.join(incoming, keyCols :+ ck)) { (acc, sp) =>
+    val scanned = chunkScan(df, valueCols, elem, composeStep, seededStep,
+      seeds, candlesPerChunk, gridUs, keyCols, p)
+    specs.foldLeft(scanned) { (acc, sp) =>
       acc.withColumn(sp.outCol,
         expr(s"$ab.${sp.outCol}.a * ${p}_sin.${sp.outCol}.b + $ab.${sp.outCol}.b"))
     }.drop(ck, px, fs, ab, s"${p}_sin")
@@ -412,4 +437,73 @@ object TechIndicators {
         graft.Parity.pround(col("signal"), 6).as("macd_signal"),
         graft.Parity.pround(col("macd") - col("signal"), 6).as("macd_hist")): _*)
   }
+
+  /** Holt double-exponential smoothing (level + trend), chunk-parallel —
+    * the first MULTI-STATE carried recurrence on the [[graft.relational
+    * .MonoidScan]] primitive (reference analog: the carried-state lookback
+    * discipline of fct_eurusd_timeframes.sql:25-29 generalized from the
+    * scalar EWMA to a state VECTOR). The per-candle update
+    *
+    *   l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *
+    * is the affine map (l,b) ↦ A·(l,b) + c·x_t with the CONSTANT 2×2
+    * matrix A = [[1−α, 1−α], [−αβ, 1−αβ]] and c = (α, αβ) — so the
+    * composition monoid is 2×2-matrix-affine: (A₂,c₂)∘(A₁,c₁) =
+    * (A₂A₁, A₂c₁+c₂), associative, exactly what MonoidScan distributes.
+    * Same shape as [[affineScanN]] (which is the 1×1 case): per-chunk
+    * prefix folds in parallel, per-chunk totals, the grid-keyed monoid
+    * scan for each chunk's incoming (l,b), one join back. Seeds from the
+    * series' first close: (l₀, b₀) = (x₀, 0).
+    *
+    * Matrix entries ride as exact double literals (α=0.2, β=0.1 →
+    * 0.8/−0.02/0.98/0.2/0.02 — decimal strings both engines parse to the
+    * identical doubles); every composition step is the same
+    * product-sum expression text on both engines, so the fold is
+    * bit-identical and the chunk-form oracle is exact at ≤64 chunks
+    * (beyond that: the documented fanout-64 hierarchy, deterministic in
+    * the data, never in the partitioning).
+    */
+  def holtChunked(candles: DataFrame, candlesPerChunk: Int = 64,
+      gridUs: Long = 3600000000L, keyCols: Seq[String] = Nil): DataFrame = {
+    // per-candle element: named_struct of the constant A and c·x_t
+    val elem = "x -> named_struct(" +
+      "'a11', 0.8D, 'a12', 0.8D, 'a21', -0.02D, 'a22', 0.98D, " +
+      "'b1', 0.2D * x.close_price, 'b2', 0.02D * x.close_price)"
+    // full matrix-affine composition (acc applied first, then f); the
+    // b-part reads only b-parts of acc, which is what lets the seeded
+    // fold carry the state in b while keeping the accumulator type
+    val compose = "(acc, f) -> named_struct(" +
+      "'a11', f.a11 * acc.a11 + f.a12 * acc.a21, " +
+      "'a12', f.a11 * acc.a12 + f.a12 * acc.a22, " +
+      "'a21', f.a21 * acc.a11 + f.a22 * acc.a21, " +
+      "'a22', f.a21 * acc.a12 + f.a22 * acc.a22, " +
+      "'b1', f.a11 * acc.b1 + f.a12 * acc.b2 + f.b1, " +
+      "'b2', f.a21 * acc.b1 + f.a22 * acc.b2 + f.b2)"
+    // seeded application: identity A, state evolves in (b1, b2) — the
+    // identical b-expressions as compose, so it mirrors the oracle's
+    // prepended-identity fold bit for bit
+    val seededStep = "(acc, f) -> named_struct(" +
+      "'a11', 1.0D, 'a12', 0.0D, 'a21', 0.0D, 'a22', 1.0D, " +
+      "'b1', f.a11 * acc.b1 + f.a12 * acc.b2 + f.b1, " +
+      "'b2', f.a21 * acc.b1 + f.a22 * acc.b2 + f.b2)"
+    val firstAgg = min_by(col("close_price"), col("candle_start")).as("__x0")
+    val first =
+      if (keyCols.isEmpty) candles.agg(firstAgg)
+      else candles.groupBy(keyCols.map(col): _*).agg(firstAgg)
+    val seeds = first.select(keyCols.map(col) :+
+      expr("named_struct('a11', 1.0D, 'a12', 0.0D, 'a21', 0.0D, " +
+        "'a22', 1.0D, 'b1', __x0, 'b2', 0.0D)").as("__seed0"): _*)
+    chunkScan(candles, Seq("close_price"), elem, compose, seededStep,
+        seeds, candlesPerChunk, gridUs, keyCols, "holt")
+      .withColumn("__lraw",
+        expr("holt_ab.a11 * holt_sin.b1 + holt_ab.a12 * holt_sin.b2 + holt_ab.b1"))
+      .withColumn("__traw",
+        expr("holt_ab.a21 * holt_sin.b1 + holt_ab.a22 * holt_sin.b2 + holt_ab.b2"))
+      .select(keyCols.map(col) ++ Seq(col("candle_start"), col("close_price"),
+        graft.Parity.pround(col("__lraw"), 6).as("level"),
+        graft.Parity.pround(col("__traw"), 6).as("trend"),
+        graft.Parity.pround(col("__lraw") + col("__traw"), 6).as("forecast")): _*)
+  }
+
 }

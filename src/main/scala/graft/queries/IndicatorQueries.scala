@@ -287,6 +287,76 @@ object IndicatorQueries {
        |FROM sig_res ORDER BY candle_start""".stripMargin
   }
 
+  /** Holt level+trend, chunk-parallel (TechIndicators.holtChunked): the
+    * 2×2 matrix-affine generalization of the ewma_chunked association —
+    * per-chunk {A, c} prefix folds, flat seeded cross-chunk composition
+    * (= MonoidScan's ≤64-chunk base case on the 12-chunk sf grids).
+    */
+  val holtChunked: Q = (s, dir) =>
+    TechIndicators.holtChunked(candles1h(s, dir)).orderBy(col("candle_start"))
+
+  val holtChunkedSql: String = {
+    val w = 3600000000L * 64
+    // NOTE: the per-row matrix-affine folds mirror as RECURSIVE CTEs, not
+    // list_reduce: DuckDB 1.0's list_reduce mutates a STRUCT accumulator
+    // field by field IN PLACE, so a lambda whose later fields read earlier
+    // ones (any 2x2 matrix product does - a21' needs the OLD a11 after
+    // a11' was already written) folds wrong values. The scalar {'a','b'}
+    // affine oracles dodge this by layout ('b' never reads acc.a); the
+    // recursion builds a fresh struct per row and replays the identical
+    // left-to-right association as Spark's sequential aggregate().
+    s"""WITH RECURSIVE ${ForexQueries.silverSql},
+       |$candles1hSql,
+       |hk AS (
+       |  SELECT candle_start, close_price, epoch_us(candle_start) // $w AS chunk_id
+       |  FROM c),
+       |he AS (
+       |  SELECT chunk_id, candle_start, close_price,
+       |         CAST(row_number() OVER (PARTITION BY chunk_id ORDER BY candle_start) AS BIGINT) AS rn,
+       |         {'a11': CAST(0.8 AS DOUBLE), 'a12': CAST(0.8 AS DOUBLE),
+       |          'a21': CAST(-0.02 AS DOUBLE), 'a22': CAST(0.98 AS DOUBLE),
+       |          'b1': CAST(0.2 AS DOUBLE) * close_price,
+       |          'b2': CAST(0.02 AS DOUBLE) * close_price} AS f
+       |  FROM hk),
+       |hab AS (
+       |  SELECT chunk_id, rn, candle_start, close_price, f AS abf
+       |  FROM he WHERE rn = 1
+       |  UNION ALL
+       |  SELECT e.chunk_id, e.rn, e.candle_start, e.close_price,
+       |         {'a11': e.f.a11 * r.abf.a11 + e.f.a12 * r.abf.a21,
+       |          'a12': e.f.a11 * r.abf.a12 + e.f.a12 * r.abf.a22,
+       |          'a21': e.f.a21 * r.abf.a11 + e.f.a22 * r.abf.a21,
+       |          'a22': e.f.a21 * r.abf.a12 + e.f.a22 * r.abf.a22,
+       |          'b1': e.f.a11 * r.abf.b1 + e.f.a12 * r.abf.b2 + e.f.b1,
+       |          'b2': e.f.a21 * r.abf.b1 + e.f.a22 * r.abf.b2 + e.f.b2}
+       |  FROM hab r JOIN he e ON e.chunk_id = r.chunk_id AND e.rn = r.rn + 1),
+       |hlast AS (
+       |  SELECT chunk_id, arg_max(abf, rn) AS tot,
+       |         CAST(row_number() OVER (ORDER BY chunk_id) AS BIGINT) AS ck_rn
+       |  FROM hab GROUP BY chunk_id),
+       |hsi AS (
+       |  SELECT CAST(1 AS BIGINT) AS ck_rn,
+       |         {'b1': (SELECT arg_min(close_price, candle_start) FROM c),
+       |          'b2': CAST(0.0 AS DOUBLE)} AS s
+       |  UNION ALL
+       |  SELECT r.ck_rn + 1,
+       |         {'b1': t.tot.a11 * r.s.b1 + t.tot.a12 * r.s.b2 + t.tot.b1,
+       |          'b2': t.tot.a21 * r.s.b1 + t.tot.a22 * r.s.b2 + t.tot.b2}
+       |  FROM hsi r JOIN hlast t ON t.ck_rn = r.ck_rn),
+       |hraw AS (
+       |  SELECT ab.candle_start, ab.close_price,
+       |         ab.abf.a11 * si.s.b1 + ab.abf.a12 * si.s.b2 + ab.abf.b1 AS lraw,
+       |         ab.abf.a21 * si.s.b1 + ab.abf.a22 * si.s.b2 + ab.abf.b2 AS traw
+       |  FROM hab ab
+       |  JOIN hlast hl USING (chunk_id)
+       |  JOIN hsi si ON si.ck_rn = hl.ck_rn)
+       |SELECT candle_start, close_price,
+       |       ${graft.Parity.proundSql("lraw", 6)} AS level,
+       |       ${graft.Parity.proundSql("traw", 6)} AS trend,
+       |       ${graft.Parity.proundSql("lraw + traw", 6)} AS forecast
+       |FROM hraw ORDER BY candle_start""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "bollinger_1h" -> bollinger1h,
     "bollinger_chunked" -> bollingerChunked,
@@ -294,7 +364,8 @@ object IndicatorQueries {
     "macd_1h" -> macd1h,
     "ewma_chunked" -> ewmaChunked,
     "rsi_chunked" -> rsiChunked,
-    "macd_chunked" -> macdChunked)
+    "macd_chunked" -> macdChunked,
+    "holt_chunked" -> holtChunked)
 
   val oracleSql: Map[String, String] = Map(
     "bollinger_1h" -> bollinger1hSql,
@@ -303,5 +374,6 @@ object IndicatorQueries {
     "macd_1h" -> macd1hSql,
     "ewma_chunked" -> ewmaChunkedSql,
     "rsi_chunked" -> rsiChunkedSql,
-    "macd_chunked" -> macdChunkedSql)
+    "macd_chunked" -> macdChunkedSql,
+    "holt_chunked" -> holtChunkedSql)
 }
