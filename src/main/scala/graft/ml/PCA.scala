@@ -59,8 +59,14 @@ object PCA {
   /** Upper-triangle population covariance as a relation: (i, j, cov) for
     * j >= i, cov = Σ(x_i − m_i)(x_j − m_j)/n, 1e6-rounded at the edge.
     */
-  def covariance(embeddings: DataFrame): DataFrame = {
-    val m = dimMeans(embeddings)
+  def covariance(embeddings: DataFrame): DataFrame =
+    covariance(embeddings, dimMeans(embeddings))
+
+  /** Same, reusing already-collected means — callers that also need the
+    * means for centering (projection, whitening) pay the means
+    * aggregation once, not once per consumer.
+    */
+  def covariance(embeddings: DataFrame, m: Array[Double]): DataFrame = {
     val mLit = array(m.toIndexedSeq.map(lit): _*)
     val centered = embeddings.select(
       transform(expr("transform(embedding, x -> CAST(x AS DOUBLE))"),
@@ -157,11 +163,21 @@ object PCA {
     * pc1 the 1-D [[powerIteration]] projection becomes a real 2-D map.
     * Returns (dim, loading, eigenvalue) of the second component.
     */
-  def secondComponent(cov: DataFrame, iters: Int): DataFrame = {
+  def secondComponent(cov: DataFrame, iters: Int): DataFrame =
+    topTwo(cov, iters).filter(col("component") === 2)
+      .drop("component")
+
+  /** Both leading components in ONE pass over the shared symmetric
+    * relation (pc1 is scratched once and reused as pc2's projection
+    * direction — callers wanting both never pay the pc1 chain twice):
+    * (component ∈ {1,2}, dim, loading, eigenvalue).
+    */
+  def topTwo(cov: DataFrame, iters: Int): DataFrame = {
     val cf = symmetrize(cov)
-    val pc1 = graft.Scratch.table(
-      iterate(cf, iters).select(col("dim").as("j"), col("loading").as("v")),
-      "pca-pc1-vec")
-    iterate(cf, iters, ortho = Some(pc1))
+    val pc1 = graft.Scratch.table(iterate(cf, iters), "pca-pc1")
+    val pc2 = iterate(cf, iters,
+      ortho = Some(pc1.select(col("dim").as("j"), col("loading").as("v"))))
+    pc1.withColumn("component", lit(1))
+      .unionByName(pc2.withColumn("component", lit(2)))
   }
 }

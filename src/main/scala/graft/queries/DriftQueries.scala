@@ -508,6 +508,88 @@ object DriftQueries {
                  6)} AS kurtosis_excess
        |FROM d4 ORDER BY event_type""".stripMargin
 
+
+  /** Delete-one-group jackknife CI for the corpus mean document length —
+    * the label-free error bar a corpus-stats report should carry: with
+    * g sources as the jackknife groups, every leave-one-source-out mean
+    * θ₍h₎ comes from the SAME one-pass per-source sums (θ₍h₎ =
+    * (S−S_h)/(N−N_h) — g replicates priced as ONE aggregate, never g
+    * passes), and SE² = (g−1)/g · Σ(θ₍h₎ − θ̄)². The group count is
+    * bounded by construction (|sources|), so every cross-replicate sum
+    * runs on a tiny relation; per-replicate arithmetic is pinned-order
+    * IEEE, cross-replicate sums quantize 1e6 into exact DECIMAL, and the
+    * 95% z rides as the shared literal 1.959964.
+    */
+  val jackknifeCi: Q = (s, dir) => {
+    val dec = DecimalType(25, 0)
+    val docs = Tables.documents(s, dir)
+    val per = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_h"), sum(col("n_chars").cast(dec)).as("s_h"))
+    val tot = per.agg(sum(col("n_h")).as("n"), sum(col("s_h")).as("s"),
+      count(lit(1)).as("g"))
+    val loo = per.crossJoin(broadcast(tot))
+      // g = 1: the single leave-one-out replicate is empty (n = n_h) and
+      // the jackknife is undefined — pin the replicate to the overall
+      // mean so dev = 0 and the CI collapses to the point estimate
+      .withColumn("theta_loo",
+        when(col("n") === col("n_h"),
+          col("s").cast("double") / col("n").cast("double"))
+        .otherwise((col("s").cast("double") - col("s_h").cast("double")) /
+          (col("n").cast("double") - col("n_h").cast("double"))))
+    val lbar = loo.agg(
+      (sum(floor(col("theta_loo") * lit(1e6) + lit(0.5)).cast(dec))
+        .cast("double") / lit(1e6) / max(col("g")).cast("double")).as("theta_bar"))
+    val agg = loo.crossJoin(broadcast(lbar))
+      .withColumn("dev", col("theta_loo") - col("theta_bar"))
+      .agg(
+        max(col("g")).as("g"),
+        (max(col("s")).cast("double") / max(col("n")).cast("double")).as("theta_hat"),
+        (sum(floor(col("dev") * col("dev") * lit(1e6) + lit(0.5)).cast(dec))
+          .cast("double") / lit(1e6)).as("ssq"))
+      .withColumn("se_jack", sqrt(
+        (col("g").cast("double") - lit(1.0)) / col("g").cast("double") * col("ssq")))
+    agg.select(col("g"),
+      graft.Parity.pround(col("theta_hat"), 6).as("theta_hat"),
+      graft.Parity.pround(col("se_jack"), 6).as("se_jack"),
+      graft.Parity.pround(
+        col("theta_hat") - lit(1.959964) * col("se_jack"), 6).as("ci_lo"),
+      graft.Parity.pround(
+        col("theta_hat") + lit(1.959964) * col("se_jack"), 6).as("ci_hi"))
+  }
+
+  val jackknifeCiSql: String =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_h, sum(CAST(n_chars AS DECIMAL(25,0))) AS s_h
+       |  FROM documents GROUP BY 1),
+       |tot AS (
+       |  SELECT sum(n_h) AS n, sum(s_h) AS s, count(*) AS g FROM per),
+       |loo AS (
+       |  -- g = 1 guard mirrors the engine: empty replicate -> overall mean
+       |  SELECT p.*, t.n, t.s, t.g,
+       |         CASE WHEN t.n = p.n_h
+       |              THEN CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)
+       |              ELSE (CAST(t.s AS DOUBLE) - CAST(p.s_h AS DOUBLE)) /
+       |                (CAST(t.n AS DOUBLE) - CAST(p.n_h AS DOUBLE)) END AS theta_loo
+       |  FROM per p CROSS JOIN tot t),
+       |lb AS (
+       |  SELECT CAST(sum(CAST(floor(theta_loo * 1e6 + 0.5) AS DECIMAL(25,0))) AS DOUBLE)
+       |           / 1e6 / CAST(max(g) AS DOUBLE) AS theta_bar
+       |  FROM loo),
+       |agg AS (
+       |  SELECT max(l.g) AS g,
+       |         max(CAST(l.s AS DOUBLE) / CAST(l.n AS DOUBLE)) AS theta_hat,
+       |         sqrt((CAST(max(l.g) AS DOUBLE) - 1.0) / CAST(max(l.g) AS DOUBLE)
+       |           * (CAST(sum(CAST(floor((l.theta_loo - b.theta_bar)
+       |               * (l.theta_loo - b.theta_bar) * 1e6 + 0.5) AS DECIMAL(25,0))) AS DOUBLE) / 1e6)) AS se_jack
+       |  FROM loo l CROSS JOIN lb b)
+       |SELECT CAST(g AS BIGINT) AS g,
+       |       ${graft.Parity.proundSql("theta_hat", 6)} AS theta_hat,
+       |       ${graft.Parity.proundSql("se_jack", 6)} AS se_jack,
+       |       ${graft.Parity.proundSql("theta_hat - 1.959964 * se_jack", 6)} AS ci_lo,
+       |       ${graft.Parity.proundSql("theta_hat + 1.959964 * se_jack", 6)} AS ci_hi
+       |FROM agg""".stripMargin
+
+
   val queries: Map[String, Q] = Map(
     "moments_report" -> momentsReport,
     "value_outliers" -> valueOutliers,
@@ -515,7 +597,8 @@ object DriftQueries {
     "winsorize_stats" -> winsorizeStats,
     "dist_drift" -> distDrift,
     "benford_check" -> benfordCheck,
-    "ab_welch_t" -> abWelchT)
+    "ab_welch_t" -> abWelchT,
+    "jackknife_ci" -> jackknifeCi)
 
   val oracleSql: Map[String, String] = Map(
     "moments_report" -> momentsReportSql,
@@ -524,5 +607,6 @@ object DriftQueries {
     "winsorize_stats" -> winsorizeStatsSql,
     "dist_drift" -> distDriftSql,
     "benford_check" -> benfordCheckSql,
-    "ab_welch_t" -> abWelchTSql)
+    "ab_welch_t" -> abWelchTSql,
+    "jackknife_ci" -> jackknifeCiSql)
 }

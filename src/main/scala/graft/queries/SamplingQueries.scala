@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.PortableHash
 import graft.sampling.Sampling
+import graft.relational.GlobalIndex
 import graft.text.TextAnalysis
 
 /** Deterministic sampling/splitting + corpus rollup queries (training-data
@@ -171,13 +172,159 @@ object SamplingQueries {
        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Systematic weighted sampling — the pow()-free, shuffle-light way to
+    * draw a token-budgeted training subset with inclusion probability
+    * proportional to document weight: lay every document's token count
+    * along one line via a DISTRIBUTED prefix sum ([[GlobalIndex
+    * .withPrefixSum]] — range-parallel, never one ordered-window task),
+    * then take one sample at every multiple of (total_tokens DIV n).
+    * A document is drawn c times where c = #multiples inside its
+    * [prefix, prefix+w) span — so documents longer than the stride can
+    * repeat (epoch-style oversampling of long docs), short ones are
+    * drawn with probability w/stride, and the draw is a pure function
+    * of the corpus (integer arithmetic end to end; no per-row pow/ln
+    * the cross-engine bit contract can't cover). The whole draw is one
+    * prefix-sum pass + a projection — no per-stratum shuffles.
+    */
+  val systematicSample: Q = (s, dir) => {
+    val n = 100L
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val cum = GlobalIndex.withPrefixSum(t, Seq("doc_id"), "n_tokens",
+      cumName = "cum_incl")
+    val tot = cum.agg(max(col("cum_incl")).as("w_total"))
+    cum.crossJoin(broadcast(tot))
+      // a corpus shorter than the budget would give stride 0: floor the
+      // stride at 1 (degenerate case = take everything, weighted)
+      .withColumn("stride", greatest(expr(s"w_total DIV ${n}L"), lit(1L)))
+      // draws = multiples of stride inside (cum_incl - n_tokens, cum_incl]
+      // (m >= 1, so the total draw count is exactly w_total DIV stride);
+      // every operand is non-negative, so both engines' DIV agree
+      .withColumn("n_copies", expr(
+        "cum_incl DIV stride - (cum_incl - n_tokens) DIV stride"))
+      .filter(col("n_copies") > 0L)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("cum_incl") - col("n_tokens")).as("offset"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  val systematicSampleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]|\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_incl,
+      |         CAST(sum(n_tokens) OVER () AS BIGINT) AS w_total
+      |  FROM t),
+      |k AS (
+      |  SELECT doc_id, n_tokens, cum_incl, greatest(w_total // 100, 1) AS stride
+      |  FROM c)
+      |SELECT doc_id, n_tokens, CAST(cum_incl - n_tokens AS BIGINT) AS offset,
+      |       CAST(cum_incl // stride - (cum_incl - n_tokens) // stride AS BIGINT) AS n_copies
+      |FROM k
+      |WHERE cum_incl // stride - (cum_incl - n_tokens) // stride > 0
+      |ORDER BY doc_id""".stripMargin
+
+
+  /** Neyman-allocated stratified sample over sources: each stratum's draw
+    * count n_h ∝ N_h·σ_h (size × token-count spread — the allocation that
+    * minimizes the variance of the corpus-mean estimator at fixed total
+    * budget n = 200), then n_h docs drawn per stratum by portable-hash
+    * order. One aggregate pass for the per-stratum moments (exact integer
+    * sums; σ's variance expression is pinned-op-order IEEE), the N_h·σ_h
+    * weights quantize 1e6 into exact integers before the bounded
+    * |sources|-row share division, and the per-stratum draw is the
+    * WindowGroupLimit top-n_h shape (pruned before any sort spills —
+    * never a global-order window).
+    */
+  val stratifiedNeyman: Q = (s, dir) => {
+    val n = 200L
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("w"))
+    val dec = org.apache.spark.sql.types.DecimalType(25, 0)
+    val stats = t.groupBy(col("source")).agg(
+        count(lit(1)).as("n_h"),
+        sum(col("w").cast(dec)).as("sw"),
+        sum((col("w") * col("w")).cast(dec)).as("sww"))
+      .withColumn("sigma", sqrt(
+        (col("sww").cast("double") -
+          col("sw").cast("double") * col("sw").cast("double") / col("n_h").cast("double"))
+          / col("n_h").cast("double")))
+      .withColumn("t_h",
+        floor(col("n_h").cast("double") * col("sigma") * lit(1e6) + lit(0.5)).cast(dec))
+    val tot = stats.agg(sum(col("t_h")).as("t_tot"), sum(col("n_h")).as("n_tot"))
+    // an all-constant corpus (every sigma 0) has no variance to allocate
+    // against: Neyman's sigma->equal limit is proportional allocation, so
+    // the share falls back to n_h/n_tot instead of 0/0
+    val share = when(col("t_tot") === lit(0L),
+        col("n_h").cast("double") / col("n_tot").cast("double"))
+      .otherwise(col("t_h").cast("double") / col("t_tot").cast("double"))
+    val alloc = stats.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_h"), graft.Parity.pround(col("sigma"), 6).as("sigma"),
+        floor(lit(n).cast("double") * share + lit(0.5)).cast("long").as("alloc"))
+    val ranked = t.withColumn("h_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(PortableHash.hash32(concat_ws("|", lit("neyman"), col("doc_id"))),
+            col("doc_id"))).cast("long"))
+    ranked.join(broadcast(alloc), "source")
+      .filter(col("h_rank") <= col("alloc"))
+      .select(col("source"), col("doc_id"), col("h_rank"),
+        col("n_h"), col("sigma"), col("alloc"))
+      .orderBy(col("source"), col("h_rank"))
+  }
+
+  val stratifiedNeymanSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]|\\s+')) AS BIGINT) AS w
+       |  FROM documents),
+       |st AS (
+       |  SELECT source, count(*) AS n_h,
+       |         sum(CAST(w AS DECIMAL(25,0))) AS sw,
+       |         sum(CAST(w * w AS DECIMAL(25,0))) AS sww
+       |  FROM t GROUP BY 1),
+       |sg AS (
+       |  SELECT source, n_h,
+       |         sqrt((CAST(sww AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(n_h AS DOUBLE)) / CAST(n_h AS DOUBLE)) AS sigma
+       |  FROM st),
+       |wt AS (
+       |  SELECT source, n_h, sigma,
+       |         CAST(floor(CAST(n_h AS DOUBLE) * sigma * 1e6 + 0.5) AS DECIMAL(25,0)) AS t_h
+       |  FROM sg),
+       |tt AS (SELECT sum(t_h) AS t_tot, sum(n_h) AS n_tot FROM wt),
+       |al AS (
+       |  -- all-sigma-zero corpus: proportional-allocation fallback (no 0/0)
+       |  SELECT source, n_h, sigma,
+       |         CAST(floor(CAST(200 AS DOUBLE) * (CASE WHEN tt.t_tot = 0
+       |             THEN CAST(n_h AS DOUBLE) / CAST(tt.n_tot AS DOUBLE)
+       |             ELSE CAST(t_h AS DOUBLE) / CAST(tt.t_tot AS DOUBLE) END) + 0.5) AS BIGINT) AS alloc
+       |  FROM wt CROSS JOIN tt),
+       |rk AS (
+       |  SELECT doc_id, source,
+       |         CAST(row_number() OVER (PARTITION BY source
+       |           ORDER BY (${graft.functions.PortableHash.hash32Sql("'neyman|' || CAST(doc_id AS VARCHAR)")}), doc_id) AS BIGINT) AS h_rank
+       |  FROM t)
+       |SELECT r.source, r.doc_id, r.h_rank,
+       |       CAST(a.n_h AS BIGINT) AS n_h,
+       |       ${graft.Parity.proundSql("a.sigma", 6)} AS sigma, a.alloc
+       |FROM rk r JOIN al a USING (source)
+       |WHERE r.h_rank <= a.alloc
+       |ORDER BY r.source, r.h_rank""".stripMargin
+
+
   val queries: Map[String, Q] = Map(
     "source_mixture" -> sourceMixture,
     "train_test_split" -> trainTestSplit,
     "split_summary" -> splitSummary,
     "corpus_stats" -> corpusStats,
     "sample_by_key" -> sampleByKey,
-    "seq_pack" -> seqPack)
+    "seq_pack" -> seqPack,
+    "systematic_sample" -> systematicSample,
+    "stratified_neyman" -> stratifiedNeyman)
 
   val oracleSql: Map[String, String] = Map(
     "source_mixture" -> sourceMixtureSql,
@@ -185,5 +332,7 @@ object SamplingQueries {
     "split_summary" -> splitSummarySql,
     "corpus_stats" -> corpusStatsSql,
     "sample_by_key" -> sampleByKeySql,
-    "seq_pack" -> seqPackSql)
+    "seq_pack" -> seqPackSql,
+    "systematic_sample" -> systematicSampleSql,
+    "stratified_neyman" -> stratifiedNeymanSql)
 }

@@ -434,6 +434,191 @@ object SimilarityQueries {
        |GROUP BY m.method, m.query_vec_id
        |ORDER BY m.method, m.query_vec_id""".stripMargin
 
+  /** 1/log2(i+1) for ranks 1..10, pre-rounded to 9 dp and shared by
+    * both engines as literals (no runtime log2 in the bit contract).
+    */
+  private val NdcgDiscounts = Seq(
+    "CAST(1.000000000 AS DOUBLE)", "CAST(0.630929754 AS DOUBLE)",
+    "CAST(0.500000000 AS DOUBLE)", "CAST(0.430676558 AS DOUBLE)",
+    "CAST(0.386852807 AS DOUBLE)", "CAST(0.356207187 AS DOUBLE)",
+    "CAST(0.333333333 AS DOUBLE)", "CAST(0.315464877 AS DOUBLE)",
+    "CAST(0.301029996 AS DOUBLE)", "CAST(0.289064826 AS DOUBLE)")
+
+
+  /** Graded ranking quality of the ANN paths — nDCG@10 of each index's
+    * ranking against the EXACT cosine ranking on the same queries, with
+    * relevance grades derived from the exact ranks (true-top-1 → 3,
+    * 2..5 → 2, 6..20 → 1, else 0): no external labels, just "how much of
+    * the true neighborhood ordering does the approximate index preserve,
+    * weighted toward the top". The log2 discounts ride as PRE-ROUNDED
+    * shared 9-dp literals (the hardcoded-log-constant house pattern — no
+    * runtime ln() bit contract), gains are the exact ints 2^g−1, and the
+    * per-list sums quantize 1e7 + DECIMAL (association-free). IDCG is
+    * computed from each query's own grade multiset (grades re-ranked by
+    * grade desc), so ndcg = dcg/idcg is self-normalizing.
+    *
+    * Scale shape: everything downstream of the ANN/exact rankings is
+    * per-(method, query) aggregation over ≤10-row lists — the eval cost
+    * IS the ranking cost, and those are the indexed paths.
+    */
+  val ndcgEval: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    // two consumers (per-method DCG join + the ideal re-ranking) — the
+    // brute-force ground truth materializes once
+    val grades = graft.Scratch.table(
+      Similarity.knnBruteForceMulti(e, qids, 20)
+        .select(col("query_vec_id"), col("vec_id"),
+          when(col("rank") === 1, 3L).when(col("rank") <= 5, 2L)
+            .otherwise(1L).as("grade")), "ndcg-grades")
+    val disc = expr(s"array(${NdcgDiscounts.mkString(", ")})")
+    def dcgOf(rankCol: String): org.apache.spark.sql.Column =
+      (sum(floor(expr("CAST(CASE grade WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END AS DOUBLE)")
+          * element_at(disc, col(rankCol).cast("int")) * lit(1e7) + lit(0.5))
+        .cast(org.apache.spark.sql.types.DecimalType(25, 0))).cast("double") / lit(1e7))
+    val ann = Similarity.annLshTopK(e, qids, 10)
+        .select(lit("lsh").as("method"), col("query_vec_id"), col("vec_id"),
+          col("rank").cast("long").as("rank"))
+      .unionByName(Similarity.annIvfTopK(e, qids, 10)
+        .select(lit("ivf").as("method"), col("query_vec_id"), col("vec_id"),
+          col("rank").cast("long").as("rank")))
+    val dcg = ann.join(grades, Seq("query_vec_id", "vec_id"), "left")
+      .withColumn("grade", coalesce(col("grade"), lit(0L)))
+      .groupBy(col("method"), col("query_vec_id"))
+      .agg(dcgOf("rank").as("dcg"))
+    val ideal = grades
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_vec_id")
+          .orderBy(col("grade").desc, col("vec_id"))).cast("long"))
+      .filter(col("pos") <= 10)
+      .groupBy(col("query_vec_id"))
+      .agg(dcgOf("pos").as("idcg"))
+    dcg.join(ideal, "query_vec_id")
+      .select(col("method"), col("query_vec_id"),
+        graft.Parity.pround(col("dcg"), 6).as("dcg"),
+        graft.Parity.pround(col("idcg"), 6).as("idcg"),
+        graft.Parity.pround(col("dcg") / col("idcg"), 6).as("ndcg"))
+      .orderBy(col("method"), col("query_vec_id"))
+  }
+
+  val ndcgEvalSql: String =
+    s"""WITH lsh AS ($annLshTopKSql),
+       |ivf AS ($annIvfTopKSql),
+       |en AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |       FROM embeddings),
+       |q AS (SELECT vec_id AS query_vec_id, embedding AS qe, norm AS qn
+       |      FROM en WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |grades AS (
+       |  SELECT query_vec_id, vec_id,
+       |         CASE WHEN rn = 1 THEN 3 WHEN rn <= 5 THEN 2 ELSE 1 END AS grade
+       |  FROM (
+       |    SELECT q.query_vec_id, e.vec_id,
+       |           row_number() OVER (PARTITION BY q.query_vec_id
+       |             ORDER BY floor(((${dotSql("e.embedding", "q.qe")}) / (e.norm * q.qn)) * 1e6 + 0.5) / 1e6 DESC,
+       |                      e.vec_id) AS rn
+       |    FROM en e CROSS JOIN q
+       |    WHERE e.vec_id <> q.query_vec_id) WHERE rn <= 20),
+       |m AS (
+       |  SELECT 'lsh' AS method, query_vec_id, vec_id, rank FROM lsh
+       |  UNION ALL
+       |  SELECT 'ivf' AS method, query_vec_id, vec_id, rank FROM ivf),
+       |dcg AS (
+       |  SELECT m.method, m.query_vec_id,
+       |         CAST(sum(CAST(floor(
+       |           CAST(CASE coalesce(g.grade, 0) WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END AS DOUBLE)
+       |             * ([${NdcgDiscounts.mkString(", ")}])[m.rank] * 1e7 + 0.5)
+       |           AS DECIMAL(25,0))) AS DOUBLE) / 1e7 AS dcg
+       |  FROM m LEFT JOIN grades g
+       |    ON m.query_vec_id = g.query_vec_id AND m.vec_id = g.vec_id
+       |  GROUP BY 1, 2),
+       |ideal AS (
+       |  SELECT query_vec_id,
+       |         CAST(sum(CAST(floor(
+       |           CAST(CASE grade WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END AS DOUBLE)
+       |             * ([${NdcgDiscounts.mkString(", ")}])[pos] * 1e7 + 0.5)
+       |           AS DECIMAL(25,0))) AS DOUBLE) / 1e7 AS idcg
+       |  FROM (
+       |    SELECT query_vec_id, grade,
+       |           CAST(row_number() OVER (PARTITION BY query_vec_id
+       |             ORDER BY grade DESC, vec_id) AS BIGINT) AS pos
+       |    FROM grades) WHERE pos <= 10
+       |  GROUP BY 1)
+       |SELECT d.method, d.query_vec_id,
+       |       ${graft.Parity.proundSql("d.dcg", 6)} AS dcg,
+       |       ${graft.Parity.proundSql("i.idcg", 6)} AS idcg,
+       |       ${graft.Parity.proundSql("d.dcg / i.idcg", 6)} AS ndcg
+       |FROM dcg d JOIN ideal i USING (query_vec_id)
+       |ORDER BY d.method, d.query_vec_id""".stripMargin
+
+  /** Mean reciprocal rank + hit rate of the true nearest neighbor in each
+    * ANN path's top-10 (the "did the index surface THE answer, and how
+    * high" metric beside [[ndcgEval]]'s graded view). Reciprocals are
+    * exact integers (1e7 DIV rank) summed as such — no float sum order.
+    */
+  val mrrEval: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val true1 = Similarity.knnBruteForceMulti(e, qids, 1)
+      .select(col("query_vec_id"), col("vec_id"))
+    val ann = Similarity.annLshTopK(e, qids, 10)
+        .select(lit("lsh").as("method"), col("query_vec_id"), col("vec_id"),
+          col("rank").cast("long").as("rank"))
+      .unionByName(Similarity.annIvfTopK(e, qids, 10)
+        .select(lit("ivf").as("method"), col("query_vec_id"), col("vec_id"),
+          col("rank").cast("long").as("rank")))
+    // aggregate FROM the method roster, not from the hit rows: a method
+    // whose top-10 never contains the true neighbor must report
+    // mrr = hit_rate = 0, not vanish from the eval table
+    val hits = ann.join(true1, Seq("query_vec_id", "vec_id"))
+      .groupBy(col("method"), col("query_vec_id"))
+      .agg(min(col("rank")).as("rank")) // at most one row per query anyway
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("hits"),
+        sum(expr("10000000L DIV rank")).as("qrr"))
+    ann.select(col("method")).distinct()
+      .join(hits, Seq("method"), "left")
+      .select(col("method"),
+        graft.Parity.pround(
+          coalesce(col("qrr"), lit(0L)).cast("double") / lit(5.0) / lit(1e7), 6).as("mrr"),
+        graft.Parity.pround(
+          coalesce(col("hits"), lit(0L)).cast("double") / lit(5.0), 6).as("hit_rate"))
+      .orderBy(col("method"))
+  }
+
+  val mrrEvalSql: String =
+    s"""WITH lsh AS ($annLshTopKSql),
+       |ivf AS ($annIvfTopKSql),
+       |en AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |       FROM embeddings),
+       |q AS (SELECT vec_id AS query_vec_id, embedding AS qe, norm AS qn
+       |      FROM en WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |true1 AS (
+       |  SELECT query_vec_id, vec_id FROM (
+       |    SELECT q.query_vec_id, e.vec_id,
+       |           row_number() OVER (PARTITION BY q.query_vec_id
+       |             ORDER BY floor(((${dotSql("e.embedding", "q.qe")}) / (e.norm * q.qn)) * 1e6 + 0.5) / 1e6 DESC,
+       |                      e.vec_id) AS rn
+       |    FROM en e CROSS JOIN q
+       |    WHERE e.vec_id <> q.query_vec_id) WHERE rn = 1),
+       |m AS (
+       |  SELECT 'lsh' AS method, query_vec_id, vec_id, rank FROM lsh
+       |  UNION ALL
+       |  SELECT 'ivf' AS method, query_vec_id, vec_id, rank FROM ivf),
+       |rr AS (
+       |  SELECT m.method, m.query_vec_id, min(m.rank) AS rank
+       |  FROM m JOIN true1 t
+       |    ON m.query_vec_id = t.query_vec_id AND m.vec_id = t.vec_id
+       |  GROUP BY 1, 2),
+       |hs AS (
+       |  SELECT method, count(*) AS hits, sum(10000000 // rank) AS qrr
+       |  FROM rr GROUP BY 1)
+       |SELECT md.method,
+       |       ${graft.Parity.proundSql("CAST(coalesce(h.qrr, 0) AS DOUBLE) / 5.0 / 1e7", 6)} AS mrr,
+       |       ${graft.Parity.proundSql("CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0", 6)} AS hit_rate
+       |FROM (SELECT DISTINCT method FROM m) md LEFT JOIN hs h USING (method)
+       |ORDER BY md.method""".stripMargin
+
+
   /** k-means TRAINING at the oracle gate: two full Lloyd iterations
     * (seeded init → assign → mean-update → assign → mean-update) must
     * reproduce bit-for-bit in DuckDB — dot products are sequential folds,
@@ -1286,9 +1471,9 @@ object SimilarityQueries {
     */
   val pcaProject: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
-    val pc = graft.ml.PCA.powerIteration(graft.ml.PCA.covariance(emb), iters = 4)
-      .select(col("dim"), col("loading"))
     val m = graft.ml.PCA.dimMeans(emb)
+    val pc = graft.ml.PCA.powerIteration(graft.ml.PCA.covariance(emb, m), iters = 4)
+      .select(col("dim"), col("loading"))
     val mLit = array(m.toIndexedSeq.map(lit): _*)
     emb.select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -1315,6 +1500,159 @@ object SimilarityQueries {
        |       ${graft.Parity.proundSql("p.p0", 6)} AS projection
        |FROM proj p JOIN embeddings e USING (vec_id)
        |ORDER BY vec_id""".stripMargin
+
+
+  /** Whitened 2-D embedding map — the centered corpus projected onto the
+    * two leading principal components, each axis scaled by 1/√λ so both
+    * directions carry unit variance (the representation drift monitors
+    * and diversity plots want: distances comparable across axes). Both
+    * components come from ONE [[graft.ml.PCA.topTwo]] pass (pc1 scratched
+    * and reused as pc2's projection direction, never two chains), the
+    * projection is the one-corpus-scan quantized-dot shape of
+    * [[pcaProject]] but against a 2·d-row loading relation, and the
+    * √λ scale divides by the 6-dp-rounded eigenvalue BOTH engines agree
+    * on by construction.
+    */
+  val pcaWhiten2d: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val m = graft.ml.PCA.dimMeans(emb)
+    val pcs = graft.ml.PCA.topTwo(graft.ml.PCA.covariance(emb, m), iters = 4)
+    val mLit = array(m.toIndexedSeq.map(lit): _*)
+    val dec = org.apache.spark.sql.types.DecimalType(25, 0)
+    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        (col("x").cast("double") - element_at(mLit, col("dim") + 1)).as("c"))
+      .join(broadcast(pcs), "dim")
+      .groupBy(col("vec_id"), col("component"), col("eigenvalue"))
+      .agg((sum(floor(col("c") * col("loading") * lit(1e7) + lit(0.5)).cast(dec))
+        .cast("double") / lit(1e7)).as("p"))
+      .withColumn("w", graft.Parity.pround(col("p") / sqrt(col("eigenvalue")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("component") === 1, col("w"))).as("w1"),
+        max(when(col("component") === 2, col("w"))).as("w2"))
+      .orderBy(col("vec_id"))
+  }
+
+  val pcaWhiten2dSql: String =
+    s"""WITH $pcaChainSql,
+       |${powerChainSql("cf", "b", 4, ortho = Some("v4"))},
+       |pcs AS (
+       |  SELECT 1 AS component, v.j AS dim, v.v AS loading,
+       |         ${graft.Parity.proundSql("n.nm", 6)} AS eigenvalue
+       |  FROM v4 v CROSS JOIN n4 n
+       |  UNION ALL
+       |  SELECT 2 AS component, v.j AS dim, v.v AS loading,
+       |         ${graft.Parity.proundSql("n.nm", 6)} AS eigenvalue
+       |  FROM vb4 v CROSS JOIN nb4 n),
+       |proj AS (
+       |  SELECT cx.vec_id, p.component, p.eigenvalue,
+       |         CAST(sum(CAST(floor(cx.c * p.loading * 1e7 + 0.5)
+       |               AS DECIMAL(25,0))) AS DOUBLE) / 1e7 AS p
+       |  FROM cx JOIN pcs p ON cx.i = p.dim GROUP BY 1, 2, 3)
+       |SELECT vec_id,
+       |       max(CASE WHEN component = 1 THEN ${graft.Parity.proundSql("p / sqrt(eigenvalue)", 6)} END) AS w1,
+       |       max(CASE WHEN component = 2 THEN ${graft.Parity.proundSql("p / sqrt(eigenvalue)", 6)} END) AS w2
+       |FROM proj GROUP BY 1 ORDER BY vec_id""".stripMargin
+
+
+
+  /** Maximal-marginal-relevance reranking of a retrieval pool — the
+    * diversity-aware top-k a RAG/context-window assembler wants instead
+    * of raw top-k (raw top-k returns 8 near-copies of the best hit; MMR
+    * trades relevance against redundancy): greedily pick
+    * argmax[ λ·rel(c) − (1−λ)·max_{p∈picked} sim(c,p) ], λ = 0.5, k = 8,
+    * from the brute-force top-20 pool for query vector 0.
+    *
+    * Scale shape: the DISTRIBUTED work is the pool retrieval (the
+    * indexed ANN/knn path); everything after runs on relations bounded
+    * BY CONSTRUCTION — a 20-row pool, its 20×20 pairwise cosines, and
+    * k tiny argmax rounds (greedy MMR is inherently sequential in k, so
+    * the rounds are the algorithm, not a scaling accident; each round is
+    * one bounded aggregate, never a corpus pass). Scores are
+    * arithmetic over 1e-6-quantized cosines with pinned IEEE order, so
+    * the greedy trajectory — and therefore the PICK SET — is replayed
+    * decision-for-decision by the oracle's unrolled rounds.
+    */
+  val mmrRerank: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val pool = graft.Scratch.table(
+      Similarity.knnBruteForceMulti(e, Seq(0L), 20)
+        .select(col("vec_id"), col("cos_sim").as("rel")), "mmr-pool")
+    val pe = pool.join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.l2Norm("embedding").as("norm"))
+    val sims = graft.Scratch.table(
+      pe.as("x").join(pe.as("y"), col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+          graft.Parity.pround(
+            Similarity.dot("x.embedding", "y.embedding") /
+              (col("x.norm") * col("y.norm")), 6).as("sim")), "mmr-sims")
+    var picked = graft.Scratch.table(
+      pool.orderBy(col("rel").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("rel"), lit(1L).as("pick_order"),
+          col("rel").as("mmr_score")), "mmr-p1")
+    for (t <- 2 to 8) {
+      val next = pool
+        .join(picked.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .join(sims, col("vec_id") === col("a"))
+        .join(picked.select(col("vec_id").as("b")), "b")
+        .groupBy(col("vec_id"), col("rel"))
+        .agg(max(col("sim")).as("maxsim"))
+        .withColumn("mmr_score",
+          lit(0.5) * col("rel") - lit(0.5) * col("maxsim"))
+        .orderBy(col("mmr_score").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("rel"), lit(t.toLong).as("pick_order"),
+          col("mmr_score"))
+      picked = graft.Scratch.table(picked.unionByName(next), s"mmr-p$t")
+    }
+    picked.select(col("pick_order"), col("vec_id"),
+        graft.Parity.pround(col("rel"), 6).as("rel"),
+        graft.Parity.pround(col("mmr_score"), 6).as("mmr_score"))
+      .orderBy(col("pick_order"))
+  }
+
+  val mmrRerankSql: String = {
+    def round(t: Int): String =
+      s"""c$t AS (
+         |  SELECT po.vec_id, po.rel, max(s.sim) AS maxsim
+         |  FROM pool po
+         |  JOIN sims s ON s.a = po.vec_id
+         |  JOIN p${t - 1} p ON s.b = p.vec_id
+         |  WHERE po.vec_id NOT IN (SELECT vec_id FROM p${t - 1})
+         |  GROUP BY 1, 2),
+         |n$t AS (
+         |  SELECT vec_id, rel, CAST($t AS BIGINT) AS pick_order,
+         |         CAST(0.5 AS DOUBLE) * rel - CAST(0.5 AS DOUBLE) * maxsim AS mmr_score
+         |  FROM c$t ORDER BY mmr_score DESC, vec_id LIMIT 1),
+         |p$t AS (SELECT * FROM p${t - 1} UNION ALL SELECT * FROM n$t)""".stripMargin
+    s"""WITH en AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |            FROM embeddings),
+       |q AS (SELECT vec_id AS query_vec_id, embedding AS qe, norm AS qn
+       |      FROM en WHERE vec_id = 0),
+       |pool AS MATERIALIZED (
+       |  SELECT vec_id, rel FROM (
+       |    SELECT e.vec_id,
+       |           floor(((${dotSql("e.embedding", "q.qe")}) / (e.norm * q.qn)) * 1e6 + 0.5) / 1e6 AS rel,
+       |           row_number() OVER (ORDER BY floor(((${dotSql("e.embedding", "q.qe")}) / (e.norm * q.qn)) * 1e6 + 0.5) / 1e6 DESC,
+       |                              e.vec_id) AS rn
+       |    FROM en e CROSS JOIN q
+       |    WHERE e.vec_id <> q.query_vec_id) WHERE rn <= 20),
+       |pe AS MATERIALIZED (
+       |  SELECT p.vec_id, e.embedding, e.norm FROM pool p JOIN en e USING (vec_id)),
+       |sims AS MATERIALIZED (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |         floor(((${dotSql("x.embedding", "y.embedding")}) / (x.norm * y.norm)) * 1e6 + 0.5) / 1e6 AS sim
+       |  FROM pe x JOIN pe y ON x.vec_id <> y.vec_id),
+       |p1 AS (
+       |  SELECT vec_id, rel, CAST(1 AS BIGINT) AS pick_order, rel AS mmr_score
+       |  FROM pool ORDER BY rel DESC, vec_id LIMIT 1),
+       |${(2 to 8).map(round).mkString(",\n")}
+       |SELECT pick_order, vec_id,
+       |       ${graft.Parity.proundSql("rel", 6)} AS rel,
+       |       ${graft.Parity.proundSql("mmr_score", 6)} AS mmr_score
+       |FROM p8 ORDER BY pick_order""".stripMargin
+  }
+
 
   /** Active-learning batch selection: the 50 corpus rows the trained
     * classifier is LEAST SURE about (smallest |score − ½| margin) — the
@@ -1426,6 +1764,7 @@ object SimilarityQueries {
     "pca_power_iter" -> pcaPowerIter,
     "pca_pc2" -> pcaPc2,
     "pca_project" -> pcaProject,
+    "pca_whiten_2d" -> pcaWhiten2d,
     "uncertainty_sample" -> uncertaintySample,
     "hard_negatives" -> hardNegatives,
     "logreg_sparse_train" -> logregSparseTrain,
@@ -1442,6 +1781,9 @@ object SimilarityQueries {
     "ann_ivf_topk" -> annIvfTopK,
     "ann_ivf_store" -> annIvfStore,
     "ann_recall" -> annRecall,
+    "ndcg_eval" -> ndcgEval,
+    "mmr_rerank" -> mmrRerank,
+    "mrr_eval" -> mrrEval,
     "ivf_train" -> ivfTrain,
     "diversity_sample" -> diversitySample,
     "embed_quantize" -> embedQuantize)
@@ -1466,6 +1808,7 @@ object SimilarityQueries {
     "pca_power_iter" -> pcaPowerIterSql,
     "pca_pc2" -> pcaPc2Sql,
     "pca_project" -> pcaProjectSql,
+    "pca_whiten_2d" -> pcaWhiten2dSql,
     "uncertainty_sample" -> uncertaintySampleSql,
     "hard_negatives" -> hardNegativesSql,
     "logreg_sparse_train" -> logregSparseTrainSql,
@@ -1483,6 +1826,9 @@ object SimilarityQueries {
     "ann_ivf_topk" -> annIvfTopKSql,
     "ann_ivf_store" -> annIvfStoreSql,
     "ann_recall" -> annRecallSql,
+    "ndcg_eval" -> ndcgEvalSql,
+    "mmr_rerank" -> mmrRerankSql,
+    "mrr_eval" -> mrrEvalSql,
     "diversity_sample" -> diversitySampleSql,
     "embed_quantize" -> embedQuantizeSql)
 }
