@@ -275,13 +275,51 @@ object FeatureQueries {
 
   // ------------------------------------------------------------ registry
 
+  /** Rank-based quantile normalization of the metric stream — the
+    * ML-preprocessing transform that maps each value to its empirical
+    * quantile r/(n+1) within its event type (heavy-tail-proof feature
+    * scaling; two batches normalize onto the same [0,1] scale no matter
+    * how their raw ranges drift). The per-group rank runs through
+    * [[GlobalIndex]]'s range-parallel two-phase form — global index over
+    * (type, value, event_id), minus each type's broadcast min-index —
+    * never a per-type single-task ORDER BY window; ranks are exact
+    * integers, so the only float op is one pinned division.
+    */
+  val quantileNormalize: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val gi = graft.relational.GlobalIndex.withGlobalIndex(ev,
+      Seq("event_type", "value", "event_id"), idxName = "__gidx")
+    val grp = gi.groupBy(col("event_type"))
+      .agg(min(col("__gidx")).as("__g0"), count(lit(1)).as("__n"))
+    gi.join(broadcast(grp), "event_type")
+      .withColumn("rank", col("__gidx") - col("__g0") + 1L)
+      .select(col("event_id"), col("event_type"), col("value"), col("rank"),
+        graft.Parity.pround(
+          col("rank").cast("double") /
+            (col("__n") + lit(1L)).cast("double"), 6).as("qnorm"))
+      .orderBy(col("event_id"))
+  }
+
+  val quantileNormalizeSql: String =
+    s"""WITH r AS (
+       |  SELECT event_id, event_type, CAST(value AS DOUBLE) AS value,
+       |         CAST(row_number() OVER (PARTITION BY event_type
+       |           ORDER BY CAST(value AS DOUBLE), event_id) AS BIGINT) AS rank,
+       |         count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events)
+       |SELECT event_id, event_type, value, rank,
+       |       ${graft.Parity.proundSql("CAST(rank AS DOUBLE) / CAST(n + 1 AS DOUBLE)", 6)} AS qnorm
+       |FROM r ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "target_encode" -> targetEncode,
     "kfold_assign" -> kfoldAssign,
     "decay_weighted" -> decayWeighted,
     "gini_activity" -> giniActivity,
     "churn_labels" -> churnLabels,
-    "seasonality_profile" -> seasonalityProfile)
+    "seasonality_profile" -> seasonalityProfile,
+    "quantile_normalize" -> quantileNormalize)
 
   val oracleSql: Map[String, String] = Map(
     "target_encode" -> targetEncodeSql,
@@ -289,5 +327,6 @@ object FeatureQueries {
     "decay_weighted" -> decayWeightedSql,
     "gini_activity" -> giniActivitySql,
     "churn_labels" -> churnLabelsSql,
-    "seasonality_profile" -> seasonalityProfileSql)
+    "seasonality_profile" -> seasonalityProfileSql,
+    "quantile_normalize" -> quantileNormalizeSql)
 }

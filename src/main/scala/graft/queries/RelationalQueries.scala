@@ -3894,6 +3894,118 @@ object RelationalQueries {
     * (one user-keyed co-partitioned self-join of the distinct relation)
     * as the accuracy reference the estimator is judged against.
     */
+  /** Audience overlap via KMV (k-minimum-values / theta-class) sketches —
+    * the SET-OPERATION face of the sketch family beside [[hllOverlap]]'s
+    * inclusion-exclusion: keep each audience's k = 64 smallest DISTINCT
+    * portable user-id hashes; the union sketch is the k smallest of the
+    * merged hash sets; Jaccard is estimated by the match fraction inside
+    * the union sketch and the union size by (k−1)·2³²/h₍k₎, so the
+    * intersection estimate is their product — the theta-sketch recipe,
+    * derandomized (the "random" hash is the portable md5 span, a pure
+    * function of the data both engines replay).
+    *
+    * Scale shape: the corpus is touched ONCE — a map-side-combinable
+    * distinct of (type, hash) — and every pairwise step runs on
+    * |types|·k sketch rows (bounded BY CONSTRUCTION; the per-type top-k
+    * is a WindowGroupLimit-pruned rank). The exact reference overlap
+    * joins the distinct relation co-partitioned on user_id, same as
+    * hll_overlap's audit arm.
+    */
+  val kmvOverlap: Q = (s, dir) => {
+    val k = 64
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"),
+        graft.functions.PortableHash.hash32(col("user_id")).as("h"))
+      .distinct()
+    val sk = graft.Scratch.table(
+      ev.withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("h"))))
+        .filter(col("rn") <= k).drop("rn"),
+      "kmv-sketches")
+    val pairs = sk.select(col("event_type").as("ta")).distinct()
+      .join(sk.select(col("event_type").as("tb")).distinct(), col("ta") < col("tb"))
+    val merged = pairs
+      .join(sk, col("event_type") === col("ta") || col("event_type") === col("tb"))
+      .select(col("ta"), col("tb"), col("h")).distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("ta"), col("tb")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+    val inA = sk.select(col("event_type").as("ta"), col("h"), lit(1L).as("ina"))
+    val inB = sk.select(col("event_type").as("tb"), col("h"), lit(1L).as("inb"))
+    val stats = merged
+      .join(inA, Seq("ta", "h"), "left").join(inB, Seq("tb", "h"), "left")
+      .groupBy(col("ta"), col("tb"))
+      .agg(max(col("h")).as("h_k"),
+        sum(coalesce(col("ina"), lit(0L)) * coalesce(col("inb"), lit(0L)))
+          .as("matches"))
+      .withColumn("union_est",
+        lit((k - 1).toDouble) * lit(4294967296.0) / col("h_k").cast("double"))
+      .withColumn("jaccard_est",
+        col("matches").cast("double") / lit(k.toDouble))
+    // exact reference: one co-partitioned distinct join (the audit arm)
+    val du = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val exact = du.select(col("event_type").as("ta"), col("user_id"))
+      .join(du.select(col("event_type").as("tb"), col("user_id")),
+        Seq("user_id"))
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("exact_overlap"))
+    stats.join(exact, Seq("ta", "tb"), "left")
+      .select(col("ta"), col("tb"), col("h_k"), col("matches"),
+        graft.Parity.pround(col("union_est"), 2).as("union_est"),
+        graft.Parity.pround(col("jaccard_est"), 6).as("jaccard_est"),
+        graft.Parity.pround(col("jaccard_est") * col("union_est"), 2)
+          .as("inter_est"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  val kmvOverlapSql: String = {
+    val h = graft.functions.PortableHash.hash32Sql("user_id")
+    s"""WITH uh AS (
+       |  SELECT DISTINCT event_type, ($h) AS h FROM events),
+       |sk AS MATERIALIZED (
+       |  SELECT event_type, h FROM (
+       |    SELECT event_type, h,
+       |           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |    FROM uh) WHERE rn <= 64),
+       |pr AS (
+       |  SELECT a.event_type AS ta, b.event_type AS tb
+       |  FROM (SELECT DISTINCT event_type FROM sk) a
+       |  JOIN (SELECT DISTINCT event_type FROM sk) b ON a.event_type < b.event_type),
+       |mg AS (
+       |  SELECT ta, tb, h FROM (
+       |    SELECT p.ta, p.tb, s.h,
+       |           row_number() OVER (PARTITION BY p.ta, p.tb ORDER BY s.h) AS rn
+       |    FROM pr p JOIN (SELECT DISTINCT event_type, h FROM sk) s
+       |      ON s.event_type = p.ta OR s.event_type = p.tb
+       |    GROUP BY p.ta, p.tb, s.h) WHERE rn <= 64),
+       |st AS (
+       |  SELECT m.ta, m.tb, max(m.h) AS h_k,
+       |         sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END) AS matches
+       |  FROM mg m
+       |  LEFT JOIN sk a ON a.event_type = m.ta AND a.h = m.h
+       |  LEFT JOIN sk b ON b.event_type = m.tb AND b.h = m.h
+       |  GROUP BY 1, 2),
+       |du AS (SELECT DISTINCT event_type, user_id FROM events),
+       |ex AS (
+       |  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS exact_overlap
+       |  FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+       |  GROUP BY 1, 2),
+       |fin AS (
+       |  SELECT st.ta, st.tb, st.h_k, CAST(st.matches AS BIGINT) AS matches,
+       |         CAST(63 AS DOUBLE) * CAST(4294967296 AS DOUBLE) / CAST(st.h_k AS DOUBLE) AS union_est,
+       |         CAST(st.matches AS DOUBLE) / CAST(64 AS DOUBLE) AS jaccard_est,
+       |         coalesce(ex.exact_overlap, 0) AS exact_overlap
+       |  FROM st LEFT JOIN ex ON st.ta = ex.ta AND st.tb = ex.tb)
+       |SELECT ta, tb, h_k, matches,
+       |       ${graft.Parity.proundSql("union_est", 2)} AS union_est,
+       |       ${graft.Parity.proundSql("jaccard_est", 6)} AS jaccard_est,
+       |       ${graft.Parity.proundSql("jaccard_est * union_est", 2)} AS inter_est,
+       |       CAST(exact_overlap AS BIGINT) AS exact_overlap
+       |FROM fin ORDER BY ta, tb""".stripMargin
+  }
+
   val hllOverlap: Q = (s, dir) => {
     import graft.relational.Sketches
     val ev = Tables.events(s, dir)
@@ -3968,6 +4080,7 @@ object RelationalQueries {
   val queries: Map[String, Q] = Map(
     "degree_assortativity" -> degreeAssortativity,
     "hll_overlap" -> hllOverlap,
+    "kmv_overlap" -> kmvOverlap,
     "top_paths" -> topPaths,
     "label_prop" -> labelProp,
     "modularity_score" -> modularityScore,
@@ -4054,6 +4167,7 @@ object RelationalQueries {
     "kcore_parts" -> kcorePartsSql,
     "degree_assortativity" -> degreeAssortativitySql,
     "hll_overlap" -> hllOverlapSql,
+    "kmv_overlap" -> kmvOverlapSql,
     "top_paths" -> topPathsSql,
     "pagerank_authority" -> pagerankAuthoritySql,
     "graph_random_walks" -> graphRandomWalksSql,

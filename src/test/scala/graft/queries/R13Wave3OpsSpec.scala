@@ -170,4 +170,39 @@ class R13Wave3OpsSpec extends SparkSpec {
     assert(picks.map(_.getAs[Long]("vec_id")).toSeq === picked,
       "greedy pick sequence must match the independent recomputation")
   }
+  test("kmv_overlap: estimates are sane against the exact reference " +
+      "(union >= both audiences' sketch floors, jaccard in [0,1])") {
+    val rows = RelationalQueries.kmvOverlap(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jaccard_est")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(r.getAs[Long]("h_k") > 0L)
+      assert(r.getAs[Double]("union_est") > 0.0)
+      // a KMV union estimate with k=64 has ~12% relative error; the
+      // intersection estimate compounds the jaccard fraction - allow 3x
+      val est = r.getAs[Double]("inter_est")
+      val exact = r.getAs[Long]("exact_overlap").toDouble
+      assert(est >= exact / 3.0 - 64.0 && est <= exact * 3.0 + 64.0,
+        s"${r.getAs[String]("ta")}x${r.getAs[String]("tb")}: est $est vs exact $exact")
+    }
+  }
+
+  test("quantile_normalize: qnorm is the per-type empirical quantile - " +
+      "uniform ranks, bounds strictly inside (0,1), order-preserving") {
+    val rows = FeatureQueries.quantileNormalize(spark, sf0001).collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (_, rs) =>
+      val n = rs.length
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq === (1L to n.toLong))
+      rs.foreach { r =>
+        val q = r.getAs[Double]("qnorm")
+        assert(q > 0.0 && q < 1.0)
+        assert(math.abs(q - r.getAs[Long]("rank").toDouble / (n + 1)) < 1e-6)
+      }
+      // ranks follow the (value, event_id) order
+      val sorted = rs.sortBy(r => (r.getAs[Double]("value"), r.getAs[Long]("event_id")))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq === (1L to n.toLong))
+    }
+  }
 }
