@@ -142,9 +142,17 @@ object PCA {
       norm = z.agg(
         sqrt(sum(floor(col("y") * col("y") * lit(1e12) + lit(0.5))
             .cast(DecimalType(38, 0))).cast("double") / lit(1e12)).as("nm"))
-      v = z.crossJoin(broadcast(norm))
-        .select(col("i").as("j"),
-          graft.Parity.pround(col("y") / col("nm"), 7).as("v"))
+      // materialize each round's d-row vector: the round's dot/norm
+      // BROADCAST subqueries are separate jobs that would otherwise
+      // re-execute the whole chain prefix (quadratic re-evaluation across
+      // rounds — pca_pc2 measured 43.6 s at sf0.1 dominated by exactly
+      // this); a parquet round-trip of doubles is bit-exact, so values
+      // are unchanged. d rows per write, bounded by construction.
+      v = graft.Scratch.table(
+        z.crossJoin(broadcast(norm))
+          .select(col("i").as("j"),
+            graft.Parity.pround(col("y") / col("nm"), 7).as("v")),
+        "pca-v-round")
     }
     v.crossJoin(broadcast(norm))
       .select(col("j").as("dim"), col("v").as("loading"),
