@@ -205,9 +205,10 @@ object TechIndicators {
     */
   private[forex] def affineScan(df: DataFrame, valueCol: String, outCol: String,
       a: Double, b: Double, candlesPerChunk: Int, gridUs: Long,
-      keyCols: Seq[String] = Nil): DataFrame =
+      keyCols: Seq[String] = Nil,
+      maxChunksHint: Option[Long] = None): DataFrame =
     affineScanN(df, Seq(ScanSpec(valueCol, outCol, a, b)),
-      candlesPerChunk, gridUs, keyCols)
+      candlesPerChunk, gridUs, keyCols, maxChunksHint)
 
   /** N affine scans over the SAME chunk grid in ONE physical pass: one
     * per-chunk prefix window, one chunk-totals aggregation, one chunk-level
@@ -237,7 +238,8 @@ object TechIndicators {
   private def chunkScan(df: DataFrame, valueCols: Seq[String],
       elemLambda: String, composeLambda: String, seededLambda: String,
       seeds: DataFrame, candlesPerChunk: Int, gridUs: Long,
-      keyCols: Seq[String], p: String): DataFrame = {
+      keyCols: Seq[String], p: String,
+      maxChunksHint: Option[Long] = None): DataFrame = {
     val w = gridUs * candlesPerChunk
     val ck = s"${p}_chunk"
     val px = s"${p}_px"
@@ -266,13 +268,15 @@ object TechIndicators {
       .agg(max_by(col(ab), col("candle_start")).as(s"${p}_tot"))
     val incoming = graft.relational.MonoidScan.scanIncoming(
       totals, keyCols, ck, s"${p}_tot", seeds, "__seed0",
-      seededLambda, composeLambda, fanout = 64, outName = s"${p}_sin")
+      seededLambda, composeLambda, fanout = 64, outName = s"${p}_sin",
+      maxPerKeyHint = maxChunksHint)
     withAb.join(incoming, keyCols :+ ck)
   }
 
   private[forex] def affineScanN(df: DataFrame, specs: Seq[ScanSpec],
       candlesPerChunk: Int, gridUs: Long,
-      keyCols: Seq[String] = Nil): DataFrame = {
+      keyCols: Seq[String] = Nil,
+      maxChunksHint: Option[Long] = None): DataFrame = {
     require(specs.nonEmpty)
     specs.foreach(sp =>
       require(math.abs(sp.a + sp.b - 1.0) < 1e-15, "seeding needs a + b = 1"))
@@ -305,7 +309,7 @@ object TechIndicators {
         perSpec(sp => s"named_struct('a', 1.0D, 'b', ${sp.outCol}_first)") +
         ")").as("__seed0"): _*)
     val scanned = chunkScan(df, valueCols, elem, composeStep, seededStep,
-      seeds, candlesPerChunk, gridUs, keyCols, p)
+      seeds, candlesPerChunk, gridUs, keyCols, p, maxChunksHint)
     specs.foldLeft(scanned) { (acc, sp) =>
       acc.withColumn(sp.outCol,
         expr(s"$ab.${sp.outCol}.a * ${p}_sin.${sp.outCol}.b + $ab.${sp.outCol}.b"))
@@ -314,10 +318,11 @@ object TechIndicators {
 
   def ewmaChunked(candles: DataFrame, alpha: Double = 0.2,
       candlesPerChunk: Int = 64, gridUs: Long = 3600000000L,
-      keyCols: Seq[String] = Nil): DataFrame = {
+      keyCols: Seq[String] = Nil,
+      maxChunksHint: Option[Long] = None): DataFrame = {
     require(alpha == 0.2, "lambda literals are written for alpha = 0.2")
     affineScan(candles, "close_price", "ewma_raw",
-        a = 0.8, b = 0.2, candlesPerChunk, gridUs, keyCols)
+        a = 0.8, b = 0.2, candlesPerChunk, gridUs, keyCols, maxChunksHint)
       .select(keyCols.map(col) ++ Seq(col("candle_start"), col("close_price"),
         graft.Parity.pround(col("ewma_raw"), 6).as("ewma")): _*)
   }
@@ -356,8 +361,14 @@ object TechIndicators {
     * The diff step is [[diffChunked]], so no stage in this path sorts the
     * whole series in one task.
     */
+  /** `maxChunksHint` note: the hint relation is the CANDLES grid, while the
+    * scan runs over the diffed rows (first series row dropped) — a subset,
+    * so candles-count ≤ fanout implies diffed-count ≤ fanout and the
+    * base-case decision is identical to the exact count's.
+    */
   def rsiChunked(candles: DataFrame, n: Int = 14,
-      candlesPerChunk: Int = 64, gridUs: Long = 3600000000L): DataFrame = {
+      candlesPerChunk: Int = 64, gridUs: Long = 3600000000L,
+      maxChunksHint: Option[Long] = None): DataFrame = {
     require(n == 14, "lambda literals are written for n = 14")
     val diffed = diffChunked(candles, candlesPerChunk, gridUs)
       .filter(col("diff").isNotNull)
@@ -370,7 +381,7 @@ object TechIndicators {
     // scans, see affineScanN
     val scanned = affineScanN(diffed,
       Seq(ScanSpec("gain", "avg_gain", a, b), ScanSpec("loss", "avg_loss", a, b)),
-      candlesPerChunk, gridUs)
+      candlesPerChunk, gridUs, maxChunksHint = maxChunksHint)
     scanned.select(col("candle_start"), col("close_price"),
       graft.Parity.pround(
         when(col("avg_loss") === lit(0.0), lit(100.0))
@@ -386,8 +397,14 @@ object TechIndicators {
     * recurrence scanned over first-order scan output). Oracle in the same
     * chunked association.
     */
+  /** `maxChunksHint` is exact for BOTH passes: the signal scan's input is
+    * the EMA scans' output, which holds exactly the candle rows (the
+    * within-chunk window and the incoming-state join are 1:1), so the two
+    * relations' chunk grids are identical.
+    */
   def macdChunked(candles: DataFrame,
-      candlesPerChunk: Int = 64, gridUs: Long = 3600000000L): DataFrame = {
+      candlesPerChunk: Int = 64, gridUs: Long = 3600000000L,
+      maxChunksHint: Option[Long] = None): DataFrame = {
     // a as the ratio (n−1)/(n+1), NOT 1 − 2/(n+1): the oracle emits the
     // exact-integer-ratio CAST form (ADVICE r4), and both engines must
     // perform the identical single IEEE division.
@@ -401,9 +418,10 @@ object TechIndicators {
     val scans = affineScanN(candles,
       Seq(ScanSpec("close_price", "ema_fast", af, bf),
         ScanSpec("close_price", "ema_slow", as_, bs)),
-      candlesPerChunk, gridUs)
+      candlesPerChunk, gridUs, maxChunksHint = maxChunksHint)
       .withColumn("macd_raw", col("ema_fast") - col("ema_slow"))
-    affineScan(scans, "macd_raw", "sig", ag, bg, candlesPerChunk, gridUs)
+    affineScan(scans, "macd_raw", "sig", ag, bg, candlesPerChunk, gridUs,
+        maxChunksHint = maxChunksHint)
       .select(col("candle_start"), col("close_price"),
         graft.Parity.pround(col("macd_raw"), 6).as("macd"),
         graft.Parity.pround(col("sig"), 6).as("macd_signal"),
@@ -465,7 +483,8 @@ object TechIndicators {
     * the data, never in the partitioning).
     */
   def holtChunked(candles: DataFrame, candlesPerChunk: Int = 64,
-      gridUs: Long = 3600000000L, keyCols: Seq[String] = Nil): DataFrame = {
+      gridUs: Long = 3600000000L, keyCols: Seq[String] = Nil,
+      maxChunksHint: Option[Long] = None): DataFrame = {
     // per-candle element: named_struct of the constant A and c·x_t
     val elem = "x -> named_struct(" +
       "'a11', 0.8D, 'a12', 0.8D, 'a21', -0.02D, 'a22', 0.98D, " +
@@ -495,7 +514,7 @@ object TechIndicators {
       expr("named_struct('a11', 1.0D, 'a12', 0.0D, 'a21', 0.0D, " +
         "'a22', 1.0D, 'b1', __x0, 'b2', 0.0D)").as("__seed0"): _*)
     chunkScan(candles, Seq("close_price"), elem, compose, seededStep,
-        seeds, candlesPerChunk, gridUs, keyCols, "holt")
+        seeds, candlesPerChunk, gridUs, keyCols, "holt", maxChunksHint)
       .withColumn("__lraw",
         expr("holt_ab.a11 * holt_sin.b1 + holt_ab.a12 * holt_sin.b2 + holt_ab.b1"))
       .withColumn("__traw",

@@ -20,6 +20,38 @@ object IndicatorQueries {
         Seq(Resample.byName("1h"))))
       .select(col("candle_start"), col("close_price"))
 
+  /** Distinct 64-candle chunk count of the 1h grid, once per (JVM, dir) —
+    * two roles (ADVICE r13 #4 + VERDICT r13 next-round #4):
+    *
+    *  - GUARD: the chunked oracles below mirror MonoidScan's FLAT base
+    *    case, exact only while every series has ≤64 chunks. Beyond that
+    *    the engine switches to the documented fanout-64 hierarchical
+    *    association (different ulp-level roundings, deterministic in the
+    *    data) — so a longer-history run fails HERE, naming the
+    *    association change, instead of surfacing as a bare hash mismatch.
+    *  - HINT: the verified count rides into the scan as `maxChunksHint`,
+    *    replacing the per-scan totals scratch write + per-level driver
+    *    count actions with zero extra jobs (the macd_chunked small-scale
+    *    tax — two scans paid the round-trip twice on a 12-row relation).
+    */
+  private val chunkCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def chunksChecked(s: SparkSession, dir: String): Long = {
+    val n: Long = chunkCounts.computeIfAbsent(dir, _ =>
+      candles1h(s, dir)
+        .select(expr(s"unix_micros(candle_start) DIV ${3600000000L * 64}L"))
+        .distinct().count())
+    if (n > 64)
+      throw new IllegalStateException(
+        s"chunked-indicator oracle depth exceeded: $n chunks > fanout 64. " +
+          "The DuckDB oracles mirror MonoidScan's flat base case; at this " +
+          "history length the engine takes the fanout-64 hierarchical " +
+          "association (documented in TechIndicators/MonoidScan scaladoc) " +
+          "whose ulp-level roundings differ — the oracle needs one more " +
+          "CTE level per 64x of history (affineScanSql association note)")
+    n
+  }
+
   /** 1h close-price candle CTE shared by the three oracles (same shape as
     * ewma_1h's — bucket via the closed-form epoch arithmetic).
     */
@@ -131,7 +163,9 @@ object IndicatorQueries {
   // --------------------------------------------------- chunk-parallel EWMA
 
   val ewmaChunked: Q = (s, dir) =>
-    TechIndicators.ewmaChunked(candles1h(s, dir)).orderBy(col("candle_start"))
+    TechIndicators.ewmaChunked(candles1h(s, dir),
+        maxChunksHint = Some(chunksChecked(s, dir)))
+      .orderBy(col("candle_start"))
 
   /** Oracle in the SAME chunked association as the engine (see
     * TechIndicators.ewmaChunked scaladoc): per-chunk affine prefix folds,
@@ -235,7 +269,9 @@ object IndicatorQueries {
     * association.
     */
   val rsiChunked: Q = (s, dir) =>
-    TechIndicators.rsiChunked(candles1h(s, dir)).orderBy(col("candle_start"))
+    TechIndicators.rsiChunked(candles1h(s, dir),
+        maxChunksHint = Some(chunksChecked(s, dir)))
+      .orderBy(col("candle_start"))
 
   val rsiChunkedSql: String = {
     val w = 3600000000L * 64
@@ -262,7 +298,9 @@ object IndicatorQueries {
 
   /** MACD via three composed affine scans (TechIndicators.macdChunked). */
   val macdChunked: Q = (s, dir) =>
-    TechIndicators.macdChunked(candles1h(s, dir)).orderBy(col("candle_start"))
+    TechIndicators.macdChunked(candles1h(s, dir),
+        maxChunksHint = Some(chunksChecked(s, dir)))
+      .orderBy(col("candle_start"))
 
   val macdChunkedSql: String = {
     val w = 3600000000L * 64
@@ -293,7 +331,9 @@ object IndicatorQueries {
     * (= MonoidScan's ≤64-chunk base case on the 12-chunk sf grids).
     */
   val holtChunked: Q = (s, dir) =>
-    TechIndicators.holtChunked(candles1h(s, dir)).orderBy(col("candle_start"))
+    TechIndicators.holtChunked(candles1h(s, dir),
+        maxChunksHint = Some(chunksChecked(s, dir)))
+      .orderBy(col("candle_start"))
 
   val holtChunkedSql: String = {
     val w = 3600000000L * 64

@@ -3932,16 +3932,26 @@ object RelationalQueries {
       .filter(col("rn") <= k)
     val inA = sk.select(col("event_type").as("ta"), col("h"), lit(1L).as("ina"))
     val inB = sk.select(col("event_type").as("tb"), col("h"), lit(1L).as("inb"))
+    // EXACT MODE below k (ADVICE r13 #3, standard theta/KMV): a merged
+    // sketch with fewer than k distinct hashes HOLDS the whole union, so
+    // the union count is exact (= sketch size) and Jaccard divides by the
+    // actual sketch size — the (k−1)·2³²/h_k estimator and the /k match
+    // fraction are both biased when the sketch never filled
     val stats = merged
       .join(inA, Seq("ta", "h"), "left").join(inB, Seq("tb", "h"), "left")
       .groupBy(col("ta"), col("tb"))
       .agg(max(col("h")).as("h_k"),
+        count(lit(1)).as("m_sz"),
         sum(coalesce(col("ina"), lit(0L)) * coalesce(col("inb"), lit(0L)))
           .as("matches"))
       .withColumn("union_est",
-        lit((k - 1).toDouble) * lit(4294967296.0) / col("h_k").cast("double"))
+        when(col("m_sz") < k, col("m_sz").cast("double"))
+          .otherwise(
+            lit((k - 1).toDouble) * lit(4294967296.0) / col("h_k").cast("double")))
       .withColumn("jaccard_est",
-        col("matches").cast("double") / lit(k.toDouble))
+        col("matches").cast("double") /
+          when(col("m_sz") < k, col("m_sz").cast("double"))
+            .otherwise(lit(k.toDouble)))
     // exact reference: one co-partitioned distinct join (the audit arm)
     val du = Tables.events(s, dir)
       .select(col("event_type"), col("user_id")).distinct()
@@ -3981,7 +3991,7 @@ object RelationalQueries {
        |      ON s.event_type = p.ta OR s.event_type = p.tb
        |    GROUP BY p.ta, p.tb, s.h) WHERE rn <= 64),
        |st AS (
-       |  SELECT m.ta, m.tb, max(m.h) AS h_k,
+       |  SELECT m.ta, m.tb, max(m.h) AS h_k, count(*) AS m_sz,
        |         sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END) AS matches
        |  FROM mg m
        |  LEFT JOIN sk a ON a.event_type = m.ta AND a.h = m.h
@@ -3993,9 +4003,13 @@ object RelationalQueries {
        |  FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
        |  GROUP BY 1, 2),
        |fin AS (
+       |  -- exact mode below k: an unfilled merged sketch holds the whole
+       |  -- union (mirrors the engine's m_sz CASE)
        |  SELECT st.ta, st.tb, st.h_k, CAST(st.matches AS BIGINT) AS matches,
-       |         CAST(63 AS DOUBLE) * CAST(4294967296 AS DOUBLE) / CAST(st.h_k AS DOUBLE) AS union_est,
-       |         CAST(st.matches AS DOUBLE) / CAST(64 AS DOUBLE) AS jaccard_est,
+       |         CASE WHEN st.m_sz < 64 THEN CAST(st.m_sz AS DOUBLE)
+       |              ELSE CAST(63 AS DOUBLE) * CAST(4294967296 AS DOUBLE) / CAST(st.h_k AS DOUBLE) END AS union_est,
+       |         CAST(st.matches AS DOUBLE) / (CASE WHEN st.m_sz < 64
+       |              THEN CAST(st.m_sz AS DOUBLE) ELSE CAST(64 AS DOUBLE) END) AS jaccard_est,
        |         coalesce(ex.exact_overlap, 0) AS exact_overlap
        |  FROM st LEFT JOIN ex ON st.ta = ex.ta AND st.tb = ex.tb)
        |SELECT ta, tb, h_k, matches,

@@ -250,10 +250,15 @@ object SamplingQueries {
         count(lit(1)).as("n_h"),
         sum(col("w").cast(dec)).as("sw"),
         sum((col("w") * col("w")).cast(dec)).as("sww"))
-      .withColumn("sigma", sqrt(
+      // variance clamped at zero BEFORE the sqrt (ADVICE r13 #1): double
+      // rounding can push the operand slightly negative for a near-
+      // constant-weight stratum once sw² exceeds 2^53 — Spark's sqrt would
+      // return NaN while DuckDB THROWS, a cross-engine divergence; the
+      // identical greatest() rides in the oracle
+      .withColumn("sigma", sqrt(greatest(
         (col("sww").cast("double") -
           col("sw").cast("double") * col("sw").cast("double") / col("n_h").cast("double"))
-          / col("n_h").cast("double")))
+          / col("n_h").cast("double"), lit(0.0))))
       .withColumn("t_h",
         floor(col("n_h").cast("double") * col("sigma") * lit(1e6) + lit(0.5)).cast(dec))
     val tot = stats.agg(sum(col("t_h")).as("t_tot"), sum(col("n_h")).as("n_tot"))
@@ -263,9 +268,13 @@ object SamplingQueries {
     val share = when(col("t_tot") === lit(0L),
         col("n_h").cast("double") / col("n_tot").cast("double"))
       .otherwise(col("t_h").cast("double") / col("t_tot").cast("double"))
+    // allocation capped at the stratum size (ADVICE r13 #2): Neyman can
+    // assign a small high-σ stratum more draws than it has documents; an
+    // uncapped alloc would silently under-deliver through the rank filter
     val alloc = stats.crossJoin(broadcast(tot))
       .select(col("source"), col("n_h"), graft.Parity.pround(col("sigma"), 6).as("sigma"),
-        floor(lit(n).cast("double") * share + lit(0.5)).cast("long").as("alloc"))
+        least(floor(lit(n).cast("double") * share + lit(0.5)).cast("long"),
+          col("n_h")).as("alloc"))
     val ranked = t.withColumn("h_rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
           .orderBy(PortableHash.hash32(concat_ws("|", lit("neyman"), col("doc_id"))),
@@ -288,8 +297,10 @@ object SamplingQueries {
        |         sum(CAST(w * w AS DECIMAL(25,0))) AS sww
        |  FROM t GROUP BY 1),
        |sg AS (
+       |  -- variance clamped at zero (mirrors the engine's greatest):
+       |  -- DuckDB sqrt(negative) THROWS where Spark returns NaN
        |  SELECT source, n_h,
-       |         sqrt((CAST(sww AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(n_h AS DOUBLE)) / CAST(n_h AS DOUBLE)) AS sigma
+       |         sqrt(greatest((CAST(sww AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(n_h AS DOUBLE)) / CAST(n_h AS DOUBLE), CAST(0 AS DOUBLE))) AS sigma
        |  FROM st),
        |wt AS (
        |  SELECT source, n_h, sigma,
@@ -297,11 +308,13 @@ object SamplingQueries {
        |  FROM sg),
        |tt AS (SELECT sum(t_h) AS t_tot, sum(n_h) AS n_tot FROM wt),
        |al AS (
-       |  -- all-sigma-zero corpus: proportional-allocation fallback (no 0/0)
+       |  -- all-sigma-zero corpus: proportional-allocation fallback (no 0/0);
+       |  -- alloc capped at the stratum size (mirrors the engine's least)
        |  SELECT source, n_h, sigma,
-       |         CAST(floor(CAST(200 AS DOUBLE) * (CASE WHEN tt.t_tot = 0
+       |         least(CAST(floor(CAST(200 AS DOUBLE) * (CASE WHEN tt.t_tot = 0
        |             THEN CAST(n_h AS DOUBLE) / CAST(tt.n_tot AS DOUBLE)
-       |             ELSE CAST(t_h AS DOUBLE) / CAST(tt.t_tot AS DOUBLE) END) + 0.5) AS BIGINT) AS alloc
+       |             ELSE CAST(t_h AS DOUBLE) / CAST(tt.t_tot AS DOUBLE) END) + 0.5) AS BIGINT),
+       |           CAST(n_h AS BIGINT)) AS alloc
        |  FROM wt CROSS JOIN tt),
        |rk AS (
        |  SELECT doc_id, source,

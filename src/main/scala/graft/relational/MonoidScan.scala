@@ -69,17 +69,58 @@ object MonoidScan {
     * @param composeStepSql SQL lambda `(acc, f) -> …` composing two
     *                      elements into one (pure monoid composition,
     *                      element type preserved)
+    * @param maxPerKeyHint the caller's EXACT max element count per key (or
+    *                      an upper bound that is itself ≤ fanout — then the
+    *                      true count is too and the decision is identical).
+    *                      When ≤ fanout, the scan skips BOTH the driver
+    *                      count action and the totals scratch write and
+    *                      goes straight to the flat base case, which
+    *                      consumes `totals` exactly once — the
+    *                      macd_chunked small-scale tax (VERDICT r13 wrong
+    *                      #1: an action + a scratch round-trip per scan on
+    *                      a few dozen chunk rows). A LOOSE bound > fanout
+    *                      would recurse where the count-based path takes
+    *                      the base case — a DIFFERENT (still deterministic)
+    *                      association — so callers must not pass one.
     */
   def scanIncoming(
       totals: DataFrame, keyCols: Seq[String], ordCol: String, totCol: String,
       seeds: DataFrame, seedCol: String,
       seededStepSql: String, composeStepSql: String,
-      fanout: Int = 64, outName: String = "sin"): DataFrame = {
+      fanout: Int = 64, outName: String = "sin",
+      maxPerKeyHint: Option[Long] = None): DataFrame = {
     require(fanout >= 2, "fanout must be at least 2")
     val slim = totals.select((keyCols :+ ordCol :+ totCol).map(col): _*)
-    val mat = graft.Scratch.table(slim, "mscan")
-    rec(mat, keyCols, ordCol, totCol, seeds, seedCol,
-      seededStepSql, composeStepSql, fanout, outName)
+    if (maxPerKeyHint.exists(_ <= fanout)) {
+      // base case directly on the lazy relation: it is referenced exactly
+      // once below, so there is no recompute multiplication to materialize
+      // away and no count to run — zero extra jobs
+      base(slim, keyCols, ordCol, totCol, seeds, seedCol,
+        seededStepSql, outName)
+    } else {
+      val mat = graft.Scratch.table(slim, "mscan")
+      rec(mat, keyCols, ordCol, totCol, seeds, seedCol,
+        seededStepSql, composeStepSql, fanout, outName)
+    }
+  }
+
+  /** The flat ≤fanout-row seeded fold — the hierarchy's base case; the
+    * association is EXACTLY the original single seeded fold, which is what
+    * the chunk-form oracles pin bit-for-bit.
+    */
+  private def base(
+      totals: DataFrame, keyCols: Seq[String], ordCol: String, totCol: String,
+      seeds: DataFrame, seedCol: String,
+      seededStepSql: String, outName: String): DataFrame = {
+    val seeded =
+      if (keyCols.isEmpty) totals.crossJoin(broadcast(seeds))
+      else totals.join(broadcast(seeds), keyCols)
+    val wPrev = Window.partitionBy(keyCols.map(col): _*).orderBy(col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    seeded
+      .withColumn("__prev", collect_list(col(totCol)).over(wPrev))
+      .withColumn(outName, expr(s"aggregate(__prev, $seedCol, $seededStepSql)"))
+      .select((keyCols :+ ordCol :+ outName).map(col): _*)
   }
 
   private def rec(
@@ -95,17 +136,9 @@ object MonoidScan {
         if (r.isNullAt(0)) 0L else r.getLong(0)
       }
     if (maxPerKey <= fanout) {
-      // base: one ≤fanout-row window per series key; the seeded fold over
-      // the preceding elements is EXACTLY the original flat association
-      val seeded =
-        if (keyCols.isEmpty) totals.crossJoin(broadcast(seeds))
-        else totals.join(broadcast(seeds), keyCols)
-      val wPrev = Window.partitionBy(keyCols.map(col): _*).orderBy(col(ordCol))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      seeded
-        .withColumn("__prev", collect_list(col(totCol)).over(wPrev))
-        .withColumn(outName, expr(s"aggregate(__prev, $seedCol, $seededStepSql)"))
-        .select((keyCols :+ ordCol :+ outName).map(col): _*)
+      // base: one ≤fanout-row window per series key
+      base(totals, keyCols, ordCol, totCol, seeds, seedCol,
+        seededStepSql, outName)
     } else {
       val g = totals.withColumn("__g", expr(s"$ordCol DIV $fanout"))
       // per-group inclusive composition, elements in ord order (ord is

@@ -33,4 +33,48 @@ class ScratchSpec extends SparkSpec {
       assert(names.exists(_.startsWith("graft-spec-root-")), names.toString)
     } finally spark.conf.unset(Scratch.ScratchDirConf)
   }
+
+  test("fixture: derives ONCE per key, later calls serve from the files") {
+    import spark.implicits._
+    var derivations = 0
+    def build() = Scratch.fixture(spark, "spec-fixture|reuse") {
+      derivations += 1
+      (1L to 25L).toDF("x")
+    }
+    val first = build().collect().map(_.getLong(0)).toSet
+    val second = build().collect().map(_.getLong(0)).toSet
+    assert(derivations === 1, "second call must not re-derive")
+    assert(first === (1L to 25L).toSet)
+    assert(second === first)
+  }
+
+  test("fixture: keys isolate — per-sfDir fixtures never bleed") {
+    import spark.implicits._
+    val a = Scratch.fixture(spark, "spec-fixture|dirA")((1L to 3L).toDF("x"))
+    val b = Scratch.fixture(spark, "spec-fixture|dirB")((4L to 6L).toDF("x"))
+    assert(a.collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    assert(b.collect().map(_.getLong(0)).toSet === Set(4L, 5L, 6L))
+  }
+
+  test("fixture: an externally deleted fixture dir is rebuilt, not a dangling read") {
+    import spark.implicits._
+    var derivations = 0
+    def build() = Scratch.fixture(spark, "spec-fixture|rebuild") {
+      derivations += 1
+      (1L to 5L).toDF("x")
+    }
+    val path = {
+      build()
+      // recover the materialized location via the plan's file index
+      val df = build()
+      df.inputFiles.head.stripSuffix("/" + df.inputFiles.head.split('/').last)
+    }
+    assert(derivations === 1)
+    val dir = new java.io.File(new java.net.URI(path).getPath)
+    dir.listFiles().foreach(_.delete())
+    dir.delete()
+    val again = build().collect().map(_.getLong(0)).toSet
+    assert(derivations === 2, "deleted fixture must re-derive")
+    assert(again === (1L to 5L).toSet)
+  }
 }

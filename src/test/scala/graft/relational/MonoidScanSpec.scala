@@ -75,4 +75,72 @@ class MonoidScanSpec extends SparkSpec {
     val one = scan(Seq(("a", 0L, 42L)), Seq("a" -> 9L), fanout = 4)
     assert(one === Map(("a", 0L) -> 9L)) // exclusive: own value not included
   }
+
+  test("4200 affine elements, fanout 64 (two hierarchy levels): the scan is " +
+      "BIT-equal to a driver-side replay of the documented association and " +
+      "ulp-close to the flat recurrence") {
+    // VERDICT r13 next-round #6: pin the hierarchical association itself —
+    // a future fanout/grouping change that silently reassociates must fail
+    // HERE, not drift inside a tolerance. 4200 ords at fanout 64 recurse
+    // 4200 -> 66 groups -> 2 groups -> base (two grouped levels), the EWMA
+    // affine monoid (a = 0.8, b = 0.2·x) is the production instantiation.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val n = 4200
+    val xs = (0 until n).map(i =>
+      1.0 + 0.25 * math.sin(i / 11.0) + 0.02 * ((i * 29) % 17))
+    val tot = xs.zipWithIndex
+      .map { case (x, i) => ("x", i.toLong, x) }.toDF("k", "ord", "xv")
+      .select(col("k"), col("ord"),
+        expr("named_struct('a', 0.8D, 'b', 0.2D * xv)").as("v"))
+    val sd = Seq("x").toDF("k")
+      .select(col("k"), expr(s"named_struct('a', 1.0D, 'b', ${xs.head}D)").as("seed"))
+    val got = MonoidScan.scanIncoming(
+        tot, Seq("k"), "ord", "v", sd, "seed",
+        "(acc, f) -> named_struct('a', 1.0D, 'b', f.a * acc.b + f.b)",
+        "(acc, f) -> named_struct('a', f.a * acc.a, 'b', f.a * acc.b + f.b)",
+        fanout = 64, outName = "sin")
+      .select(col("ord"), col("sin.b").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size === n)
+
+    // driver replay of MonoidScan.rec: per-group sequential compose (the
+    // aggregate-over-sorted-list left fold), recurse on group totals keyed
+    // ord DIV fanout, seeded in-group exclusive fold — every double op in
+    // the same order as the SQL lambdas, so equality is BIT equality
+    def rec(es: Map[Long, (Double, Double)], seedB: Double): Map[Long, Double] =
+      if (es.size <= 64) {
+        var acc = seedB
+        es.toSeq.sortBy(_._1).map { case (o, f) =>
+          val out = o -> acc; acc = f._1 * acc + f._2; out
+        }.toMap
+      } else {
+        val groups = es.groupBy(_._1 / 64)
+        val gTotals = groups.map { case (g, m) =>
+          g -> m.toSeq.sortBy(_._1).map(_._2)
+            .reduceLeft((a, f) => (f._1 * a._1, f._1 * a._2 + f._2))
+        }
+        val gIn = rec(gTotals, seedB)
+        groups.flatMap { case (g, m) =>
+          var acc = gIn(g)
+          m.toSeq.sortBy(_._1).map { case (o, f) =>
+            val out = o -> acc; acc = f._1 * acc + f._2; out
+          }
+        }
+      }
+    val elems = xs.zipWithIndex.map { case (x, i) =>
+      i.toLong -> (0.8, 0.2 * x) }.toMap
+    val replay = rec(elems, xs.head)
+    (0L until n.toLong).foreach { o =>
+      assert(got(o) === replay(o), s"ord $o: hierarchy must replay bit-for-bit")
+    }
+
+    // and the reassociation vs the flat sequential recurrence stays at ulp
+    // rank — the documented bound a fanout change must not silently widen
+    val flat = xs.scanLeft(xs.head)((acc, x) => 0.8 * acc + 0.2 * x).init
+    (0 until n).foreach { i =>
+      assert(math.abs(got(i.toLong) - flat(i)) <= 1e-9,
+        s"ord $i: |hier - flat| must stay ulp-rank")
+    }
+  }
 }
