@@ -87,10 +87,12 @@ object KllQueries {
     * (levels cascade 0 until MergeToLevel), read out quantiles.
     */
   private[queries] def mergeDaySketches(items: DataFrame): DataFrame = {
+    // both callers hand in file-backed items (the daySketch fixture, the
+    // graft-sink read-back) — skip the first merge round's redundant write
     val merged = KllSketch.compact(
       items.select(col("event_type"), col("level"), col("value"),
         col("tid"), col("w")),
-      Seq("event_type"), 0, MergeToLevel)
+      Seq("event_type"), 0, MergeToLevel, inputMaterialized = true)
     KllSketch.quantiles(merged, Seq("event_type"), Qs)
       .orderBy(col("event_type"))
   }
@@ -136,7 +138,9 @@ object KllQueries {
       .filter(col("day").between(date_add(col("d0"), 5), date_add(col("d0"), 15)))
       .select(col("event_type"), col("level"), col("value"), col("tid"),
         col("w"))
-    val merged = KllSketch.compact(ranged, Seq("event_type"), 0, RangeToLevel)
+    // ranged = fixture scan + a broadcast 1-row min — cheap to re-read
+    val merged = KllSketch.compact(ranged, Seq("event_type"), 0, RangeToLevel,
+      inputMaterialized = true)
     KllSketch.quantiles(merged, Seq("event_type"), Qs)
       .orderBy(col("event_type"))
   }

@@ -1582,6 +1582,65 @@ object SimilarityQueries {
        |       max(CASE WHEN component = 2 THEN ${graft.Parity.proundSql("p / sqrt(eigenvalue)", 6)} END) AS w2
        |FROM proj GROUP BY 1 ORDER BY vec_id""".stripMargin
 
+  /** Embedding-space quality diagnostics — the isotropy/variance report an
+    * embedding-quality monitor alarms on (a collapsing representation shows
+    * up as anisotropy λ₁/λ₂ blowing up and explained-variance concentrating
+    * in one axis; a drifting mean shows up in ‖μ‖): one row of
+    * (n_dims, trace, λ₁, λ₂, λ₁/λ₂, λ₁/trace, λ₂/trace, ‖μ‖), computed
+    * ENTIRELY from the shared fixtures — the covariance diagonal, the
+    * top-two components, and the cached d-element means; the corpus is
+    * never rescanned (this is the cross-family payoff of the materialized
+    * derivation tables: a new diagnostic is fixture reads + arithmetic).
+    *
+    * Parity: trace is a quantized-exact sum of the 6dp-rounded diagonal
+    * (floor(cov·1e6+0.5) recovers the exact integers); λs are the fixture's
+    * already-rounded eigenvalues; ratios are single IEEE divisions of
+    * agreed doubles; ‖μ‖ sums the 64 floor(m²·1e12+0.5) integers (≤6.4e13,
+    * exact in double) and takes one sqrt — the identical arithmetic the
+    * oracle's mn CTE replays, so it rides in as a bounded driver literal.
+    */
+  val embeddingIsotropy: Q = (s, dir) => {
+    val dec = org.apache.spark.sql.types.DecimalType(25, 0)
+    val trace = covFixture(s, dir).filter(col("i") === col("j"))
+      .agg(count(lit(1)).as("n_dims"),
+        (sum(floor(col("cov") * lit(1e6) + lit(0.5)).cast(dec))
+          .cast("double") / lit(1e6)).as("trace"))
+    val pcs = pcsFixture(s, dir)
+    val l1 = pcs.filter(col("component") === 1)
+      .agg(max(col("eigenvalue")).as("lambda1"))
+    val l2 = pcs.filter(col("component") === 2)
+      .agg(max(col("eigenvalue")).as("lambda2"))
+    val m = pcaMeans(s, dir)
+    val meanNorm = math.sqrt(
+      m.map(x => math.floor(x * x * 1e12 + 0.5)).sum / 1e12)
+    trace.crossJoin(broadcast(l1)).crossJoin(broadcast(l2))
+      .select(col("n_dims"), col("trace"), col("lambda1"), col("lambda2"),
+        graft.Parity.pround(col("lambda1") / col("lambda2"), 6).as("anisotropy"),
+        graft.Parity.pround(col("lambda1") / col("trace"), 6).as("explained1"),
+        graft.Parity.pround(col("lambda2") / col("trace"), 6).as("explained2"),
+        graft.Parity.pround(lit(meanNorm), 6).as("mean_norm"))
+  }
+
+  val embeddingIsotropySql: String =
+    s"""WITH $pcaChainSql,
+       |${powerChainSql("cf", "b", 4, ortho = Some("v4"))},
+       |tr AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_dims,
+       |         CAST(sum(CAST(floor(cov * 1e6 + 0.5) AS DECIMAL(25,0)))
+       |           AS DOUBLE) / 1e6 AS trace
+       |  FROM cvr WHERE i = j),
+       |l1 AS (SELECT ${graft.Parity.proundSql("nm", 6)} AS lambda1 FROM n4),
+       |l2 AS (SELECT ${graft.Parity.proundSql("nm", 6)} AS lambda2 FROM nb4),
+       |mu AS (
+       |  SELECT sqrt(CAST(sum(CAST(floor(m * m * 1e12 + 0.5) AS DECIMAL(38,0)))
+       |           AS DOUBLE) / 1e12) AS mean_norm
+       |  FROM mn)
+       |SELECT n_dims, trace, lambda1, lambda2,
+       |       ${graft.Parity.proundSql("lambda1 / lambda2", 6)} AS anisotropy,
+       |       ${graft.Parity.proundSql("lambda1 / trace", 6)} AS explained1,
+       |       ${graft.Parity.proundSql("lambda2 / trace", 6)} AS explained2,
+       |       ${graft.Parity.proundSql("mean_norm", 6)} AS mean_norm
+       |FROM tr CROSS JOIN l1 CROSS JOIN l2 CROSS JOIN mu""".stripMargin
 
 
   /** Maximal-marginal-relevance reranking of a retrieval pool — the
@@ -1793,6 +1852,7 @@ object SimilarityQueries {
     "pca_pc2" -> pcaPc2,
     "pca_project" -> pcaProject,
     "pca_whiten_2d" -> pcaWhiten2d,
+    "embedding_isotropy" -> embeddingIsotropy,
     "uncertainty_sample" -> uncertaintySample,
     "hard_negatives" -> hardNegatives,
     "logreg_sparse_train" -> logregSparseTrain,
@@ -1837,6 +1897,7 @@ object SimilarityQueries {
     "pca_pc2" -> pcaPc2Sql,
     "pca_project" -> pcaProjectSql,
     "pca_whiten_2d" -> pcaWhiten2dSql,
+    "embedding_isotropy" -> embeddingIsotropySql,
     "uncertainty_sample" -> uncertaintySampleSql,
     "hard_negatives" -> hardNegativesSql,
     "logreg_sparse_train" -> logregSparseTrainSql,

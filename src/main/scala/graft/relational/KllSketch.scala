@@ -85,8 +85,15 @@ object KllSketch {
     * (union the item relations, then re-compact — levels over capacity
     * cascade upward through the same rounds).
     */
+  /** @param inputMaterialized callers whose `itemsIn` is already backed by
+    *   files (a [[graft.Scratch.fixture]], a sink read-back) set this to
+    *   skip the FIRST round's scratch write — the two consumers then
+    *   re-read cheap files instead of paying a redundant write; purely a
+    *   physical choice, values unchanged.
+    */
   def compact(itemsIn: DataFrame, groupCols: Seq[String],
-      fromLevel: Int, toLevel: Int): DataFrame = {
+      fromLevel: Int, toLevel: Int,
+      inputMaterialized: Boolean = false): DataFrame = {
     var items = itemsIn
     for (r <- fromLevel until toLevel) {
       // materialize the round's input once: it has two consumers (cur +
@@ -96,7 +103,8 @@ object KllSketch {
       // queries' sf0.01 verify run: 121 s lazy → 64 s materialized).
       // Each write is a shrinking relation (≤ n/2^r level-r items), so
       // total scratch IO ≈ 2n rows.
-      items = graft.Scratch.table(items, s"kll-round-$r")
+      if (r != fromLevel || !inputMaterialized)
+        items = graft.Scratch.table(items, s"kll-round-$r")
       val cur = items.filter(col("level") === r)
       val rest = items.filter(col("level") =!= r)
       val ranked = perGroupRank(cur, groupCols, Seq("value", "tid"))

@@ -67,4 +67,23 @@ class Round14OpsSpec extends SparkSpec {
     assert(p2.nonEmpty)
     assert(p2 !== p1)
   }
+
+  test("embedding_isotropy: one fixture-served diagnostic row with the " +
+      "spectral invariants (λ1 ≥ λ2 > 0, explained shares inside the trace)") {
+    val rows = SimilarityQueries.queries("embedding_isotropy")(spark, sf0001)
+      .collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_dims") === 64L)
+    val trace = r.getAs[Double]("trace")
+    val l1 = r.getAs[Double]("lambda1")
+    val l2 = r.getAs[Double]("lambda2")
+    assert(trace > 0.0)
+    assert(l1 >= l2 && l2 > 0.0)
+    assert(r.getAs[Double]("anisotropy") >= 1.0)
+    val e1 = r.getAs[Double]("explained1")
+    val e2 = r.getAs[Double]("explained2")
+    assert(e1 >= e2 && e2 > 0.0 && e1 + e2 <= 1.0 + 1e-9)
+    assert(r.getAs[Double]("mean_norm") >= 0.0)
+  }
 }
