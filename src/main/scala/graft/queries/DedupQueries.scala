@@ -278,6 +278,74 @@ object DedupQueries {
        |JOIN sizes zb ON c.doc_id_b = zb.doc_id
        |ORDER BY c.doc_id_a, c.doc_id_b""".stripMargin
 
+  /** Weighted (multiset) Jaccard for the LSH candidate pairs — the
+    * boilerplate-robust near-dup score set-Jaccard misses: two documents
+    * sharing one template paragraph repeated many times look near-identical
+    * to SET overlap, while the multiset measure
+    * Σ_w min(c_a, c_b) / Σ_w max(c_a, c_b) weighs every repetition. Only
+    * the intersection needs a join (Σmax = tot_a + tot_b − Σmin, the
+    * inclusion–exclusion identity), so the plan is: per-doc word COUNTS
+    * (one corpus aggregate, map-side combined), candidate pairs fan out by
+    * doc A's words and meet doc B's counts co-partitioned on
+    * (doc_id, word) — cost ∝ LSH collisions × doc length, the
+    * [[ngramJaccard]] collision-bounded shape, never a corpus self-join.
+    * All sums are exact integers; the score is ONE IEEE division.
+    */
+  val weightedJaccard: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val wc = graft.Scratch.table(
+      docs.select(col("doc_id"),
+          explode(graft.text.TextAnalysis.words(col("text"))).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c")),
+      "wjac-wc")
+    val tots = wc.groupBy(col("doc_id")).agg(sum(col("c")).as("tot"))
+    val cand = graft.Scratch.table(
+      DocDedup.lshCandidatePairs(docs), "wjac-cand")
+    val inter = cand
+      .join(wc.select(col("doc_id").as("doc_id_a"), col("word"),
+        col("c").as("ca")), Seq("doc_id_a"))
+      .join(wc.select(col("doc_id").as("doc_id_b"), col("word"),
+        col("c").as("cb")), Seq("doc_id_b", "word"))
+      .groupBy(col("doc_id_a"), col("doc_id_b"))
+      .agg(sum(least(col("ca"), col("cb"))).as("w_common"))
+    cand
+      .join(inter, Seq("doc_id_a", "doc_id_b"), "left")
+      .join(tots.select(col("doc_id").as("doc_id_a"), col("tot").as("ta")),
+        Seq("doc_id_a"))
+      .join(tots.select(col("doc_id").as("doc_id_b"), col("tot").as("tb")),
+        Seq("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        coalesce(col("w_common"), lit(0L)).as("w_common"),
+        graft.Parity.pround(
+          coalesce(col("w_common"), lit(0L)).cast("double") /
+            (col("ta") + col("tb") - coalesce(col("w_common"), lit(0L)))
+              .cast("double"), 6).as("weighted_jaccard"))
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
+
+  val weightedJaccardSql: String =
+    s"""WITH $sigsSql,
+       |$bandsSql,
+       |$pairsSql,
+       |wc AS (SELECT doc_id, word, count(*) AS c FROM wordpos GROUP BY 1, 2),
+       |tots AS (SELECT doc_id, sum(c) AS tot FROM wc GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_id_a, c.doc_id_b, sum(least(wa.c, wb.c)) AS w_common
+       |  FROM cand c
+       |  JOIN wc wa ON c.doc_id_a = wa.doc_id
+       |  JOIN wc wb ON c.doc_id_b = wb.doc_id AND wa.word = wb.word
+       |  GROUP BY 1, 2)
+       |SELECT c.doc_id_a, c.doc_id_b,
+       |       CAST(coalesce(i.w_common, 0) AS BIGINT) AS w_common,
+       |       ${graft.Parity.proundSql(
+                 "CAST(coalesce(i.w_common, 0) AS DOUBLE) / CAST(ta.tot + tb.tot - coalesce(i.w_common, 0) AS DOUBLE)",
+                 6)} AS weighted_jaccard
+       |FROM cand c
+       |LEFT JOIN inter i ON c.doc_id_a = i.doc_id_a AND c.doc_id_b = i.doc_id_b
+       |JOIN tots ta ON c.doc_id_a = ta.doc_id
+       |JOIN tots tb ON c.doc_id_b = tb.doc_id
+       |ORDER BY c.doc_id_a, c.doc_id_b""".stripMargin
+
   val simhashSignatures: Q = (s, dir) =>
     DocDedup.simhashSignatures(Tables.documents(s, dir)).orderBy(col("doc_id"))
 
@@ -1106,6 +1174,7 @@ object DedupQueries {
     "dedup_clusters_incremental" -> dedupClustersIncremental,
     "neardup_minhash" -> neardupMinhash,
     "ngram_jaccard" -> ngramJaccard,
+    "weighted_jaccard" -> weightedJaccard,
     "source_overlap" -> sourceOverlap,
     "simhash_signatures" -> simhashSignatures,
     "simhash_pairs" -> simhashPairs)
@@ -1132,6 +1201,7 @@ object DedupQueries {
     "dedup_clusters_incremental" -> dedupClustersIncrementalSql,
     "neardup_minhash" -> neardupMinhashSql,
     "ngram_jaccard" -> ngramJaccardSql,
+    "weighted_jaccard" -> weightedJaccardSql,
     "source_overlap" -> sourceOverlapSql,
     "simhash_signatures" -> simhashSignaturesSql)
 }

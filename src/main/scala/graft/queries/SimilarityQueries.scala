@@ -1642,6 +1642,93 @@ object SimilarityQueries {
        |       ${graft.Parity.proundSql("mean_norm", 6)} AS mean_norm
        |FROM tr CROSS JOIN l1 CROSS JOIN l2 CROSS JOIN mu""".stripMargin
 
+  /** MERGEABLE covariance — the dense-moments member of the
+    * per-partition-then-merge family ([[graft.queries.KllQueries]] merges
+    * sketches, hll_merge_days merges registers; this merges SECOND
+    * MOMENTS): each shard (standing in for a day's ingest job; vec_id % 8
+    * here) emits exact partial statistics (n, Σxᵢ, Σxᵢxⱼ as 1e7-quantized
+    * DECIMAL integers), and the global covariance assembles from summed
+    * partials in the uncentered closed form
+    * cov = Σxy/n − (Σx/n)(Σy/n) — each ROW of the corpus is touched
+    * exactly once by its own shard's pass; the merge handles only
+    * |shards|·d² partial rows. This is how a 100 TB shop maintains a
+    * covariance table incrementally: append a day's partials, re-merge,
+    * never re-scan history. (The one-shot [[embeddingCovariance]] centers
+    * per row instead — a numerically different but equally pinned
+    * arithmetic, so this query carries its OWN oracle in the same
+    * uncentered form rather than sharing that one.)
+    *
+    * Parity: partial sums are exact DECIMAL (association-free across
+    * shards by construction — that is WHAT mergeability means); the
+    * closed form is evaluated left-to-right identically in both engines
+    * on exactly-representable summed integers (< 2⁵³).
+    */
+  val covMergeShards: Q = (s, dir) => {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = Tables.embeddings(s, dir)
+      .select((col("vec_id") % 8).as("shard"),
+        expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("x"))
+    val prods = x.select(col("shard"),
+        explode(filter(
+          flatten(transform(col("x"), (xi, i) =>
+            transform(col("x"), (xj, j) =>
+              struct(i.as("i"), j.as("j"), (xi * xj).as("p"))))),
+          st => st.getField("j") >= st.getField("i"))).as("s"))
+      .select(col("shard"), col("s.i").as("i"), col("s.j").as("j"),
+        col("s.p").as("p"))
+    // per-shard partials — what each day's job would persist
+    val partial = prods.groupBy(col("shard"), col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("p") * lit(1e7) + lit(0.5)).cast(dec)).as("psum"))
+    val sums = x
+      .select(col("shard"), posexplode(col("x")).as(Seq("d", "v")))
+      .groupBy(col("shard"), col("d"))
+      .agg(sum(floor(col("v") * lit(1e7) + lit(0.5)).cast(dec)).as("ssum"))
+    // the MERGE: partial rows only, no row data
+    val mp = partial.groupBy(col("i"), col("j"))
+      .agg(sum(col("n")).as("n"), sum(col("psum")).as("p"))
+    val ms = sums.groupBy(col("d")).agg(sum(col("ssum")).as("sm"))
+    mp.join(ms.select(col("d").as("i"), col("sm").as("si")), "i")
+      .join(ms.select(col("d").as("j"), col("sm").as("sj")), "j")
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("n"),
+        graft.Parity.pround(
+          col("p").cast("double") / lit(1e7) / col("n").cast("double") -
+            (col("si").cast("double") / lit(1e7) / col("n").cast("double")) *
+              (col("sj").cast("double") / lit(1e7) / col("n").cast("double")),
+          6).as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val covMergeShardsSql: String =
+    s"""WITH ex AS (
+       |  SELECT vec_id % 8 AS shard, vec_id,
+       |         unnest(range(0, len(embedding))) AS i,
+       |         unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+       |  FROM embeddings),
+       |pr AS (
+       |  SELECT a.shard, a.i AS i, b.i AS j, a.x * b.x AS p
+       |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i),
+       |part AS (
+       |  SELECT shard, i, j, count(*) AS n,
+       |         sum(CAST(floor(p * 1e7 + 0.5) AS DECIMAL(38,0))) AS psum
+       |  FROM pr GROUP BY 1, 2, 3),
+       |sm AS (
+       |  SELECT shard, i AS d,
+       |         sum(CAST(floor(x * 1e7 + 0.5) AS DECIMAL(38,0))) AS ssum
+       |  FROM ex GROUP BY 1, 2),
+       |mp AS (SELECT i, j, CAST(sum(n) AS BIGINT) AS n, sum(psum) AS p
+       |       FROM part GROUP BY 1, 2),
+       |ms AS (SELECT d, sum(ssum) AS s FROM sm GROUP BY 1)
+       |SELECT mp.i, mp.j, mp.n,
+       |       ${graft.Parity.proundSql(
+                 "CAST(mp.p AS DOUBLE) / 1e7 / mp.n - " +
+                   "(CAST(sa.s AS DOUBLE) / 1e7 / mp.n) * " +
+                   "(CAST(sb.s AS DOUBLE) / 1e7 / mp.n)", 6)} AS cov
+       |FROM mp JOIN ms sa ON sa.d = mp.i
+       |        JOIN ms sb ON sb.d = mp.j
+       |ORDER BY mp.i, mp.j""".stripMargin
+
 
   /** Maximal-marginal-relevance reranking of a retrieval pool — the
     * diversity-aware top-k a RAG/context-window assembler wants instead
@@ -1853,6 +1940,7 @@ object SimilarityQueries {
     "pca_project" -> pcaProject,
     "pca_whiten_2d" -> pcaWhiten2d,
     "embedding_isotropy" -> embeddingIsotropy,
+    "cov_merge_shards" -> covMergeShards,
     "uncertainty_sample" -> uncertaintySample,
     "hard_negatives" -> hardNegatives,
     "logreg_sparse_train" -> logregSparseTrain,
@@ -1898,6 +1986,7 @@ object SimilarityQueries {
     "pca_project" -> pcaProjectSql,
     "pca_whiten_2d" -> pcaWhiten2dSql,
     "embedding_isotropy" -> embeddingIsotropySql,
+    "cov_merge_shards" -> covMergeShardsSql,
     "uncertainty_sample" -> uncertaintySampleSql,
     "hard_negatives" -> hardNegativesSql,
     "logreg_sparse_train" -> logregSparseTrainSql,

@@ -86,4 +86,35 @@ class Round14OpsSpec extends SparkSpec {
     assert(e1 >= e2 && e2 > 0.0 && e1 + e2 <= 1.0 + 1e-9)
     assert(r.getAs[Double]("mean_norm") >= 0.0)
   }
+
+  test("weighted_jaccard: one row per LSH candidate pair, scores in [0,1], " +
+      "and never above the set-Jaccard upper structure (w_common bounds)") {
+    val docs = Tables.documents(spark, sf0001)
+    val nCand = graft.dedup.DocDedup.lshCandidatePairs(docs).count()
+    val rows = DedupQueries.queries("weighted_jaccard")(spark, sf0001).collect()
+    assert(rows.length.toLong === nCand)
+    rows.foreach { r =>
+      val wj = r.getAs[Double]("weighted_jaccard")
+      assert(wj >= 0.0 && wj <= 1.0, r.toString)
+      assert(r.getAs[Long]("w_common") >= 0L)
+    }
+  }
+
+  test("cov_merge_shards: merged shard moments agree with the one-shot " +
+      "centered covariance up to quantization") {
+    // uncentered-merge and centered-one-shot are the same population
+    // covariance in exact arithmetic; only the 1e-7 quantization points
+    // differ, so cellwise agreement must be tight
+    val merged = SimilarityQueries.queries("cov_merge_shards")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cov")).toMap
+    val oneShot = SimilarityQueries.queries("embedding_covariance")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cov")).toMap
+    assert(merged.size === 2080 && oneShot.size === 2080)
+    val maxDiff = oneShot.map { case (k, v) => math.abs(merged(k) - v) }.max
+    assert(maxDiff <= 1e-4, s"max cellwise diff $maxDiff")
+    // diagonal cells are variances: non-negative in both forms
+    (0L until 64L).foreach { d =>
+      assert(merged((d, d)) >= -1e-6, s"dim $d variance ${merged((d, d))}")
+    }
+  }
 }
