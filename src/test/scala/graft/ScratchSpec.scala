@@ -56,6 +56,22 @@ class ScratchSpec extends SparkSpec {
     assert(b.collect().map(_.getLong(0)).toSet === Set(4L, 5L, 6L))
   }
 
+  test("fixture: honors spark.graft.scratch.dir — cluster runs materialize " +
+      "under the shared root") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_fix_root")
+    spark.conf.set(Scratch.ScratchDirConf, root.toString)
+    try {
+      val got = Scratch.fixture(spark, "spec-fixture|shared-root")(
+        (1L to 7L).toDF("x")).collect().map(_.getLong(0)).toSet
+      assert(got === (1L to 7L).toSet)
+      val children = java.nio.file.Files.list(root).iterator()
+      val names = new scala.collection.mutable.ArrayBuffer[String]
+      while (children.hasNext) names += children.next().getFileName.toString
+      assert(names.exists(_.startsWith("graft-fix-")), names.toString)
+    } finally spark.conf.unset(Scratch.ScratchDirConf)
+  }
+
   test("fixture: an externally deleted fixture dir is rebuilt, not a dangling read") {
     import spark.implicits._
     var derivations = 0
