@@ -88,4 +88,42 @@ object Eval {
       .withColumn("frac_pos", graft.Parity.pround(
         col("n_pos").cast("double") / col("n").cast("double"), 6))
       .orderBy(col("bin"))
+
+  /** Weighted isotonic (least-squares) fit of the per-bin positive rate —
+    * the pool-adjacent-violators solution, computed in the MINIMAX closed
+    * form fitted(i) = max_{j≤i} min_{k≥i} rate(j..k) over the BOUNDED bin
+    * relation (`bins`: (bin, n, n_pos), ≤ bin-count rows by construction):
+    * prefix sums over ≤10 rows, a segment self-join, bounded (i, j, k)
+    * triples, two aggregates — never a corpus pass (the scoring/binning
+    * upstream is the corpus-scale stage). Each segment rate is one IEEE
+    * division of exact integer sums; min/max are selections, so the fit is
+    * hash-exact cross-engine. EvalSpec drives it with violator bins
+    * against a driver-side PAV reference.
+    */
+  def isotonicFit(bins: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = graft.Scratch.table(bins, "iso-bins")
+    // unpartitioned window over the bounded bin relation (documented
+    // bounded-relation exception, the sketch read-out shape)
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = graft.Scratch.table(
+      b.withColumn("cn", sum(col("n")).over(w))
+        .withColumn("cp", sum(col("n_pos")).over(w)),
+      "iso-cum")
+    val segs = cum.as("k").join(cum.as("j"), col("j.bin") <= col("k.bin"))
+      .select(col("j.bin").as("j"), col("k.bin").as("k"),
+        ((col("k.cp") - col("j.cp") + col("j.n_pos")).cast("double") /
+          (col("k.cn") - col("j.cn") + col("j.n")).cast("double")).as("seg"))
+    val fitted = b.select(col("bin").as("i"))
+      .join(segs, col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy(col("i"), col("j")).agg(min(col("seg")).as("mn"))
+      .groupBy(col("i")).agg(max(col("mn")).as("fit"))
+    b.join(fitted, col("bin") === col("i"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        graft.Parity.pround(
+          col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("frac_pos"),
+        graft.Parity.pround(col("fit"), 6).as("fitted"))
+  }
 }

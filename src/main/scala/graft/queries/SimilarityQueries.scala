@@ -1119,20 +1119,71 @@ object SimilarityQueries {
     graft.ml.Eval.calibrationBins(
       graft.ml.LogReg.scoreAll(Tables.embeddings(s, dir)))
 
-  val calibrationBinsSql: String =
-    s"""WITH $logregScoredAllSql,
+  /** Shared CTE chain ending in `agg(bin, n, n_pos, ssum)` — the decile
+    * reliability bins both [[calibrationBinsSql]] and
+    * [[isotonicCalibrationSql]] read.
+    */
+  private val calibBinsCteSql: String =
+    s"""$logregScoredAllSql,
        |b AS (SELECT least(CAST(floor(score * 10.0) AS BIGINT), 9) AS bin,
        |             y, score
        |      FROM sc),
        |agg AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
        |               CAST(sum(y) AS BIGINT) AS n_pos,
        |               CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS ssum
-       |        FROM b GROUP BY 1)
+       |        FROM b GROUP BY 1)""".stripMargin
+
+  val calibrationBinsSql: String =
+    s"""WITH $calibBinsCteSql
        |SELECT bin, n, n_pos,
        |       ${graft.Parity.proundSql("ssum / CAST(n AS DOUBLE)", 6)} AS mean_score,
        |       ${graft.Parity.proundSql(
                   "CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)", 6)} AS frac_pos
        |FROM agg ORDER BY bin""".stripMargin
+
+  /** Isotonic (PAV) calibration of the reliability bins — the monotone
+    * regression a score-calibration pass fits before serving probabilities
+    * (Platt/temperature need exp; isotonic is the distribution-free,
+    * libm-free standard). Computed in the MINIMAX closed form
+    * fitted(i) = max_{j≤i} min_{k≥i} rate(j..k) — exactly the
+    * pool-adjacent-violators solution — entirely over the BOUNDED bin
+    * relation: prefix sums over ≤10 rows, a ≤55-row segment self-join,
+    * ≤220 (i, j, k) triples, two bounded aggregates (the mmr_rerank
+    * bounded-relation discipline; the corpus-scale work is the scoring +
+    * binning aggregate upstream). Every segment rate is ONE IEEE division
+    * of exact integer sums, and min/max are selections — hash-exact
+    * cross-engine with no quantize step until the output rounding.
+    */
+  val isotonicCalibration: Q = (s, dir) =>
+    graft.ml.Eval.isotonicFit(
+        graft.ml.Eval.calibrationBins(
+            graft.ml.LogReg.scoreAll(Tables.embeddings(s, dir)))
+          .select(col("bin"), col("n"), col("n_pos")))
+      .orderBy(col("bin"))
+
+  val isotonicCalibrationSql: String =
+    s"""WITH $calibBinsCteSql,
+       |cum AS (
+       |  SELECT bin, n, n_pos,
+       |         sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
+       |         sum(n_pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cp
+       |  FROM agg),
+       |segs AS (
+       |  SELECT j.bin AS j, k.bin AS k,
+       |         CAST(k.cp - j.cp + j.n_pos AS DOUBLE)
+       |           / CAST(k.cn - j.cn + j.n AS DOUBLE) AS seg
+       |  FROM cum j JOIN cum k ON j.bin <= k.bin),
+       |mn AS (
+       |  SELECT i.bin AS i, s.j, min(s.seg) AS mn
+       |  FROM agg i JOIN segs s ON s.j <= i.bin AND s.k >= i.bin
+       |  GROUP BY 1, 2),
+       |ft AS (SELECT i, max(mn) AS fit FROM mn GROUP BY 1)
+       |SELECT a.bin, a.n, a.n_pos,
+       |       ${graft.Parity.proundSql(
+                 "CAST(a.n_pos AS DOUBLE) / CAST(a.n AS DOUBLE)", 6)} AS frac_pos,
+       |       ${graft.Parity.proundSql("f.fit", 6)} AS fitted
+       |FROM agg a JOIN ft f ON f.i = a.bin
+       |ORDER BY a.bin""".stripMargin
 
   /** Shared CTE chain replaying [[graft.ml.SparseLogReg]] training in
     * DuckDB: hashed bag-of-words features (the PortableHash md5 parse,
@@ -1932,6 +1983,7 @@ object SimilarityQueries {
     "logreg_eval" -> logregEval,
     "roc_auc" -> rocAucQ,
     "calibration_bins" -> calibrationBinsQ,
+    "isotonic_calibration" -> isotonicCalibration,
     "brier_score" -> brierScore,
     "lift_deciles" -> liftDeciles,
     "embedding_covariance" -> embeddingCovariance,
@@ -1978,6 +2030,7 @@ object SimilarityQueries {
     "logreg_eval" -> logregEvalSql,
     "roc_auc" -> rocAucSql,
     "calibration_bins" -> calibrationBinsSql,
+    "isotonic_calibration" -> isotonicCalibrationSql,
     "brier_score" -> brierScoreSql,
     "lift_deciles" -> liftDecilesSql,
     "embedding_covariance" -> embeddingCovarianceSql,

@@ -100,6 +100,37 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  test("isotonic_calibration: the minimax form equals driver-side PAV on " +
+      "violator-heavy synthetic bins and conserves positive mass") {
+    import spark.implicits._
+    // rates 0.1, 0.5, 0.3, 0.2, 0.8, 0.6 — two violator runs to pool
+    val raw = Seq(
+      (0L, 10L, 1L), (1L, 10L, 5L), (2L, 10L, 3L),
+      (3L, 10L, 2L), (4L, 10L, 8L), (5L, 10L, 6L))
+    val got = graft.ml.Eval.isotonicFit(raw.toDF("bin", "n", "n_pos"))
+      .orderBy(org.apache.spark.sql.functions.col("bin"))
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("fitted")))
+    // driver-side PAV reference: pool adjacent violators until monotone
+    case class Blk(var n: Long, var p: Long, var len: Int)
+    val blocks = scala.collection.mutable.ArrayBuffer[Blk]()
+    raw.foreach { case (_, n, p) =>
+      blocks += Blk(n, p, 1)
+      while (blocks.length >= 2 &&
+          blocks(blocks.length - 2).p * blocks.last.n >=
+            blocks.last.p * blocks(blocks.length - 2).n) {
+        val b = blocks.remove(blocks.length - 1)
+        blocks.last.n += b.n; blocks.last.p += b.p; blocks.last.len += b.len
+      }
+    }
+    val ref = blocks.flatMap(b =>
+      Seq.fill(b.len)(math.floor(b.p.toDouble / b.n.toDouble * 1e6 + 0.5) / 1e6))
+    assert(got.map(_._2).toSeq === ref.toSeq)
+    // monotone and mass-conserving
+    got.sliding(2).foreach { case Array((_, a), (_, b)) => assert(a <= b) }
+    val mass = got.zip(raw).map { case ((_, f), (_, n, _)) => f * n }.sum
+    assert(math.abs(mass - raw.map(_._3).sum.toDouble) <= 1e-3, s"mass $mass")
+  }
+
   test("cov_merge_shards: merged shard moments agree with the one-shot " +
       "centered covariance up to quantization") {
     // uncentered-merge and centered-one-shot are the same population
