@@ -2370,6 +2370,75 @@ object RelationalQueries {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** Mergeable-sketch proof, CMS edition — completes the day-merge
+    * symmetry (HLL registers merge by max, histograms/KLL by union, CMS
+    * counters by per-cell ADDITION, the strongest case: counters are
+    * integer-LINEAR, so the merged table is BIT-identical to the one-shot
+    * build, not just estimate-equal). A store keeps tiny d·w counter
+    * tables per day and serves any range's heavy-hitter estimates by
+    * summing them — never re-reading events. The query reports the top-20
+    * exact users with their direct and day-merged CMS estimates and a
+    * per-row `merge_exact` flag (must be all 1).
+    */
+  val cmsMergeDays: Q = (s, dir) => {
+    import graft.relational.Sketches
+    val ev = graft.Scratch.table(
+      Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id")),
+      "cmsmd-ev")
+    val key = col("user_id").cast("string")
+    val direct = Sketches.cmsCounters(ev, key)
+    val merged = Sketches.cmsCounters(ev, key, groupCols = Seq("day"))
+      .groupBy(col("row_id"), col("bucket")).agg(sum(col("n")).as("n"))
+    val top = graft.Scratch.table(
+      ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("user_id")).limit(20),
+      "cmsmd-top")
+    val estD = Sketches.cmsEstimate(top, key, direct)
+      .withColumnRenamed("n_cms", "n_cms_direct")
+    val estM = Sketches.cmsEstimate(top, key, merged)
+      .withColumnRenamed("n_cms", "n_cms_merged")
+    top
+      .join(estD, key === estD("__key"))
+      .join(estM, key === estM("__key"))
+      .select(col("user_id"), col("n_exact"), col("n_cms_direct"),
+        col("n_cms_merged"),
+        (col("n_cms_merged") === col("n_cms_direct")).cast("long")
+          .as("merge_exact"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+  }
+
+  val cmsMergeDaysSql: String = {
+    import graft.relational.Sketches.cmsBucketSql
+    def probeUnion(src: String, cols: String): String =
+      (0 until 4).map { i =>
+        s"SELECT $cols, $i AS row_id, ${cmsBucketSql(i, "uid")} AS bucket FROM $src"
+      }.mkString("\n  UNION ALL ")
+    s"""WITH ev AS (
+       |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id,
+       |         CAST(user_id AS VARCHAR) AS uid
+       |  FROM events),
+       |pr AS (${probeUnion("ev", "day, user_id, uid")}),
+       |dc AS (SELECT row_id, bucket, CAST(count(*) AS BIGINT) AS n
+       |       FROM pr GROUP BY 1, 2),
+       |dayc AS (SELECT day, row_id, bucket, count(*) AS n
+       |         FROM pr GROUP BY 1, 2, 3),
+       |mc AS (SELECT row_id, bucket, CAST(sum(n) AS BIGINT) AS n
+       |       FROM dayc GROUP BY 1, 2),
+       |top AS (
+       |  SELECT user_id, uid, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM ev GROUP BY 1, 2 ORDER BY n_exact DESC, user_id LIMIT 20),
+       |tp AS (${probeUnion("top", "user_id, uid, n_exact")}),
+       |ed AS (SELECT user_id, min(coalesce(dc.n, 0)) AS n_cms_direct
+       |       FROM tp LEFT JOIN dc USING (row_id, bucket) GROUP BY 1),
+       |em AS (SELECT user_id, min(coalesce(mc.n, 0)) AS n_cms_merged
+       |       FROM tp LEFT JOIN mc USING (row_id, bucket) GROUP BY 1)
+       |SELECT t.user_id, t.n_exact, ed.n_cms_direct, em.n_cms_merged,
+       |       CAST(em.n_cms_merged = ed.n_cms_direct AS BIGINT) AS merge_exact
+       |FROM top t JOIN ed USING (user_id) JOIN em USING (user_id)
+       |ORDER BY t.n_exact DESC, t.user_id""".stripMargin
+  }
+
   /** PageRank authority over the customer↔supplier trade graph — the
     * iterative whole-graph operator curation stacks run for authority
     * weighting (OPIC-style seed ranking over a link graph). The graph is
@@ -4111,6 +4180,7 @@ object RelationalQueries {
     "pagerank_authority20" -> pagerankAuthority20,
     "ppr_segment" -> pprSegment,
     "hll_merge_days" -> hllMergeDays,
+    "cms_merge_days" -> cmsMergeDays,
     "bloom_semi_join" -> bloomSemiJoin,
     "range_join_sessions" -> rangeJoinSessions,
     "range_join_native" -> rangeJoinNative,
@@ -4192,6 +4262,7 @@ object RelationalQueries {
     "pagerank_authority20" -> pagerankAuthority20Sql,
     "ppr_segment" -> pprSegmentSql,
     "hll_merge_days" -> hllMergeDaysSql,
+    "cms_merge_days" -> cmsMergeDaysSql,
     "bloom_semi_join" -> bloomSemiJoinSql,
     "range_join_sessions" -> rangeJoinSessionsSql,
     "range_join_native" -> rangeJoinSessionsSql, // custom sweep exec vs the same BETWEEN oracle

@@ -130,14 +130,21 @@ object Sketches {
     * counter table (tiny, broadcast) — the classic heavy-hitter check
     * without a second pass over the stream.
     */
-  def cmsCounters(df: DataFrame, key: Column, d: Int = 4, w: Int = 256): DataFrame =
+  /** `groupCols` (default none) emit one counter table PER GROUP — the
+    * per-day/per-partition form whose tables merge by per-cell ADDITION
+    * (counters are integer-linear, so a day merge is BIT-equal to the
+    * one-shot build; `cms_merge_days` proves it).
+    */
+  def cmsCounters(df: DataFrame, key: Column, d: Int = 4, w: Int = 256,
+      groupCols: Seq[String] = Nil): DataFrame =
     df
-      .select(explode(array((0 until d).map { i =>
+      .select(groupCols.map(col) :+ explode(array((0 until d).map { i =>
         struct(lit(i.toLong).as("row_id"),
           pmod(PortableHash.hash32At(key, 1 + 8 * i), lit(w.toLong))
             .as("bucket"))
-      }: _*)).as("rb"))
-      .groupBy(col("rb.row_id").as("row_id"), col("rb.bucket").as("bucket"))
+      }: _*)).as("rb"): _*)
+      .groupBy(groupCols.map(col) :+ col("rb.row_id").as("row_id") :+
+        col("rb.bucket").as("bucket"): _*)
       .agg(count(lit(1)).as("n"))
 
   /** CMS point estimate for each row of `candidates`: min over the d row

@@ -131,6 +131,21 @@ class Round14OpsSpec extends SparkSpec {
     assert(math.abs(mass - raw.map(_._3).sum.toDouble) <= 1e-3, s"mass $mass")
   }
 
+  test("cms_merge_days: day-summed counters give BIT-identical estimates " +
+      "to the one-shot sketch (integer linearity)") {
+    val rows = RelationalQueries.queries("cms_merge_days")(spark, sf0001).collect()
+    val nUsers = Tables.events(spark, sf0001)
+      .select(org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("user_id"))).head().getLong(0)
+    assert(rows.length.toLong === math.min(20L, nUsers))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("merge_exact") === 1L, r.toString)
+      // CMS never underestimates
+      assert(r.getAs[Long]("n_cms_direct") >= r.getAs[Long]("n_exact"), r.toString)
+    }
+  }
+
   test("cov_merge_shards: merged shard moments agree with the one-shot " +
       "centered covariance up to quantization") {
     // uncentered-merge and centered-one-shot are the same population
