@@ -74,8 +74,32 @@ object Scratch {
     path
   }
 
-  // content-keyed fixture registry: key -> materialized path (JVM-wide)
-  private val fixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // content-keyed fixture registry: key -> lazy path holder (JVM-wide).
+  // The HOLDER is registered under the map's own synchronization (cheap
+  // constructor, never the derivation), and the derivation runs under the
+  // holder's per-key lazy lock — so distinct keys build concurrently, a
+  // cache hit never waits behind an unrelated build, and a derive that
+  // re-enters fixture() for ANOTHER key (pcsFixture → covFixture) takes
+  // that key's own lock with no cycle (ADVICE r14: the previous global
+  // `fixtures.synchronized` serialized everything behind the longest
+  // build).
+  private final class FixtureHolder(derive: () => String) {
+    lazy val path: String = derive()
+  }
+  private val fixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, FixtureHolder]()
+
+  /** A fixture dir is served only when its write COMMITTED: the parquet
+    * `_SUCCESS` marker, not bare directory existence — a partially deleted
+    * or half-written fixture dir rebuilds instead of silently serving
+    * truncated contents (ADVICE r14).
+    */
+  private def committed(spark: org.apache.spark.sql.SparkSession,
+      p: String): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(marker)
+  }
 
   /** Content-keyed SHARED fixture: compute `derive` once per `key` per JVM,
     * materialize to scratch parquet, and serve every later call from the
@@ -92,23 +116,31 @@ object Scratch {
     * Unlike [[table]] — whose write is deliberately part of every calling
     * query's execution — the fixture's derivation cost lands on whichever
     * query touches the key first (in a benchmark: the warmup pass).
+    *
+    * STALENESS CONTRACT: the key embeds the source dir, and the registry
+    * assumes one immutable dataset per dir for the JVM's lifetime (true
+    * for the read-only testdata and for any production warehouse path
+    * with snapshot semantics). Regenerating data IN PLACE under a dir
+    * this JVM already derived from would serve the stale fixture — key on
+    * a dataset generation stamp (a snapshot id, a manifest mtime) when
+    * the source is mutable.
     */
   def fixture(spark: org.apache.spark.sql.SparkSession, key: String)(
       derive: => DataFrame): DataFrame = {
-    val path = fixtures.synchronized {
-      // the memo alone is not enough: the scratch dir can be deleted
-      // externally between runs in the same JVM (the ensureFixture lesson)
-      val cached = Option(fixtures.get(key)).filter { p =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
-      }
-      cached.getOrElse {
-        val tag = "fix-" + key.replaceAll("[^A-Za-z0-9._-]", "-")
-          .replaceAll("-+", "-").takeRight(48).stripPrefix("-")
-        val p = write(derive, tag)
-        fixtures.put(key, p)
-        p
-      }
+    def build(): String = {
+      val tag = "fix-" + key.replaceAll("[^A-Za-z0-9._-]", "-")
+        .replaceAll("-+", "-").takeRight(48).stripPrefix("-")
+      write(derive, tag)
+    }
+    // loop: if a registered fixture's files were deleted externally (the
+    // ensureFixture lesson), evict exactly that holder and re-register
+    var path: String = null
+    while (path == null) {
+      val holder = fixtures.computeIfAbsent(key,
+        _ => new FixtureHolder(() => build()))
+      val p = holder.path // derivation runs here, under the per-key lock
+      if (committed(spark, p)) path = p
+      else fixtures.remove(key, holder)
     }
     spark.read.parquet(path)
   }

@@ -34,6 +34,13 @@ object IndicatorQueries {
     *    count actions with zero extra jobs (the macd_chunked small-scale
     *    tax — two scans paid the round-trip twice on a 12-row relation).
     */
+  // Same single-immutable-dataset-per-dir assumption as Scratch.fixture
+  // (see its STALENESS CONTRACT): a longer history regenerated IN PLACE at
+  // a dir this JVM already counted would reuse the stale ≤64 count and
+  // bypass the >64 guard (values stay correct — flat matches the oracle —
+  // but the documented memory bound and fail-fast are defeated). Mutable
+  // sources need a generation stamp in the key, exactly like the fixture
+  // registry (ADVICE r14).
   private val chunkCounts =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def chunksChecked(s: SparkSession, dir: String): Long = {

@@ -88,8 +88,11 @@ object KllQueries {
     */
   private[queries] def mergeDaySketches(items: DataFrame): DataFrame = {
     // both callers hand in file-backed items (the daySketch fixture, the
-    // graft-sink read-back) — skip the first merge round's redundant write
-    val merged = KllSketch.compact(
+    // graft-sink read-back) — cheap to count, which is what lets
+    // compactAuto certify the sub-threshold FUSED cascade (one linear job,
+    // zero per-round scratch round-trips; falls back to the round-by-round
+    // path above threshold, values identical either way)
+    val merged = KllSketch.compactAuto(
       items.select(col("event_type"), col("level"), col("value"),
         col("tid"), col("w")),
       Seq("event_type"), 0, MergeToLevel, inputMaterialized = true)
@@ -121,9 +124,9 @@ object KllQueries {
   /** GROUPED SERVING VIEW over the persisted day sketches — the "any date
     * range answers from merged sketches" pattern (VERDICT r13 next-round
     * #5): per-type quantiles for an arbitrary day span, read PURELY from
-    * the per-(type, day) sketch rows — row data is never touched (the
-    * [[daySketch]] fixture stands in for the persisted per-day sketch
-    * table a 100 TB shop maintains). The span is data-derived
+    * the per-(type, day) sketch rows — row data is never touched. (This
+    * form reads the [[daySketch]] fixture; [[kllStoreServe]] is the same
+    * serve against the GOVERNED store table.) The span is data-derived
     * (min(day)+5 … min(day)+15) so the query is a pure function of the
     * corpus; day sketches are per-(type, day) pure functions of each
     * day's rows, so filtering days BEFORE vs AFTER sketching is
@@ -138,9 +141,10 @@ object KllQueries {
       .filter(col("day").between(date_add(col("d0"), 5), date_add(col("d0"), 15)))
       .select(col("event_type"), col("level"), col("value"), col("tid"),
         col("w"))
-    // ranged = fixture scan + a broadcast 1-row min — cheap to re-read
-    val merged = KllSketch.compact(ranged, Seq("event_type"), 0, RangeToLevel,
-      inputMaterialized = true)
+    // ranged = fixture scan + a broadcast 1-row min — cheap to count, so
+    // compactAuto certifies the fused single-job cascade (values identical)
+    val merged = KllSketch.compactAuto(ranged, Seq("event_type"), 0,
+      RangeToLevel, inputMaterialized = true)
     KllSketch.quantiles(merged, Seq("event_type"), Qs)
       .orderBy(col("event_type"))
   }
@@ -162,13 +166,67 @@ object KllQueries {
        |SELECT event_type, n_rows, p50, p90, p99
        |FROM q ORDER BY event_type""".stripMargin
 
+  /** The per-day sketch table GOVERNED: [[daySketch]]'s items written
+    * through [[graft.store.IncrementalStore]] as day-partition batches —
+    * the real persisted artifact the scratch fixture imitates, with the
+    * store's whole lifecycle (dynamic partition overwrite, retention,
+    * time travel, compaction) available to it. The write is TWO batches
+    * (history ≤ min+10, then the rest), exercising the production cadence
+    * where each day's job appends its own partitions; the serve then
+    * reads PURELY from the stored table: span filter (the
+    * kll_range_serve derivation), fused merge, read-out. Sketch items
+    * round-trip parquet bit-exactly and the span/merge are identical, so
+    * this SHARES kll_range_serve's oracle — batch boundaries must be
+    * value-invisible (KllStoreServeSpec pins the two-batch ≡ one-shot
+    * equivalence on a fresh store).
+    *
+    * At 100 TB: a real serve passes literal dates, so the day filter
+    * prunes `p_date=` partitions statically; here the span is
+    * data-derived (a broadcast 1-row min), which scans the (tiny) sketch
+    * table instead — the query stays a pure function of the corpus.
+    */
+  val kllStoreServe: Q = (s, dir) => {
+    import graft.store.IncrementalStore
+    val items = daySketch(s, dir)
+    val target = StoreQueries.storeRoot(s, "kll_day_sketch")
+    val p = new org.apache.hadoop.fs.Path(target)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // idempotent scratch store
+    val d0 = items.agg(min(col("day")).as("d0"))
+    def batch(pred: org.apache.spark.sql.Column): DataFrame =
+      items.crossJoin(broadcast(d0)).filter(pred)
+        .select(col("event_type"), col("day"), col("level"), col("value"),
+          col("tid"), col("w"))
+    IncrementalStore.overwriteDayPartitions(
+      batch(col("day") <= date_add(col("d0"), 10)), target, "day",
+      clusterBy = Seq("event_type"))
+    IncrementalStore.overwriteDayPartitions(
+      batch(col("day") > date_add(col("d0"), 10)), target, "day",
+      clusterBy = Seq("event_type"))
+    val stored = IncrementalStore.readTable(s, target)
+    val sd0 = stored.agg(min(col("day")).as("d0"))
+    val ranged = stored.crossJoin(broadcast(sd0))
+      .filter(col("day").between(date_add(col("d0"), 5),
+        date_add(col("d0"), 15)))
+      .select(col("event_type"), col("level"), col("value"), col("tid"),
+        col("w"))
+    val merged = KllSketch.compactAuto(ranged, Seq("event_type"), 0,
+      RangeToLevel, inputMaterialized = true)
+    KllSketch.quantiles(merged, Seq("event_type"), Qs)
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     "kll_quantiles" -> kllQuantiles,
     "kll_merge_days" -> kllMergeDays,
-    "kll_range_serve" -> kllRangeServe)
+    "kll_range_serve" -> kllRangeServe,
+    "kll_store_serve" -> kllStoreServe)
 
   val oracleSql: Map[String, String] = Map(
     "kll_quantiles" -> kllQuantilesSql,
     "kll_merge_days" -> kllMergeDaysSql,
-    "kll_range_serve" -> kllRangeServeSql)
+    "kll_range_serve" -> kllRangeServeSql,
+    // the stored table holds exactly the day-sketch items; span + merge
+    // are identical, so the oracle is the range-serve chain verbatim
+    "kll_store_serve" -> kllRangeServeSql)
 }

@@ -2439,6 +2439,152 @@ object RelationalQueries {
        |ORDER BY t.n_exact DESC, t.user_id""".stripMargin
   }
 
+  /** RANGE-SERVING view over the per-day HLL register tables — the
+    * companion to [[hllMergeDays]] that answers an ARBITRARY day span
+    * (data-derived min(day)+5 … min(day)+15, the kll_range_serve span
+    * derivation) from persisted per-(type, day) registers: registers of
+    * the span's days merge by per-bucket max into EXACTLY the registers
+    * of the span's rows, so the serving path never re-reads row data.
+    * The direct sketch and exact distinct over the span rows are computed
+    * only as the PROOF columns (`merge_exact` must be all 1); a production
+    * serve runs the register-merge arm alone.
+    */
+  val hllRangeServe: Q = (s, dir) => {
+    import graft.relational.Sketches
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    val d0 = ev.agg(min(col("day")).as("d0"))
+    def spanOf(df: DataFrame): DataFrame = df.crossJoin(broadcast(d0))
+      .filter(col("day").between(date_add(col("d0"), 5),
+        date_add(col("d0"), 15)))
+      .drop("d0")
+    val sp = spanOf(ev)
+    val merged = Sketches.hllFromRegisters(
+        Sketches.mergeRegisters(
+          spanOf(Sketches.hllRegisters(ev, Seq("event_type", "day"),
+            col("user_id"))),
+          Seq("event_type")),
+        Seq("event_type"))
+      .withColumnRenamed("hll_raw", "raw_merged")
+    val direct = Sketches.hllDistinct(sp, Seq("event_type"), col("user_id"))
+      .withColumnRenamed("hll_raw", "raw_direct")
+    val exact = sp.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    exact.join(direct, "event_type").join(merged, "event_type")
+      .select(col("event_type"), col("exact_distinct"),
+        graft.Parity.pround(col("raw_direct"), 6).as("hll_direct"),
+        graft.Parity.pround(col("raw_merged"), 6).as("hll_merged"),
+        (col("raw_merged") === col("raw_direct")).cast("long")
+          .as("merge_exact"))
+      .orderBy(col("event_type"))
+  }
+
+  val hllRangeServeSql: String = {
+    import graft.relational.Sketches
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+       |  FROM events),
+       |d0 AS (SELECT min(day) AS mn FROM ev),
+       |sp AS (SELECT event_type, day, user_id FROM ev CROSS JOIN d0
+       |       WHERE day BETWEEN mn + 5 AND mn + 15),
+       |${Sketches.hllRegistersSql("ev", Seq("event_type", "day"), "user_id", "reg_day")},
+       |rreg AS (SELECT event_type, bucket, max(m) AS m
+       |         FROM reg_day CROSS JOIN d0
+       |         WHERE day BETWEEN mn + 5 AND mn + 15 GROUP BY ALL),
+       |${Sketches.hllEstimateSql("rreg", Seq("event_type"), "hm")},
+       |${Sketches.hllRegistersSql("sp", Seq("event_type"), "user_id", "reg_sp")},
+       |${Sketches.hllEstimateSql("reg_sp", Seq("event_type"), "hd")},
+       |ex AS (
+       |  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+       |  FROM sp GROUP BY 1)
+       |SELECT event_type, exact_distinct,
+       |       ${graft.Parity.proundSql("hd.hll_raw", 6)} AS hll_direct,
+       |       ${graft.Parity.proundSql("hm.hll_raw", 6)} AS hll_merged,
+       |       CAST(hm.hll_raw = hd.hll_raw AS BIGINT) AS merge_exact
+       |FROM ex JOIN hd USING (event_type) JOIN hm USING (event_type)
+       |ORDER BY event_type""".stripMargin
+  }
+
+  /** RANGE-SERVING view over the per-day CMS counter tables — completes
+    * the range-serving symmetry (KLL: kll_range_serve, HLL:
+    * [[hllRangeServe]], CMS: this): the span's heavy-hitter estimates are
+    * answered by per-cell ADDITION of the span days' counter tables, and
+    * because counters are integer-linear the summed table is BIT-identical
+    * to the one-shot build over the span's rows — `merge_exact` asserts it
+    * row-for-row on the span, like cms_merge_days does globally. The
+    * direct counters and the exact top-20 exist only as the proof/report
+    * arm; the serving path (day tables → filter days → sum) never touches
+    * row data.
+    */
+  val cmsRangeServe: Q = (s, dir) => {
+    import graft.relational.Sketches
+    val evAll = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val d0 = evAll.agg(min(col("day")).as("d0"))
+    def spanOf(df: DataFrame): DataFrame = df.crossJoin(broadcast(d0))
+      .filter(col("day").between(date_add(col("d0"), 5),
+        date_add(col("d0"), 15)))
+      .drop("d0")
+    val sp = graft.Scratch.table(spanOf(evAll), "cmsrs-sp")
+    val key = col("user_id").cast("string")
+    val direct = Sketches.cmsCounters(sp, key)
+    val merged = spanOf(Sketches.cmsCounters(evAll, key,
+        groupCols = Seq("day")))
+      .groupBy(col("row_id"), col("bucket")).agg(sum(col("n")).as("n"))
+    val top = graft.Scratch.table(
+      sp.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("user_id")).limit(20),
+      "cmsrs-top")
+    val estD = Sketches.cmsEstimate(top, key, direct)
+      .withColumnRenamed("n_cms", "n_cms_direct")
+    val estM = Sketches.cmsEstimate(top, key, merged)
+      .withColumnRenamed("n_cms", "n_cms_merged")
+    top
+      .join(estD, key === estD("__key"))
+      .join(estM, key === estM("__key"))
+      .select(col("user_id"), col("n_exact"), col("n_cms_direct"),
+        col("n_cms_merged"),
+        (col("n_cms_merged") === col("n_cms_direct")).cast("long")
+          .as("merge_exact"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+  }
+
+  val cmsRangeServeSql: String = {
+    import graft.relational.Sketches.cmsBucketSql
+    def probeUnion(src: String, cols: String): String =
+      (0 until 4).map { i =>
+        s"SELECT $cols, $i AS row_id, ${cmsBucketSql(i, "uid")} AS bucket FROM $src"
+      }.mkString("\n  UNION ALL ")
+    s"""WITH ev AS (
+       |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id,
+       |         CAST(user_id AS VARCHAR) AS uid
+       |  FROM events),
+       |d0 AS (SELECT min(day) AS mn FROM ev),
+       |sp AS (SELECT day, user_id, uid FROM ev CROSS JOIN d0
+       |       WHERE day BETWEEN mn + 5 AND mn + 15),
+       |spr AS (${probeUnion("sp", "day, user_id, uid")}),
+       |dc AS (SELECT row_id, bucket, CAST(count(*) AS BIGINT) AS n
+       |       FROM spr GROUP BY 1, 2),
+       |allr AS (${probeUnion("ev", "day, user_id, uid")}),
+       |dayc AS (SELECT day, row_id, bucket, count(*) AS n
+       |         FROM allr GROUP BY 1, 2, 3),
+       |mc AS (SELECT row_id, bucket, CAST(sum(n) AS BIGINT) AS n
+       |       FROM dayc CROSS JOIN d0
+       |       WHERE day BETWEEN mn + 5 AND mn + 15 GROUP BY 1, 2),
+       |top AS (
+       |  SELECT user_id, uid, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM sp GROUP BY 1, 2 ORDER BY n_exact DESC, user_id LIMIT 20),
+       |tp AS (${probeUnion("top", "user_id, uid, n_exact")}),
+       |ed AS (SELECT user_id, min(coalesce(dc.n, 0)) AS n_cms_direct
+       |       FROM tp LEFT JOIN dc USING (row_id, bucket) GROUP BY 1),
+       |em AS (SELECT user_id, min(coalesce(mc.n, 0)) AS n_cms_merged
+       |       FROM tp LEFT JOIN mc USING (row_id, bucket) GROUP BY 1)
+       |SELECT t.user_id, t.n_exact, ed.n_cms_direct, em.n_cms_merged,
+       |       CAST(em.n_cms_merged = ed.n_cms_direct AS BIGINT) AS merge_exact
+       |FROM top t JOIN ed USING (user_id) JOIN em USING (user_id)
+       |ORDER BY t.n_exact DESC, t.user_id""".stripMargin
+  }
+
   /** PageRank authority over the customer↔supplier trade graph — the
     * iterative whole-graph operator curation stacks run for authority
     * weighting (OPIC-style seed ranking over a link graph). The graph is
@@ -4180,6 +4326,8 @@ object RelationalQueries {
     "pagerank_authority20" -> pagerankAuthority20,
     "ppr_segment" -> pprSegment,
     "hll_merge_days" -> hllMergeDays,
+    "hll_range_serve" -> hllRangeServe,
+    "cms_range_serve" -> cmsRangeServe,
     "cms_merge_days" -> cmsMergeDays,
     "bloom_semi_join" -> bloomSemiJoin,
     "range_join_sessions" -> rangeJoinSessions,
@@ -4262,6 +4410,8 @@ object RelationalQueries {
     "pagerank_authority20" -> pagerankAuthority20Sql,
     "ppr_segment" -> pprSegmentSql,
     "hll_merge_days" -> hllMergeDaysSql,
+    "hll_range_serve" -> hllRangeServeSql,
+    "cms_range_serve" -> cmsRangeServeSql,
     "cms_merge_days" -> cmsMergeDaysSql,
     "bloom_semi_join" -> bloomSemiJoinSql,
     "range_join_sessions" -> rangeJoinSessionsSql,

@@ -1161,9 +1161,11 @@ object SimilarityQueries {
           .select(col("bin"), col("n"), col("n_pos")))
       .orderBy(col("bin"))
 
-  val isotonicCalibrationSql: String =
-    s"""WITH $calibBinsCteSql,
-       |cum AS (
+  /** Shared CTE chain ending in `ft(i, fit)` — the PAV minimax solution
+    * both [[isotonicCalibrationSql]] and [[isotonicApplySql]] read.
+    */
+  private val isotonicFitCteSql: String =
+    s"""cum AS (
        |  SELECT bin, n, n_pos,
        |         sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
        |         sum(n_pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cp
@@ -1177,13 +1179,51 @@ object SimilarityQueries {
        |  SELECT i.bin AS i, s.j, min(s.seg) AS mn
        |  FROM agg i JOIN segs s ON s.j <= i.bin AND s.k >= i.bin
        |  GROUP BY 1, 2),
-       |ft AS (SELECT i, max(mn) AS fit FROM mn GROUP BY 1)
+       |ft AS (SELECT i, max(mn) AS fit FROM mn GROUP BY 1)""".stripMargin
+
+  val isotonicCalibrationSql: String =
+    s"""WITH $calibBinsCteSql,
+       |$isotonicFitCteSql
        |SELECT a.bin, a.n, a.n_pos,
        |       ${graft.Parity.proundSql(
                  "CAST(a.n_pos AS DOUBLE) / CAST(a.n AS DOUBLE)", 6)} AS frac_pos,
        |       ${graft.Parity.proundSql("f.fit", 6)} AS fitted
        |FROM agg a JOIN ft f ON f.i = a.bin
        |ORDER BY a.bin""".stripMargin
+
+  /** SERVE the isotonic fit: a calibrated probability PER SCORED ROW — the
+    * consumer that turns [[isotonicCalibration]]'s report into an operator
+    * (a pipeline thresholds on `p_cal`, not on the raw score). The fitted
+    * bins are a ≤10-row relation broadcast against the scored corpus and
+    * equi-joined on the bin ordinal — the bin id IS the range key (deciles
+    * are closed-form), so the asof/range-join shape collapses to a
+    * broadcast hash join: one corpus pass for scoring, zero shuffles for
+    * calibration. `p_cal` is monotone in `score` by the PAV guarantee.
+    */
+  val isotonicApply: Q = (s, dir) => {
+    val scored = graft.ml.LogReg.scoreAll(Tables.embeddings(s, dir))
+    val fit = graft.ml.Eval.isotonicFit(
+        graft.ml.Eval.calibrationBins(scored)
+          .select(col("bin"), col("n"), col("n_pos")))
+      .select(col("bin"), col("fitted").as("p_cal")) // pround(…,6) already
+    scored
+      .withColumn("bin",
+        least(floor(col("score") * lit(10.0)).cast("long"), lit(9L)))
+      .join(broadcast(fit), "bin")
+      .select(col("vec_id"), col("y"), col("score"), col("bin"),
+        col("p_cal"))
+      .orderBy(col("vec_id"))
+  }
+
+  val isotonicApplySql: String =
+    s"""WITH $calibBinsCteSql,
+       |$isotonicFitCteSql
+       |SELECT sc.vec_id, sc.y, sc.score,
+       |       least(CAST(floor(sc.score * 10.0) AS BIGINT), 9) AS bin,
+       |       ${graft.Parity.proundSql("f.fit", 6)} AS p_cal
+       |FROM sc JOIN ft f
+       |  ON f.i = least(CAST(floor(sc.score * 10.0) AS BIGINT), 9)
+       |ORDER BY sc.vec_id""".stripMargin
 
   /** Shared CTE chain replaying [[graft.ml.SparseLogReg]] training in
     * DuckDB: hashed bag-of-words features (the PortableHash md5 parse,
@@ -1984,6 +2024,7 @@ object SimilarityQueries {
     "roc_auc" -> rocAucQ,
     "calibration_bins" -> calibrationBinsQ,
     "isotonic_calibration" -> isotonicCalibration,
+    "isotonic_apply" -> isotonicApply,
     "brier_score" -> brierScore,
     "lift_deciles" -> liftDeciles,
     "embedding_covariance" -> embeddingCovariance,
@@ -2031,6 +2072,7 @@ object SimilarityQueries {
     "roc_auc" -> rocAucSql,
     "calibration_bins" -> calibrationBinsSql,
     "isotonic_calibration" -> isotonicCalibrationSql,
+    "isotonic_apply" -> isotonicApplySql,
     "brier_score" -> brierScoreSql,
     "lift_deciles" -> liftDecilesSql,
     "embedding_covariance" -> embeddingCovarianceSql,

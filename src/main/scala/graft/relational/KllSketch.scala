@@ -137,6 +137,82 @@ object KllSketch {
       tidCol: Column, rounds: Int): DataFrame =
     compact(items0(df, groupCols, valueCol, tidCol), groupCols, 0, rounds)
 
+  /** Certified-small input ceiling for [[compactAuto]]'s fused path: a
+    * merge input under this row count sorts per (group, level) partition in
+    * a single task comfortably (≤ ~32 MB of (value, tid, w) triples even if
+    * one partition holds everything).
+    */
+  val FuseMaxRows: Long = 1000000L
+
+  /** SUB-THRESHOLD FAST PATH: the same compaction rounds as [[compact]],
+    * value-for-value, planned as ONE linear job with zero per-round scratch
+    * round-trips. [[compact]] must materialize every round because its
+    * output feeds two consumers (the level-r branch and the pass-through
+    * branch) plus the next round — left lazy, the R-round cascade
+    * re-evaluates exponentially. This form consumes each round's input
+    * EXACTLY ONCE: rank within (group, level) — for level-r rows identical
+    * to ranking the filtered level-r relation — derive the odd-count
+    * leftover from the partition count (`rk == cnt && cnt odd` ⇔ the
+    * unpaired last item), and express compact-or-carry as one projection +
+    * filter. R rounds stack into R window operators in a single linear
+    * plan: no self-union, no recompute multiplication, no job-per-round.
+    *
+    * The per-(group, level) window is the memory bound the caller must
+    * certify (contrast [[compact]]'s GlobalIndex range-parallel rank, which
+    * has none): ONLY use this on relations that are certifiably tiny —
+    * sketch-item tables, never raw rows. [[compactAuto]] enforces that with
+    * a count of the (file-backed) input. Values are identical to
+    * [[compact]] by construction: same rank order (value, tid unique),
+    * same pair ordinal, same derandomized hash-parity survivor, same
+    * promotion arithmetic — KllSketchSpec pins bit-equality.
+    */
+  def compactFused(itemsIn: DataFrame, groupCols: Seq[String],
+      fromLevel: Int, toLevel: Int): DataFrame = {
+    var items = itemsIn
+    for (r <- fromLevel until toLevel) {
+      val part = (groupCols :+ "level").map(col)
+      val wOrd = Window.partitionBy(part: _*).orderBy(col("value"), col("tid"))
+      val wAll = Window.partitionBy(part: _*)
+      val ranked = items
+        .withColumn("rk", row_number().over(wOrd).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(wAll))
+      // identical survivor choice to compact(): the key renders the same
+      // (group…, round, pair) triple — level == r for every compacted row,
+      // and pair = (rk-1) DIV 2 over the same per-(group, level=r) rank
+      val keyCols = groupCols.map(c => col(c).cast("string")) ++
+        Seq(lit(r.toString), expr("(rk - 1L) DIV 2L").cast("string"))
+      val keepPos = PortableHash.hash32(concat_ws("|", keyCols: _*)) % 2L
+      val isCur = col("level") === r
+      val isLeftover = col("cnt") % 2L === 1L && col("rk") === col("cnt")
+      items = ranked
+        .filter(!isCur || isLeftover || (col("rk") - 1L) % 2L === keepPos)
+        .select(groupCols.map(col) ++ Seq(
+          when(isCur && !isLeftover, lit(r + 1)).otherwise(col("level"))
+            .as("level"),
+          col("value"), col("tid"),
+          when(isCur && !isLeftover, col("w") * 2L).otherwise(col("w"))
+            .as("w")): _*)
+    }
+    items
+  }
+
+  /** Dispatch between [[compactFused]] (one linear job) and the round-by-
+    * round [[compact]] cascade, certified by COUNTING the input — the
+    * `maxPerKeyHint` discipline applied to compaction: the fast path is
+    * taken only when the relation is measured ≤ `fuseMaxRows`, never on
+    * faith. `itemsIn` must be cheap to count (a fixture scan, a sink
+    * read-back — both callers' inputs are file-backed), which is exactly
+    * the "known from the previous round's materialization" condition.
+    * Values are identical on either branch, so the dispatch is a purely
+    * physical choice.
+    */
+  def compactAuto(itemsIn: DataFrame, groupCols: Seq[String],
+      fromLevel: Int, toLevel: Int, inputMaterialized: Boolean = false,
+      fuseMaxRows: Long = FuseMaxRows): DataFrame =
+    if (itemsIn.count() <= fuseMaxRows)
+      compactFused(itemsIn, groupCols, fromLevel, toLevel)
+    else compact(itemsIn, groupCols, fromLevel, toLevel, inputMaterialized)
+
   /** Quantile read-out: for each q, the smallest sketch value whose
     * cumulative weight reaches ⌈q·n⌉ — an actual corpus element (selection,
     * not interpolation), over-/under-reporting the true quantile's rank by

@@ -78,10 +78,18 @@ object MonoidScan {
     *                      consumes `totals` exactly once — the
     *                      macd_chunked small-scale tax (VERDICT r13 wrong
     *                      #1: an action + a scratch round-trip per scan on
-    *                      a few dozen chunk rows). A LOOSE bound > fanout
-    *                      would recurse where the count-based path takes
-    *                      the base case — a DIFFERENT (still deterministic)
-    *                      association — so callers must not pass one.
+    *                      a few dozen chunk rows). A hint > fanout is SAFE
+    *                      but useless: it routes into the counted path,
+    *                      which re-counts and picks the same association
+    *                      the hintless call would — values unchanged. The
+    *                      REAL contract is on hints ≤ fanout: such a hint
+    *                      must be a TRUE upper bound on the per-key count,
+    *                      because it is trusted without a check — an
+    *                      undercount silently unbounds the flat base
+    *                      case's per-task window (values still match the
+    *                      flat oracle; the memory bound is what's lost).
+    *                      Callers derive it from a verified count
+    *                      (IndicatorQueries.chunksChecked), never a guess.
     */
   def scanIncoming(
       totals: DataFrame, keyCols: Seq[String], ordCol: String, totCol: String,

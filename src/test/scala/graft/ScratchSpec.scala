@@ -93,4 +93,54 @@ class ScratchSpec extends SparkSpec {
     assert(derivations === 2, "deleted fixture must re-derive")
     assert(again === (1L to 5L).toSet)
   }
+
+  test("fixture: a PARTIALLY deleted dir (no _SUCCESS) rebuilds — commit " +
+      "marker, not bare existence, gates the cache (ADVICE r14)") {
+    import spark.implicits._
+    var derivations = 0
+    def build() = Scratch.fixture(spark, "spec-fixture|partial") {
+      derivations += 1
+      (1L to 7L).toDF("x")
+    }
+    val path = {
+      build()
+      val df = build()
+      df.inputFiles.head.stripSuffix("/" + df.inputFiles.head.split('/').last)
+    }
+    assert(derivations === 1)
+    // simulate a half-deleted fixture: data files remain, commit marker gone
+    val dir = new java.io.File(new java.net.URI(path).getPath)
+    val marker = new java.io.File(dir, "_SUCCESS")
+    assert(marker.exists(), "parquet write must leave a _SUCCESS marker")
+    assert(marker.delete())
+    val again = build().collect().map(_.getLong(0)).toSet
+    assert(derivations === 2, "uncommitted fixture dir must re-derive")
+    assert(again === (1L to 7L).toSet)
+  }
+
+  test("fixture: distinct keys build without serializing behind each " +
+      "other (per-key locks, ADVICE r14)") {
+    import spark.implicits._
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val slowEntered = new java.util.concurrent.CountDownLatch(1)
+    val slow = new Thread(() => {
+      Scratch.fixture(spark, "spec-fixture|slow-key") {
+        slowEntered.countDown()
+        gate.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        (1L to 3L).toDF("x")
+      }
+    })
+    slow.start()
+    assert(slowEntered.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    // while the slow key's derivation holds ITS lock, another key must
+    // both build and serve — under the old global lock this deadlocks
+    // (the slow build holds the registry for its whole derivation)
+    val other = Scratch.fixture(spark, "spec-fixture|fast-key") {
+      (1L to 4L).toDF("x")
+    }.collect().map(_.getLong(0)).toSet
+    assert(other === (1L to 4L).toSet)
+    gate.countDown()
+    slow.join(30000)
+    assert(!slow.isAlive)
+  }
 }

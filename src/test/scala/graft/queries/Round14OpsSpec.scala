@@ -52,20 +52,53 @@ class Round14OpsSpec extends SparkSpec {
     assert(served === expected)
   }
 
-  test("pca fixture family: pca_power_iter equals pca_pc2's component-1 " +
-      "sibling and whiten consumes the identical loadings") {
-    // the shared topTwo fixture serves every PCA consumer; component 1 must
-    // be the same relation pca_power_iter reports (fixture purity)
+  test("pca fixture family: pca_power_iter equals PCA.powerIteration " +
+      "directly and whiten consumes the identical fixture loadings") {
+    import graft.ml.PCA
+    val emb = Tables.embeddings(spark, sf0001)
+    // fixture-served component 1 must be the very relation the standalone
+    // power iteration computes (topTwo's pc1 arm is arithmetic-identical)
     val p1 = SimilarityQueries.queries("pca_power_iter")(spark, sf0001)
       .collect().map(_.toString).toSeq
     assert(p1.nonEmpty)
+    val direct = PCA.powerIteration(PCA.covariance(emb), iters = 4)
+      .orderBy(col("dim")).collect().map(_.toString).toSeq
+    assert(p1 === direct, "fixture pc1 must equal the standalone chain")
     val again = SimilarityQueries.queries("pca_power_iter")(spark, sf0001)
       .collect().map(_.toString).toSeq
     assert(again === p1, "fixture-served result must be stable across calls")
-    val p2 = SimilarityQueries.queries("pca_pc2")(spark, sf0001)
-      .collect().map(_.toString).toSeq
-    assert(p2.nonEmpty)
-    assert(p2 !== p1)
+
+    // whiten loadings identity: recompute w1/w2 driver-side from the SAME
+    // fixture rows (pca_power_iter = component 1, pca_pc2 = component 2)
+    // with the engine's exact quantized-dot arithmetic; pca_whiten_2d must
+    // reproduce it bit-for-bit — a fixture serving the wrong component's
+    // rows under either label fails here
+    def comp(q: String): (Map[Long, Double], Double) = {
+      val rows = SimilarityQueries.queries(q)(spark, sf0001).collect()
+      (rows.map(r => r.getAs[Long]("dim") -> r.getAs[Double]("loading")).toMap,
+        rows.head.getAs[Double]("eigenvalue"))
+    }
+    val (l1, lam1) = comp("pca_power_iter")
+    val (l2, lam2) = comp("pca_pc2")
+    val m = PCA.dimMeans(emb)
+    def whiten(vec: Seq[Double], l: Map[Long, Double], lam: Double): Double = {
+      val p = vec.zipWithIndex.map { case (x, i) =>
+        math.floor((x - m(i)) * l(i.toLong) * 1e7 + 0.5).toLong
+      }.sum / 1e7
+      math.floor(p / math.sqrt(lam) * 1e6 + 0.5) / 1e6
+    }
+    val expected = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (whiten(r.getSeq[Double](1), l1, lam1),
+          whiten(r.getSeq[Double](1), l2, lam2)))
+      .toMap
+    val got = SimilarityQueries.queries("pca_whiten_2d")(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Double]("w1"), r.getAs[Double]("w2"))).toMap
+    assert(got === expected)
   }
 
   test("embedding_isotropy: one fixture-served diagnostic row with the " +

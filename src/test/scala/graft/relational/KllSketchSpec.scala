@@ -79,6 +79,44 @@ class KllSketchSpec extends SparkSpec {
     assert(err <= (1L << 9), s"merged p50 err $err")
   }
 
+  test("compactFused is bit-identical to the round-by-round cascade") {
+    // merge-shaped input: per-(g, part) day sketches, day key dropped —
+    // levels 0..4 populated with leftovers, exactly what compactAuto fuses
+    val n = 3000
+    val df = values(n).withColumn("part", col("id") % 7)
+    val items = KllSketch
+      .sketch(df, Seq("g", "part"), col("v"), col("id"), 4)
+      .select(col("g"), col("level"), col("value"), col("tid"), col("w"))
+    def key(r: Row) = (r.getAs[String]("g"), r.getAs[Int]("level"),
+      r.getAs[Double]("value"), r.getAs[Long]("tid"), r.getAs[Long]("w"))
+    val slow = KllSketch.compact(items, Seq("g"), 0, 9)
+      .collect().map(key).sortBy(t => (t._1, t._2, t._3, t._4))
+    val fused = KllSketch.compactFused(items, Seq("g"), 0, 9)
+      .collect().map(key).sortBy(t => (t._1, t._2, t._3, t._4))
+    assert(fused.toSeq === slow.toSeq)
+    assert(fused.map(_._5).sum === n.toLong)
+    // and the read-out built on either path matches
+    val qSlow = KllSketch.quantiles(KllSketch.compact(items, Seq("g"), 0, 9),
+      Seq("g"), Seq(0.5, 0.9)).collect().head
+    val qFused = KllSketch.quantiles(
+      KllSketch.compactAuto(items, Seq("g"), 0, 9),
+      Seq("g"), Seq(0.5, 0.9)).collect().head
+    assert(qFused.toSeq === qSlow.toSeq)
+  }
+
+  test("compactAuto falls back to the cascade above the fuse threshold") {
+    val items = KllSketch.items0(values(600), Seq("g"), col("v"), col("id"))
+    def key(r: Row) = (r.getAs[Int]("level"), r.getAs[Double]("value"),
+      r.getAs[Long]("tid"), r.getAs[Long]("w"))
+    val viaCascade = KllSketch
+      .compactAuto(items, Seq("g"), 0, 5, fuseMaxRows = 10L)
+      .collect().map(key).sortBy(t => (t._1, t._2, t._3))
+    val viaFused = KllSketch
+      .compactAuto(items, Seq("g"), 0, 5, fuseMaxRows = 1000000L)
+      .collect().map(key).sortBy(t => (t._1, t._2, t._3))
+    assert(viaCascade.toSeq === viaFused.toSeq)
+  }
+
   test("sketch items are identical under different input partitioning") {
     val df = values(2000)
     def run(parts: Int) =
