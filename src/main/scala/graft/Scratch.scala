@@ -130,7 +130,15 @@ object Scratch {
     def build(): String = {
       val tag = "fix-" + key.replaceAll("[^A-Za-z0-9._-]", "-")
         .replaceAll("-+", "-").takeRight(48).stripPrefix("-")
-      write(derive, tag)
+      // one-time build cost is REAL cost a production run pays somewhere
+      // (in a benchmark: the warmup pass) — log it so the serving-side
+      // per-query numbers can't be misread as total cost (VERDICT r14
+      // missing #1; harvested into SCALE.md's build-cost table)
+      val t0 = System.nanoTime()
+      val p = write(derive, tag)
+      System.err.println(
+        f"[graft] fixture build $key%s: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      p
     }
     // loop: if a registered fixture's files were deleted externally (the
     // ensureFixture lesson), evict exactly that holder and re-register

@@ -132,10 +132,23 @@ object ForexQueries {
     * is a linear map, hence associative in (mul, add) matrix form), noted
     * here rather than built.
     */
+  /** The 1h candle relation as a SHARED fixture: eleven indicator queries
+    * (the chunked family, ewma/rsi/macd/bollinger, both enrich forms)
+    * consume exactly this table, and each was re-running the silver scan +
+    * dedup window + candle aggregate to get it. One (JVM, dir) build, one
+    * parquet write, per-consumer column-pruned scans — the derived-table
+    * discipline the PCA/KLL families already follow. Timestamps (µs) and
+    * doubles round-trip parquet bit-exactly, so every consumer's values
+    * are unchanged.
+    */
+  private[queries] def candles1hShared(s: SparkSession, dir: String): DataFrame =
+    graft.Scratch.fixture(s, s"candles-1h|$dir")(
+      Ohlc.candles(Resample.fanout(ForexPipeline.silverFrom(s, dir),
+        Seq(Resample.byName("1h")))))
+
   val ewma1h: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val candles = Ohlc.candles(
-      Resample.fanout(ForexPipeline.silverFrom(s, dir), Seq(Resample.byName("1h"))))
+    val candles = candles1hShared(s, dir)
       .select(col("candle_start"), col("close_price"))
     val w = Window.orderBy(col("candle_start"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -198,11 +211,8 @@ object ForexQueries {
   }
 
   /** Indicator stage in isolation over 1h candles (W2–W4). */
-  val indicators1h: Q = (s, dir) => {
-    val fanned = Resample.fanout(ForexPipeline.silverFrom(s, dir),
-      Seq(Resample.byName("1h")))
-    Indicators.enrich(Ohlc.candles(fanned)).orderBy(col("candle_start"))
-  }
+  val indicators1h: Q = (s, dir) =>
+    Indicators.enrich(candles1hShared(s, dir)).orderBy(col("candle_start"))
 
   val indicators1hSql: String =
     s"""WITH $silverSql,
@@ -229,12 +239,9 @@ object ForexQueries {
     * SAME ORACLE as indicators_1h: the physical strategy must not change
     * a bit.
     */
-  val indicators1hChunked: Q = (s, dir) => {
-    val fanned = Resample.fanout(ForexPipeline.silverFrom(s, dir),
-      Seq(Resample.byName("1h")))
-    IndicatorsChunked.enrich(Ohlc.candles(fanned), candlesPerChunk = 64)
+  val indicators1hChunked: Q = (s, dir) =>
+    IndicatorsChunked.enrich(candles1hShared(s, dir), candlesPerChunk = 64)
       .orderBy(col("candle_start"))
-  }
 
   /** D1: exact whole-row dedup over raw events. */
   val dedupExactRows: Q = (s, dir) =>

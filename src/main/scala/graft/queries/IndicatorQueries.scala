@@ -15,9 +15,11 @@ object IndicatorQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  // the shared 1h candle fixture (ForexQueries.candles1hShared), pruned to
+  // the two columns every indicator here reads — the parquet scan reads
+  // only these
   private def candles1h(s: SparkSession, dir: String): DataFrame =
-    Ohlc.candles(Resample.fanout(ForexPipeline.silverFrom(s, dir),
-        Seq(Resample.byName("1h"))))
+    ForexQueries.candles1hShared(s, dir)
       .select(col("candle_start"), col("close_price"))
 
   /** Distinct 64-candle chunk count of the 1h grid, once per (JVM, dir) —

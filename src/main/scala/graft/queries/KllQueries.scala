@@ -52,7 +52,7 @@ object KllQueries {
     */
   private def oneShotSketch(s: SparkSession, dir: String): DataFrame =
     graft.Scratch.fixture(s, s"kll-sk$OneShotRounds|$dir")(
-      KllSketch.sketch(Tables.events(s, dir), Seq("event_type"),
+      KllSketch.sketchAuto(Tables.events(s, dir), Seq("event_type"),
         col("value"), col("event_id"), rounds = OneShotRounds))
 
   val kllQuantiles: Q = (s, dir) =>
@@ -78,7 +78,7 @@ object KllQueries {
     */
   private[queries] def daySketch(s: SparkSession, dir: String): DataFrame =
     graft.Scratch.fixture(s, s"kll-day$DayRounds|$dir")(
-      KllSketch.sketch(
+      KllSketch.sketchAuto(
         Tables.events(s, dir).withColumn("day", to_date(col("ts"))),
         Seq("event_type", "day"), col("value"), col("event_id"),
         rounds = DayRounds))

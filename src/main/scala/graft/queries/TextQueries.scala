@@ -2194,7 +2194,65 @@ object TextQueries {
        |FROM r5 ORDER BY rank DESC, word LIMIT 15""".stripMargin
   }
 
+  /** Fixed training-sequence length for [[sequencePack]] — the context
+    * window the packed stream is cut into.
+    */
+  private val PackLen = 1024L
+
+  /** SEQUENCE PACKING — the operator that turns a curated corpus into
+    * fixed-length training sequences (GPT-style concatenate-then-cut):
+    * documents are laid end-to-end in a deterministic order (doc_id) and
+    * the token stream is cut every `PackLen` tokens. Each document's
+    * placement is a pure function of the prefix token count, so the whole
+    * layout is ONE range-parallel prefix sum ([[graft.relational
+    * .GlobalIndex.withPrefixSum]] — per-partition running totals, a
+    * |partitions|-row offset relation broadcast back), never the naive
+    * single-task `sum() OVER (ORDER BY …)` funnel: at 100 TB the packing
+    * pass scales with partitions like any scan. Emits per document its
+    * absolute start position, owning pack, offset within the pack, and
+    * whether it straddles a pack boundary (the attention-mask /
+    * document-separator bookkeeping a loader needs). Token counts use the
+    * BPE-ish regex tokenizer shared with `token_count`; everything
+    * downstream of it is exact integer arithmetic.
+    */
+  val sequencePack: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.relational.GlobalIndex
+      .withPrefixSum(toks, Seq("doc_id"), "n_tokens", cumName = "cum")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("start_pos"))
+      .withColumn("pack_id", expr(s"start_pos DIV ${PackLen}L"))
+      .withColumn("pack_offset", expr(s"start_pos % ${PackLen}L"))
+      .withColumn("crosses_boundary",
+        (col("n_tokens") > 0L &&
+          expr(s"start_pos DIV ${PackLen}L") =!=
+            expr(s"(start_pos + n_tokens - 1) DIV ${PackLen}L"))
+          .cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sequencePackSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_extract_all(lower(text),
+       |           '[a-z]+|[0-9]|[^a-z0-9\\s]|\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+       |           ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_pos
+       |  FROM t)
+       |SELECT doc_id, n_tokens, start_pos,
+       |       start_pos // $PackLen AS pack_id,
+       |       start_pos % $PackLen AS pack_offset,
+       |       CAST(n_tokens > 0 AND (start_pos // $PackLen <>
+       |         (start_pos + n_tokens - 1) // $PackLen) AS BIGINT) AS crosses_boundary
+       |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sequence_pack" -> sequencePack,
     "token_simpson" -> tokenSimpson,
     "textrank_keywords" -> textrankKeywords,
     "nb_lang_confusion" -> nbLangConfusion,
@@ -2234,6 +2292,7 @@ object TextQueries {
     "pii_scrub" -> piiScrub)
 
   val oracleSql: Map[String, String] = Map(
+    "sequence_pack" -> sequencePackSql,
     "token_simpson" -> tokenSimpsonSql,
     "textrank_keywords" -> textrankKeywordsSql,
     "nb_lang_confusion" -> nbLangConfusionSql,

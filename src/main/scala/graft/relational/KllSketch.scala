@@ -137,6 +137,17 @@ object KllSketch {
       tidCol: Column, rounds: Int): DataFrame =
     compact(items0(df, groupCols, valueCol, tidCol), groupCols, 0, rounds)
 
+  /** [[sketch]] through [[compactAuto]]: the BUILD gets the fused single-
+    * job plan when the corpus is measured small enough for per-(group,
+    * level) windows, and the range-parallel GlobalIndex cascade otherwise
+    * — the count here scans the source once (at 100 TB that cost is noise
+    * against the build it sizes, and parquet count() is metadata-only).
+    * Values identical either way (compactFused ≡ compact, spec-pinned).
+    */
+  def sketchAuto(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      tidCol: Column, rounds: Int): DataFrame =
+    compactAuto(items0(df, groupCols, valueCol, tidCol), groupCols, 0, rounds)
+
   /** Certified-small input ceiling for [[compactAuto]]'s fused path: a
     * merge input under this row count sorts per (group, level) partition in
     * a single task comfortably (≤ ~32 MB of (value, tid, w) triples even if

@@ -86,6 +86,32 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  test("sequence_pack: documents tile the token stream with no gaps, " +
+      "offsets stay inside the pack, boundary flags are exact") {
+    val rows = TextQueries.queries("sequence_pack")(spark, sf0001)
+      .orderBy(col("doc_id")).collect()
+    assert(rows.nonEmpty)
+    val L = 1024L
+    var expectedStart = 0L
+    rows.foreach { r =>
+      val (n, start) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("start_pos"))
+      assert(start === expectedStart, s"gap before ${r.getAs[Long]("doc_id")}")
+      expectedStart = start + n
+      assert(r.getAs[Long]("pack_id") === start / L)
+      assert(r.getAs[Long]("pack_offset") === start % L)
+      val crosses = n > 0 && (start / L) != ((start + n - 1) / L)
+      assert(r.getAs[Long]("crosses_boundary") === (if (crosses) 1L else 0L))
+    }
+    // the stream length is the exact token total (no overlap, no padding
+    // between documents); the last START pack can precede the stream's
+    // final pack only because a tail document spans into it
+    val lastEnd = expectedStart
+    assert(lastEnd === rows.map(_.getAs[Long]("n_tokens")).sum)
+    val maxStartPack = rows.map(_.getAs[Long]("pack_id")).max
+    assert(maxStartPack <= (lastEnd - 1) / L)
+    assert(maxStartPack === rows.last.getAs[Long]("start_pos") / L)
+  }
+
   test("isotonic_apply: every scored row gets its bin's fitted " +
       "probability, monotone in score, one row per corpus row") {
     val applied = SimilarityQueries.queries("isotonic_apply")(spark, sf0001)
