@@ -186,24 +186,11 @@ object KllQueries {
     * table instead — the query stays a pure function of the corpus.
     */
   val kllStoreServe: Q = (s, dir) => {
-    import graft.store.IncrementalStore
-    val items = daySketch(s, dir)
-    val target = StoreQueries.storeRoot(s, "kll_day_sketch")
-    val p = new org.apache.hadoop.fs.Path(target)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true) // idempotent scratch store
-    val d0 = items.agg(min(col("day")).as("d0"))
-    def batch(pred: org.apache.spark.sql.Column): DataFrame =
-      items.crossJoin(broadcast(d0)).filter(pred)
+    val stored = StoreQueries.storeDayTable(s, "kll_day_sketch",
+      daySketch(s, dir)
         .select(col("event_type"), col("day"), col("level"), col("value"),
-          col("tid"), col("w"))
-    IncrementalStore.overwriteDayPartitions(
-      batch(col("day") <= date_add(col("d0"), 10)), target, "day",
-      clusterBy = Seq("event_type"))
-    IncrementalStore.overwriteDayPartitions(
-      batch(col("day") > date_add(col("d0"), 10)), target, "day",
-      clusterBy = Seq("event_type"))
-    val stored = IncrementalStore.readTable(s, target)
+          col("tid"), col("w")),
+      "day", clusterBy = Seq("event_type"))
     val sd0 = stored.agg(min(col("day")).as("d0"))
     val ranged = stored.crossJoin(broadcast(sd0))
       .filter(col("day").between(date_add(col("d0"), 5),
@@ -216,11 +203,51 @@ object KllQueries {
       .orderBy(col("event_type"))
   }
 
+  /** WATERMARK-DRIVEN incremental maintenance of the governed sketch
+    * table — the production daily job, end to end: the store's high
+    * watermark (max(day), a metadata-cheap scalar — the P3 pattern
+    * applied to the sketch table) decides which day partitions are
+    * missing, ONLY those days' sketch items are appended (one
+    * partition-scoped dynamic overwrite — at 100 TB the increment also
+    * sketches only the new days' rows; here the items come off the shared
+    * day-sketch fixture, which is value-identical), and the serve merges
+    * the whole stored table. Because day sketches are per-(type, day)
+    * pure functions and the store appends exactly the missing days, the
+    * incrementally-maintained table holds precisely the all-days item
+    * relation — so this SHARES kll_merge_days' oracle: incremental
+    * maintenance must be value-invisible, and the hash proves it.
+    */
+  val kllStoreIncremental: Q = (s, dir) => {
+    import graft.store.IncrementalStore
+    val items = daySketch(s, dir)
+      .select(col("event_type"), col("day"), col("level"), col("value"),
+        col("tid"), col("w"))
+    val target = StoreQueries.storeRoot(s, "kll_day_sketch_incr")
+    val p = new org.apache.hadoop.fs.Path(target)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // idempotent scratch store
+    // day 0: the initial load (history up to min+10)
+    val d0 = items.agg(min(col("day")).as("__d0"))
+    IncrementalStore.overwriteDayPartitions(
+      items.crossJoin(broadcast(d0))
+        .filter(col("day") <= date_add(col("__d0"), 10)).drop("__d0"),
+      target, "day", clusterBy = Seq("event_type"))
+    // day N: read the STORE's watermark, append only the days beyond it
+    val wm = IncrementalStore.readTable(s, target)
+      .agg(max(col("day")).as("__wm"))
+    IncrementalStore.overwriteDayPartitions(
+      items.crossJoin(broadcast(wm)).filter(col("day") > col("__wm"))
+        .drop("__wm"),
+      target, "day", clusterBy = Seq("event_type"))
+    mergeDaySketches(IncrementalStore.readTable(s, target))
+  }
+
   val queries: Map[String, Q] = Map(
     "kll_quantiles" -> kllQuantiles,
     "kll_merge_days" -> kllMergeDays,
     "kll_range_serve" -> kllRangeServe,
-    "kll_store_serve" -> kllStoreServe)
+    "kll_store_serve" -> kllStoreServe,
+    "kll_store_incremental" -> kllStoreIncremental)
 
   val oracleSql: Map[String, String] = Map(
     "kll_quantiles" -> kllQuantilesSql,
@@ -228,5 +255,8 @@ object KllQueries {
     "kll_range_serve" -> kllRangeServeSql,
     // the stored table holds exactly the day-sketch items; span + merge
     // are identical, so the oracle is the range-serve chain verbatim
-    "kll_store_serve" -> kllRangeServeSql)
+    "kll_store_serve" -> kllRangeServeSql,
+    // the watermark-driven increment reassembles the all-days relation,
+    // so the batch merge oracle applies verbatim
+    "kll_store_incremental" -> kllMergeDaysSql)
 }

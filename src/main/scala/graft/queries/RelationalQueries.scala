@@ -2549,6 +2549,91 @@ object RelationalQueries {
       .orderBy(col("n_exact").desc, col("user_id"))
   }
 
+  /** [[hllRangeServe]] with the per-day register table GOVERNED: registers
+    * written through [[graft.store.IncrementalStore]] as day-partition
+    * batches ([[StoreQueries.storeDayTable]] — the kll_store_serve
+    * cadence), span served from the STORED table by per-bucket max.
+    * Registers are (group, bucket, max-rho) integers, so the parquet
+    * round-trip through the store is bit-exact and the output is
+    * value-identical to [[hllRangeServe]] — the oracle is shared; the
+    * direct/exact arms remain the proof columns. With KLL and CMS this
+    * makes every mergeable day-artifact family a real store table
+    * (retention, time travel, compaction) instead of a derived relation.
+    */
+  val hllStoreServe: Q = (s, dir) => {
+    import graft.relational.Sketches
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    val stored = StoreQueries.storeDayTable(s, "hll_day_registers",
+      Sketches.hllRegisters(ev, Seq("event_type", "day"), col("user_id")),
+      "day", clusterBy = Seq("event_type"))
+    val d0 = stored.agg(min(col("day")).as("d0"))
+    val ranged = stored.crossJoin(broadcast(d0))
+      .filter(col("day").between(date_add(col("d0"), 5),
+        date_add(col("d0"), 15)))
+      .select(col("event_type"), col("__bucket"), col("__m"))
+    val merged = Sketches.hllFromRegisters(
+        Sketches.mergeRegisters(ranged, Seq("event_type")),
+        Seq("event_type"))
+      .withColumnRenamed("hll_raw", "raw_merged")
+    val evd0 = ev.agg(min(col("day")).as("d0"))
+    val sp = ev.crossJoin(broadcast(evd0))
+      .filter(col("day").between(date_add(col("d0"), 5),
+        date_add(col("d0"), 15)))
+      .drop("d0")
+    val direct = Sketches.hllDistinct(sp, Seq("event_type"), col("user_id"))
+      .withColumnRenamed("hll_raw", "raw_direct")
+    val exact = sp.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    exact.join(direct, "event_type").join(merged, "event_type")
+      .select(col("event_type"), col("exact_distinct"),
+        graft.Parity.pround(col("raw_direct"), 6).as("hll_direct"),
+        graft.Parity.pround(col("raw_merged"), 6).as("hll_merged"),
+        (col("raw_merged") === col("raw_direct")).cast("long")
+          .as("merge_exact"))
+      .orderBy(col("event_type"))
+  }
+
+  /** [[cmsRangeServe]] with the per-day counter table GOVERNED — counters
+    * are pure BIGINTs, the strongest round-trip case; output is
+    * value-identical to [[cmsRangeServe]], oracle shared.
+    */
+  val cmsStoreServe: Q = (s, dir) => {
+    import graft.relational.Sketches
+    val evAll = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val key = col("user_id").cast("string")
+    val stored = StoreQueries.storeDayTable(s, "cms_day_counters",
+      Sketches.cmsCounters(evAll, key, groupCols = Seq("day")),
+      "day", clusterBy = Seq("row_id"))
+    val d0 = evAll.agg(min(col("day")).as("d0"))
+    def spanOf(df: DataFrame): DataFrame = df.crossJoin(broadcast(d0))
+      .filter(col("day").between(date_add(col("d0"), 5),
+        date_add(col("d0"), 15)))
+      .drop("d0")
+    val sp = graft.Scratch.table(spanOf(evAll), "cmsss-sp")
+    val merged = spanOf(stored.select(col("day"), col("row_id"),
+        col("bucket"), col("n")))
+      .groupBy(col("row_id"), col("bucket")).agg(sum(col("n")).as("n"))
+    val direct = Sketches.cmsCounters(sp, key)
+    val top = graft.Scratch.table(
+      sp.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("user_id")).limit(20),
+      "cmsss-top")
+    val estD = Sketches.cmsEstimate(top, key, direct)
+      .withColumnRenamed("n_cms", "n_cms_direct")
+    val estM = Sketches.cmsEstimate(top, key, merged)
+      .withColumnRenamed("n_cms", "n_cms_merged")
+    top
+      .join(estD, key === estD("__key"))
+      .join(estM, key === estM("__key"))
+      .select(col("user_id"), col("n_exact"), col("n_cms_direct"),
+        col("n_cms_merged"),
+        (col("n_cms_merged") === col("n_cms_direct")).cast("long")
+          .as("merge_exact"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+  }
+
   val cmsRangeServeSql: String = {
     import graft.relational.Sketches.cmsBucketSql
     def probeUnion(src: String, cols: String): String =
@@ -4328,6 +4413,8 @@ object RelationalQueries {
     "hll_merge_days" -> hllMergeDays,
     "hll_range_serve" -> hllRangeServe,
     "cms_range_serve" -> cmsRangeServe,
+    "hll_store_serve" -> hllStoreServe,
+    "cms_store_serve" -> cmsStoreServe,
     "cms_merge_days" -> cmsMergeDays,
     "bloom_semi_join" -> bloomSemiJoin,
     "range_join_sessions" -> rangeJoinSessions,
@@ -4412,6 +4499,10 @@ object RelationalQueries {
     "hll_merge_days" -> hllMergeDaysSql,
     "hll_range_serve" -> hllRangeServeSql,
     "cms_range_serve" -> cmsRangeServeSql,
+    // store round-trips are bit-exact; the store-serve outputs are
+    // value-identical to the range serves, so the oracles are shared
+    "hll_store_serve" -> hllRangeServeSql,
+    "cms_store_serve" -> cmsRangeServeSql,
     "cms_merge_days" -> cmsMergeDaysSql,
     "bloom_semi_join" -> bloomSemiJoinSql,
     "range_join_sessions" -> rangeJoinSessionsSql,

@@ -50,6 +50,42 @@ object StoreQueries {
       case None => s"${sys.props("java.io.tmpdir")}/$rel"
     }
 
+  /** Write a day-keyed relation through the governed store as TWO
+    * day-partition batches (history ≤ min(day)+10, then the rest — the
+    * production cadence where each day's job appends its own `p_date=`
+    * partitions), and return the read-back. The shared scaffolding of the
+    * *_store_serve queries: any per-day artifact family (KLL sketch
+    * items, HLL registers, CMS counters) becomes a REAL store table with
+    * retention/time-travel/compaction instead of a scratch fixture.
+    * Batch boundaries are value-invisible (two-batch ≡ one-shot,
+    * Round15OpsSpec) and parquet round-trips every payload type
+    * bit-exactly. `dayCol` must be a DateType column on `items`.
+    */
+  private[queries] def storeDayTable(s: SparkSession, name: String,
+      items: DataFrame, dayCol: String,
+      clusterBy: Seq[String]): DataFrame = {
+    val target = storeRoot(s, name)
+    val p = new org.apache.hadoop.fs.Path(target)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // idempotent scratch store
+    // three consumers below (the split bound + both batches): materialize
+    // the derivation once rather than re-running a corpus aggregate per
+    // consumer (for register/counter tables `items` IS a corpus pass;
+    // sketch items arrive file-backed already, where this is a cheap
+    // copy of a tiny relation)
+    val mat = graft.Scratch.table(items, s"storeday-$name")
+    val d0 = mat.agg(min(col(dayCol)).as("__d0"))
+    def batch(pred: org.apache.spark.sql.Column): DataFrame =
+      mat.crossJoin(broadcast(d0)).filter(pred).drop("__d0")
+    IncrementalStore.overwriteDayPartitions(
+      batch(col(dayCol) <= date_add(col("__d0"), 10)), target, dayCol,
+      clusterBy = clusterBy)
+    IncrementalStore.overwriteDayPartitions(
+      batch(col(dayCol) > date_add(col("__d0"), 10)), target, dayCol,
+      clusterBy = clusterBy)
+    IncrementalStore.readTable(s, target)
+  }
+
   private val silverSql: String =
     """silver AS (
       |  SELECT observed_at, open_price, high_price, low_price, close_price FROM (

@@ -86,6 +86,50 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  test("kll_store_incremental: watermark-driven appends reassemble the " +
+      "all-days merge value-for-value") {
+    val incr = KllQueries.queries("kll_store_incremental")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    val batch = KllQueries.queries("kll_merge_days")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    assert(incr.nonEmpty && incr === batch)
+  }
+
+  test("governed sketch store: a LITERAL day predicate prunes p_date " +
+      "partitions statically (the 100 TB serve path)") {
+    import graft.store.IncrementalStore
+    // the store laid down by the serve queries (rebuild for independence)
+    KllQueries.queries("kll_store_serve")(spark, sf0001).collect()
+    val stored = IncrementalStore.readTable(spark,
+      StoreQueries.storeRoot(spark, "kll_day_sketch"))
+    val days = stored.select(col("p_date")).distinct()
+      .orderBy(col("p_date")).collect().map(_.getDate(0))
+    assert(days.length > 2)
+    val lit5 = java.sql.Date.valueOf(days(1).toLocalDate)
+    val pruned = stored.filter(col("p_date") === lit5)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan.take(800))
+    assert(plan.contains("p_date"), plan.take(800))
+    // the pruned scan reads exactly that day's rows
+    val expected = stored.collect()
+      .count(_.getAs[java.sql.Date]("p_date") == lit5)
+    assert(pruned.count() === expected.toLong && expected > 0)
+  }
+
+  test("hll/cms store serves: serving from the governed day tables is " +
+      "value-identical to the fixture-free range serves") {
+    val hStore = RelationalQueries.queries("hll_store_serve")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    val hRange = RelationalQueries.queries("hll_range_serve")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    assert(hStore.nonEmpty && hStore === hRange)
+    val cStore = RelationalQueries.queries("cms_store_serve")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    val cRange = RelationalQueries.queries("cms_range_serve")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    assert(cStore.nonEmpty && cStore === cRange)
+  }
+
   test("sequence_pack: documents tile the token stream with no gaps, " +
       "offsets stay inside the pack, boundary flags are exact") {
     val rows = TextQueries.queries("sequence_pack")(spark, sf0001)
