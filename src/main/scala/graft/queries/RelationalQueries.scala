@@ -2719,17 +2719,24 @@ object RelationalQueries {
     * customer↔supplier trade graph (at 100 TB: a bucketed table
     * partitioned by src).
     */
-  private def pagerankEdges(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), (-col("l_suppkey")).as("p"))
-      .distinct()
-    graft.Scratch.table({
+  /** As a SHARED fixture (r15): seven iterative-graph queries (both
+    * pagerank runs, ppr_segment, graph_random_walks,
+    * degree_assortativity, label_prop, modularity_score) consume this
+    * relation, and each was re-running the orders⋈lineitem scan +
+    * distinct + degree join to get it — one (JVM, dir) build now serves
+    * them all from parquet (longs round-trip bit-exactly; row order is
+    * irrelevant to every consumer, all set-based joins/aggregates).
+    */
+  private def pagerankEdges(s: SparkSession, dir: String): DataFrame =
+    graft.Scratch.fixture(s, s"trade-edges|$dir") {
+      val pairs = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), (-col("l_suppkey")).as("p"))
+        .distinct()
       val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
         .union(pairs.select(col("p").as("src"), col("c").as("dst")))
       edges.join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-    }, "pr-edges")
-  }
+    }
 
   /** Largest power-of-10 quantization scale whose per-vertex integer sums
     * provably fit in 2⁵³ (so DECIMAL(20,0)→double converts exactly), for
@@ -3464,20 +3471,31 @@ object RelationalQueries {
     * finds the same triangle set — orientation only changes WHICH copy of
     * each triangle is generated, not the multiset of corners credited.
     */
-  def graphTriangles(s: SparkSession, dir: String,
-      broadcastRowLimit: Long = GraphBroadcastRowLimit): DataFrame = {
-    val d = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("it"))
-      .distinct()
-    // scratch-materialized: consumed by the degree aggregate AND the
-    // orientation join below (each would re-derive scan→self-join→distinct),
-    // and the materialization makes the broadcast gate's edge count a cheap
-    // parquet scan instead of a second self-join
-    val edges = graft.Scratch.table(
+  /** The parts-co-order HALF-EDGE relation (u < v, distinct) as a SHARED
+    * fixture (r15): four graph queries (graph_triangles, bfs_hops,
+    * sssp_weighted, kcore_parts) consume exactly this set, and each was
+    * re-running the lineitem self-join + distinct to derive it — the
+    * heaviest shared derivation in the graph family. One (JVM, dir)
+    * build; longs round-trip parquet bit-exactly and every consumer is
+    * set-based, so values are unchanged.
+    */
+  private def partsHalfEdges(s: SparkSession, dir: String): DataFrame =
+    graft.Scratch.fixture(s, s"parts-co-edges|$dir") {
+      val d = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("it"))
+        .distinct()
       d.as("d1").join(d.as("d2"), Seq("ok"))
         .filter(col("d1.it") < col("d2.it"))
         .select(col("d1.it").as("u"), col("d2.it").as("v"))
-        .distinct(), "tri-edges")
+        .distinct()
+    }
+
+  def graphTriangles(s: SparkSession, dir: String,
+      broadcastRowLimit: Long = GraphBroadcastRowLimit): DataFrame = {
+    // the shared fixture doubles as the old per-query scratch: the degree
+    // aggregate, the orientation join, and the broadcast gate's count all
+    // read the same files
+    val edges = partsHalfEdges(s, dir)
     val m = edges.count()
     // SIZE-GATED broadcast: at bench SF the edge list is a few hundred k
     // rows and every probe below is a broadcast-hash join, so the wedge
@@ -3555,17 +3573,12 @@ object RelationalQueries {
     * lineage depth at one round.
     */
   def bfsHops(s: SparkSession, dir: String, maxHops: Int = 4): DataFrame = {
-    val d = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("it"))
-      .distinct()
-    val half = d.as("d1").join(d.as("d2"), Seq("ok"))
-      .filter(col("d1.it") < col("d2.it"))
-      .select(col("d1.it").as("src"), col("d2.it").as("dst"))
-      .distinct()
-    // undirected: materialize both directions once; every round probes this
-    val edges = graft.Scratch.table(
-      half.unionAll(half.select(col("dst").as("src"), col("src").as("dst"))),
-      "bfs-edges")
+    val half = partsHalfEdges(s, dir)
+      .select(col("u").as("src"), col("v").as("dst"))
+    // undirected: both directions are two cheap scans of the half-edge
+    // fixture per probe (the expensive self-join+distinct is in the files)
+    val edges = half.unionAll(
+      half.select(col("dst").as("src"), col("src").as("dst")))
     val seeds = edges.select(col("src").as("x")).distinct()
       .orderBy(col("x")).limit(3)
     var dist = graft.Scratch.table(
@@ -3635,14 +3648,7 @@ object RelationalQueries {
     * any graph size; the global Q is the reader's exact decimal sum away.
     */
   val modularityScore: Q = (s, dir) => {
-    val pairs = Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), (-col("l_suppkey")).as("p"))
-      .distinct()
-    val edges = graft.Scratch.table(
-      pairs.select(col("c").as("src"), col("p").as("dst"))
-        .union(pairs.select(col("p").as("src"), col("c").as("dst"))),
-      "mod-edges")
+    val edges = pagerankEdges(s, dir).select(col("src"), col("dst"))
     val labels = labelPropagate(edges, maxRounds = 4)._1
       .select(col("v"), col("label"))
     val m = edges.count() / 2L // both directions materialized
@@ -3742,17 +3748,11 @@ object RelationalQueries {
     * re-materializes per round, capping lineage depth.
     */
   def ssspWeighted(s: SparkSession, dir: String, maxRounds: Int = 4): DataFrame = {
-    val d = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("it"))
-      .distinct()
-    val half = d.as("d1").join(d.as("d2"), Seq("ok"))
-      .filter(col("d1.it") < col("d2.it"))
-      .select(col("d1.it").as("src"), col("d2.it").as("dst"))
-      .distinct()
-    val edges = graft.Scratch.table(
-      half.unionAll(half.select(col("dst").as("src"), col("src").as("dst")))
-        .withColumn("w", lit(1L) + pmod(col("src") + col("dst"), lit(7L))),
-      "sssp-edges")
+    val half = partsHalfEdges(s, dir)
+      .select(col("u").as("src"), col("v").as("dst"))
+    val edges = half
+      .unionAll(half.select(col("dst").as("src"), col("src").as("dst")))
+      .withColumn("w", lit(1L) + pmod(col("src") + col("dst"), lit(7L)))
     val seeds = edges.select(col("src").as("x")).distinct()
       .orderBy(col("x")).limit(3)
     var dist = graft.Scratch.table(
@@ -3939,14 +3939,7 @@ object RelationalQueries {
     */
   def kcoreParts(s: SparkSession, dir: String, maxRounds: Int = 12,
       broadcastRowLimit: Long = GraphBroadcastRowLimit): DataFrame = {
-    val d = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("it"))
-      .distinct()
-    var e = graft.Scratch.table(
-      d.as("d1").join(d.as("d2"), Seq("ok"))
-        .filter(col("d1.it") < col("d2.it"))
-        .select(col("d1.it").as("u"), col("d2.it").as("v"))
-        .distinct(), "kcore-e0")
+    var e = partsHalfEdges(s, dir)
     def degrees(edges: DataFrame): DataFrame =
       edges.select(explode(array(col("u"), col("v"))).as("x"))
         .groupBy(col("x")).agg(count(lit(1)).as("dg"))
@@ -4079,14 +4072,9 @@ object RelationalQueries {
   }
 
   val labelProp: Q = (s, dir) => {
-    val pairs = Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), (-col("l_suppkey")).as("p"))
-      .distinct()
-    val edges = graft.Scratch.table(
-      pairs.select(col("c").as("src"), col("p").as("dst"))
-        .union(pairs.select(col("p").as("src"), col("c").as("dst"))),
-      "lpa-edges")
+    // the trade-edges fixture minus the degree column — same edge SET the
+    // bespoke derivation produced, served from the shared files
+    val edges = pagerankEdges(s, dir).select(col("src"), col("dst"))
     val (labels, _) = labelPropagate(edges, maxRounds = 4)
     labels.select(col("v"),
         when(col("v") < 0L, lit("supplier")).otherwise(lit("customer"))
