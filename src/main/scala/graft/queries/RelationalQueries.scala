@@ -2634,6 +2634,113 @@ object RelationalQueries {
       .orderBy(col("n_exact").desc, col("user_id"))
   }
 
+  /** Watermark-driven incremental maintenance of the governed HLL
+    * register table — kll_store_incremental's sibling: initial load of
+    * the days up to min+10, then the store's max(day) watermark decides
+    * which register partitions are missing and ONLY those are appended;
+    * the all-days serve (max-merge of the stored registers) must equal
+    * the one-shot whole-range sketch, so this SHARES hll_merge_days'
+    * oracle — the hash proves incremental maintenance value-invisible.
+    */
+  val hllStoreIncremental: Q = (s, dir) => {
+    import graft.relational.Sketches
+    import graft.store.IncrementalStore
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    val regs = Sketches.hllRegisters(ev, Seq("event_type", "day"),
+      col("user_id"))
+    val target = StoreQueries.storeRoot(s, "hll_day_registers_incr")
+    val p = new org.apache.hadoop.fs.Path(target)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // idempotent scratch store
+    // the register derivation feeds the initial load AND the increment:
+    // materialize once (the storeDayTable discipline)
+    val mat = graft.Scratch.table(regs, "hll-incr-regs")
+    val d0 = mat.agg(min(col("day")).as("__d0"))
+    IncrementalStore.overwriteDayPartitions(
+      mat.crossJoin(broadcast(d0))
+        .filter(col("day") <= date_add(col("__d0"), 10)).drop("__d0"),
+      target, "day", clusterBy = Seq("event_type"))
+    val wm = IncrementalStore.readTable(s, target)
+      .agg(max(col("day")).as("__wm"))
+    IncrementalStore.overwriteDayPartitions(
+      mat.crossJoin(broadcast(wm)).filter(col("day") > col("__wm"))
+        .drop("__wm"),
+      target, "day", clusterBy = Seq("event_type"))
+    val merged = Sketches.hllFromRegisters(
+        Sketches.mergeRegisters(
+          IncrementalStore.readTable(s, target)
+            .select(col("event_type"), col("__bucket"), col("__m")),
+          Seq("event_type")),
+        Seq("event_type"))
+      .withColumnRenamed("hll_raw", "raw_merged")
+    val direct = Sketches.hllDistinct(ev, Seq("event_type"), col("user_id"))
+      .withColumnRenamed("hll_raw", "raw_direct")
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    exact.join(direct, "event_type").join(merged, "event_type")
+      .select(col("event_type"), col("exact_distinct"),
+        graft.Parity.pround(col("raw_direct"), 6).as("hll_direct"),
+        graft.Parity.pround(col("raw_merged"), 6).as("hll_merged"),
+        (col("raw_merged") === col("raw_direct")).cast("long")
+          .as("merge_exact"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Watermark-driven incremental maintenance of the governed CMS counter
+    * table — completes the incremental-maintenance symmetry (KLL:
+    * kll_store_incremental, HLL: [[hllStoreIncremental]], CMS: this).
+    * Counters merge by ADDITION, so the all-days sum over the
+    * incrementally-appended day partitions is BIT-identical to the
+    * one-shot build — this SHARES cms_merge_days' oracle, and its
+    * per-row `merge_exact` asserts the identity through the store.
+    */
+  val cmsStoreIncremental: Q = (s, dir) => {
+    import graft.relational.Sketches
+    import graft.store.IncrementalStore
+    val ev = graft.Scratch.table(
+      Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id")),
+      "cmssi-ev")
+    val key = col("user_id").cast("string")
+    val target = StoreQueries.storeRoot(s, "cms_day_counters_incr")
+    val p = new org.apache.hadoop.fs.Path(target)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // idempotent scratch store
+    val mat = graft.Scratch.table(
+      Sketches.cmsCounters(ev, key, groupCols = Seq("day")), "cms-incr-cnt")
+    val d0 = mat.agg(min(col("day")).as("__d0"))
+    IncrementalStore.overwriteDayPartitions(
+      mat.crossJoin(broadcast(d0))
+        .filter(col("day") <= date_add(col("__d0"), 10)).drop("__d0"),
+      target, "day", clusterBy = Seq("row_id"))
+    val wm = IncrementalStore.readTable(s, target)
+      .agg(max(col("day")).as("__wm"))
+    IncrementalStore.overwriteDayPartitions(
+      mat.crossJoin(broadcast(wm)).filter(col("day") > col("__wm"))
+        .drop("__wm"),
+      target, "day", clusterBy = Seq("row_id"))
+    val merged = IncrementalStore.readTable(s, target)
+      .groupBy(col("row_id"), col("bucket")).agg(sum(col("n")).as("n"))
+    val direct = Sketches.cmsCounters(ev, key)
+    val top = graft.Scratch.table(
+      ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("user_id")).limit(20),
+      "cmssi-top")
+    val estD = Sketches.cmsEstimate(top, key, direct)
+      .withColumnRenamed("n_cms", "n_cms_direct")
+    val estM = Sketches.cmsEstimate(top, key, merged)
+      .withColumnRenamed("n_cms", "n_cms_merged")
+    top
+      .join(estD, key === estD("__key"))
+      .join(estM, key === estM("__key"))
+      .select(col("user_id"), col("n_exact"), col("n_cms_direct"),
+        col("n_cms_merged"),
+        (col("n_cms_merged") === col("n_cms_direct")).cast("long")
+          .as("merge_exact"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+  }
+
   val cmsRangeServeSql: String = {
     import graft.relational.Sketches.cmsBucketSql
     def probeUnion(src: String, cols: String): String =
@@ -4402,7 +4509,9 @@ object RelationalQueries {
     "hll_range_serve" -> hllRangeServe,
     "cms_range_serve" -> cmsRangeServe,
     "hll_store_serve" -> hllStoreServe,
+    "hll_store_incremental" -> hllStoreIncremental,
     "cms_store_serve" -> cmsStoreServe,
+    "cms_store_incremental" -> cmsStoreIncremental,
     "cms_merge_days" -> cmsMergeDays,
     "bloom_semi_join" -> bloomSemiJoin,
     "range_join_sessions" -> rangeJoinSessions,
@@ -4490,7 +4599,11 @@ object RelationalQueries {
     // store round-trips are bit-exact; the store-serve outputs are
     // value-identical to the range serves, so the oracles are shared
     "hll_store_serve" -> hllRangeServeSql,
+    // the incrementally-maintained register table reassembles the all-days
+    // registers, so the whole-range merge oracle applies verbatim
+    "hll_store_incremental" -> hllMergeDaysSql,
     "cms_store_serve" -> cmsRangeServeSql,
+    "cms_store_incremental" -> cmsMergeDaysSql,
     "cms_merge_days" -> cmsMergeDaysSql,
     "bloom_semi_join" -> bloomSemiJoinSql,
     "range_join_sessions" -> rangeJoinSessionsSql,

@@ -95,6 +95,20 @@ class Round15OpsSpec extends SparkSpec {
     assert(incr.nonEmpty && incr === batch)
   }
 
+  test("hll/cms store incrementals: watermark-driven appends reassemble " +
+      "the whole-range merges value-for-value") {
+    val hIncr = RelationalQueries.queries("hll_store_incremental")(
+      spark, sf0001).collect().map(_.toString).toSeq
+    val hBatch = RelationalQueries.queries("hll_merge_days")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    assert(hIncr.nonEmpty && hIncr === hBatch)
+    val cIncr = RelationalQueries.queries("cms_store_incremental")(
+      spark, sf0001).collect().map(_.toString).toSeq
+    val cBatch = RelationalQueries.queries("cms_merge_days")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    assert(cIncr.nonEmpty && cIncr === cBatch)
+  }
+
   test("governed sketch store: a LITERAL day predicate prunes p_date " +
       "partitions statically (the 100 TB serve path)") {
     import graft.store.IncrementalStore
