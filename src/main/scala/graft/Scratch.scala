@@ -141,14 +141,30 @@ object Scratch {
       p
     }
     // loop: if a registered fixture's files were deleted externally (the
-    // ensureFixture lesson), evict exactly that holder and re-register
+    // ensureFixture lesson), evict exactly that holder and re-register.
+    // BOUNDED (ADVICE r15): a committer that never writes `_SUCCESS`
+    // (mapreduce.fileoutputcommitter.marksuccessfuljobs=false — common
+    // with object-store committers a shared spark.graft.scratch.dir
+    // invites) would otherwise re-derive forever in a hot loop.
+    val MaxBuilds = 3
     var path: String = null
+    var attempts = 0
     while (path == null) {
       val holder = fixtures.computeIfAbsent(key,
         _ => new FixtureHolder(() => build()))
       val p = holder.path // derivation runs here, under the per-key lock
       if (committed(spark, p)) path = p
-      else fixtures.remove(key, holder)
+      else {
+        fixtures.remove(key, holder)
+        attempts += 1
+        if (attempts >= MaxBuilds)
+          throw new IllegalStateException(
+            s"fixture '$key': no _SUCCESS marker under $p after " +
+              s"$attempts build attempts — the output committer is not " +
+              "writing success markers (is " +
+              "mapreduce.fileoutputcommitter.marksuccessfuljobs=false?); " +
+              "refusing to re-derive unboundedly")
+      }
     }
     spark.read.parquet(path)
   }

@@ -217,30 +217,13 @@ object KllQueries {
     * relation — so this SHARES kll_merge_days' oracle: incremental
     * maintenance must be value-invisible, and the hash proves it.
     */
-  val kllStoreIncremental: Q = (s, dir) => {
-    import graft.store.IncrementalStore
-    val items = daySketch(s, dir)
-      .select(col("event_type"), col("day"), col("level"), col("value"),
-        col("tid"), col("w"))
-    val target = StoreQueries.storeRoot(s, "kll_day_sketch_incr")
-    val p = new org.apache.hadoop.fs.Path(target)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true) // idempotent scratch store
-    // day 0: the initial load (history up to min+10)
-    val d0 = items.agg(min(col("day")).as("__d0"))
-    IncrementalStore.overwriteDayPartitions(
-      items.crossJoin(broadcast(d0))
-        .filter(col("day") <= date_add(col("__d0"), 10)).drop("__d0"),
-      target, "day", clusterBy = Seq("event_type"))
-    // day N: read the STORE's watermark, append only the days beyond it
-    val wm = IncrementalStore.readTable(s, target)
-      .agg(max(col("day")).as("__wm"))
-    IncrementalStore.overwriteDayPartitions(
-      items.crossJoin(broadcast(wm)).filter(col("day") > col("__wm"))
-        .drop("__wm"),
-      target, "day", clusterBy = Seq("event_type"))
-    mergeDaySketches(IncrementalStore.readTable(s, target))
-  }
+  val kllStoreIncremental: Q = (s, dir) =>
+    mergeDaySketches(StoreQueries.storeDayIncremental(s,
+      "kll_day_sketch_incr",
+      daySketch(s, dir)
+        .select(col("event_type"), col("day"), col("level"), col("value"),
+          col("tid"), col("w")),
+      "day", clusterBy = Seq("event_type")))
 
   val queries: Map[String, Q] = Map(
     "kll_quantiles" -> kllQuantiles,

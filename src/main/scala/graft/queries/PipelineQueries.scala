@@ -623,6 +623,23 @@ object PipelineQueries {
     * (sketch contents are a pure function of the data; shipping them
     * through a stream must not change a bit).
     */
+  /** Schema of a persisted KLL day-sketch item relation — shared by the
+    * two streaming shippers ([[streamKll]], [[streamKllStore]]).
+    */
+  private val kllItemSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("day",
+      org.apache.spark.sql.types.DateType),
+    org.apache.spark.sql.types.StructField("level",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("tid",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("w",
+      org.apache.spark.sql.types.LongType)))
+
   val streamKll: Q = (s, dir) => {
     val base = ensureFixture(s, "stream_kll", dir) { b =>
       KllQueries.daySketch(s, dir)
@@ -630,22 +647,172 @@ object PipelineQueries {
           col("tid"), col("w"))
         .repartition(4).write.mode("overwrite").parquet(b)
     }
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_type",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("day",
-        org.apache.spark.sql.types.DateType),
-      org.apache.spark.sql.types.StructField("level",
-        org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("value",
-        org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("tid",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("w",
-        org.apache.spark.sql.types.LongType)))
     val shipped = runBoundedStreamToSink(s, "graft_stream_kll",
-      () => s.readStream.schema(schema).parquet(base).drop("day"))
+      () => s.readStream.schema(kllItemSchema).parquet(base).drop("day"))
     KllQueries.mergeDaySketches(shipped)
+  }
+
+  /** Bounded streaming run whose SINK is the governed day-partition store:
+    * each micro-batch lands through `foreachBatch` as one
+    * [[IncrementalStore.overwriteDayPartitions]] — a partition-scoped
+    * dynamic overwrite, so a replayed micro-batch (failure/retry)
+    * rewrites exactly its own days with identical content and the sink
+    * stays effectively-once WITHOUT a transaction log, PROVIDED each
+    * micro-batch carries complete days (the caller's source layout
+    * contract — see [[streamKllStore]]'s range-partitioned fixture).
+    * Returns the stored table's read-back.
+    */
+  private[queries] def runBoundedStreamToDayStore(s: SparkSession,
+      name: String, source: () => DataFrame, dayCol: String,
+      clusterBy: Seq[String]): DataFrame = {
+    s.streams.active.filter(_.name == name).foreach(_.stop())
+    val target = StoreQueries.freshStoreRoot(s, name.stripPrefix("graft_"))
+    val ckpt = StoreQueries.scratchPath(s, s"graft_pipeline/ckpt_$name")
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val appendDays: (DataFrame, Long) => Unit = (batch, _) =>
+        IncrementalStore.overwriteDayPartitions(batch, target, dayCol,
+          clusterBy = clusterBy)
+      val q = source()
+        .writeStream
+        .foreachBatch(appendDays)
+        .option("checkpointLocation", ckpt)
+        .queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(
+          s"$name did not finish within 300s (a timed-out run would " +
+            "otherwise return a silently partial store table)")
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    IncrementalStore.readTable(s, target)
+  }
+
+  /** STREAMING maintenance of the GOVERNED sketch store — the round-15
+    * asymmetry closed: batch watermark maintenance (`kll_store_incremental`)
+    * and the streaming shipper (`stream_kll`) existed, but the stream
+    * terminated in a sink oracle table, not the governed store. Here each
+    * micro-batch of day-sketch items appends its day partitions INTO the
+    * [[IncrementalStore]] table (foreachBatch → dynamic partition
+    * overwrite — the production shape: a day's sketch job owns its
+    * `p_date=` partitions, retention/compaction/time-travel machinery
+    * applies to the result), and the serve merges the STORED table. The
+    * source fixture is range-partitioned by day so every micro-batch
+    * carries complete days (equal day values land in one range slice) —
+    * which is exactly what makes the per-batch overwrite idempotent under
+    * replay. N micro-batches must reassemble precisely the all-days item
+    * relation, so this SHARES kll_merge_days' oracle: streaming
+    * maintenance is value-invisible, and the hash proves it
+    * (StreamStoreSpec pins multi-batch == one-shot on the store itself).
+    */
+  val streamKllStore: Q = (s, dir) => {
+    val base = ensureFixture(s, "stream_kll_store", dir) { b =>
+      KllQueries.daySketch(s, dir)
+        .select(col("event_type"), col("day"), col("level"), col("value"),
+          col("tid"), col("w"))
+        .repartitionByRange(4, col("day"))
+        .write.mode("overwrite").parquet(b)
+    }
+    val stored = runBoundedStreamToDayStore(s, "graft_stream_kll_store",
+      () => s.readStream.schema(kllItemSchema)
+        .option("maxFilesPerTrigger", 1).parquet(base),
+      "day", clusterBy = Seq("event_type"))
+    KllQueries.mergeDaySketches(
+      stored.select(col("event_type"), col("level"), col("value"),
+        col("tid"), col("w")))
+  }
+
+  /** [[streamKllStore]]'s HLL sibling — with it and [[streamCmsStore]],
+    * EVERY mergeable sketch family's streaming shipper now terminates in
+    * the governed day-partition store, making the store the only
+    * maintenance path, batch and streaming alike. Per-day registers
+    * stream in day-complete micro-batches (the range-partitioned-source
+    * contract) through foreachBatch day-partition appends; the serve
+    * max-merges the STORED registers. Registers are (group, bucket,
+    * max-rho) integers — bit-exact through parquet and order-invariant
+    * under max — so the streamed store reassembles exactly the all-days
+    * register relation and this SHARES hll_merge_days' oracle.
+    */
+  val streamHllStore: Q = (s, dir) => {
+    import graft.relational.Sketches
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    val regs = Sketches.hllRegisters(ev, Seq("event_type", "day"),
+      col("user_id"))
+    val base = ensureFixture(s, "stream_hll_store", dir) { b =>
+      regs.repartitionByRange(4, col("day"))
+        .write.mode("overwrite").parquet(b)
+    }
+    val stored = runBoundedStreamToDayStore(s, "graft_stream_hll_store",
+      () => s.readStream.schema(regs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(base),
+      "day", clusterBy = Seq("event_type"))
+    val merged = Sketches.hllFromRegisters(
+        Sketches.mergeRegisters(
+          stored.select(col("event_type"), col("__bucket"), col("__m")),
+          Seq("event_type")),
+        Seq("event_type"))
+      .withColumnRenamed("hll_raw", "raw_merged")
+    val direct = Sketches.hllDistinct(ev, Seq("event_type"), col("user_id"))
+      .withColumnRenamed("hll_raw", "raw_direct")
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    exact.join(direct, "event_type").join(merged, "event_type")
+      .select(col("event_type"), col("exact_distinct"),
+        graft.Parity.pround(col("raw_direct"), 6).as("hll_direct"),
+        graft.Parity.pround(col("raw_merged"), 6).as("hll_merged"),
+        (col("raw_merged") === col("raw_direct")).cast("long")
+          .as("merge_exact"))
+      .orderBy(col("event_type"))
+  }
+
+  /** CMS counters streamed into the governed day-partition store —
+    * counters are integer-LINEAR (per-cell addition), the strongest
+    * round-trip case: the streamed store's day-summed table is
+    * BIT-identical to the one-shot build, asserted per row by
+    * `merge_exact`. Shares cms_merge_days' oracle.
+    */
+  val streamCmsStore: Q = (s, dir) => {
+    import graft.relational.Sketches
+    val ev = graft.Scratch.table(
+      Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id")),
+      "scs-ev")
+    val key = col("user_id").cast("string")
+    val counters = Sketches.cmsCounters(ev, key, groupCols = Seq("day"))
+    val base = ensureFixture(s, "stream_cms_store", dir) { b =>
+      counters.repartitionByRange(4, col("day"))
+        .write.mode("overwrite").parquet(b)
+    }
+    val stored = runBoundedStreamToDayStore(s, "graft_stream_cms_store",
+      () => s.readStream.schema(counters.schema)
+        .option("maxFilesPerTrigger", 1).parquet(base),
+      "day", clusterBy = Seq("row_id"))
+    val merged = stored
+      .groupBy(col("row_id"), col("bucket")).agg(sum(col("n")).as("n"))
+    val direct = Sketches.cmsCounters(ev, key)
+    val top = graft.Scratch.table(
+      ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("user_id")).limit(20),
+      "scs-top")
+    val estD = Sketches.cmsEstimate(top, key, direct)
+      .withColumnRenamed("n_cms", "n_cms_direct")
+    val estM = Sketches.cmsEstimate(top, key, merged)
+      .withColumnRenamed("n_cms", "n_cms_merged")
+    top
+      .join(estD, key === estD("__key"))
+      .join(estM, key === estM("__key"))
+      .select(col("user_id"), col("n_exact"), col("n_cms_direct"),
+        col("n_cms_merged"),
+        (col("n_cms_merged") === col("n_cms_direct")).cast("long")
+          .as("merge_exact"))
+      .orderBy(col("n_exact").desc, col("user_id"))
   }
 
   /** STREAMING sketch maintenance: HLL registers as streaming aggregation
@@ -1121,6 +1288,9 @@ object PipelineQueries {
     "stream_sliding_ohlc" -> streamSlidingOhlc,
     "stream_dedup" -> streamDedup,
     "stream_kll" -> streamKll,
+    "stream_kll_store" -> streamKllStore,
+    "stream_hll_store" -> streamHllStore,
+    "stream_cms_store" -> streamCmsStore,
     "stream_hll" -> streamHll,
     "stream_hist" -> streamHist,
     "staging_view" -> stagingView,
@@ -1144,6 +1314,11 @@ object PipelineQueries {
     "stream_sliding_ohlc" -> streamSlidingOhlcSql, // streaming vs batch explode
     "stream_dedup" -> streamDedupSql, // streaming dedup vs batch DISTINCT
     "stream_kll" -> KllQueries.kllMergeDaysSql, // shipped sketches vs batch merge
+    // the store-maintained stream reassembles the all-days item relation,
+    // so the batch merge oracle applies verbatim
+    "stream_kll_store" -> KllQueries.kllMergeDaysSql,
+    "stream_hll_store" -> RelationalQueries.hllMergeDaysSql,
+    "stream_cms_store" -> RelationalQueries.cmsMergeDaysSql,
     "stream_hll" -> streamHllSql, // streaming register state vs batch sketch
     "stream_hist" -> TextQueries.histQuantilesSql, // streaming bin state vs batch sketch
     "staging_view" -> goldTableSql,

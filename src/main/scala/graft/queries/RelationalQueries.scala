@@ -2644,33 +2644,15 @@ object RelationalQueries {
     */
   val hllStoreIncremental: Q = (s, dir) => {
     import graft.relational.Sketches
-    import graft.store.IncrementalStore
     val ev = Tables.events(s, dir)
       .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
-    val regs = Sketches.hllRegisters(ev, Seq("event_type", "day"),
-      col("user_id"))
-    val target = StoreQueries.storeRoot(s, "hll_day_registers_incr")
-    val p = new org.apache.hadoop.fs.Path(target)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true) // idempotent scratch store
-    // the register derivation feeds the initial load AND the increment:
-    // materialize once (the storeDayTable discipline)
-    val mat = graft.Scratch.table(regs, "hll-incr-regs")
-    val d0 = mat.agg(min(col("day")).as("__d0"))
-    IncrementalStore.overwriteDayPartitions(
-      mat.crossJoin(broadcast(d0))
-        .filter(col("day") <= date_add(col("__d0"), 10)).drop("__d0"),
-      target, "day", clusterBy = Seq("event_type"))
-    val wm = IncrementalStore.readTable(s, target)
-      .agg(max(col("day")).as("__wm"))
-    IncrementalStore.overwriteDayPartitions(
-      mat.crossJoin(broadcast(wm)).filter(col("day") > col("__wm"))
-        .drop("__wm"),
-      target, "day", clusterBy = Seq("event_type"))
+    val stored = StoreQueries.storeDayIncremental(s,
+      "hll_day_registers_incr",
+      Sketches.hllRegisters(ev, Seq("event_type", "day"), col("user_id")),
+      "day", clusterBy = Seq("event_type"))
     val merged = Sketches.hllFromRegisters(
         Sketches.mergeRegisters(
-          IncrementalStore.readTable(s, target)
-            .select(col("event_type"), col("__bucket"), col("__m")),
+          stored.select(col("event_type"), col("__bucket"), col("__m")),
           Seq("event_type")),
         Seq("event_type"))
       .withColumnRenamed("hll_raw", "raw_merged")
@@ -2697,30 +2679,16 @@ object RelationalQueries {
     */
   val cmsStoreIncremental: Q = (s, dir) => {
     import graft.relational.Sketches
-    import graft.store.IncrementalStore
     val ev = graft.Scratch.table(
       Tables.events(s, dir)
         .select(to_date(col("ts")).as("day"), col("user_id")),
       "cmssi-ev")
     val key = col("user_id").cast("string")
-    val target = StoreQueries.storeRoot(s, "cms_day_counters_incr")
-    val p = new org.apache.hadoop.fs.Path(target)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true) // idempotent scratch store
-    val mat = graft.Scratch.table(
-      Sketches.cmsCounters(ev, key, groupCols = Seq("day")), "cms-incr-cnt")
-    val d0 = mat.agg(min(col("day")).as("__d0"))
-    IncrementalStore.overwriteDayPartitions(
-      mat.crossJoin(broadcast(d0))
-        .filter(col("day") <= date_add(col("__d0"), 10)).drop("__d0"),
-      target, "day", clusterBy = Seq("row_id"))
-    val wm = IncrementalStore.readTable(s, target)
-      .agg(max(col("day")).as("__wm"))
-    IncrementalStore.overwriteDayPartitions(
-      mat.crossJoin(broadcast(wm)).filter(col("day") > col("__wm"))
-        .drop("__wm"),
-      target, "day", clusterBy = Seq("row_id"))
-    val merged = IncrementalStore.readTable(s, target)
+    val stored = StoreQueries.storeDayIncremental(s,
+      "cms_day_counters_incr",
+      Sketches.cmsCounters(ev, key, groupCols = Seq("day")),
+      "day", clusterBy = Seq("row_id"))
+    val merged = stored
       .groupBy(col("row_id"), col("bucket")).agg(sum(col("n")).as("n"))
     val direct = Sketches.cmsCounters(ev, key)
     val top = graft.Scratch.table(
@@ -2739,6 +2707,83 @@ object RelationalQueries {
         (col("n_cms_merged") === col("n_cms_direct")).cast("long")
           .as("merge_exact"))
       .orderBy(col("n_exact").desc, col("user_id"))
+  }
+
+  /** RETENTION on a GOVERNED sketch table — the lifecycle interplay the
+    * r15 verdict flagged untested: build the per-day HLL register store
+    * ([[StoreQueries.storeDayTable]]), run a retention sweep
+    * ([[graft.store.IncrementalStore.retainDays]] — a filesystem
+    * directory delete of every `p_date=` older than min(day)+16, no
+    * surviving file touched), then SERVE from the survivors. Because the
+    * store's partition column carries exactly the register's day,
+    * directory-level deletion must equal the logical day filter: the
+    * survivors' per-bucket max-merge is bit-equal to the direct sketch of
+    * the surviving days' rows (`merge_exact` proves it row-for-row), and
+    * the oracle recomputes the whole chain from raw events filtered to
+    * the span. At 100 TB this is the standing pattern — a 90-day sweep on
+    * a 3-year sketch table is a metadata operation, and every range
+    * serve afterwards is unchanged code against fewer partitions.
+    */
+  val sketchStoreRetention: Q = (s, dir) => {
+    import graft.relational.Sketches
+    import graft.store.IncrementalStore
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    val stored0 = StoreQueries.storeDayTable(s, "hll_day_registers_ret",
+      Sketches.hllRegisters(ev, Seq("event_type", "day"), col("user_id")),
+      "day", clusterBy = Seq("event_type"))
+    // the sweep takes a literal cutoff in production; derived here from
+    // the store itself (one column-pruned scalar, the watermark pattern)
+    val d0 = stored0.agg(min(col("day"))).first().getDate(0).toLocalDate
+    val cutoff = d0.plusDays(16)
+    IncrementalStore.retainDays(s,
+      StoreQueries.storeRoot(s, "hll_day_registers_ret"), cutoff)
+    val surviving = IncrementalStore.readTable(s,
+      StoreQueries.storeRoot(s, "hll_day_registers_ret"))
+    val merged = Sketches.hllFromRegisters(
+        Sketches.mergeRegisters(
+          surviving.select(col("event_type"), col("__bucket"), col("__m")),
+          Seq("event_type")),
+        Seq("event_type"))
+      .withColumnRenamed("hll_raw", "raw_merged")
+    val sp = ev.filter(col("day") >= lit(java.sql.Date.valueOf(cutoff)))
+    val direct = Sketches.hllDistinct(sp, Seq("event_type"), col("user_id"))
+      .withColumnRenamed("hll_raw", "raw_direct")
+    val exact = sp.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    exact.join(direct, "event_type").join(merged, "event_type")
+      .select(col("event_type"), col("exact_distinct"),
+        graft.Parity.pround(col("raw_direct"), 6).as("hll_direct"),
+        graft.Parity.pround(col("raw_merged"), 6).as("hll_merged"),
+        (col("raw_merged") === col("raw_direct")).cast("long")
+          .as("merge_exact"))
+      .orderBy(col("event_type"))
+  }
+
+  val sketchStoreRetentionSql: String = {
+    import graft.relational.Sketches
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+       |  FROM events),
+       |d0 AS (SELECT min(day) AS mn FROM ev),
+       |sp AS (SELECT event_type, day, user_id FROM ev CROSS JOIN d0
+       |       WHERE day >= mn + 16),
+       |${Sketches.hllRegistersSql("ev", Seq("event_type", "day"), "user_id", "reg_day")},
+       |rreg AS (SELECT event_type, bucket, max(m) AS m
+       |         FROM reg_day CROSS JOIN d0
+       |         WHERE day >= mn + 16 GROUP BY ALL),
+       |${Sketches.hllEstimateSql("rreg", Seq("event_type"), "hm")},
+       |${Sketches.hllRegistersSql("sp", Seq("event_type"), "user_id", "reg_sp")},
+       |${Sketches.hllEstimateSql("reg_sp", Seq("event_type"), "hd")},
+       |ex AS (
+       |  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+       |  FROM sp GROUP BY 1)
+       |SELECT event_type, exact_distinct,
+       |       ${graft.Parity.proundSql("hd.hll_raw", 6)} AS hll_direct,
+       |       ${graft.Parity.proundSql("hm.hll_raw", 6)} AS hll_merged,
+       |       CAST(hm.hll_raw = hd.hll_raw AS BIGINT) AS merge_exact
+       |FROM ex JOIN hd USING (event_type) JOIN hm USING (event_type)
+       |ORDER BY event_type""".stripMargin
   }
 
   val cmsRangeServeSql: String = {
@@ -3122,7 +3167,20 @@ object RelationalQueries {
     val walkLen = 4
     val edges = pagerankEdges(s, dir).select(col("src"), col("dst"))
     // the start frontier has the same two consumers every later frontier
-    // has (round-1 join + output union) — scratch it for the same reason
+    // has (round-1 join + output union) — scratch it for the same reason.
+    // CLOSED (r16 bounded investigation, SCALE.md "random-walk cost"):
+    // the per-round scratch is the RIGHT physical shape — the fused/lazy
+    // form (no scratch, exchange-reuse across the union's branches) was
+    // measured SLOWER (20.6 s vs 17.5 s same host, sf0.1) because the
+    // expensive hub-parity step subtrees re-evaluate under the union and
+    // AQE plans each branch independently; and the dominant cost is not
+    // the scratch at all but the candidate stream itself — the trade
+    // graph is bipartite, so supplier-parity hops park ~15k walks on
+    // ~1k hub suppliers and the frontier⋈edges explosion is
+    // Σ walks(v)·deg(v) ≈ 9M oracle-pinned portable-hash evaluations
+    // (steps 2/4 ≈ 7-8 s; customer-parity steps 1/3 ≈ 600k rows, ~1-2 s).
+    // The hash is the VALUE contract (DuckDB replays it bit-for-bit), so
+    // a cheaper hash is not an available lever. Do not re-litigate.
     var frontier = graft.Scratch.table(
       edges.select(col("src")).distinct()
         .select(col("src").as("walk_id"), col("src").as("cur")),
@@ -4510,6 +4568,7 @@ object RelationalQueries {
     "cms_range_serve" -> cmsRangeServe,
     "hll_store_serve" -> hllStoreServe,
     "hll_store_incremental" -> hllStoreIncremental,
+    "sketch_store_retention" -> sketchStoreRetention,
     "cms_store_serve" -> cmsStoreServe,
     "cms_store_incremental" -> cmsStoreIncremental,
     "cms_merge_days" -> cmsMergeDays,
@@ -4599,6 +4658,7 @@ object RelationalQueries {
     // store round-trips are bit-exact; the store-serve outputs are
     // value-identical to the range serves, so the oracles are shared
     "hll_store_serve" -> hllRangeServeSql,
+    "sketch_store_retention" -> sketchStoreRetentionSql,
     // the incrementally-maintained register table reassembles the all-days
     // registers, so the whole-range merge oracle applies verbatim
     "hll_store_incremental" -> hllMergeDaysSql,

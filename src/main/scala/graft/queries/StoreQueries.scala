@@ -64,10 +64,7 @@ object StoreQueries {
   private[queries] def storeDayTable(s: SparkSession, name: String,
       items: DataFrame, dayCol: String,
       clusterBy: Seq[String]): DataFrame = {
-    val target = storeRoot(s, name)
-    val p = new org.apache.hadoop.fs.Path(target)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true) // idempotent scratch store
+    val target = freshStoreRoot(s, name)
     // three consumers below (the split bound + both batches): materialize
     // the derivation once rather than re-running a corpus aggregate per
     // consumer (for register/counter tables `items` IS a corpus pass;
@@ -82,6 +79,58 @@ object StoreQueries {
       clusterBy = clusterBy)
     IncrementalStore.overwriteDayPartitions(
       batch(col(dayCol) > date_add(col("__d0"), 10)), target, dayCol,
+      clusterBy = clusterBy)
+    IncrementalStore.readTable(s, target)
+  }
+
+  /** Delete-and-return a query's scratch-store root (idempotent runs:
+    * each store query owns a fixed name and rebuilds it from empty).
+    */
+  private[queries] def freshStoreRoot(s: SparkSession, name: String): String = {
+    val target = storeRoot(s, name)
+    val p = new org.apache.hadoop.fs.Path(target)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    target
+  }
+
+  /** WATERMARK-DRIVEN incremental maintenance of a governed day-keyed
+    * table — [[storeDayTable]]'s sibling for the *_store_incremental
+    * queries (KLL sketch items, HLL registers, CMS counters), extracted
+    * from their three near-verbatim inlines (VERDICT r15 next-round #2):
+    * initial load of the days up to min(day)+10, then the STORE's own
+    * high watermark decides which day partitions are missing and ONLY
+    * those are appended (one partition-scoped dynamic overwrite — the P3
+    * pattern applied to the artifact table). Returns the read-back, which
+    * holds exactly the all-days `items` relation, so each family's
+    * all-days serve shares its merge-days oracle: incremental maintenance
+    * must be value-invisible, and the hash proves it.
+    *
+    * The watermark is collected EAGERLY driver-side and passed into the
+    * increment filter as a literal (ADVICE r15): a lazy self-read of the
+    * target inside the overwrite job on that same path works only as long
+    * as dynamic partition overwrite never touches the files it reads —
+    * the eager scalar (one column-pruned max, parquet footers make it
+    * metadata-cheap) decouples the read from the write plan, exactly what
+    * [[IncrementalStore.highWatermark]] does for timestamp-keyed stores.
+    */
+  private[queries] def storeDayIncremental(s: SparkSession, name: String,
+      items: DataFrame, dayCol: String,
+      clusterBy: Seq[String]): DataFrame = {
+    val target = freshStoreRoot(s, name)
+    // the derivation feeds the initial load AND the increment: materialize
+    // once (the storeDayTable discipline)
+    val mat = graft.Scratch.table(items, s"storedayincr-$name")
+    val d0 = mat.agg(min(col(dayCol)).as("__d0"))
+    IncrementalStore.overwriteDayPartitions(
+      mat.crossJoin(broadcast(d0))
+        .filter(col(dayCol) <= date_add(col("__d0"), 10)).drop("__d0"),
+      target, dayCol, clusterBy = clusterBy)
+    // day N: the store's high watermark, an eager driver-side scalar
+    val wm = IncrementalStore.readTable(s, target)
+      .agg(max(col(dayCol))).first().getDate(0)
+    IncrementalStore.overwriteDayPartitions(
+      mat.filter(col(dayCol) > lit(wm)), target, dayCol,
       clusterBy = clusterBy)
     IncrementalStore.readTable(s, target)
   }

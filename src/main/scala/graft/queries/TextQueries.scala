@@ -2251,8 +2251,67 @@ object TextQueries {
        |         (start_pos + n_tokens - 1) // $PackLen) AS BIGINT) AS crosses_boundary
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** PACK MANIFEST — the loader-facing view over [[sequencePack]]'s
+    * per-document layout: one row per training pack with the bookkeeping a
+    * data loader actually indexes by — how many documents START in the
+    * pack, the first/last of them (documents are laid in doc_id order, so
+    * min/max ARE first/last), how many straddle the pack's end (separator
+    * / attention-mask work), and the pad (unused) token slots. Pure
+    * integer arithmetic over the packing output: one groupBy plus a
+    * broadcast 1-row total — pad is `max(0, (pack_id+1)·L − T)`, zero for
+    * every pack the token stream fills completely, so only the stream's
+    * final pack (and a degenerate all-empty-docs tail pack) carries pad.
+    * A pack fully interior to one long document has no starting doc and
+    * correctly has no manifest row. Scales exactly like the packing pass:
+    * a hash aggregate over |docs| rows.
+    */
+  val packManifest: Q = (s, dir) => {
+    val placed = sequencePack(s, dir)
+    val per = placed.groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(col("crosses_boundary")).as("n_boundary_crossers"))
+    val tot = placed.agg(max(col("start_pos") + col("n_tokens")).as("__t"))
+    per.crossJoin(broadcast(tot))
+      .select(col("pack_id"), col("n_docs"), col("first_doc"),
+        col("last_doc"), col("n_boundary_crossers"),
+        greatest(lit(0L),
+          (col("pack_id") + 1L) * lit(PackLen) - col("__t"))
+          .as("pad_tokens"))
+      .orderBy(col("pack_id"))
+  }
+
+  val packManifestSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_extract_all(lower(text),
+       |           '[a-z]+|[0-9]|[^a-z0-9\\s]|\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+       |           ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_pos
+       |  FROM t),
+       |p AS (
+       |  SELECT doc_id, n_tokens, start_pos,
+       |         start_pos // $PackLen AS pack_id,
+       |         CAST(n_tokens > 0 AND (start_pos // $PackLen <>
+       |           (start_pos + n_tokens - 1) // $PackLen) AS BIGINT)
+       |           AS crosses_boundary
+       |  FROM c),
+       |tot AS (SELECT max(start_pos + n_tokens) AS t FROM p)
+       |SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |       CAST(sum(crosses_boundary) AS BIGINT) AS n_boundary_crossers,
+       |       greatest(0, (pack_id + 1) * $PackLen - t) AS pad_tokens
+       |FROM p CROSS JOIN tot
+       |GROUP BY pack_id, t
+       |ORDER BY pack_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sequence_pack" -> sequencePack,
+    "pack_manifest" -> packManifest,
     "token_simpson" -> tokenSimpson,
     "textrank_keywords" -> textrankKeywords,
     "nb_lang_confusion" -> nbLangConfusion,
@@ -2293,6 +2352,7 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "sequence_pack" -> sequencePackSql,
+    "pack_manifest" -> packManifestSql,
     "token_simpson" -> tokenSimpsonSql,
     "textrank_keywords" -> textrankKeywordsSql,
     "nb_lang_confusion" -> nbLangConfusionSql,

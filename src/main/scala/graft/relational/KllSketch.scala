@@ -214,13 +214,19 @@ object KllSketch {
     * faith. `itemsIn` must be cheap to count (a fixture scan, a sink
     * read-back — both callers' inputs are file-backed), which is exactly
     * the "known from the previous round's materialization" condition.
+    * A caller that already knows the row count (it just materialized the
+    * input, or the count rode an `observe` metric) passes `knownRows` to
+    * skip the redundant count job (ADVICE r15). Note `inputMaterialized`
+    * only affects the FALLBACK branch ([[compact]]'s first-round scratch
+    * decision); the fused branch consumes the input lazily either way.
     * Values are identical on either branch, so the dispatch is a purely
     * physical choice.
     */
   def compactAuto(itemsIn: DataFrame, groupCols: Seq[String],
       fromLevel: Int, toLevel: Int, inputMaterialized: Boolean = false,
-      fuseMaxRows: Long = FuseMaxRows): DataFrame =
-    if (itemsIn.count() <= fuseMaxRows)
+      fuseMaxRows: Long = FuseMaxRows,
+      knownRows: Option[Long] = None): DataFrame =
+    if (knownRows.getOrElse(itemsIn.count()) <= fuseMaxRows)
       compactFused(itemsIn, groupCols, fromLevel, toLevel)
     else compact(itemsIn, groupCols, fromLevel, toLevel, inputMaterialized)
 
