@@ -223,7 +223,8 @@ object KllQueries {
       daySketch(s, dir)
         .select(col("event_type"), col("day"), col("level"), col("value"),
           col("tid"), col("w")),
-      "day", clusterBy = Seq("event_type")))
+      "day", clusterBy = Seq("event_type"),
+      inputMaterialized = true)) // the day-sketch fixture is file-backed
 
   val queries: Map[String, Q] = Map(
     "kll_quantiles" -> kllQuantiles,

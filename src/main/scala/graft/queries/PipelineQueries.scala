@@ -772,6 +772,48 @@ object PipelineQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Histogram bin counts streamed into the governed day-partition store —
+    * completes the streaming symmetry: ALL FOUR mergeable day-artifact
+    * families (KLL items, HLL registers, CMS counters, histogram bins)
+    * now maintain their governed table from a stream as well as from the
+    * batch watermark job. Bin counts are integer-linear, so the streamed
+    * store's day-summed histogram is bin-exact vs the one-shot build —
+    * shares hist_merge_days' oracle, `merge_exact` asserting the identity.
+    */
+  val streamHistStore: Q = (s, dir) => {
+    import graft.relational.Sketches
+    val binW = 5L
+    val qs = Seq(0.5, 0.9, 0.99)
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value")).as("v"))
+    val counts = Sketches.histCounts(ev, Seq("event_type", "day"),
+      col("v"), binW)
+    val base = ensureFixture(s, "stream_hist_store", dir) { b =>
+      counts.repartitionByRange(4, col("day"))
+        .write.mode("overwrite").parquet(b)
+    }
+    val stored = runBoundedStreamToDayStore(s, "graft_stream_hist_store",
+      () => s.readStream.schema(counts.schema)
+        .option("maxFilesPerTrigger", 1).parquet(base),
+      "day", clusterBy = Seq("event_type"))
+    val merged = Sketches.histQuantiles(
+        stored.groupBy(col("event_type"), col("bin"))
+          .agg(sum(col("n")).as("n")),
+        Seq("event_type"), binW, qs)
+      .select(col("event_type"), col("p50_ub").as("m50"),
+        col("p90_ub").as("m90"), col("p99_ub").as("m99"))
+    val direct = Sketches.histQuantiles(
+      Sketches.histCounts(ev, Seq("event_type"), col("v"), binW),
+      Seq("event_type"), binW, qs)
+    direct.join(merged, "event_type")
+      .select(col("event_type"), col("n_rows"),
+        col("p50_ub"), col("p90_ub"), col("p99_ub"),
+        (col("p50_ub") === col("m50") && col("p90_ub") === col("m90") &&
+          col("p99_ub") === col("m99")).cast("long").as("merge_exact"))
+      .orderBy(col("event_type"))
+  }
+
   /** CMS counters streamed into the governed day-partition store —
     * counters are integer-LINEAR (per-cell addition), the strongest
     * round-trip case: the streamed store's day-summed table is
@@ -1291,6 +1333,7 @@ object PipelineQueries {
     "stream_kll_store" -> streamKllStore,
     "stream_hll_store" -> streamHllStore,
     "stream_cms_store" -> streamCmsStore,
+    "stream_hist_store" -> streamHistStore,
     "stream_hll" -> streamHll,
     "stream_hist" -> streamHist,
     "staging_view" -> stagingView,
@@ -1319,6 +1362,7 @@ object PipelineQueries {
     "stream_kll_store" -> KllQueries.kllMergeDaysSql,
     "stream_hll_store" -> RelationalQueries.hllMergeDaysSql,
     "stream_cms_store" -> RelationalQueries.cmsMergeDaysSql,
+    "stream_hist_store" -> RelationalQueries.histMergeDaysSql,
     "stream_hll" -> streamHllSql, // streaming register state vs batch sketch
     "stream_hist" -> TextQueries.histQuantilesSql, // streaming bin state vs batch sketch
     "staging_view" -> goldTableSql,

@@ -1243,6 +1243,45 @@ object RelationalQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Watermark-driven incremental maintenance of a GOVERNED histogram
+    * counter table — the FOURTH mergeable day-artifact family through
+    * [[StoreQueries.storeDayIncremental]] (after KLL items, HLL
+    * registers, CMS counters), proving the scaffolding is
+    * family-generic: per-(type, day, bin) counts load up to min+10, the
+    * store's max(day) watermark appends exactly the missing partitions,
+    * and the serve sums the STORED counters per (type, bin) before the
+    * quantile read-out. Bin counts are integer-linear, so the
+    * incrementally-assembled table is bin-exact vs the one-shot build —
+    * SHARES hist_merge_days' oracle, with `merge_exact` asserting the
+    * identity through the store.
+    */
+  val histStoreIncremental: Q = (s, dir) => {
+    import graft.relational.Sketches
+    val binW = 5L
+    val qs = Seq(0.5, 0.9, 0.99)
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value")).as("v"))
+    val stored = StoreQueries.storeDayIncremental(s, "hist_day_counts_incr",
+      Sketches.histCounts(ev, Seq("event_type", "day"), col("v"), binW),
+      "day", clusterBy = Seq("event_type"))
+    val merged = Sketches.histQuantiles(
+        stored.groupBy(col("event_type"), col("bin"))
+          .agg(sum(col("n")).as("n")),
+        Seq("event_type"), binW, qs)
+      .select(col("event_type"), col("p50_ub").as("m50"),
+        col("p90_ub").as("m90"), col("p99_ub").as("m99"))
+    val direct = Sketches.histQuantiles(
+      Sketches.histCounts(ev, Seq("event_type"), col("v"), binW),
+      Seq("event_type"), binW, qs)
+    direct.join(merged, "event_type")
+      .select(col("event_type"), col("n_rows"),
+        col("p50_ub"), col("p90_ub"), col("p99_ub"),
+        (col("p50_ub") === col("m50") && col("p90_ub") === col("m90") &&
+          col("p99_ub") === col("m99")).cast("long").as("merge_exact"))
+      .orderBy(col("event_type"))
+  }
+
   val histMergeDaysSql: String = {
     import graft.relational.Sketches
     s"""WITH ev AS (
@@ -4628,6 +4667,7 @@ object RelationalQueries {
     "funnel_sequence" -> funnelSequence,
     "table_profile" -> tableProfile,
     "hist_merge_days" -> histMergeDays,
+    "hist_store_incremental" -> histStoreIncremental,
     "retention_cohorts" -> retentionCohorts,
     "assoc_rules" -> assocRules,
     "graph_triangles" -> ((s: SparkSession, d: String) => graphTriangles(s, d)),
@@ -4721,6 +4761,9 @@ object RelationalQueries {
     "funnel_sequence" -> funnelSequenceSql, // composed forward as-ofs vs the min-successor join
     "table_profile" -> tableProfileSql,
     "hist_merge_days" -> histMergeDaysSql,
+    // the watermark append reassembles the all-days counter relation and
+    // bin counts are integer-linear, so the day-merge oracle applies
+    "hist_store_incremental" -> histMergeDaysSql,
     "retention_cohorts" -> retentionCohortsSql,
     "assoc_rules" -> assocRulesSql,
     "graph_triangles" -> graphTrianglesSql,

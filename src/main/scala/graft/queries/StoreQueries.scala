@@ -115,12 +115,16 @@ object StoreQueries {
     * [[IncrementalStore.highWatermark]] does for timestamp-keyed stores.
     */
   private[queries] def storeDayIncremental(s: SparkSession, name: String,
-      items: DataFrame, dayCol: String,
-      clusterBy: Seq[String]): DataFrame = {
+      items: DataFrame, dayCol: String, clusterBy: Seq[String],
+      inputMaterialized: Boolean = false): DataFrame = {
     val target = freshStoreRoot(s, name)
     // the derivation feeds the initial load AND the increment: materialize
-    // once (the storeDayTable discipline)
-    val mat = graft.Scratch.table(items, s"storedayincr-$name")
+    // once (the storeDayTable discipline) — unless the caller's relation
+    // is already file-backed (a fixture scan), where a scratch copy is
+    // pure overhead (the compactAuto `inputMaterialized` convention)
+    val mat =
+      if (inputMaterialized) items
+      else graft.Scratch.table(items, s"storedayincr-$name")
     val d0 = mat.agg(min(col(dayCol)).as("__d0"))
     IncrementalStore.overwriteDayPartitions(
       mat.crossJoin(broadcast(d0))

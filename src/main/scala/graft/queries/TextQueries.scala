@@ -2215,14 +2215,28 @@ object TextQueries {
     * BPE-ish regex tokenizer shared with `token_count`; everything
     * downstream of it is exact integer arithmetic.
     */
+  /** The packed layout (doc_id, n_tokens, start_pos) as a SHARED fixture:
+    * the tokenize + prefix-sum pass runs once per (JVM, dir) and its two
+    * consumers ([[sequencePack]], [[packManifest]] through it) read the
+    * persisted relation — longs round-trip parquet bit-exactly, so the
+    * fixture-served layout is value-identical to the inline derivation.
+    * ([[sequencePackIncremental]] deliberately does NOT read this: its
+    * point is deriving the same layout through the two-batch store path.)
+    */
+  private def packLayout(s: SparkSession, dir: String): DataFrame =
+    graft.Scratch.fixture(s, s"seqpack-layout|$dir")(
+      graft.relational.GlobalIndex
+        .withPrefixSum(
+          Tables.documents(s, dir)
+            .select(col("doc_id"),
+              TextAnalysis.tokenCount(col("text")).cast("long")
+                .as("n_tokens")),
+          Seq("doc_id"), "n_tokens", cumName = "cum")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("cum") - col("n_tokens")).as("start_pos")))
+
   val sequencePack: Q = (s, dir) => {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
-    graft.relational.GlobalIndex
-      .withPrefixSum(toks, Seq("doc_id"), "n_tokens", cumName = "cum")
-      .select(col("doc_id"), col("n_tokens"),
-        (col("cum") - col("n_tokens")).as("start_pos"))
+    packLayout(s, dir)
       .withColumn("pack_id", expr(s"start_pos DIV ${PackLen}L"))
       .withColumn("pack_offset", expr(s"start_pos % ${PackLen}L"))
       .withColumn("crosses_boundary",
@@ -2250,6 +2264,54 @@ object TextQueries {
        |       CAST(n_tokens > 0 AND (start_pos // $PackLen <>
        |         (start_pos + n_tokens - 1) // $PackLen) AS BIGINT) AS crosses_boundary
        |FROM c ORDER BY doc_id""".stripMargin
+
+  /** INCREMENTAL sequence packing — append a new batch of documents to an
+    * already-packed corpus WITHOUT re-packing history. The stored
+    * layout's total token count is the high watermark (the P3 pattern
+    * applied to the token stream instead of the calendar): batch 1 packs
+    * the doc_id-prefix of the corpus and persists its layout; batch 2
+    * reads ONE scalar off the stored table (max(start_pos + n_tokens) —
+    * column-pruned, footer-cheap) and lays out only its own documents as
+    * their own range-parallel prefix sum shifted by that literal. Because
+    * the layout is a prefix sum in doc_id order and the batch split is a
+    * doc_id range, the two-batch table holds exactly the one-shot layout
+    * — this SHARES sequence_pack's oracle, and the hash proves
+    * append-only packing value-invisible (Round16OpsSpec pins it
+    * engine-side too). At 100 TB this is how a training set grows: each
+    * ingest packs its own increment, reads one scalar, appends — history
+    * is never re-tokenized, re-summed, or rewritten.
+    */
+  val sequencePackIncremental: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    // deterministic doc_id-range split (driver-side 2-scalar bounds, the
+    // merge_upsert batching pattern)
+    val b = toks.agg(min(col("doc_id")), max(col("doc_id"))).first()
+    val cut = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2L
+    def layout(df: DataFrame, offset: Long): DataFrame =
+      graft.relational.GlobalIndex
+        .withPrefixSum(df, Seq("doc_id"), "n_tokens", cumName = "cum")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("cum") - col("n_tokens") + lit(offset)).as("start_pos"))
+    val target = StoreQueries.freshStoreRoot(s, "seq_pack_layout")
+    layout(toks.filter(col("doc_id") <= cut), 0L)
+      .write.mode("overwrite").parquet(s"$target/batch=1")
+    // the token watermark: one scalar off the STORED layout
+    val wm = s.read.parquet(s"$target/batch=1")
+      .agg(max(col("start_pos") + col("n_tokens"))).first().getLong(0)
+    layout(toks.filter(col("doc_id") > cut), wm)
+      .write.mode("overwrite").parquet(s"$target/batch=2")
+    s.read.parquet(s"$target/batch=1", s"$target/batch=2")
+      .withColumn("pack_id", expr(s"start_pos DIV ${PackLen}L"))
+      .withColumn("pack_offset", expr(s"start_pos % ${PackLen}L"))
+      .withColumn("crosses_boundary",
+        (col("n_tokens") > 0L &&
+          expr(s"start_pos DIV ${PackLen}L") =!=
+            expr(s"(start_pos + n_tokens - 1) DIV ${PackLen}L"))
+          .cast("long"))
+      .orderBy(col("doc_id"))
+  }
 
   /** PACK MANIFEST — the loader-facing view over [[sequencePack]]'s
     * per-document layout: one row per training pack with the bookkeeping a
@@ -2312,6 +2374,7 @@ object TextQueries {
   val queries: Map[String, Q] = Map(
     "sequence_pack" -> sequencePack,
     "pack_manifest" -> packManifest,
+    "sequence_pack_incremental" -> sequencePackIncremental,
     "token_simpson" -> tokenSimpson,
     "textrank_keywords" -> textrankKeywords,
     "nb_lang_confusion" -> nbLangConfusion,
@@ -2353,6 +2416,9 @@ object TextQueries {
   val oracleSql: Map[String, String] = Map(
     "sequence_pack" -> sequencePackSql,
     "pack_manifest" -> packManifestSql,
+    // the token-watermark append reassembles the one-shot layout exactly,
+    // so the packing oracle applies verbatim
+    "sequence_pack_incremental" -> sequencePackSql,
     "token_simpson" -> tokenSimpsonSql,
     "textrank_keywords" -> textrankKeywordsSql,
     "nb_lang_confusion" -> nbLangConfusionSql,

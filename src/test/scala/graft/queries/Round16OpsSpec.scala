@@ -164,6 +164,45 @@ class Round16OpsSpec extends SparkSpec {
     assert(cms.map(_.toString).toSeq ===
       RelationalQueries.queries("cms_merge_days")(spark, sf0001)
         .collect().map(_.toString).toSeq)
+    val hist = PipelineQueries.queries("stream_hist_store")(spark, sf0001)
+      .collect()
+    assert(hist.nonEmpty)
+    hist.foreach(r => assert(r.getAs[Long]("merge_exact") === 1L, r.toString))
+    assert(hist.map(_.toString).toSeq ===
+      RelationalQueries.queries("hist_merge_days")(spark, sf0001)
+        .collect().map(_.toString).toSeq)
+  }
+
+  test("hist_store_incremental: the governed histogram counter table " +
+      "reassembles the batch day-merge value-for-value") {
+    val incr = RelationalQueries.queries("hist_store_incremental")(
+      spark, sf0001).collect()
+    assert(incr.nonEmpty)
+    incr.foreach(r => assert(r.getAs[Long]("merge_exact") === 1L, r.toString))
+    assert(incr.map(_.toString).toSeq ===
+      RelationalQueries.queries("hist_merge_days")(spark, sf0001)
+        .collect().map(_.toString).toSeq)
+  }
+
+  test("sequence_pack_incremental: the token-watermark append equals the " +
+      "one-shot layout row-for-row") {
+    val incr = TextQueries.queries("sequence_pack_incremental")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    val oneShot = TextQueries.queries("sequence_pack")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    assert(incr.nonEmpty)
+    assert(incr === oneShot)
+    // batch 2 really started from the stored watermark, not zero: the
+    // persisted batch-1 layout's total equals batch-2's first start_pos
+    val root = StoreQueries.storeRoot(spark, "seq_pack_layout")
+    val b1 = spark.read.parquet(s"$root/batch=1")
+    val b2 = spark.read.parquet(s"$root/batch=2")
+    val b1Total = b1.agg(max(col("start_pos") + col("n_tokens")))
+      .head().getLong(0)
+    val b2First = b2.orderBy(col("doc_id")).select(col("start_pos"))
+      .head().getLong(0)
+    assert(b1Total === b2First)
+    assert(b1Total > 0L)
   }
 
   test("pack_manifest: tiling consistency against sequence_pack") {
