@@ -1222,25 +1222,13 @@ object RelationalQueries {
   val histMergeDays: Q = (s, dir) => {
     import graft.relational.Sketches
     val binW = 5L
-    val qs = Seq(0.5, 0.9, 0.99)
-    val ev = Tables.events(s, dir)
-      .select(col("event_type"), to_date(col("ts")).as("day"),
-        floor(col("value")).as("v"))
-    val direct = Sketches.histQuantiles(
-      Sketches.histCounts(ev, Seq("event_type"), col("v"), binW),
-      Seq("event_type"), binW, qs)
+    val ev = eventsHistInput(s, dir)
     val mergedCounts = Sketches
       .histCounts(ev, Seq("event_type", "day"), col("v"), binW)
       .groupBy(col("event_type"), col("bin")).agg(sum(col("n")).as("n"))
-    val merged = Sketches.histQuantiles(mergedCounts, Seq("event_type"), binW, qs)
-      .select(col("event_type"), col("p50_ub").as("m50"),
-        col("p90_ub").as("m90"), col("p99_ub").as("m99"))
-    direct.join(merged, "event_type")
-      .select(col("event_type"), col("n_rows"),
-        col("p50_ub"), col("p90_ub"), col("p99_ub"),
-        (col("p50_ub") === col("m50") && col("p90_ub") === col("m90") &&
-          col("p99_ub") === col("m99")).cast("long").as("merge_exact"))
-      .orderBy(col("event_type"))
+    histServeReport(
+      Sketches.histCounts(ev, Seq("event_type"), col("v"), binW),
+      mergedCounts)
   }
 
   /** Watermark-driven incremental maintenance of a GOVERNED histogram
@@ -1258,22 +1246,52 @@ object RelationalQueries {
   val histStoreIncremental: Q = (s, dir) => {
     import graft.relational.Sketches
     val binW = 5L
-    val qs = Seq(0.5, 0.9, 0.99)
-    val ev = Tables.events(s, dir)
-      .select(col("event_type"), to_date(col("ts")).as("day"),
-        floor(col("value")).as("v"))
+    val ev = eventsHistInput(s, dir)
     val stored = StoreQueries.storeDayIncremental(s, "hist_day_counts_incr",
       Sketches.histCounts(ev, Seq("event_type", "day"), col("v"), binW),
       "day", clusterBy = Seq("event_type"))
-    val merged = Sketches.histQuantiles(
-        stored.groupBy(col("event_type"), col("bin"))
-          .agg(sum(col("n")).as("n")),
-        Seq("event_type"), binW, qs)
+    histServeReport(
+      Sketches.histCounts(ev, Seq("event_type"), col("v"), binW),
+      stored.groupBy(col("event_type"), col("bin"))
+        .agg(sum(col("n")).as("n")))
+  }
+
+  val histMergeDaysSql: String = {
+    import graft.relational.Sketches
+    s"""WITH ev AS (
+       |  SELECT event_type, floor(value) AS v FROM events),
+       |${Sketches.histQuantilesSql("ev", Seq("event_type"), "v", 5L, Seq(0.5, 0.9, 0.99))}
+       |SELECT event_type, n_rows, p50_ub, p90_ub, p99_ub,
+       |       CAST(1 AS BIGINT) AS merge_exact
+       |FROM hq ORDER BY event_type""".stripMargin
+  }
+
+  /** The (event_type, day, floored value) projection + bin width every
+    * histogram-family query sketches — one definition for the
+    * serve/store/merge variants.
+    */
+  private[queries] def eventsHistInput(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value")).as("v"))
+
+  /** Shared report arm of the histogram serves: quantile upper bounds off
+    * the MERGED (day-summed) bins vs the direct build over the span rows,
+    * `merge_exact` asserting bin-exactness (integer-linear counts make
+    * merged ≡ direct identically — which is why one oracle arm suffices,
+    * the hist_merge_days convention).
+    */
+  private[queries] def histServeReport(directCounts: DataFrame,
+      mergedCounts: DataFrame): DataFrame = {
+    import graft.relational.Sketches
+    val binW = 5L
+    val qs = Seq(0.5, 0.9, 0.99)
+    val merged = Sketches.histQuantiles(mergedCounts, Seq("event_type"),
+        binW, qs)
       .select(col("event_type"), col("p50_ub").as("m50"),
         col("p90_ub").as("m90"), col("p99_ub").as("m99"))
-    val direct = Sketches.histQuantiles(
-      Sketches.histCounts(ev, Seq("event_type"), col("v"), binW),
-      Seq("event_type"), binW, qs)
+    val direct = Sketches.histQuantiles(directCounts, Seq("event_type"),
+      binW, qs)
     direct.join(merged, "event_type")
       .select(col("event_type"), col("n_rows"),
         col("p50_ub"), col("p90_ub"), col("p99_ub"),
@@ -1282,10 +1300,73 @@ object RelationalQueries {
       .orderBy(col("event_type"))
   }
 
-  val histMergeDaysSql: String = {
+  /** RANGE-SERVING view over the per-day histogram tables — closes the
+    * fourth family's serve asymmetry (VERDICT r16 missing #2): KLL, HLL
+    * and CMS each answer an arbitrary day span from their persisted
+    * per-day artifacts; histograms now do too. The span (min(day)+5 …
+    * min(day)+15, the family-standard derivation) is answered by integer
+    * SUMMATION of the span days' bin counts — never a row re-scan — and
+    * because bin counts are integer-linear the summed histogram is
+    * bin-exact vs the one-shot build over the span's rows, so quantile
+    * read-outs match identically (`merge_exact` asserts it; the oracle
+    * computes the direct arm, the hist_merge_days convention).
+    */
+  val histRangeServe: Q = (s, dir) => {
     import graft.relational.Sketches
-    s"""WITH ev AS (
-       |  SELECT event_type, floor(value) AS v FROM events),
+    val binW = 5L
+    val ev = eventsHistInput(s, dir)
+    val d0 = ev.agg(min(col("day")).as("d0"))
+    def spanOf(df: DataFrame): DataFrame = df.crossJoin(broadcast(d0))
+      .filter(col("day").between(date_add(col("d0"), 5),
+        date_add(col("d0"), 15)))
+      .drop("d0")
+    val mergedCounts =
+      spanOf(Sketches.histCounts(ev, Seq("event_type", "day"), col("v"), binW))
+        .groupBy(col("event_type"), col("bin")).agg(sum(col("n")).as("n"))
+    val directCounts =
+      Sketches.histCounts(spanOf(ev), Seq("event_type"), col("v"), binW)
+    histServeReport(directCounts, mergedCounts)
+  }
+
+  /** [[histRangeServe]] with the per-day bin-count table GOVERNED
+    * ([[StoreQueries.storeDayTable]] — the kll/hll/cms_store_serve
+    * cadence): counts are pure BIGINTs, bit-exact through the store, so
+    * the output is value-identical to [[histRangeServe]] and the oracle
+    * is shared. With this the four mergeable day-artifact families are
+    * column-for-column symmetric — merge_days / range_serve / store_serve
+    * / store_incremental / stream-store for each.
+    */
+  val histStoreServe: Q = (s, dir) => {
+    import graft.relational.Sketches
+    val binW = 5L
+    val ev = eventsHistInput(s, dir)
+    val stored = StoreQueries.storeDayTable(s, "hist_day_counts",
+      Sketches.histCounts(ev, Seq("event_type", "day"), col("v"), binW),
+      "day", clusterBy = Seq("event_type"))
+    val d0 = stored.agg(min(col("day")).as("d0"))
+    val mergedCounts = stored.crossJoin(broadcast(d0))
+      .filter(col("day").between(date_add(col("d0"), 5),
+        date_add(col("d0"), 15)))
+      .groupBy(col("event_type"), col("bin")).agg(sum(col("n")).as("n"))
+    val evd0 = ev.agg(min(col("day")).as("d0"))
+    val sp = ev.crossJoin(broadcast(evd0))
+      .filter(col("day").between(date_add(col("d0"), 5),
+        date_add(col("d0"), 15)))
+      .drop("d0")
+    val directCounts = Sketches.histCounts(sp, Seq("event_type"), col("v"),
+      binW)
+    histServeReport(directCounts, mergedCounts)
+  }
+
+  val histRangeServeSql: String = {
+    import graft.relational.Sketches
+    s"""WITH ev0 AS (
+       |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+       |         floor(value) AS v
+       |  FROM events),
+       |d0 AS (SELECT min(day) AS mn FROM ev0),
+       |ev AS (SELECT event_type, v FROM ev0 CROSS JOIN d0
+       |       WHERE day BETWEEN mn + 5 AND mn + 15),
        |${Sketches.histQuantilesSql("ev", Seq("event_type"), "v", 5L, Seq(0.5, 0.9, 0.99))}
        |SELECT event_type, n_rows, p50_ub, p90_ub, p99_ub,
        |       CAST(1 AS BIGINT) AS merge_exact
@@ -2490,32 +2571,15 @@ object RelationalQueries {
     */
   val hllRangeServe: Q = (s, dir) => {
     import graft.relational.Sketches
-    val ev = Tables.events(s, dir)
-      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    val ev = eventsTypeDayUser(s, dir)
     val d0 = ev.agg(min(col("day")).as("d0"))
     def spanOf(df: DataFrame): DataFrame = df.crossJoin(broadcast(d0))
       .filter(col("day").between(date_add(col("d0"), 5),
         date_add(col("d0"), 15)))
       .drop("d0")
-    val sp = spanOf(ev)
-    val merged = Sketches.hllFromRegisters(
-        Sketches.mergeRegisters(
-          spanOf(Sketches.hllRegisters(ev, Seq("event_type", "day"),
-            col("user_id"))),
-          Seq("event_type")),
-        Seq("event_type"))
-      .withColumnRenamed("hll_raw", "raw_merged")
-    val direct = Sketches.hllDistinct(sp, Seq("event_type"), col("user_id"))
-      .withColumnRenamed("hll_raw", "raw_direct")
-    val exact = sp.groupBy("event_type")
-      .agg(countDistinct(col("user_id")).as("exact_distinct"))
-    exact.join(direct, "event_type").join(merged, "event_type")
-      .select(col("event_type"), col("exact_distinct"),
-        graft.Parity.pround(col("raw_direct"), 6).as("hll_direct"),
-        graft.Parity.pround(col("raw_merged"), 6).as("hll_merged"),
-        (col("raw_merged") === col("raw_direct")).cast("long")
-          .as("merge_exact"))
-      .orderBy(col("event_type"))
+    hllServeReport(spanOf(ev),
+      spanOf(Sketches.hllRegisters(ev, Seq("event_type", "day"),
+        col("user_id"))))
   }
 
   val hllRangeServeSql: String = {
@@ -2601,8 +2665,7 @@ object RelationalQueries {
     */
   val hllStoreServe: Q = (s, dir) => {
     import graft.relational.Sketches
-    val ev = Tables.events(s, dir)
-      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    val ev = eventsTypeDayUser(s, dir)
     val stored = StoreQueries.storeDayTable(s, "hll_day_registers",
       Sketches.hllRegisters(ev, Seq("event_type", "day"), col("user_id")),
       "day", clusterBy = Seq("event_type"))
@@ -2611,26 +2674,12 @@ object RelationalQueries {
       .filter(col("day").between(date_add(col("d0"), 5),
         date_add(col("d0"), 15)))
       .select(col("event_type"), col("__bucket"), col("__m"))
-    val merged = Sketches.hllFromRegisters(
-        Sketches.mergeRegisters(ranged, Seq("event_type")),
-        Seq("event_type"))
-      .withColumnRenamed("hll_raw", "raw_merged")
     val evd0 = ev.agg(min(col("day")).as("d0"))
     val sp = ev.crossJoin(broadcast(evd0))
       .filter(col("day").between(date_add(col("d0"), 5),
         date_add(col("d0"), 15)))
       .drop("d0")
-    val direct = Sketches.hllDistinct(sp, Seq("event_type"), col("user_id"))
-      .withColumnRenamed("hll_raw", "raw_direct")
-    val exact = sp.groupBy("event_type")
-      .agg(countDistinct(col("user_id")).as("exact_distinct"))
-    exact.join(direct, "event_type").join(merged, "event_type")
-      .select(col("event_type"), col("exact_distinct"),
-        graft.Parity.pround(col("raw_direct"), 6).as("hll_direct"),
-        graft.Parity.pround(col("raw_merged"), 6).as("hll_merged"),
-        (col("raw_merged") === col("raw_direct")).cast("long")
-          .as("merge_exact"))
-      .orderBy(col("event_type"))
+    hllServeReport(sp, ranged)
   }
 
   /** [[cmsRangeServe]] with the per-day counter table GOVERNED — counters
@@ -2683,29 +2732,12 @@ object RelationalQueries {
     */
   val hllStoreIncremental: Q = (s, dir) => {
     import graft.relational.Sketches
-    val ev = Tables.events(s, dir)
-      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    val ev = eventsTypeDayUser(s, dir)
     val stored = StoreQueries.storeDayIncremental(s,
       "hll_day_registers_incr",
       Sketches.hllRegisters(ev, Seq("event_type", "day"), col("user_id")),
       "day", clusterBy = Seq("event_type"))
-    val merged = Sketches.hllFromRegisters(
-        Sketches.mergeRegisters(
-          stored.select(col("event_type"), col("__bucket"), col("__m")),
-          Seq("event_type")),
-        Seq("event_type"))
-      .withColumnRenamed("hll_raw", "raw_merged")
-    val direct = Sketches.hllDistinct(ev, Seq("event_type"), col("user_id"))
-      .withColumnRenamed("hll_raw", "raw_direct")
-    val exact = ev.groupBy("event_type")
-      .agg(countDistinct(col("user_id")).as("exact_distinct"))
-    exact.join(direct, "event_type").join(merged, "event_type")
-      .select(col("event_type"), col("exact_distinct"),
-        graft.Parity.pround(col("raw_direct"), 6).as("hll_direct"),
-        graft.Parity.pround(col("raw_merged"), 6).as("hll_merged"),
-        (col("raw_merged") === col("raw_direct")).cast("long")
-          .as("merge_exact"))
-      .orderBy(col("event_type"))
+    hllServeReport(ev, stored)
   }
 
   /** Watermark-driven incremental maintenance of the governed CMS counter
@@ -2764,12 +2796,11 @@ object RelationalQueries {
     * serve afterwards is unchanged code against fewer partitions.
     */
   val sketchStoreRetention: Q = (s, dir) => {
-    import graft.relational.Sketches
     import graft.store.IncrementalStore
-    val ev = Tables.events(s, dir)
-      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    val ev = eventsTypeDayUser(s, dir)
     val stored0 = StoreQueries.storeDayTable(s, "hll_day_registers_ret",
-      Sketches.hllRegisters(ev, Seq("event_type", "day"), col("user_id")),
+      graft.relational.Sketches.hllRegisters(ev, Seq("event_type", "day"),
+        col("user_id")),
       "day", clusterBy = Seq("event_type"))
     // the sweep takes a literal cutoff in production; derived here from
     // the store itself (one column-pruned scalar, the watermark pattern)
@@ -2779,16 +2810,51 @@ object RelationalQueries {
       StoreQueries.storeRoot(s, "hll_day_registers_ret"), cutoff)
     val surviving = IncrementalStore.readTable(s,
       StoreQueries.storeRoot(s, "hll_day_registers_ret"))
+    hllRetentionServe(ev, surviving, cutoff)
+  }
+
+  /** The (event_type, day, user_id) event projection every HLL
+    * store/retention query sketches — one definition so the streamed and
+    * batch-built retention variants provably serve the same relation.
+    */
+  private[queries] def eventsTypeDayUser(s: SparkSession,
+      dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+
+  /** Post-retention serve + proof arm shared by [[sketchStoreRetention]]
+    * and the streamed-store variant (`stream_store_retention`): max-merge
+    * the SURVIVING stored registers, and prove the directory-level sweep
+    * equals the logical day filter — the survivors' sketch must be
+    * bit-equal to the direct sketch of the days at/after the cutoff
+    * (`merge_exact` row-for-row).
+    */
+  private[queries] def hllRetentionServe(ev: DataFrame, surviving: DataFrame,
+      cutoff: java.time.LocalDate): DataFrame =
+    hllServeReport(ev.filter(col("day") >= lit(java.sql.Date.valueOf(cutoff))),
+      surviving)
+
+  /** Shared report arm of every HLL serve variant (range/store/
+    * incremental/stream/retention): max-merge the given per-day REGISTERS
+    * into the span sketch, compute the direct sketch + exact distinct
+    * over the span's ROWS as the proof columns, and assert register-merge
+    * == direct bit-for-bit (`merge_exact`). A production serve runs the
+    * register arm alone — the proof arms exist so the oracle can check
+    * the identity.
+    */
+  private[queries] def hllServeReport(spanRows: DataFrame,
+      registers: DataFrame): DataFrame = {
+    import graft.relational.Sketches
     val merged = Sketches.hllFromRegisters(
         Sketches.mergeRegisters(
-          surviving.select(col("event_type"), col("__bucket"), col("__m")),
+          registers.select(col("event_type"), col("__bucket"), col("__m")),
           Seq("event_type")),
         Seq("event_type"))
       .withColumnRenamed("hll_raw", "raw_merged")
-    val sp = ev.filter(col("day") >= lit(java.sql.Date.valueOf(cutoff)))
-    val direct = Sketches.hllDistinct(sp, Seq("event_type"), col("user_id"))
+    val direct = Sketches.hllDistinct(spanRows, Seq("event_type"),
+        col("user_id"))
       .withColumnRenamed("hll_raw", "raw_direct")
-    val exact = sp.groupBy("event_type")
+    val exact = spanRows.groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("exact_distinct"))
     exact.join(direct, "event_type").join(merged, "event_type")
       .select(col("event_type"), col("exact_distinct"),
@@ -4668,6 +4734,8 @@ object RelationalQueries {
     "table_profile" -> tableProfile,
     "hist_merge_days" -> histMergeDays,
     "hist_store_incremental" -> histStoreIncremental,
+    "hist_range_serve" -> histRangeServe,
+    "hist_store_serve" -> histStoreServe,
     "retention_cohorts" -> retentionCohorts,
     "assoc_rules" -> assocRules,
     "graph_triangles" -> ((s: SparkSession, d: String) => graphTriangles(s, d)),
@@ -4761,6 +4829,9 @@ object RelationalQueries {
     "funnel_sequence" -> funnelSequenceSql, // composed forward as-ofs vs the min-successor join
     "table_profile" -> tableProfileSql,
     "hist_merge_days" -> histMergeDaysSql,
+    // serve variants answer the span; store round-trip is value-invisible
+    "hist_range_serve" -> histRangeServeSql,
+    "hist_store_serve" -> histRangeServeSql,
     // the watermark append reassembles the all-days counter relation and
     // bin counts are integer-linear, so the day-merge oracle applies
     "hist_store_incremental" -> histMergeDaysSql,

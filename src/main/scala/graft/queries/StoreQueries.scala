@@ -130,11 +130,30 @@ object StoreQueries {
       mat.crossJoin(broadcast(d0))
         .filter(col(dayCol) <= date_add(col("__d0"), 10)).drop("__d0"),
       target, dayCol, clusterBy = clusterBy)
-    // day N: the store's high watermark, an eager driver-side scalar
-    val wm = IncrementalStore.readTable(s, target)
-      .agg(max(col(dayCol))).first().getDate(0)
+    // day N: the store's high watermark, an eager driver-side scalar —
+    // mirror IncrementalStore.highWatermark's null discipline: an initial
+    // load that stored zero days (empty input / all-null day values) must
+    // fail with a description, not an opaque NPE or schema-inference
+    // error (ADVICE r16). Two cases: an EMPTY initial load leaves no
+    // partition directory at all (checked at the filesystem, before the
+    // read-back can die inferring a schema from zero files); an all-null
+    // day column stores rows whose max(day) is null. Read as a raw value
+    // so the helper stays agnostic of the day column's exact type (Date
+    // or Timestamp — lit() round-trips both).
+    val tp = new org.apache.hadoop.fs.Path(target)
+    val tfs = tp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val loaded = tfs.exists(tp) && tfs.listStatus(tp).exists(
+      _.getPath.getName.startsWith(s"${IncrementalStore.PartitionCol}="))
+    require(loaded,
+      s"storeDayIncremental($name): the initial load stored no rows " +
+        "(empty input) — nothing to increment from")
+    val wmRow = IncrementalStore.readTable(s, target)
+      .agg(max(col(dayCol))).first()
+    require(!wmRow.isNullAt(0),
+      s"storeDayIncremental($name): the initial load stored no '$dayCol' " +
+        "values (all-null days) — nothing to increment from")
     IncrementalStore.overwriteDayPartitions(
-      mat.filter(col(dayCol) > lit(wm)), target, dayCol,
+      mat.filter(col(dayCol) > lit(wmRow.get(0))), target, dayCol,
       clusterBy = clusterBy)
     IncrementalStore.readTable(s, target)
   }

