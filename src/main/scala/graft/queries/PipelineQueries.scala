@@ -668,7 +668,14 @@ object PipelineQueries {
     */
   private[queries] def runBoundedStreamToDayStore(s: SparkSession,
       name: String, source: () => DataFrame, dayCol: String,
-      clusterBy: Seq[String]): DataFrame = {
+      clusterBy: Seq[String],
+      // per-micro-batch derivation run BEFORE the store merge, with the
+      // batch id and the target path in scope — the hook that lets a
+      // SEQUENTIAL artifact (the pack layout, whose offsets depend on
+      // what is already stored) stream through the same sink as the
+      // commutative sketch families. Identity for plain day-keyed rows.
+      perBatch: (DataFrame, Long, String) => DataFrame = (b, _, _) => b,
+      retentionFloor: Option[java.time.LocalDate] = None): DataFrame = {
     s.streams.active.filter(_.name == name).foreach(_.stop())
     val target = StoreQueries.freshStoreRoot(s, name.stripPrefix("graft_"))
     val ckpt = StoreQueries.scratchPath(s, s"graft_pipeline/ckpt_$name")
@@ -679,8 +686,9 @@ object PipelineQueries {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val mergeDays: (DataFrame, Long) => Unit = (batch, bid) =>
-        IncrementalStore.mergeBatchDayPartitions(batch, bid, target, dayCol,
-          clusterBy = clusterBy)
+        IncrementalStore.mergeBatchDayPartitions(
+          perBatch(batch, bid, target), bid, target, dayCol,
+          clusterBy = clusterBy, retentionFloor = retentionFloor)
       val q = source()
         .writeStream
         .foreachBatch(mergeDays)
@@ -695,6 +703,13 @@ object PipelineQueries {
             "otherwise return a silently partial store table)")
       }
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val tp = new org.apache.hadoop.fs.Path(target)
+    if (!fs.exists(tp))
+      // a source that delivered zero rows (or whose rows all fell below
+      // the retention floor) never created the table — fail with the
+      // story rather than a schema-inference error on an absent path
+      throw new IllegalStateException(
+        s"$name stored zero rows: no micro-batch carried a storable day")
     IncrementalStore.readTable(s, target).drop(IncrementalStore.BatchIdCol)
   }
 
@@ -853,6 +868,79 @@ object PipelineQueries {
         (col("n_cms_merged") === col("n_cms_direct")).cast("long")
           .as("merge_exact"))
       .orderBy(col("n_exact").desc, col("user_id"))
+  }
+
+  /** STREAMING maintenance of the TRAINING-PACK layout — the pack family
+    * joins the four sketch families at the governed streaming sink, with
+    * the twist that makes it worth a fifth query: packing is NOT a
+    * commutative merge. A day's sketch lands wherever, whenever — but a
+    * pack layout is a running prefix sum, so each micro-batch's offsets
+    * depend on everything packed BEFORE it. The sink's `perBatch` hook
+    * carries that dependency: every micro-batch reads ONE scalar off the
+    * stored table — the token watermark, `max(start_pos + n_tokens)` over
+    * rows NOT written by this batch id (excluding its own rows is what
+    * keeps a REPLAYED batch from double-shifting itself: it recomputes
+    * the same offset, and the store merge purges its prior rows) —
+    * prefix-sums only its own documents shifted by that literal, and
+    * lands them under its own ingest-day partition. Arrival order IS the
+    * packing order (the production semantics of a streaming ingest); the
+    * fixture delivers the corpus as doc_id-range files with strictly
+    * increasing modification times, so the file source's oldest-first
+    * order reassembles exactly the one-shot doc_id layout and this SHARES
+    * sequence_pack's oracle. At 100 TB each trigger tokenizes and sums
+    * only its increment — history is never re-read beyond one footer-cheap
+    * scalar — and the layout store keeps retention/compaction/time-travel.
+    */
+  val streamSeqPack: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).first()
+    if (bounds.isNullAt(0)) TextQueries.emptyPacked(s, dir)
+    else {
+      val lo = bounds.getLong(0); val hi = bounds.getLong(1)
+      val base = ensureFixture(s, "stream_seq_pack", dir) { b =>
+        // four doc_id-quartile files, one per micro-batch, with strictly
+        // increasing FIXED mtimes: the file source processes oldest
+        // first, so ingest order is deterministic (and deliberately NOT
+        // entangled with the filesystem clock)
+        val fs = new org.apache.hadoop.fs.Path(b)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val cuts = (0 to 4).map(k => lo - 1L + (hi - lo + 1L) * k / 4L)
+        cuts.sliding(2).zipWithIndex.foreach { case (Seq(from, to), i) =>
+          val tmp = new org.apache.hadoop.fs.Path(b, s"_tmp$i")
+          docs.filter(col("doc_id") > from && col("doc_id") <= to)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = fs.globStatus(
+            new org.apache.hadoop.fs.Path(tmp, "part-*.parquet")).head.getPath
+          val dest = new org.apache.hadoop.fs.Path(b, f"ingest$i%02d.parquet")
+          fs.rename(part, dest)
+          fs.delete(tmp, true)
+          fs.setTimes(dest, 1700000000000L + i * 60000L, -1L)
+        }
+      }
+      val ingestBase = java.time.LocalDate.of(2024, 1, 1)
+      val perBatch = (batch: DataFrame, bid: Long, target: String) => {
+        val bs = batch.sparkSession
+        val tp = new org.apache.hadoop.fs.Path(target)
+        val tfs = tp.getFileSystem(bs.sparkContext.hadoopConfiguration)
+        val wm =
+          if (!tfs.exists(tp)) 0L
+          else {
+            val r = IncrementalStore.readTable(bs, target)
+              .filter(col(IncrementalStore.BatchIdCol) =!= bid)
+              .agg(max(col("start_pos") + col("n_tokens"))).first()
+            if (r.isNullAt(0)) 0L else r.getLong(0)
+          }
+        TextQueries.shiftedLayout(TextQueries.docTokens(batch), wm)
+          .withColumn("ingest_day",
+            lit(java.sql.Date.valueOf(ingestBase.plusDays(bid))))
+      }
+      val stored = runBoundedStreamToDayStore(s, "graft_stream_seq_pack",
+        () => s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(base),
+        "ingest_day", clusterBy = Seq("doc_id"), perBatch = perBatch)
+      TextQueries.packed(
+        stored.select(col("doc_id"), col("n_tokens"), col("start_pos")))
+    }
   }
 
   /** STREAMING sketch maintenance: HLL registers as streaming aggregation
@@ -1332,6 +1420,7 @@ object PipelineQueries {
     "stream_hll_store" -> streamHllStore,
     "stream_cms_store" -> streamCmsStore,
     "stream_hist_store" -> streamHistStore,
+    "stream_seq_pack" -> streamSeqPack,
     "stream_store_retention" -> streamStoreRetention,
     "stream_hll" -> streamHll,
     "stream_hist" -> streamHist,
@@ -1362,6 +1451,8 @@ object PipelineQueries {
     "stream_hll_store" -> RelationalQueries.hllMergeDaysSql,
     "stream_cms_store" -> RelationalQueries.cmsMergeDaysSql,
     "stream_hist_store" -> RelationalQueries.histMergeDaysSql,
+    // arrival-ordered streaming packing reassembles the one-shot layout
+    "stream_seq_pack" -> TextQueries.sequencePackSql,
     // stream → retention sweep → serve must equal the logical day filter
     "stream_store_retention" -> RelationalQueries.sketchStoreRetentionSql,
     "stream_hll" -> streamHllSql, // streaming register state vs batch sketch

@@ -2236,10 +2236,11 @@ object TextQueries {
           (col("cum") - col("n_tokens")).as("start_pos")))
 
   /** The pack-coordinate projection over a (doc_id, n_tokens, start_pos)
-    * layout — shared by the one-shot and incremental packers (their
-    * outputs differ only in how the layout was assembled).
+    * layout WITHOUT the output ordering — the per-row integer arithmetic
+    * shared by the packers and by manifest partials (which aggregate
+    * immediately, so a sort before the groupBy would be wasted work).
     */
-  private def packed(layout: DataFrame): DataFrame =
+  private def packCoords(layout: DataFrame): DataFrame =
     layout
       .withColumn("pack_id", expr(s"start_pos DIV ${PackLen}L"))
       .withColumn("pack_offset", expr(s"start_pos % ${PackLen}L"))
@@ -2248,7 +2249,33 @@ object TextQueries {
           expr(s"start_pos DIV ${PackLen}L") =!=
             expr(s"(start_pos + n_tokens - 1) DIV ${PackLen}L"))
           .cast("long"))
-      .orderBy(col("doc_id"))
+
+  /** The pack-coordinate projection over a (doc_id, n_tokens, start_pos)
+    * layout — shared by the one-shot and incremental packers (their
+    * outputs differ only in how the layout was assembled; `stream_seq_pack`
+    * in [[PipelineQueries]] serves through it too).
+    */
+  private[queries] def packed(layout: DataFrame): DataFrame =
+    packCoords(layout).orderBy(col("doc_id"))
+
+  /** (doc_id, n_tokens) token counts of a raw documents relation — the
+    * tokenize half of every packing path.
+    */
+  private[queries] def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+
+  /** One ingest batch's layout rows: a range-parallel prefix sum over the
+    * batch's own documents, shifted by the token watermark of everything
+    * packed before it. The unit of EVERY incremental packing path — the
+    * two-batch store ([[sequencePackIncremental]]) and the streaming sink
+    * (`stream_seq_pack`) differ only in who supplies the offset.
+    */
+  private[queries] def shiftedLayout(toks: DataFrame, offset: Long): DataFrame =
+    graft.relational.GlobalIndex
+      .withPrefixSum(toks, Seq("doc_id"), "n_tokens", cumName = "cum")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("cum") - col("n_tokens") + lit(offset)).as("start_pos"))
 
   val sequencePack: Q = (s, dir) => packed(packLayout(s, dir))
 
@@ -2302,28 +2329,27 @@ object TextQueries {
     * appends its own partitions — history is never re-tokenized,
     * re-summed, or rewritten, and a bad ingest is one partition drop.
     */
-  val sequencePackIncremental: Q = (s, dir) => {
+  /** Build the GOVERNED two-batch pack-layout store under `storeName` —
+    * the maintenance side of [[sequencePackIncremental]], extracted so
+    * [[packManifestIncremental]] assembles the identical table under its
+    * own root. Returns the stored read-back (doc_id, n_tokens, start_pos,
+    * ingest_day + the store's partition column), or None on an empty
+    * corpus (the caller owns the empty-layout shape — ADVICE r16).
+    */
+  private def incrementalPackStore(
+      s: SparkSession, dir: String, storeName: String): Option[DataFrame] = {
     import graft.store.IncrementalStore
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val toks = docTokens(Tables.documents(s, dir))
     // deterministic doc_id-range split (driver-side 2-scalar bounds, the
     // merge_upsert batching pattern)
     val b = toks.agg(min(col("doc_id")), max(col("doc_id"))).first()
-    if (b.isNullAt(0)) {
-      // empty corpus: the one-shot layout is empty too — return it with
-      // the full packed schema instead of NPE-ing on the driver-side
-      // bounds (ADVICE r16)
-      packed(toks.withColumn("start_pos", lit(0L)))
-    } else {
+    if (b.isNullAt(0)) None
+    else {
       val cut = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2L
       def layout(df: DataFrame, offset: Long, ingestDay: java.sql.Date) =
-        graft.relational.GlobalIndex
-          .withPrefixSum(df, Seq("doc_id"), "n_tokens", cumName = "cum")
-          .select(col("doc_id"), col("n_tokens"),
-            (col("cum") - col("n_tokens") + lit(offset)).as("start_pos"),
-            lit(ingestDay).as("ingest_day"))
-      val target = StoreQueries.freshStoreRoot(s, "seq_pack_layout")
+        shiftedLayout(df, offset)
+          .withColumn("ingest_day", lit(ingestDay))
+      val target = StoreQueries.freshStoreRoot(s, storeName)
       IncrementalStore.overwriteDayPartitions(
         layout(toks.filter(col("doc_id") <= cut), 0L, PackIngestDays.head),
         target, "ingest_day", clusterBy = Seq("doc_id"))
@@ -2333,10 +2359,24 @@ object TextQueries {
       IncrementalStore.overwriteDayPartitions(
         layout(toks.filter(col("doc_id") > cut), wm, PackIngestDays(1)),
         target, "ingest_day", clusterBy = Seq("doc_id"))
-      packed(IncrementalStore.readTable(s, target)
-        .select(col("doc_id"), col("n_tokens"), col("start_pos")))
+      Some(IncrementalStore.readTable(s, target))
     }
   }
+
+  /** The empty-corpus packed layout (full output schema, zero rows). */
+  private[queries] def emptyPacked(s: SparkSession, dir: String): DataFrame =
+    packed(docTokens(Tables.documents(s, dir))
+      .withColumn("start_pos", lit(0L)))
+
+  val sequencePackIncremental: Q = (s, dir) =>
+    incrementalPackStore(s, dir, "seq_pack_layout") match {
+      // empty corpus: the one-shot layout is empty too — return it with
+      // the full packed schema instead of NPE-ing on the driver-side
+      // bounds (ADVICE r16)
+      case None => emptyPacked(s, dir)
+      case Some(stored) => packed(
+        stored.select(col("doc_id"), col("n_tokens"), col("start_pos")))
+    }
 
   /** PACK MANIFEST — the loader-facing view over [[sequencePack]]'s
     * per-document layout: one row per training pack with the bookkeeping a
@@ -2357,14 +2397,26 @@ object TextQueries {
     * Scales exactly like the packing pass: a hash aggregate over |docs|
     * rows.
     */
-  val packManifest: Q = (s, dir) => {
-    val placed = sequencePack(s, dir)
-    val per = placed.groupBy(col("pack_id"))
+  /** Per-pack manifest aggregate over placed docs — every column is a
+    * commutative monoid (count→sum, min, max, sum), which is exactly what
+    * makes the manifest INCREMENTALLY maintainable: partial manifests of
+    * disjoint doc subsets merge by the same aggregate
+    * ([[packManifestIncremental]]).
+    */
+  private def manifestRows(placed: DataFrame): DataFrame =
+    placed.groupBy(col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"),
         sum(col("crosses_boundary")).as("n_boundary_crossers"))
-    val tot = placed.agg(max(col("start_pos") + col("n_tokens")).as("__t"))
+
+  /** The pad arithmetic + output shape over per-pack manifest rows. Pad is
+    * the one NON-mergeable manifest column (a pack's pad shrinks when a
+    * later ingest fills it), so it is always (re)computed at serve time
+    * from the layout's total-token scalar — one broadcast 1-row relation.
+    */
+  private def manifestServe(per: DataFrame, layout: DataFrame): DataFrame = {
+    val tot = layout.agg(max(col("start_pos") + col("n_tokens")).as("__t"))
     per.crossJoin(broadcast(tot))
       .select(col("pack_id"), col("n_docs"), col("first_doc"),
         col("last_doc"), col("n_boundary_crossers"),
@@ -2373,6 +2425,53 @@ object TextQueries {
           .as("pad_tokens"))
       .orderBy(col("pack_id"))
   }
+
+  val packManifest: Q = (s, dir) => {
+    val placed = sequencePack(s, dir)
+    manifestServe(manifestRows(placed), placed)
+  }
+
+  /** INCREMENTAL manifest maintenance — the loader-facing pack view kept
+    * up to date WITHOUT re-aggregating history (incremental-view
+    * maintenance on [[packManifest]]): each ingest batch of the governed
+    * pack-layout store contributes a PARTIAL manifest computed over only
+    * its own `p_date=` partitions (partition-pruned reads — at 100 TB a
+    * new ingest aggregates its own documents, never the corpus), and
+    * partials merge per pack_id because every manifest column is a
+    * commutative monoid — n_docs and boundary-crosser counts SUM,
+    * first/last doc are MIN/MAX. The one pack the merge genuinely
+    * exercises is the BOUNDARY pack, where one ingest's token stream ends
+    * and the next begins mid-pack: it carries a row in both partials, and
+    * the monoid merge assembles the same row the one-shot aggregate
+    * produces (PackLifecycleSpec pins both partials contain it).
+    * `pad_tokens` is the one non-mergeable column — the previous ingest's
+    * final pack LOSES its pad when the next ingest fills it — so pad is
+    * recomputed at serve time from the stored layout's total-token scalar
+    * ([[manifestServe]]), never stored. Value-identical to the one-shot
+    * manifest: SHARES pack_manifest's oracle.
+    */
+  val packManifestIncremental: Q = (s, dir) =>
+    incrementalPackStore(s, dir, "pack_manifest_layout") match {
+      case None =>
+        // empty corpus: the manifest is empty with the full output shape
+        manifestServe(manifestRows(emptyPacked(s, dir)), emptyPacked(s, dir))
+      case Some(stored) =>
+        val partials = PackIngestDays.map { d =>
+          manifestRows(packCoords(
+            stored
+              .filter(col(graft.store.IncrementalStore.PartitionCol) ===
+                lit(d))
+              .select(col("doc_id"), col("n_tokens"), col("start_pos"))))
+        }
+        val merged = partials.reduce(_ unionByName _)
+          .groupBy(col("pack_id"))
+          .agg(sum(col("n_docs")).as("n_docs"),
+            min(col("first_doc")).as("first_doc"),
+            max(col("last_doc")).as("last_doc"),
+            sum(col("n_boundary_crossers")).as("n_boundary_crossers"))
+        manifestServe(merged,
+          stored.select(col("n_tokens"), col("start_pos")))
+    }
 
   val packManifestSql: String =
     s"""WITH t AS (
@@ -2404,6 +2503,7 @@ object TextQueries {
   val queries: Map[String, Q] = Map(
     "sequence_pack" -> sequencePack,
     "pack_manifest" -> packManifest,
+    "pack_manifest_incremental" -> packManifestIncremental,
     "sequence_pack_incremental" -> sequencePackIncremental,
     "token_simpson" -> tokenSimpson,
     "textrank_keywords" -> textrankKeywords,
@@ -2446,6 +2546,7 @@ object TextQueries {
   val oracleSql: Map[String, String] = Map(
     "sequence_pack" -> sequencePackSql,
     "pack_manifest" -> packManifestSql,
+    "pack_manifest_incremental" -> packManifestSql,
     // the token-watermark append reassembles the one-shot layout exactly,
     // so the packing oracle applies verbatim
     "sequence_pack_incremental" -> sequencePackSql,

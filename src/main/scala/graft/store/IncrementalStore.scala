@@ -137,15 +137,45 @@ object IncrementalStore {
     * times — bounded by trigger cadence, and only for days that actually
     * split; closed days are never touched again. Null-day rows land in the
     * Hive default partition and merge by the same rule.
+    *
+    * `retentionFloor`: days strictly OLDER than the floor are dropped
+    * from the batch before any write. Without it, the merge and
+    * [[retainDays]] interact badly on late data: the sweep deletes a day
+    * directory, a straggler row for that day then arrives, the existence
+    * probe sees "new day" and takes the fast path — RESURRECTING as a
+    * single fragment a day retention declared dead (and the next sweep
+    * deletes it again, a write/delete livelock on every late straggler).
+    * A caller with a retention policy passes the same cutoff here: the
+    * drop is decided on the driver-side day list (zero extra jobs) and
+    * logged per batch. Null-day rows are never floored — they have no
+    * day to be older than, mirroring retainDays' skip.
     */
   def mergeBatchDayPartitions(
       batch: DataFrame, batchId: Long, target: String, tsCol: String,
-      clusterBy: Seq[String] = Nil): Unit = {
+      clusterBy: Seq[String] = Nil,
+      retentionFloor: Option[java.time.LocalDate] = None): Unit = {
     val spark = batch.sparkSession
-    val tagged = batch.withColumn(BatchIdCol, lit(batchId))
     // touched-day list: bounded collect (days per micro-batch)
-    val days = batch.select(to_date(col(tsCol)).as("__d")).distinct()
+    val allDays = batch.select(to_date(col(tsCol)).as("__d")).distinct()
       .collect().map(r => Option(r.getDate(0))).toSeq
+    val (lateDays, days) = retentionFloor match {
+      case Some(f) =>
+        val fd = java.sql.Date.valueOf(f)
+        allDays.partition(_.exists(_.before(fd)))
+      case None => (Nil, allDays)
+    }
+    if (lateDays.nonEmpty)
+      System.err.println(
+        s"[graft] mergeBatchDayPartitions($target) batch $batchId: " +
+          s"dropping ${lateDays.size} late day(s) below retention floor " +
+          s"${retentionFloor.get}: ${lateDays.flatten.mkString(", ")}")
+    val floored = retentionFloor match {
+      case Some(f) if lateDays.nonEmpty =>
+        batch.filter(col(tsCol).isNull ||
+          to_date(col(tsCol)) >= lit(java.sql.Date.valueOf(f)))
+      case _ => batch
+    }
+    val tagged = floored.withColumn(BatchIdCol, lit(batchId))
     if (days.isEmpty) return
     val root = new org.apache.hadoop.fs.Path(target)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
