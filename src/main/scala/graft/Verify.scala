@@ -22,6 +22,9 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // µs timestamps on write so DuckDB reads what Spark computed
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // match Bench: the 100-entry codegen class cache thrashes under
+      // hundreds of distinct plans (see Bench.scala for the measurement)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

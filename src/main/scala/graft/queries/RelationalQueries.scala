@@ -3027,8 +3027,9 @@ object RelationalQueries {
     * vertex with a billion in-edges costs only its shuffle share, unlike a
     * collect_list fold whose per-group state is O(in-degree)).
     */
-  private def prRound(eo: DataFrame, ranks: DataFrame, scale: Double): DataFrame =
-    eo.join(ranks, eo("src") === ranks("v"))
+  private def prRound(eo: DataFrame, ranks: DataFrame, scale: Double,
+      bcRanks: DataFrame => DataFrame = identity): DataFrame =
+    eo.join(bcRanks(ranks), eo("src") === ranks("v"))
       .select(col("dst"),
         (col("rank") / col("outdeg").cast("double")).as("contrib"))
       .groupBy(col("dst"))
@@ -3040,6 +3041,15 @@ object RelationalQueries {
         (lit(3.0 / 20.0) + lit(17.0 / 20.0) *
           (col("si").cast("double") / lit(scale))).as("rank"))
 
+  // plan-capture accessors (graft.PlanDump): the per-round subplans are
+  // hidden from the final frame's explain by scratch materialization
+  private[graft] def pagerankEdgesForPlans(s: SparkSession, dir: String): DataFrame =
+    pagerankEdges(s, dir)
+  private[graft] def prRoundForPlans(eo: DataFrame, ranks: DataFrame,
+      scale: Double): DataFrame = prRound(eo, ranks, scale)
+  private[graft] def walkStepForPlans(frontier: DataFrame, edges: DataFrame,
+      t: Int): DataFrame = walkStep(frontier, edges, t)
+
   private def prFinish(ranks: DataFrame): DataFrame =
     ranks.select(col("v"),
         when(col("v") < 0L, lit("supplier")).otherwise(lit("customer"))
@@ -3050,10 +3060,21 @@ object RelationalQueries {
   private[graft] def pagerankRanks(s: SparkSession, dir: String, rounds: Int): DataFrame = {
     val eo = pagerankEdges(s, dir)
     val verts = eo.select(col("src").as("v")).distinct()
-    val scale = prQuantScale(verts.count())
+    val nV = verts.count()
+    val scale = prQuantScale(nV)
+    // SIZE-GATED broadcast of the |V|-row rank vector (r17): between
+    // scratch points the unmaterialized rounds' size estimates compound
+    // multiplicatively, so the planner gave up on the rank side and
+    // broadcast the EDGE fixture instead — a ~|E|-row hash-relation build
+    // per round (plan: 9 of 10 rounds BuildLeft on the edges subtree).
+    // The rank vector is |V| rows by construction every round; gate on
+    // the |V| count already computed for the quantization scale
+    // (graph_triangles' broadcastIfAtMost pattern). Past the gate the
+    // hint vanishes and the planner picks shuffle joins, as before.
+    val bc = broadcastIfAtMost(nV, GraphBroadcastRowLimit) _
     var ranks = verts.withColumn("rank", lit(1.0))
     for (round <- 1 to rounds) {
-      ranks = prRound(eo, ranks, scale)
+      ranks = prRound(eo, ranks, scale, bc)
       if (round % 10 == 0 && round < rounds)
         ranks = graft.Scratch.table(ranks, "pr-ranks")
     }
@@ -3086,14 +3107,17 @@ object RelationalQueries {
       s: SparkSession, dir: String, eps: Double, maxRounds: Int): (DataFrame, Int) = {
     val eo = pagerankEdges(s, dir)
     val verts = eo.select(col("src").as("v")).distinct()
-    val scale = prQuantScale(verts.count())
+    val nV = verts.count()
+    val scale = prQuantScale(nV)
+    // same |V|-gated rank-side broadcast as pagerankRanks (see there)
+    val bc = broadcastIfAtMost(nV, GraphBroadcastRowLimit) _
     def q(c: org.apache.spark.sql.Column) =
       floor(c * lit(scale) + lit(0.5)).cast(DecimalType(20, 0))
     var ranks = graft.Scratch.table(verts.withColumn("rank", lit(1.0)), "pr-r0")
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val next = graft.Scratch.table(prRound(eo, ranks, scale), "pr-it")
+      val next = graft.Scratch.table(prRound(eo, ranks, scale, bc), "pr-it")
       rounds += 1
       val l1Scaled = Option(next.select(col("v"), col("rank").as("r_new"))
         .join(ranks.select(col("v"), col("rank").as("r_old")), "v")
@@ -3157,8 +3181,11 @@ object RelationalQueries {
     var ranks = baseDf.select(col("v"),
       when(col("is_seed") === 1, lit(1.0) / lit(nSeeds.toDouble))
         .otherwise(lit(0.0)).as("rank"))
+    // same |V|-gated rank-side broadcast as pagerankRanks: without it the
+    // planner broadcast-builds the scratch edge relation every round
+    val bcR = broadcastIfAtMost(verts.count(), GraphBroadcastRowLimit) _
     for (_ <- 1 to 5) {
-      ranks = eoS.join(ranks, eoS("src") === ranks("v"))
+      ranks = eoS.join(bcR(ranks), eoS("src") === ranks("v"))
         .select(col("dst"), col("dst_seed"),
           (col("rank") / col("outdeg").cast("double")).as("contrib"))
         .groupBy(col("dst"), col("dst_seed"))
@@ -3268,6 +3295,28 @@ object RelationalQueries {
     * |frontier|·degree candidate stream stays in flight, never on disk.
     * Steps are a fixed small hyperparameter; output is (L+1)·|V| rows.
     */
+  /** One walk advance: frontier⋈edges candidates, collapsed per walk by
+    * the portable-hash argmin (min hash, then min dst). Factored out of
+    * [[graphRandomWalks]] so the step plan is capturable/optimizable in
+    * one place — the expression is byte-identical to the inline original.
+    */
+  private def walkStep(frontier: DataFrame, edges: DataFrame,
+      t: Int): DataFrame =
+    frontier.join(edges, col("cur") === col("src"))
+      .select(col("walk_id"), col("dst"),
+        graft.functions.PortableHash.hash32(
+          concat_ws("|", col("walk_id"), lit(t), col("dst"))).as("h"))
+      .groupBy(col("walk_id"))
+      // hash-aggregable argmin (r17): min_by(dst, struct(h, dst)) carries
+      // a struct buffer and planned as Sort + SortAggregate over the full
+      // ~9M-row candidate stream per hub step; LexMinLong is the same
+      // argmin with a flat (double, long) buffer — HashAggregate +
+      // map-side partials + codegen, no sort. h < 2^32 is exact in
+      // double; ties resolve on the exact long dst, so the selected hop
+      // is bit-identical (shared oracle unchanged).
+      .agg(graft.functions.LexMinAggregate
+        .argMinLong(col("h"), col("dst")).as("cur"))
+
   val graphRandomWalks: Q = (s, dir) => {
     val walkLen = 4
     val edges = pagerankEdges(s, dir).select(col("src"), col("dst"))
@@ -3293,13 +3342,7 @@ object RelationalQueries {
     val steps = scala.collection.mutable.ArrayBuffer[DataFrame](
       frontier.select(col("walk_id"), lit(0L).as("step"), col("cur").as("node")))
     for (t <- 1 to walkLen) {
-      frontier = graft.Scratch.table(
-        frontier.join(edges, col("cur") === col("src"))
-          .select(col("walk_id"), col("dst"),
-            graft.functions.PortableHash.hash32(
-              concat_ws("|", col("walk_id"), lit(t), col("dst"))).as("h"))
-          .groupBy(col("walk_id"))
-          .agg(min_by(col("dst"), struct(col("h"), col("dst"))).as("cur")),
+      frontier = graft.Scratch.table(walkStep(frontier, edges, t),
         s"walk-frontier-$t")
       steps += frontier.select(col("walk_id"), lit(t.toLong).as("step"),
         col("cur").as("node"))
@@ -4322,8 +4365,14 @@ object RelationalQueries {
           edges("src") === col("v"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst"))
-        .agg(max_by(col("label"), struct(col("cnt"), (-col("label")).as("nl")))
-          .as("label"))
+        // hash-aggregable argmax (r17): max_by over struct(cnt, -label)
+        // planned as Sort + SortAggregate (struct buffer); the lex-max of
+        // (cnt, -label) IS the lex-min of (-cnt, label), so LexMinLong
+        // (flat buffer, HashAggregate, codegen) returns the identical
+        // plurality label — counts are exact in double far past any
+        // per-vertex degree, ties resolve on the exact long label.
+        .agg(graft.functions.LexMinAggregate
+          .argMinLong(-col("cnt"), col("label")).as("label"))
         .select(col("dst").as("v"), col("label"))
       // the change flag rides INSIDE the round's one scratch write (the
       // Components pattern), so the fixpoint check is a columnar scan of

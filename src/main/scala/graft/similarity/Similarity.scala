@@ -415,7 +415,15 @@ object Similarity {
         subDist("emb", "c_emb", "s", subWidth).as("d"))
       .groupBy(col("vec_id"), col("s"))
       .agg(
-        min_by(col("code"), struct(col("d"), col("code"))).as("code"),
+        // hash-aggregable argmin (r17): the struct-ordered min_by buffers
+        // a struct and forces Sort + SortAggregate; LexMinLong keeps the
+        // exact (d, code) lex-argmin with a flat mutable buffer so the
+        // whole (vec × subspace × codebook) scoring stream stays in one
+        // codegen HashAggregate with map-side partials. d is already
+        // double; ties resolve on the exact long code.
+        graft.functions.LexMinAggregate
+          .argMinLong(col("d"), col("code").cast("long"))
+          .cast("int").as("code"),
         min(col("d")).as("sdist"))
   }
 
