@@ -24,8 +24,14 @@ object PortableHash {
   def hash32At(c: Column, off: Int): Column = {
     require(off >= 1 && off + 8 <= 33, s"md5 span out of range: $off")
     val md = md5(c.cast("string"))
-    (off until off + 8).foldLeft(lit(0L))((acc, i) =>
-      acc * 16L + (instr(lit("0123456789abcdef"), substring(md, i, 1)) - 1).cast("long"))
+    // one conv() instead of the former 8× (substring + instr) positional
+    // parse (r17): conv(hex, 16, 10) of the same 8-digit span is the
+    // identical value (verified bit-equal over the hash range; hash32 <
+    // 2^32 so the long cast never overflows) at 1/8th the per-row string
+    // work — this expression sits on every hash-heavy hot path (walk
+    // candidates, CMS/minhash/sampling buckets). The DuckDB mirror below
+    // is unchanged: the VALUE is the contract, not the parse.
+    conv(substring(md, off, 8), 16, 10).cast("long")
   }
 
   /** Same hash in DuckDB SQL over expression `e`. list_sum widens to
