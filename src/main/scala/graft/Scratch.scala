@@ -50,8 +50,15 @@ object Scratch {
   private lazy val jvmTag: String =
     java.util.UUID.randomUUID().toString.take(8)
 
-  def table(df: DataFrame, tag: String): DataFrame =
-    df.sparkSession.read.parquet(write(df, tag))
+  def table(df: DataFrame, tag: String): DataFrame = {
+    // supply the known schema on read-back (r17): schema inference costs
+    // a footer read + merge (~60 ms) per table() call, and iterative
+    // drivers call this every round. The written files hold exactly
+    // `df`'s rows, so `df.schema` IS the read-back schema (parquet
+    // round-trips these plain SQL types; a non-nullable field cannot
+    // have acquired nulls). Data is still read from the files.
+    df.sparkSession.read.schema(df.schema).parquet(write(df, tag))
+  }
 
   /** Choose a unique scratch location for `tag`, write `df` there, return
     * the path — the write half of [[table]], shared with [[fixture]].
@@ -83,8 +90,9 @@ object Scratch {
   // that key's own lock with no cycle (ADVICE r14: the previous global
   // `fixtures.synchronized` serialized everything behind the longest
   // build).
-  private final class FixtureHolder(derive: () => String) {
-    lazy val path: String = derive()
+  private final class FixtureHolder(
+      derive: () => (String, org.apache.spark.sql.types.StructType)) {
+    lazy val built: (String, org.apache.spark.sql.types.StructType) = derive()
   }
   private val fixtures =
     new java.util.concurrent.ConcurrentHashMap[String, FixtureHolder]()
@@ -127,7 +135,7 @@ object Scratch {
     */
   def fixture(spark: org.apache.spark.sql.SparkSession, key: String)(
       derive: => DataFrame): DataFrame = {
-    def build(): String = {
+    def build(): (String, org.apache.spark.sql.types.StructType) = {
       val tag = "fix-" + key.replaceAll("[^A-Za-z0-9._-]", "-")
         .replaceAll("-+", "-").takeRight(48).stripPrefix("-")
       // one-time build cost is REAL cost a production run pays somewhere
@@ -135,10 +143,13 @@ object Scratch {
       // per-query numbers can't be misread as total cost (VERDICT r14
       // missing #1; harvested into SCALE.md's build-cost table)
       val t0 = System.nanoTime()
-      val p = write(derive, tag)
+      val df = derive
+      val p = write(df, tag)
       System.err.println(
         f"[graft] fixture build $key%s: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      p
+      // the schema rides with the path (r17): consumers then skip
+      // per-call schema inference (a footer read per fixture() call)
+      (p, df.schema)
     }
     // loop: if a registered fixture's files were deleted externally (the
     // ensureFixture lesson), evict exactly that holder and re-register.
@@ -147,25 +158,25 @@ object Scratch {
     // with object-store committers a shared spark.graft.scratch.dir
     // invites) would otherwise re-derive forever in a hot loop.
     val MaxBuilds = 3
-    var path: String = null
+    var built: (String, org.apache.spark.sql.types.StructType) = null
     var attempts = 0
-    while (path == null) {
+    while (built == null) {
       val holder = fixtures.computeIfAbsent(key,
         _ => new FixtureHolder(() => build()))
-      val p = holder.path // derivation runs here, under the per-key lock
-      if (committed(spark, p)) path = p
+      val b = holder.built // derivation runs here, under the per-key lock
+      if (committed(spark, b._1)) built = b
       else {
         fixtures.remove(key, holder)
         attempts += 1
         if (attempts >= MaxBuilds)
           throw new IllegalStateException(
-            s"fixture '$key': no _SUCCESS marker under $p after " +
+            s"fixture '$key': no _SUCCESS marker under ${b._1} after " +
               s"$attempts build attempts — the output committer is not " +
               "writing success markers (is " +
               "mapreduce.fileoutputcommitter.marksuccessfuljobs=false?); " +
               "refusing to re-derive unboundedly")
       }
     }
-    spark.read.parquet(path)
+    spark.read.schema(built._2).parquet(built._1)
   }
 }

@@ -41,6 +41,23 @@ object RelationalQueries {
       df: DataFrame): DataFrame =
     if (rows <= limitRows) broadcast(df) else df
 
+  /** SCALE-ADAPTIVE fan-out of a compute-heavy probe side (guide §2.5/§2.6):
+    * a small scratch/fixture relation reads back as 1–3 file splits
+    * (split sizing is byte-based), so a probe that FANS OUT — e.g. the
+    * random-walk candidate stream, ~9M hash evaluations from a 1M-row
+    * edge relation — serializes on a couple of cores no matter how many
+    * the session has. When (and only when) the planned scan has fewer
+    * partitions than the session's parallelism, hash-repartition on `key`
+    * so the downstream per-candidate work uses the machine; on a real
+    * cluster the same relation is big enough that the scan already yields
+    * ≥ parallelism splits and this is the identity — the repartition is
+    * derived from observed input parallelism, never a tuned constant.
+    */
+  private def fanOutProbe(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
+  }
+
   /** Association-independent sum of a double expression: exact decimal
     * accumulate, cast back to double.
     */
@@ -3319,7 +3336,14 @@ object RelationalQueries {
 
   val graphRandomWalks: Q = (s, dir) => {
     val walkLen = 4
-    val edges = pagerankEdges(s, dir).select(col("src"), col("dst"))
+    // fan the edge relation out to the session's parallelism before the
+    // per-candidate hash (r17): the fixture reads back as 1–3 file
+    // splits, so the ~9M portable-hash evaluations of a hub step ran on
+    // 2–3 cores (measured: the hash alone was 3.6 s of the 3.9 s step);
+    // one 1M-row hash exchange buys 32-way candidate hashing. No-op on
+    // scans that already plan ≥ parallelism splits (real-scale tables).
+    val edges = fanOutProbe(
+      pagerankEdges(s, dir).select(col("src"), col("dst")), col("src"))
     // the start frontier has the same two consumers every later frontier
     // has (round-1 join + output union) — scratch it for the same reason.
     // CLOSED (r16 bounded investigation, SCALE.md "random-walk cost"):
@@ -3907,7 +3931,13 @@ object RelationalQueries {
       val fresh = graft.Scratch.table(next, s"bfs-d$hop")
       if (fresh.isEmpty) done = true
       else {
-        dist = graft.Scratch.table(dist.unionAll(fresh), s"bfs-acc$hop")
+        // dist stays a LAZY union of the per-hop scratch tables (r17):
+        // the accumulator was re-written to scratch every round, a write
+        // + read-back job per hop that bought nothing — each hop's
+        // frontier is already materialized, hop count is bounded, and
+        // every consumer (the anti-join probe, the final rollup) reads
+        // the same rows either way.
+        dist = dist.unionAll(fresh)
         frontier = fresh.select(col("x"))
         hop += 1
       }
@@ -4075,15 +4105,20 @@ object RelationalQueries {
     while (!done && round <= maxRounds) {
       val relaxed = dist.join(edges, dist("x") === edges("src"))
         .select(col("dst").as("x"), (col("d") + col("w")).as("d"))
-      val next = graft.Scratch.table(
-        dist.unionAll(relaxed).groupBy(col("x")).agg(min(col("d")).as("d")),
+      // the fixpoint flag rides INSIDE the round's one scratch write (the
+      // labelPropagate pattern, r17): the old form ran a second
+      // join-and-count job per round over the just-written table; now the
+      // old distance joins into the same write and the check is a
+      // columnar scan of the chg column.
+      val mat = graft.Scratch.table(
+        dist.unionAll(relaxed).groupBy(col("x")).agg(min(col("d")).as("d"))
+          .join(dist.select(col("x"), col("d").as("d0")), Seq("x"), "left_outer")
+          .select(col("x"), col("d"),
+            (col("d0").isNull || col("d") < col("d0")).as("chg")),
         s"sssp-d$round")
-      // fixpoint: count of strictly-improved-or-new labels this round
-      val changed = next.join(dist.select(col("x"), col("d").as("d0")), Seq("x"), "left_outer")
-        .filter(col("d0").isNull || col("d") < col("d0"))
-        .count()
-      dist = next
-      if (changed == 0L) done = true else round += 1
+      val changed = !mat.filter(col("chg")).isEmpty
+      dist = mat.select(col("x"), col("d"))
+      if (!changed) done = true else round += 1
     }
     dist.groupBy(col("d"))
       .agg(count(lit(1)).as("n_parts"),
