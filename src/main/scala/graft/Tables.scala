@@ -123,6 +123,20 @@ object Tables {
     normalizeTs(raw.filter(rawTsPredicate(raw.schema("ts").dataType, None, Some(start))))
   }
 
+  /** Spread per-row compute-heavy work across the session when the scan
+    * has fewer partitions than cores: a single small parquet file reads
+    * as ONE byte-sized split, serializing all downstream per-row work
+    * (hashing, generators, folds) onto one core. A no-op whenever the
+    * source already has enough splits — i.e. at any real scale. The
+    * shared public form of DocDedup's `spread` (r17); row order is not
+    * preserved, so apply only where consumers are order-free
+    * (aggregates, joins, sorted outputs).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")

@@ -1756,7 +1756,10 @@ object SimilarityQueries {
     */
   val covMergeShards: Q = (s, dir) => {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val x = Tables.embeddings(s, dir)
+    // spread (r17): embeddings is one small file = one scan split, so the
+    // d²/2-per-vector product explode — the query's dominant cost — ran
+    // on one core; order-free aggregate consumers, spread is value-safe
+    val x = Tables.spread(Tables.embeddings(s, dir))
       .select((col("vec_id") % 8).as("shard"),
         expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("x"))
     val prods = x.select(col("shard"),
@@ -1852,25 +1855,39 @@ object SimilarityQueries {
           graft.Parity.pround(
             Similarity.dot("x.embedding", "y.embedding") /
               (col("x.norm") * col("y.norm")), 6).as("sim")), "mmr-sims")
-    var picked = graft.Scratch.table(
-      pool.orderBy(col("rel").desc, col("vec_id")).limit(1)
-        .select(col("vec_id"), col("rel"), lit(1L).as("pick_order"),
-          col("rel").as("mmr_score")), "mmr-p1")
+    // The greedy runs CLIENT-SIDE over the retrieved pool (r17): MMR
+    // reranks a k-bounded retrieval result (k = 20 BY CONSTRUCTION), so
+    // its whole state — the pool and its O(k²) pairwise similarities —
+    // is a bounded artifact (≤ 20 + 380 rows), the same class as the
+    // bpe merge table or a watermark scalar. The old form ran 7
+    // sequential argmax ACTIONS (one per pick), each a full job over the
+    // same two scratch tables: ~2.1 s of job overhead to move 8 rows.
+    // One bounded collect + an exact driver-side greedy (same IEEE
+    // double arithmetic, same (mmr_score desc, vec_id) tie-break — the
+    // shared recursive-SQL oracle pins the values) serves every pick.
+    val poolRows = pool.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val simRows = sims.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val first = poolRows.toSeq.maxBy { case (id, rel) => (rel, -id) }
+    var picked = Vector((first._1, first._2, 1L, first._2))
     for (t <- 2 to 8) {
-      val next = pool
-        .join(picked.select(col("vec_id")), Seq("vec_id"), "left_anti")
-        .join(sims, col("vec_id") === col("a"))
-        .join(picked.select(col("vec_id").as("b")), "b")
-        .groupBy(col("vec_id"), col("rel"))
-        .agg(max(col("sim")).as("maxsim"))
-        .withColumn("mmr_score",
-          lit(0.5) * col("rel") - lit(0.5) * col("maxsim"))
-        .orderBy(col("mmr_score").desc, col("vec_id")).limit(1)
-        .select(col("vec_id"), col("rel"), lit(t.toLong).as("pick_order"),
-          col("mmr_score"))
-      picked = graft.Scratch.table(picked.unionByName(next), s"mmr-p$t")
+      val pickedIds = picked.map(_._1).toSet
+      val next = poolRows.toSeq
+        .filter { case (id, _) => !pickedIds.contains(id) }
+        .map { case (id, rel) =>
+          val maxsim = pickedIds.iterator
+            .flatMap(b => simRows.get((id, b))).max
+          (id, rel, 0.5 * rel - 0.5 * maxsim)
+        }
+        // + 0.0 folds a possible -0.0 into 0.0 so the tuple tie-break
+        // matches SQL ordering (which treats them equal, then vec_id)
+        .minBy { case (id, _, score) => (-score + 0.0, id) }
+      picked :+= ((next._1, next._2, t.toLong, next._3))
     }
-    picked.select(col("pick_order"), col("vec_id"),
+    import s.implicits._
+    picked.toDF("vec_id", "rel", "pick_order", "mmr_score")
+      .select(col("pick_order"), col("vec_id"),
         graft.Parity.pround(col("rel"), 6).as("rel"),
         graft.Parity.pround(col("mmr_score"), 6).as("mmr_score"))
       .orderBy(col("pick_order"))
