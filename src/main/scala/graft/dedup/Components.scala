@@ -69,11 +69,16 @@ object Components {
         .join(neighborMin, labels("v") === neighborMin("dst"), "left")
         .select(col("v"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-      val mat = DocDedup.scratchTable(next, "cc-labels")
-      // bounded driver-side action: existence of any changed label (the
-      // standard iterative-CC convergence check; cost is one scan of the
-      // just-written labels table)
-      converged = mat.filter(col("label") =!= col("old_label")).isEmpty
+      // the convergence check rides the round's write as an observed
+      // metric (r18; was a separate post-write scan job per round — the
+      // sssp fused-fixpoint treatment applied here): changed-label count
+      // is collected DURING the write, so each round is exactly one job
+      val obs = org.apache.spark.sql.Observation()
+      val mat = DocDedup.scratchTable(
+        next.observe(obs,
+          count(when(col("label") =!= col("old_label"), 1)).as("chg")),
+        "cc-labels")
+      converged = obs.get("chg").asInstanceOf[Long] == 0L
       labels = mat.select(col("v"), col("label"))
       rounds += 1
     }

@@ -434,13 +434,14 @@ object DocDedup {
           .as("jaccard"))
   }
 
-  /** Portable 32-bit word hash: positional hex-digit parse of the first 8
-    * md5 chars (expressible identically in the DuckDB oracle, which lacks
-    * a hex→int conversion).
+  /** Portable 32-bit word hash — [[graft.functions.PortableHash.hash32]]
+    * (r18: this private copy still carried the pre-r17 8×(substring+instr)
+    * positional parse; the shared conv() form computes the identical value
+    * at 1/8th the per-token string work, and this expression runs once per
+    * word occurrence under simhash).
     */
   private val wordHash32: Column =
-    expr("""aggregate(sequence(1, 8), CAST(0 AS BIGINT),
-           |  (acc, i) -> acc * 16 + CAST(instr('0123456789abcdef', substring(md5(word), i, 1)) - 1 AS BIGINT))""".stripMargin)
+    graft.functions.PortableHash.hash32(col("word"))
 
   /** SimHash-32: per-bit majority vote over word hashes. */
   def simhashSignatures(docs: DataFrame): DataFrame = {

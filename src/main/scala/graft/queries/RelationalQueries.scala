@@ -3853,7 +3853,15 @@ object RelationalQueries {
         struct(col("u").as("src"), col("v").as("dst")))
         .otherwise(struct(col("v").as("src"), col("u").as("dst"))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst")), "tri-oriented")
-    val wedges = oriented.as("e1")
+    // spread the PROBE side (r18): the oriented scratch reads back as ~10
+    // file splits, so the dominant pipeline — wedge fan-out + two broadcast
+    // probes + partial agg, measured 4.9 s of the 6.9 s wall — ran on 10 of
+    // 32 cores. Observed-splits-gated (identity at any scale where the
+    // relation already plans >= parallelism splits); consumers are
+    // aggregates, so row order is immaterial. (An r17 attempt predating the
+    // portable-hash and argmin fixes measured this neutral; re-measured
+    // after them it is the remaining serialization.)
+    val wedges = Tables.spread(oriented).as("e1")
       .join(bc(oriented).as("e2"), col("e1.dst") === col("e2.src"))
       .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
     val tris = wedges.join(
@@ -4291,8 +4299,12 @@ object RelationalQueries {
     def degrees(edges: DataFrame): DataFrame =
       edges.select(explode(array(col("u"), col("v"))).as("x"))
         .groupBy(col("x")).agg(count(lit(1)).as("dg"))
-    val m = e.count()
-    val n = degrees(e).count()
+    // m and n in ONE job (r18; was two): the exploded endpoint stream has
+    // exactly 2m rows, so m = cnt/2 exactly, and n is its exact distinct
+    val mn = e.select(explode(array(col("u"), col("v"))).as("x"))
+      .agg(count(lit(1)).as("c2m"), count_distinct(col("x")).as("n")).first()
+    val m = mn.getLong(0) / 2L
+    val n = mn.getLong(1)
     val k = if (n == 0) 0L else (13L * m) / (10L * n)
     // fixpoint = no vertex dropped this round (edges only disappear when an
     // endpoint does), detected on the tiny vocabulary-bounded keep relation
@@ -4301,9 +4313,15 @@ object RelationalQueries {
     var r = 1
     var done = n == 0
     while (!done && r <= maxRounds) {
+      // the fixpoint count rides the keep write as an observed metric
+      // (r18; was a separate count() job per round — cheap on parquet
+      // footers, but each job carries ~50-100 ms of driver round-trip in
+      // a 7-round cascade)
+      val obs = org.apache.spark.sql.Observation()
       val keep = graft.Scratch.table(
-        degrees(e).filter(col("dg") >= k).select(col("x")), s"kcore-k$r")
-      val kept = keep.count()
+        degrees(e).filter(col("dg") >= k).select(col("x"))
+          .observe(obs, count(lit(1)).as("kept")), s"kcore-k$r")
+      val kept = obs.get("kept").asInstanceOf[Long]
       if (kept == prevKept) done = true
       else {
         // kept is already a driver scalar (the fixpoint check), so the

@@ -2044,12 +2044,18 @@ object TextQueries {
     */
   val nbLangConfusion: Q = (s, dir) => {
     import org.apache.spark.sql.types.DecimalType
-    val toks = graft.Scratch.table(
+    // spread the scratch read-back (r18): the token relation lands in ONE
+    // parquet file (its upstream is a one-split documents scan), so the
+    // probe stage — |langs|x cross-join fan-out + model join partials over
+    // ~1M rows — planned as ONE scan task (measured 1.99 s of the query's
+    // 2.8 s on one core of 32). Observed-splits-gated: identity whenever
+    // the scan already plans >= parallelism splits.
+    val toks = Tables.spread(graft.Scratch.table(
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang").as("actual_lang"),
           explode(TextAnalysis.words(col("text"))).as("token"))
         .filter(col("token") =!= ""),
-      "nb-toks")
+      "nb-toks"))
     val model = toks.groupBy(col("actual_lang").as("lang"), col("token"))
       .agg(count(lit(1)).as("c"))
     val totals = model.groupBy(col("lang")).agg(sum(col("c")).as("nl"))
@@ -2273,7 +2279,14 @@ object TextQueries {
     */
   private[queries] def shiftedLayout(toks: DataFrame, offset: Long): DataFrame =
     graft.relational.GlobalIndex
-      .withPrefixSum(toks, Seq("doc_id"), "n_tokens", cumName = "cum")
+      .withPrefixSum(toks, Seq("doc_id"), "n_tokens",
+        // per-BATCH layouts: toks is a narrow projection of one ingest
+        // batch (a micro-batch / parity-split scan), so the partition
+        // count derives from the batch's planned splits — a one-file
+        // batch prefix-sums in one partition with no sampling pass and no
+        // scratch write, instead of a 32-way range scaffold per trigger
+        numPartitions = graft.relational.GlobalIndex.partsForNarrowInput(toks),
+        cumName = "cum")
       .select(col("doc_id"), col("n_tokens"),
         (col("cum") - col("n_tokens") + lit(offset)).as("start_pos"))
 

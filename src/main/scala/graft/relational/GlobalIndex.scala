@@ -70,6 +70,25 @@ object GlobalIndex {
     * broadcast back). Exact for the same reason: `orderCols` must be a
     * unique total order, so every boundary set yields the same prefix.
     */
+  /** Observed-splits partition count for a prefix-sum/global-index input
+    * whose plan the CALLER certifies as narrow over a file/batch scan (a
+    * fixture read-back, a streaming micro-batch, a scan+project): the
+    * range-partition count is `min(max(32, defaultParallelism), planned
+    * input splits)` — the spread/fanOutProbe rule inverted. A one-split
+    * input (one small file, one micro-batch) then prefix-sums in ONE
+    * partition — no boundary-sampling pass, no scratch materialization
+    * (see [[withPrefixSum]]'s parts==1 path) — while at real scale the
+    * scan plans >= parallelism splits and this equals the old
+    * max(32, defaultParallelism). Per-partition local sort work stays
+    * bounded by one scan split (<= spark.sql.files.maxPartitionBytes)
+    * either way. Do NOT call on plans containing joins/aggregations:
+    * probing `.rdd` under AQE executes their shuffle stages.
+    */
+  def partsForNarrowInput(df: DataFrame): Int = {
+    val wanted = math.max(32, df.sparkSession.sparkContext.defaultParallelism)
+    math.max(1, math.min(wanted, df.rdd.getNumPartitions))
+  }
+
   def withPrefixSum(
       df: DataFrame, orderCols: Seq[String], valueCol: String,
       numPartitions: Int = 0, cumName: String = "cum"): DataFrame = {
@@ -77,6 +96,19 @@ object GlobalIndex {
       if (numPartitions > 0) numPartitions
       else math.max(32, df.sparkSession.sparkContext.defaultParallelism)
     val cols: Seq[Column] = orderCols.map(col)
+    if (parts == 1) {
+      // single-partition form (callers pass parts=1 only for one-split
+      // inputs, via partsForNarrowInput): every row lands in one range
+      // partition anyway, so the local window IS the global prefix — and
+      // with no boundary sampling there is no nondeterministic boundary
+      // assignment to pin, so the scratch materialization is skipped
+      // outright. partitionBy(lit) keeps the partitionSpec non-empty (one
+      // hash partition, no partition-less WindowExec funnel warning) and
+      // the values are the identical total-order running sum.
+      val w = Window.partitionBy(lit(0)).orderBy(cols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return df.withColumn(cumName, sum(col(valueCol)).over(w))
+    }
     val parted = graft.Scratch.table(
       df.repartitionByRange(parts, cols: _*)
         .withColumn("__pid", spark_partition_id()),

@@ -179,7 +179,21 @@ object KllSketch {
     */
   def compactFused(itemsIn: DataFrame, groupCols: Seq[String],
       fromLevel: Int, toLevel: Int): DataFrame = {
-    var items = itemsIn
+    // ONE exchange for the whole cascade (r18): every round's window
+    // clusters on (group…, level), but `level` is rewritten each round, so
+    // the planner re-exchanges on every round — R shuffles of the same
+    // shrinking relation. Hash-partitioning ONCE on groupCols alone
+    // satisfies every round's ClusteredDistribution (the hash keys are a
+    // subset of each round's cluster keys and pass through every
+    // projection untouched), so rounds 2..R plan as LOCAL SORTS under the
+    // single exchange. Values are unchanged — same rows per partition
+    // group-wise, same per-(group, level) rank order. Skew bound: one
+    // partition holds at most one group's items, and the fused path is
+    // only entered on certified-≤fuseMaxRows inputs (compactAuto), so a
+    // single-group partition is ≤1M sketch items by construction.
+    var items =
+      if (groupCols.nonEmpty) itemsIn.repartition(groupCols.map(col): _*)
+      else itemsIn
     for (r <- fromLevel until toLevel) {
       val part = (groupCols :+ "level").map(col)
       val wOrd = Window.partitionBy(part: _*).orderBy(col("value"), col("tid"))
