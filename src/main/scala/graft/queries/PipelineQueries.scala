@@ -27,6 +27,20 @@ object PipelineQueries {
 
   private val Epoch0 = new Timestamp(0L) // injectable audit ts, deterministic
 
+  /** Shuffle-partition count for the bounded streaming runs — ONE
+    * state-store instance (with per-batch delta/commit files) is created
+    * per shuffle partition per stateful operator, so this should track
+    * STATE SIZE, not core count: at gate scale (hundreds of windows / a
+    * few-MB join state) 4 partitions measurably beat 8 (the stream-stream
+    * join family: 11.0 -> 9.6 s, attribution_outer 1.24x — per-batch
+    * per-store commit overhead dominates), and both beat the session's 32.
+    * Conf-overridable for deployments whose streaming state is larger
+    * (`spark.graft.stream.shufflePartitions`); independent of
+    * $SPARK_GRAFT_CPUS by design — state sizing is a data property.
+    */
+  private[queries] def streamShufflePartitions(s: SparkSession): String =
+    s.conf.getOption("spark.graft.stream.shufflePartitions").getOrElse("4")
+
   /** Fresh scratch dir per query run (idempotent re-runs). */
   private def scratch(spark: SparkSession, name: String): String = {
     val dir = StoreQueries.scratchPath(spark, s"graft_pipeline/$name")
@@ -222,7 +236,7 @@ object PipelineQueries {
     // delta + commit files) per shuffle partition; 720 windows need 8, not
     // 32 — streaming disables AQE, so nothing coalesces this for us
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions(s))
     try {
       val q = graft.streaming.ForexStream
         .candlesComplete(graft.streaming.ForexStream.ticks(s, base),
@@ -380,7 +394,7 @@ object PipelineQueries {
     val base = silverStreamSource(s, dir)
     val store = scratch(s, "stream_to_store_tbl")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions(s))
     try {
       val q = graft.streaming.ForexStream.writeToStore(
           graft.streaming.ForexStream.candlesComplete(
@@ -495,7 +509,7 @@ object PipelineQueries {
       build: () => DataFrame, mode: String): DataFrame = {
     s.streams.active.filter(_.name == name).foreach(_.stop())
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions(s))
     try {
       val q = build()
         .writeStream.format("memory").queryName(name)
@@ -531,7 +545,7 @@ object PipelineQueries {
     fs.delete(new org.apache.hadoop.fs.Path(target), true)
     fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions(s))
     try {
       val q = build()
         .writeStream.format("graft-sink")
@@ -683,7 +697,7 @@ object PipelineQueries {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions(s))
     try {
       val mergeDays: (DataFrame, Long) => Unit = (batch, bid) =>
         IncrementalStore.mergeBatchDayPartitions(
